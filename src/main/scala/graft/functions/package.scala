@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks shared across operators.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` composition —
+  * codegen'd by Catalyst, no UDFs — and each helper has an exact ANSI-SQL
+  * mirror used in the DuckDB oracles (see SparkEntry.oracleSql), so results
+  * are hash-comparable bit-for-bit.
+  *
+  * Hash family: md5 over utf8 bytes. The reference's MapReduce shuffle
+  * partitions by `HashPartitioner` over Writable hashCodes; we need a hash
+  * both Spark and the SQL oracle can replay, so the md5 hex string *is* the
+  * portable hash domain (lexicographic order on hex == order on the 128-bit
+  * value).
+  */
+package object functions {
+
+  /** Whitespace tokens; mirror: string_split(text, ' '). */
+  def wsTokens(c: Column): Column = split(c, " ")
+
+  /** Lowercase hex md5 of a string column; mirror: md5(c). */
+  def md5Hex(c: Column): Column = md5(c.cast("binary"))
+
+  /** Seeded portable hash: md5 of "<seed>|<value>". */
+  def seededHash(seed: Int, c: Column): Column =
+    md5(concat(lit(s"$seed|"), c).cast("binary"))
+
+  /** n-word shingles of a token array, empty when fewer than n tokens.
+    * Mirror: list_transform(generate_series(1, len(toks)-(n-1)),
+    *                        i -> array_to_string(toks[i:i+n-1], ' '))
+    * (DuckDB generate_series(1,0) is empty; Spark sequence(1,0) is NOT —
+    * hence the `when` guard.) */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature: k seeded-md5 min-hashes over a shingle array.
+    * Element i = min over shingles s of md5("<i>|<s>"). */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingleCol, s => md5(concat(lit(s"$i|"), s).cast("binary"))))
+    }: _*)
+
+  /** 16-bit SimHash over a (multiset) token array: nibble j of each token's
+    * md5 votes +1 if >= '8' else -1; bit j of the result is the majority.
+    * Pure expression — computed per row without an explode/groupBy. */
+  def simhash16(toks: Column): Column = {
+    val votes = (0 until 16).map { j =>
+      aggregate(
+        transform(toks, t => when(substring(md5(t.cast("binary")), j + 1, 1) >= lit("8"), 1).otherwise(-1)),
+        lit(0), (acc, v) => acc + v)
+    }
+    votes.zipWithIndex.map { case (v, j) =>
+      when(v > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** Double-precision dot product of two float-array columns, summed left to
+    * right so it is bit-identical to the oracle's
+    * list_sum(list_transform(generate_series(1,d), i -> a[i]::DOUBLE * b[i]::DOUBLE)). */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity in double precision: dot / (sqrt(na) * sqrt(nb)). */
+  def cosineSim(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  /** Money-safe aggregation input: exact decimal, order-independent sums. */
+  def dec(c: Column, p: Int = 12, s: Int = 2): Column = c.cast(s"decimal($p,$s)")
+
+  /** Exact decimal sum surfaced as double (schema parity with the oracle). */
+  def dsum(c: Column): Column = sum(c).cast("double")
+}

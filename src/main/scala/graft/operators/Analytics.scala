@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.sources.Tables
+
+/** Section B of SURVEY §2: analytical query surface — the workloads a Spark
+  * cluster scheduled by the reference's YARN/FCFS deployment actually runs
+  * (BASELINE.json: "Spark on YARN/FCFS scheduler"). TPC-H-shaped joins and
+  * aggregations plus event-stream batch analytics.
+  *
+  * Scale notes (100 TB): dims (region/nation/customer) broadcast where they
+  * fit; fact-fact joins shuffle on the join key with AQE skew-splitting;
+  * aggregations rely on Catalyst's partial-aggregate (map-side combine);
+  * top-k is TakeOrderedAndProject (per-partition heaps, no global sort
+  * shuffle); windows partition by user/order key so state scales with key
+  * cardinality, not data volume.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** TPC-H Q1-shaped pricing summary; DECIMAL math, exact. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(12,2)")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        dec(col("l_quantity")).as("qty"),
+        dec(col("l_extendedprice")).as("price"),
+        dec(col("l_discount")).as("disc"),
+        dec(col("l_tax")).as("tax"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("qty")).as("sum_qty"),
+        dsum(col("price")).as("sum_base_price"),
+        dsum(col("price") * (one - col("disc"))).as("sum_disc_price"),
+        dsum(col("price") * (one - col("disc")) * (one + col("tax"))).as("sum_charge"),
+        (sum(col("qty")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("price")).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3-shaped shipping priority: 3-way join, agg, deterministic top-10. */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp_ntz"))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp_ntz"))
+    val one = lit(1).cast("decimal(12,2)")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(dsum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped: revenue by nation within ASIA, 6-way join. */
+  def localSupplier(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val su = t(s, dir, "supplier")
+    val one = lit(1).cast("decimal(12,2)")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey") && su("s_nationkey") === c("c_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("revenue"))
+  }
+
+  /** Running windows per user: rank + cumulative DECIMAL-exact sum. */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(
+        col("user_id"), col("event_id"),
+        row_number().over(w).as("rn"),
+        sum(dec(col("value"), 10, 2)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_value"))
+  }
+
+  /** ROLLUP over nation × order status. SQL-path (Catalyst plans GROUP BY
+    * ROLLUP as a single expand+aggregate; the DataFrame `rollup` API trips a
+    * spurious ambiguous-self-join check in Spark 4.1 on this join shape). */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("g_orders")
+    t(s, dir, "customer").createOrReplaceTempView("g_customer")
+    t(s, dir, "nation").createOrReplaceTempView("g_nation")
+    s.sql(
+      """SELECT n_name, o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM g_orders JOIN g_customer ON o_custkey = c_custkey
+        |JOIN g_nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin)
+  }
+
+  /** Gap-based sessionization (6h gap), fully SQL-expressible:
+    * lag + flag + cumulative-sum session ids. Integer-microsecond math. */
+  def eventSessionize(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 6L * 3600 * 1000000
+    val us = unix_micros(col("ts").cast("timestamp"))
+    t(s, dir, "events")
+      .withColumn("us", us)
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .withColumn("new_s", when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        dsum(dec(col("value"), 10, 2)).as("total_value"))
+  }
+
+  /** Tumbling 1h window aggregation — batch analog of the streaming path. */
+  def eventWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(dec(col("value"), 10, 2)).as("total_value"))
+
+  // --- wiring --------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pricing_summary" -> (pricingSummary _),
+    "q_shipping_priority" -> (shippingPriority _),
+    "q_local_supplier" -> (localSupplier _),
+    "q_window_running" -> (windowRunning _),
+    "q_rollup" -> (rollupAgg _),
+    "q_event_sessionize" -> (eventSessionize _),
+    "q_event_window" -> (eventWindow _))
+
+  def oracles: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(qty) AS DOUBLE) AS sum_qty, " +
+        "CAST(sum(price) AS DOUBLE) AS sum_base_price, " +
+        "CAST(sum(price * (1 - disc)) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(sum(price * (1 - disc) * (1 + tax)) AS DOUBLE) AS sum_charge, " +
+        "CAST(sum(qty) AS DOUBLE) / count(*) AS avg_qty, " +
+        "CAST(sum(price) AS DOUBLE) / count(*) AS avg_price, " +
+        "count(*) AS count_order " +
+        "FROM (SELECT l_returnflag, l_linestatus, CAST(l_quantity AS DECIMAL(12,2)) AS qty, CAST(l_extendedprice AS DECIMAL(12,2)) AS price, CAST(l_discount AS DECIMAL(12,2)) AS disc, CAST(l_tax AS DECIMAL(12,2)) AS tax FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00') " +
+        "GROUP BY l_returnflag, l_linestatus"),
+    "q_shipping_priority" ->
+      ("SELECT l_orderkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue, o_orderdate, o_orderpriority " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"),
+    "q_local_supplier" ->
+      ("SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name"),
+    "q_window_running" ->
+      ("SELECT user_id, event_id, CAST(row_number() OVER w AS INT) AS rn, " +
+        "CAST(sum(CAST(value AS DECIMAL(10,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+    "q_rollup" ->
+      ("SELECT n_name, o_orderstatus, count(*) AS cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY ROLLUP (n_name, o_orderstatus)"),
+    "q_event_sessionize" ->
+      ("WITH flagged AS (SELECT user_id, ts, event_id, value, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sessions AS (SELECT user_id, ts, value, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM flagged) " +
+        "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value " +
+        "FROM sessions GROUP BY user_id, session_id"),
+    "q_event_window" ->
+      "SELECT date_trunc('hour', ts) AS win, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value FROM events GROUP BY date_trunc('hour', ts), event_type")
+}
