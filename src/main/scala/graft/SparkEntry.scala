@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, MapReduce}
+import graft.operators.{Analytics, Dedup, MapReduce, Multimodal, Similarity, TextOps}
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Each section object contributes (queries, oracles); names must match and
@@ -16,7 +17,12 @@ object SparkEntry {
   private def sections: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (MapReduce.queries, MapReduce.oracles),
-      (Analytics.queries, Analytics.oracles))
+      (Analytics.queries, Analytics.oracles),
+      (Dedup.queries, Dedup.oracles),
+      (Similarity.queries, Similarity.oracles),
+      (TextOps.queries, TextOps.oracles),
+      (Multimodal.queries, Multimodal.oracles),
+      (EventStreams.queries, EventStreams.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.sources.Tables
+
+/** Section C (part 1) of SURVEY §2: deduplication for training-data
+  * pipelines, over the `documents` (text) and `embeddings` (vector) tables.
+  *
+  * Scale design (100 TB):
+  *  - exact: shuffle 32-byte md5 keys, never full documents.
+  *  - MinHash-LSH: per-doc signature is computed in a single narrow pass
+  *    (no explode of shingles across the shuffle); only (band, hash) pairs
+  *    shuffle, so candidate volume is tuned by the band/row layout, and the
+  *    quadratic Jaccard verification only ever runs on LSH candidates.
+  *  - SimHash: one 16-bit int per doc; near-dup buckets shuffle ints.
+  *  - embedding near-dup: blocked pairwise (here by `label`, standing in for
+  *    any coarse clustering/LSH prefix) — the all-pairs cross join never
+  *    materializes.
+  *
+  * The hash family is md5-over-utf8 (see graft.functions) so every step is
+  * replayable by the ANSI-SQL oracle — the whole LSH pipeline is
+  * hash-match-verified, not just row counts.
+  */
+object Dedup {
+
+  val MinhashPerms = 8          // 8 bands x 1 row
+  val ShingleN = 3
+  val JaccardThreshold = 0.2
+  val CosineThreshold = 0.4
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** Exact dedup: canonical doc per identical text. */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(md5Hex(col("text")).as("h"), col("doc_id"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc MinHash signature exploded to (doc_id, band, h) rows. */
+  private def bandedSignatures(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), wordShingles(wsTokens(col("text")), ShingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), posexplode(minhashSignature(col("sh"), MinhashPerms)).as(Seq("band", "h")))
+
+  /** MinHash-LSH candidate pairs: docs sharing any (band, minhash). */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val a = bandedSignatures(s, dir).as("a")
+    val b = bandedSignatures(s, dir).as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash per document (pure per-row expression, no shuffle). */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), simhash16(wsTokens(col("text"))).cast("int").as("simhash"))
+
+  /** n-gram Jaccard verification over inverted-index candidates:
+    * only pairs sharing >= 1 shingle are scored (never all pairs). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"),
+        array_distinct(wordShingles(wsTokens(col("text")), ShingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by `label` (stand-in for any
+    * coarse clustering key at scale). Double-precision left-to-right dot. */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val a = e.as("a")
+    val b = e.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosineSim(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .filter(col("cos") >= CosineThreshold)
+  }
+
+  // --- wiring --------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exact _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhash _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_embedding" -> (embeddingNearDup _))
+
+  // Oracle SQL (generated where repetitive, so Spark and SQL share constants)
+
+  private val shinglesSql =
+    "list_transform(generate_series(1, len(string_split(text, ' ')) - 2), i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))"
+
+  private val sigListSql =
+    (0 until MinhashPerms)
+      .map(i => s"list_min(list_transform(sh, x -> md5('$i|' || x)))")
+      .mkString("[", ", ", "]")
+
+  private val simhashVoteSql = (0 until 16).map { j =>
+    s"list_sum(list_transform(toks, t -> CASE WHEN substr(md5(t), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END))"
+  }
+  private val simhashSql = simhashVoteSql.zipWithIndex
+    .map { case (v, j) => s"CASE WHEN $v > 0 THEN ${1 << j} ELSE 0 END" }
+    .mkString(" + ")
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
+    "dedup_minhash_lsh" ->
+      (s"WITH sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +
+        s"sig AS (SELECT doc_id, $sigListSql AS sig FROM sh WHERE len(sh) > 0), " +
+        "banded AS (SELECT doc_id, generate_subscripts(sig, 1) - 1 AS band, unnest(sig) AS h FROM sig) " +
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b " +
+        "ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id"),
+    "dedup_simhash" ->
+      (s"SELECT doc_id, CAST($simhashSql AS INT) AS simhash " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"),
+    "dedup_ngram_jaccard" ->
+      (s"WITH sh AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +
+        "ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh WHERE len(sh) > 0), " +
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb " +
+        "FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
+        s"SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard FROM pairs " +
+        s"WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= $JaccardThreshold"),
+    "dedup_embedding" ->
+      ("WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        "round(list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4) AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id) " +
+        s"SELECT vec_a, vec_b, cos FROM p WHERE cos >= $CosineThreshold"))
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.sources.Tables
+
+/** Section C (part 2) of SURVEY §2: similarity search over the `embeddings`
+  * table (vec_id, embedding array<float>[64], label).
+  *
+  * Scale design (100 TB): the query set is small and is BROADCAST against the
+  * corpus — one narrow pass, no corpus shuffle; top-k per query is a window
+  * over (query, candidate) pairs whose cardinality is |Q| * |corpus|, further
+  * cut by LSH bucketing in the ANN variant (only same-signature buckets
+  * join). Ranking ties break on rounded score then vec_id so results are
+  * deterministic across engines and runs.
+  */
+object Similarity {
+
+  val NumQueries = 20
+  val TopK = 5
+  val NumPlanes = 8
+
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** Brute-force cosine top-k: exact baseline. */
+  def topkBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir).as("c")
+    val queries = emb(s, dir).filter(col("vec_id") < NumQueries).as("q")
+    val scored = corpus.join(broadcast(queries), col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        round(cosineSim(col("q.embedding"), col("c.embedding")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+  }
+
+  /** Deterministic random-hyperplane signature: plane p's coefficient for
+    * dimension d is +1 when md5("p_d") starts with a hex digit >= '8'.
+    * Same construction is replayable anywhere md5 exists. */
+  private def lshSignature(embCol: String): org.apache.spark.sql.Column = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val planeBits = (0 until NumPlanes).map { p =>
+      val terms = (0 until 64).map { d =>
+        val firstByte = md5.digest(s"${p}_$d".getBytes("UTF-8")).head & 0xff
+        val sign = if (firstByte >= 128) 1 else -1
+        col(embCol).getItem(d).cast("double") * lit(sign)
+      }
+      val dot = terms.reduce(_ + _)
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    planeBits.reduce(_ + _)
+  }
+
+  /** ANN via LSH buckets: join only within matching signatures, then exact
+    * cosine rerank inside the bucket. Recall < 1 by construction; the
+    * bruteforce variant is the exactness baseline. Rows-only check. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val sigd = emb(s, dir).withColumn("sig", lshSignature("embedding"))
+    val queries = sigd.filter(col("vec_id") < NumQueries).as("q")
+    val corpus = sigd.as("c")
+    val scored = corpus.join(broadcast(queries),
+        col("q.sig") === col("c.sig") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        round(cosineSim(col("q.embedding"), col("c.embedding")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
+  }
+
+  // --- wiring --------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_bruteforce" -> (topkBruteforce _),
+    "sim_ann_lsh" -> (annLsh _))
+
+  private val cosSql =
+    "round(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / " +
+      "(sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) * " +
+      "sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))), 4)"
+
+  /** sim_ann_lsh intentionally has no oracle (float-sign boundary on plane
+    * projections is not portable) → driver records rows-only. */
+  def oracles: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      (s"WITH scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS cos " +
+        s"FROM embeddings c JOIN embeddings q ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id), " +
+        "ranked AS (SELECT query_id, neighbor_id, cos, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank FROM scored) " +
+        s"SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $TopK"))
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.sources.Tables
+
+/** Section C (part 3) of SURVEY §2: text analysis for training-data
+  * pipelines, over `documents`. Every operator is a narrow per-row
+  * expression pipeline — no shuffle at all — so it streams at scan speed at
+  * any data size; Catalyst fuses the whole thing into one codegen stage over
+  * the parquet scan.
+  */
+object TextOps {
+
+  /** Marker stopword sets per language, priority-ordered for deterministic
+    * argmax ties. Shared verbatim by the SQL oracle. */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  val AllStopwords: Seq[String] = Markers.flatMap(_._2).distinct
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
+
+  /** n-gram-marker language ID: argmax of per-language stopword hits,
+    * ties broken by Markers order, zero hits → "und". */
+  def langid(s: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val scores = Markers.map { case (lang, words) => lang -> markerCount(toks, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // First marker set (in Markers order) that attains the max wins the tie —
+    // mirrored exactly by the CASE WHEN chain in the oracle.
+    val pred = scores.foldLeft(Option.empty[Column]) {
+      case (None, (lang, sc)) => Some(when(sc === best && sc > 0, lit(lang)))
+      case (Some(c), (lang, sc)) => Some(c.when(sc === best && sc > 0, lit(lang)))
+    }.get.otherwise(lit("und"))
+    docs(s, dir).select(col("doc_id"), pred.as("pred_lang"))
+  }
+
+  /** Quality scoring: token stats + punctuation + stopword + repetition
+    * ratios, equal-weight composite. All ratios of exact ints → bit-stable. */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val avgLen = aggregate(transform(toks, t => length(t)), lit(0), (a, v) => a + v)
+      .cast("double") / nTok
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("double") / length(col("text"))
+    val stop = markerCount(toks, AllStopwords).cast("double") / nTok
+    val rep = lit(1.0) - size(array_distinct(toks)).cast("double") / nTok
+    // Composite score in exact DECIMAL: a double-weighted sum of rounded
+    // doubles lands on .00005 half-way points where Spark and the oracle
+    // round differently; decimal math sidesteps the boundary entirely.
+    def d4(c: Column): Column = round(c, 4).cast("decimal(8,4)")
+    val score = (d4(stop) * lit(BigDecimal("0.5")) +
+      (lit(BigDecimal("1")) - d4(rep)) * lit(BigDecimal("0.3")) -
+      d4(punct) * lit(BigDecimal("0.2")) + lit(BigDecimal("0.2"))).cast("double")
+    docs(s, dir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      round(avgLen, 4).as("avg_token_len"),
+      round(punct, 4).as("punct_ratio"),
+      round(stop, 4).as("stopword_ratio"),
+      round(rep, 4).as("repetition_ratio"),
+      score.as("quality_score"))
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex token count
+    * (letter runs | digit runs | single punctuation). */
+  def tokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).as("n_ws"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe"))
+
+  /** Document fingerprinting: content hash + min-shingle-hash (winnowing's
+    * selection rule over the whole doc window). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val sh = wordShingles(wsTokens(col("text")), 3)
+    docs(s, dir).select(
+      col("doc_id"),
+      md5Hex(col("text")).as("content_md5"),
+      coalesce(array_min(transform(sh, x => md5(x.cast("binary")))), md5Hex(col("text")))
+        .as("shingle_fp"))
+  }
+
+  // --- wiring --------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> (langid _),
+    "text_quality" -> (quality _),
+    "text_tokens" -> (tokens _),
+    "text_fingerprint" -> (fingerprint _))
+
+  private def sqlIn(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ", ", ")")
+  private def scoreSql(words: Seq[String]) =
+    s"len(list_filter(toks, t -> t IN ${sqlIn(words)}))"
+
+  private val langCase: String = {
+    val scores = Markers.map { case (lang, words) => lang -> scoreSql(words) }
+    val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    val whens = scores.map { case (lang, sc) =>
+      s"WHEN $sc = $best AND $sc > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  private val shinglesSql =
+    "list_transform(generate_series(1, len(string_split(text, ' ')) - 2), i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))"
+
+  def oracles: Map[String, String] = Map(
+    "text_langid" ->
+      (s"SELECT doc_id, $langCase AS pred_lang FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"),
+    "text_quality" ->
+      ("SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, " +
+        "round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS avg_token_len, " +
+        "round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio, " +
+        s"round(CAST(${scoreSql(AllStopwords)} AS DOUBLE) / len(toks), 4) AS stopword_ratio, " +
+        "round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS repetition_ratio, " +
+        s"CAST(CAST(round(CAST(${scoreSql(AllStopwords)} AS DOUBLE) / len(toks), 4) AS DECIMAL(8,4)) * 0.5 + " +
+        "(1 - CAST(round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS DECIMAL(8,4))) * 0.3 - " +
+        "CAST(round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS DECIMAL(8,4)) * 0.2 + 0.2 AS DOUBLE) AS quality_score " +
+        "FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)"),
+    "text_tokens" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe FROM documents"),
+    "text_fingerprint" ->
+      (s"SELECT doc_id, md5(text) AS content_md5, " +
+        s"coalesce(list_min(list_transform($shinglesSql, x -> md5(x))), md5(text)) AS shingle_fp FROM documents"))
+}

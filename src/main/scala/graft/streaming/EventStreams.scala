@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.functions._
+import graft.sources.Tables
+
+/** Section D of SURVEY §2: Structured Streaming over the `events` table.
+  *
+  * The reference runs continuous ingestion as chained MapReduce jobs; the
+  * Spark-first form is `readStream` → the SAME transform used in batch →
+  * `writeStream`. Each transform below takes a plain DataFrame/Dataset, so
+  * batch queries (oracle-checked) and streaming queries (spec-checked with a
+  * memory sink) share one implementation — no drift between the paths.
+  *
+  * Scale: windowed aggregation state is bounded by the watermark; the typed
+  * sessionizer keeps one open session per key, the shape
+  * (flat)MapGroupsWithState maintains in the state store.
+  */
+object EventStreams {
+
+  val SessionGapUs: Long = 30L * 60 * 1000000 // 30 minutes
+
+  case class Ev(user_id: Long, event_id: Long, us: Long, cents: Long)
+  case class SessionRow(user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long, total_cents: Long)
+
+  /** Tumbling 15-minute window aggregation (works on batch or stream). */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(dec(col("value"), 10, 2)).as("total_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Imperative per-key session builder — the exact body a
+    * flatMapGroupsWithState handler runs per key; exposed over batch via
+    * groupByKey+flatMapGroups so the oracle can verify the state logic. */
+  def buildSessions(userId: Long, evs: Iterator[Ev], gapUs: Long): Iterator[SessionRow] = {
+    val sorted = evs.toVector.sortBy(e => (e.us, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = Vector.newBuilder[SessionRow]
+      var sid = 1L
+      var n = 0L; var start = 0L; var end = 0L; var cents = 0L
+      sorted.foreach { e =>
+        if (n == 0) { start = e.us; end = e.us; n = 1; cents = e.cents }
+        else if (e.us - end > gapUs) {
+          out += SessionRow(userId, sid, n, start, end, cents)
+          sid += 1; start = e.us; end = e.us; n = 1; cents = e.cents
+        } else { end = e.us; n += 1; cents += e.cents }
+      }
+      out += SessionRow(userId, sid, n, start, end, cents)
+      out.result().iterator
+    }
+  }
+
+  /** Typed sessionization over a batch Dataset. Money is held as exact long
+    * cents inside the state loop, surfaced as double for oracle parity. */
+  def sessionize(s: SparkSession, events: DataFrame, gapUs: Long = SessionGapUs): DataFrame = {
+    import s.implicits._
+    val typed = events.select(
+      col("user_id"),
+      col("event_id"),
+      unix_micros(col("ts").cast("timestamp")).as("us"),
+      (dec(col("value"), 10, 2) * 100).cast("long").as("cents")).as[Ev]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroups((k: Long, it: Iterator[Ev]) => buildSessions(k, it, gapUs))
+      .toDF()
+      .select(
+        col("user_id"), col("session_id"), col("n_events"),
+        expr("cast(timestamp_micros(start_us) as timestamp_ntz)").as("start_ts"),
+        expr("cast(timestamp_micros(end_us) as timestamp_ntz)").as("end_ts"),
+        (col("total_cents").cast("double") / 100.0).as("total_value"))
+  }
+
+  /** Streaming entry: file-stream over the events parquet, shared transform,
+    * memory sink. Returns the started query; caller does
+    * processAllAvailable() then reads table `name`. */
+  def startWindowAggStream(s: SparkSession, dir: String, name: String): StreamingQuery = {
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    // Watermarks require TIMESTAMP (with local tz); session tz is UTC so the
+    // wall-clock matches the batch path's TIMESTAMP_NTZ.
+    // File-stream sources want a directory; glob-filter to the events table.
+    val stream = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+    windowAgg(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  // --- wiring (batch analogs, oracle-checked) ------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_agg" -> ((s, dir) => windowAgg(Tables.load(s, dir, "events"))),
+    "stream_sessionize" -> ((s, dir) => sessionize(s, Tables.load(s, dir, "events"))))
+
+  def oracles: Map[String, String] = Map(
+    "stream_window_agg" ->
+      ("SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS win_start, event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value FROM events " +
+        "GROUP BY time_bucket(INTERVAL 15 MINUTE, ts), event_type"),
+    "stream_sessionize" ->
+      ("WITH flagged AS (SELECT user_id, ts, event_id, value, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sessions AS (SELECT user_id, ts, value, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM flagged) " +
+        "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value " +
+        "FROM sessions GROUP BY user_id, session_id"))
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+class FunctionsSpec extends SparkSpec {
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  test("wordShingles is empty below n tokens and sliding above") {
+    val df = Seq("a b", "a b c d").toDF("text")
+      .select(wordShingles(wsTokens(col("text")), 3).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(Nil, List("a b c", "b c d")))
+  }
+
+  test("minhashSignature is deterministic and element-wise minimal") {
+    val df = Seq("x y z w").toDF("text")
+      .select(minhashSignature(wordShingles(wsTokens(col("text")), 3), 4).as("sig"))
+    val a = df.collect().head.getSeq[String](0)
+    val b = df.collect().head.getSeq[String](0)
+    assert(a == b && a.length == 4 && a.forall(_.length == 32))
+  }
+
+  test("simhash16 stays within 16 bits and is stable") {
+    val df = Seq("spark sql engine", "spark sql engine").toDF("text")
+      .select(simhash16(wsTokens(col("text"))).as("h"))
+    val vals = df.collect().map(_.getInt(0)).toList
+    assert(vals.distinct.size == 1 && vals.head >= 0 && vals.head < 65536)
+  }
+
+  test("cosineSim of a vector with itself is 1") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b").select(cosineSim(col("a"), col("b")).as("c"))
+    assert(math.abs(df.collect().head.getDouble(0) - 1.0) < 1e-12)
+  }
+}

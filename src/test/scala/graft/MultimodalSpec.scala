@@ -1,0 +1,28 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  test("decodeStub is deterministic and bounded") {
+    val a = Multimodal.Asset(7L, "hello world".getBytes("UTF-8"))
+    val m1 = Multimodal.decodeStub(a)
+    val m2 = Multimodal.decodeStub(a)
+    assert(m1 == m2)
+    assert(m1.width >= 16 && m1.width < 640 && m1.height >= 16 && m1.height < 480)
+    assert(m1.n_bytes == 11 && m1.channels == 3)
+  }
+
+  test("mm_decode covers every document exactly once") {
+    val n = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(Multimodal.decode(spark, sf).count() == n)
+  }
+
+  test("mm_frame_sample emits at most 4 frames per asset with 32-hex fingerprints") {
+    val df = Multimodal.frameSample(spark, sf)
+    import org.apache.spark.sql.functions._
+    val maxFrames = df.groupBy("doc_id").count().agg(max("count")).collect().head.getLong(0)
+    assert(maxFrames <= 4)
+    assert(df.filter(not(col("frame_md5").rlike("^[0-9a-f]{32}$"))).count() == 0)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming windowAgg emits rows consistent with the batch analog") {
+    val q = EventStreams.startWindowAggStream(spark, sf, "stream_spec_out")
+    try q.processAllAvailable()
+    finally q.stop()
+    import org.apache.spark.sql.functions._
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.select(unix_micros(col("win_start").cast("timestamp")), col("event_type"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = canon(spark.table("stream_spec_out"))
+    val batch = canon(EventStreams.windowAgg(Tables.load(spark, sf, "events")))
+    // append-mode emits only watermark-closed windows: subset of batch, non-empty
+    assert(streamed.nonEmpty, "streaming query emitted nothing")
+    assert(streamed.subsetOf(batch), "streamed window rows diverge from batch analog")
+  }
+
+  test("sessionize invariants: sessions partition events, gaps exceed threshold") {
+    val events = Tables.load(spark, sf, "events")
+    val sessions = EventStreams.sessionize(spark, events).cache()
+    val nEvents = events.count()
+    val sessionEventTotal = sessions.agg(org.apache.spark.sql.functions.sum("n_events"))
+      .collect().head.getLong(0)
+    assert(sessionEventTotal == nEvents, "sessions must partition all events")
+    import org.apache.spark.sql.functions._
+    val bad = sessions.withColumn("prev_end",
+        lag(col("end_ts"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("session_id")))
+      .filter(col("prev_end").isNotNull &&
+        unix_micros(col("start_ts").cast("timestamp")) -
+          unix_micros(col("prev_end").cast("timestamp")) <= EventStreams.SessionGapUs)
+      .count()
+    assert(bad == 0, "adjacent sessions closer than the gap threshold")
+  }
+}
