@@ -62,14 +62,19 @@ package object functions {
 
   /** Double-precision dot product of two float-array columns, summed left to
     * right so it is bit-identical to the oracle's
-    * list_sum(list_transform(generate_series(1,d), i -> a[i]::DOUBLE * b[i]::DOUBLE)). */
-  def dotD(a: Column, b: Column): Column =
+    * list_sum(list_transform(generate_series(1,d), i -> a[i]::DOUBLE * b[i]::DOUBLE)).
+    * HOF reference implementation; the hot path uses the fused codegen
+    * expression in VectorExpressions (same accumulation order → same bits). */
+  def dotDHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   /** Cosine similarity in double precision: dot / (sqrt(na) * sqrt(nb)). */
-  def cosineSim(a: Column, b: Column): Column =
-    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+  def cosineSimHof(a: Column, b: Column): Column =
+    dotDHof(a, b) / (sqrt(dotDHof(a, a)) * sqrt(dotDHof(b, b)))
+
+  /** Native single-pass codegen cosine — the production path. */
+  def cosineSim(a: Column, b: Column): Column = VectorExpressions.cosine(a, b)
 
   /** Money-safe aggregation input: exact decimal, order-independent sums. */
   def dec(c: Column, p: Int = 12, s: Int = 2): Column = c.cast(s"decimal($p,$s)")

@@ -46,15 +46,29 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), posexplode(minhashSignature(col("sh"), MinhashPerms)).as(Seq("band", "h")))
 
-  /** MinHash-LSH candidate pairs: docs sharing any (band, minhash). */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val a = bandedSignatures(s, dir).as("a")
-    val b = bandedSignatures(s, dir).as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  /** All ordered pairs from a sorted id array: element i pairs with every
+    * later element. Pure expression — runs inside the aggregation stage. */
+  private def orderedPairs(ids: org.apache.spark.sql.Column) =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)), y =>
+        struct(x.as("doc_a"), y.as("doc_b")))))
+
+  /** MinHash-LSH candidate pairs: docs sharing any (band, minhash).
+    *
+    * Single pass: signatures are computed ONCE, bucketed by (band, hash) in
+    * one shuffle, and pairs expand inside each bucket — no self-join that
+    * would recompute/reshuffle the signature relation twice. Bucket sizes
+    * are bounded by LSH design (a bucket == docs agreeing on a minhash), so
+    * the quadratic expansion is local and small; a production deploy adds a
+    * bucket-size cap before expansion to defuse adversarial skew. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    bandedSignatures(s, dir)
+      .groupBy("band", "h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(orderedPairs(col("ids"))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-  }
 
   /** 16-bit SimHash per document (pure per-row expression, no shuffle). */
   def simhash(s: SparkSession, dir: String): DataFrame =
@@ -69,10 +83,20 @@ object Dedup {
         array_distinct(wordShingles(wsTokens(col("text")), ShingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+    // Inverted index: one shuffle of (shingle -> [docs]); pairs expand
+    // within each posting list (sorted, so doc_a < doc_b by construction),
+    // then one aggregation counts shared shingles per pair.
+    val pairs = sh
+      .groupBy("g")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+          struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
+            x.getField("n").as("na"), y.getField("n").as("nb")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .agg(count(lit(1)).as("inter"))
     pairs
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))

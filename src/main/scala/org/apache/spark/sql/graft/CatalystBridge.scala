@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge.
+  *
+  * Spark 4 made `Column` implementation-agnostic; the conversion helpers
+  * (`org.apache.spark.sql.classic.ExpressionUtils`) are `private[sql]`, so
+  * third-party Catalyst expressions reach them through a shim in the sql
+  * namespace — the standard pattern used by Spark-extension libraries.
+  */
+object CatalystBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

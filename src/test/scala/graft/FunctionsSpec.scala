@@ -34,4 +34,21 @@ class FunctionsSpec extends SparkSpec {
       .toDF("a", "b").select(cosineSim(col("a"), col("b")).as("c"))
     assert(math.abs(df.collect().head.getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("native codegen cosine is bit-identical to the HOF reference on real data") {
+    val e = graft.sources.Tables.load(spark, sf, "embeddings").limit(50)
+    val both = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        cosineSim(col("a.embedding"), col("b.embedding")).as("native"),
+        cosineSimHof(col("a.embedding"), col("b.embedding")).as("hof"))
+    val diff = both.filter(col("native") =!= col("hof")).count()
+    assert(diff == 0, s"$diff pairs differ between native and HOF cosine")
+  }
+
+  test("graft_cosine is callable from SQL") {
+    graft.functions.VectorExpressions.register(spark)
+    val r = spark.sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS c")
+      .collect().head.getDouble(0)
+    assert(r == 0.0)
+  }
 }
