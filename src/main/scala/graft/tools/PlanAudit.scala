@@ -1,0 +1,28 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.operators._
+
+/** Dev tool: print executed plans for scale-critical queries so scan
+  * pruning / pushdown / join strategy / codegen spans can be audited.
+  * `runMain graft.tools.PlanAudit [sfDir]`. PlansSpec asserts the
+  * load-bearing properties; this main is for eyeballs. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val s = GraftSession.local(4)
+    val targets = Seq(
+      "q_pricing_summary" -> Analytics.pricingSummary(s, sf),
+      "mr_join_mapside" -> MapReduce.joinMapSide(s, sf),
+      "q_shipping_priority" -> Analytics.shippingPriority(s, sf),
+      "mr_topk" -> MapReduce.topK(s, sf),
+      "text_langid" -> TextOps.langid(s, sf),
+      "dedup_embedding" -> Dedup.embeddingNearDup(s, sf),
+      "dedup_minhash_lsh" -> Dedup.minhashLsh(s, sf))
+    targets.foreach { case (name, df) =>
+      println(s"\n========== $name")
+      println(df.queryExecution.executedPlan.toString)
+    }
+    s.stop()
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators._
+
+/** Guards the scale-critical physical-plan properties (SURVEY §5): if a
+  * refactor un-pushes a filter, drops a broadcast, or turns top-k into a
+  * global sort, this suite goes red — the 100 TB contract, enforced at
+  * sf0.001. */
+class PlansSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("pricing summary pushes the shipdate filter into the parquet scan") {
+    val p = plan(Analytics.pricingSummary(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("pricing summary prunes the scan to referenced columns only") {
+    val p = plan(Analytics.pricingSummary(spark, sf))
+    assert(!p.contains("l_orderkey"), "scan reads join keys the query never uses")
+    assert(!p.contains("l_linenumber"), "scan not pruned")
+  }
+
+  test("map-side join broadcasts both dimension tables") {
+    val p = plan(MapReduce.joinMapSide(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to SMJ")
+  }
+
+  test("shipping priority pushes the segment filter to the customer scan") {
+    val p = plan(Analytics.shippingPriority(spark, sf))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(MapReduce.topK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("text operators are shuffle-free single-pass pipelines") {
+    Seq(TextOps.langid(spark, sf), TextOps.quality(spark, sf),
+      TextOps.tokens(spark, sf), TextOps.fingerprint(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"unexpected shuffle in text op:\n$p")
+    }
+  }
+
+  test("embedding near-dup runs the fused codegen cosine") {
+    val p = plan(Dedup.embeddingNearDup(spark, sf))
+    assert(p.contains("graft_cosine"), p)
+  }
+
+  test("minhash LSH computes signatures in a single scan (no self-join re-read)") {
+    val p = plan(Dedup.minhashLsh(spark, sf))
+    assert("FileScan parquet".r.findAllIn(p).size == 1, s"signature relation scanned more than once:\n$p")
+  }
+}
