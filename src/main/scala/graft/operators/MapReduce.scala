@@ -134,6 +134,16 @@ object MapReduce {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(20)
 
+  /** Top-5 orders per priority class through the custom two-phase
+    * TopKPerKey operator (graft.plans) — per-partition bounded heaps, only
+    * k rows per (key, partition) reach the shuffle. */
+  def topKPerKey(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+      t(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+      keyCols = Seq("o_orderpriority"),
+      orderCols = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 5)
+
   def sample(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(substring(md5Hex(col("l_orderkey").cast("string")), 1, 2) <= "14")
@@ -155,6 +165,7 @@ object MapReduce {
     "mr_multifile_wordcount" -> (multiFileWordcount _),
     "mr_distinct" -> (distinctPairs _),
     "mr_topk" -> (topK _),
+    "mr_topk_per_key" -> (topKPerKey _),
     "mr_sample" -> (sample _))
 
   def oracles: Map[String, String] = Map(
@@ -184,6 +195,11 @@ object MapReduce {
       "SELECT DISTINCT user_id, event_type FROM events",
     "mr_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20",
+    "mr_topk_per_key" ->
+      ("SELECT o_orderpriority, o_orderkey, o_totalprice FROM " +
+        "(SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER " +
+        "(PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) " +
+        "WHERE rn <= 5"),
     "mr_sample" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) <= '14'")
 }
