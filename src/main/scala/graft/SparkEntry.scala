@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, MapReduce, Multimodal, Similarity, TextOps}
+import graft.operators.{Analytics, Dedup, Extras, MapReduce, Multimodal, Similarity, TextOps}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -17,6 +17,7 @@ object SparkEntry {
   private def sections: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (MapReduce.queries, MapReduce.oracles),
+      (Extras.queries, Extras.oracles),
       (Analytics.queries, Analytics.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),

@@ -42,4 +42,24 @@ object Tables {
 
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  /** distcp analog (hadoop-tools/hadoop-distcp): bulk, partition-parallel
+    * copy with end-to-end verification. Copies a table to `dstDir` as
+    * parquet and returns (rows, checksum) of both sides; distcp's CRC check
+    * becomes an order-independent content checksum (xor-free: sum of row
+    * hashes) computed by the engine itself. */
+  def copyVerified(spark: SparkSession, srcDir: String, table: String, dstDir: String): (Long, Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{hash, sum, col}
+    val src = load(spark, srcDir, table)
+    src.write.mode("overwrite").parquet(s"$dstDir/$table")
+    val dst = spark.read.parquet(s"$dstDir/$table")
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.select(sum(hash(df.columns.map(col): _*).cast("long")).as("chk"))
+        .collect().head
+      (df.count(), r.getLong(0))
+    }
+    val (sn, sc) = sig(src)
+    val (dn, dc) = sig(dst)
+    (sn, sc, dn, dc)
+  }
 }

@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+class SourcesSpec extends SparkSpec {
+
+  test("distcp-analog copy preserves rows and content checksum") {
+    val dst = Files.createTempDirectory("graft_distcp").toString
+    val (sn, sc, dn, dc) = Tables.copyVerified(spark, sf, "events", dst)
+    assert(sn == dn, "row count changed in copy")
+    assert(sc == dc, "content checksum changed in copy")
+  }
+
+  test("csv round-trip (TextOutputFormat analog) preserves values") {
+    val dir = Files.createTempDirectory("graft_csv").toString + "/nation"
+    val src = Tables.load(spark, sf, "nation")
+    src.write.option("header", "true").csv(dir)
+    val back = Tables.csv(spark, dir)
+    assert(back.count() == src.count())
+    val a = src.orderBy("n_nationkey").collect().map(_.toSeq.map(String.valueOf)).toSeq
+    val b = back.orderBy("n_nationkey").collect().map(_.toSeq.map(String.valueOf)).toSeq
+    assert(a == b)
+  }
+
+  test("json round-trip preserves values") {
+    val dir = Files.createTempDirectory("graft_json").toString + "/region"
+    val src = Tables.load(spark, sf, "region")
+    src.write.json(dir)
+    val back = Tables.json(spark, dir).select("r_regionkey", "r_name")
+    assert(back.orderBy("r_regionkey").collect().map(_.toSeq).toSeq ==
+      src.orderBy("r_regionkey").collect().map(_.toSeq).toSeq)
+  }
+}
