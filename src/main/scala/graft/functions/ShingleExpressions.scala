@@ -1,0 +1,147 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native shingling + MinHash for the dedup hot path (SURVEY §2E, §5).
+  *
+  * The declarative formulation (split → transform(sequence) → slice →
+  * concat_ws → md5 per permutation) walks interpreted higher-order-function
+  * lambdas and allocates a fresh MessageDigest per md5() call — measured at
+  * ~7 s per dedup query at sf0.1, almost all of it in per-element overhead.
+  * These expressions do one byte-level pass per document:
+  *
+  *  - token boundaries are found by scanning for the 0x20 byte (documents
+  *    are single-space tokenized; matches string_split(text, ' '));
+  *  - an n-token shingle is a zero-copy slice of the original utf8 bytes
+  *    (identical bytes to array_to_string(toks[i:i+n-1], ' '));
+  *  - MinHash hashes "<perm>|<shingle>" with ONE reused MessageDigest and
+  *    keeps the 16-byte digest minimum per permutation — unsigned-byte
+  *    order on digests == lexicographic order on their hex strings, so the
+  *    result is bit-identical to min(md5('<perm>|' || shingle)) in the
+  *    SQL oracle.
+  */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val starts = ShingleBytes.tokenStarts(bytes)
+    val numToks = starts.length
+    val count = math.max(numToks - n + 1, 0)
+    val out = new Array[AnyRef](count)
+    var i = 0
+    while (i < count) {
+      val from = starts(i)
+      val until = if (i + n < numToks) starts(i + n) - 1 else bytes.length
+      out(i) = UTF8String.fromBytes(bytes, from, until - from)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** k MinHash values (lowercase md5 hex) over the n-token shingles of a
+  * single-space-tokenized text column. */
+case class MinHashSigExpr(child: Expression, k: Int, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    (0 until k).map(i => s"$i|".getBytes("UTF-8")).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val starts = ShingleBytes.tokenStarts(bytes)
+    val numToks = starts.length
+    val count = math.max(numToks - n + 1, 0)
+    if (count == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val mins = Array.fill[Array[Byte]](k)(null)
+    var i = 0
+    while (i < count) {
+      val from = starts(i)
+      val until = if (i + n < numToks) starts(i + n) - 1 else bytes.length
+      var p = 0
+      while (p < k) {
+        md.reset()
+        md.update(prefixes(p))
+        md.update(bytes, from, until - from)
+        val digest = md.digest()
+        if (mins(p) == null || ShingleBytes.unsignedLess(digest, mins(p))) mins(p) = digest
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](k)
+    var p = 0
+    while (p < k) { out(p) = UTF8String.fromString(ShingleBytes.hex(mins(p))); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleBytes {
+  /** Byte offsets where tokens start (split on single 0x20; 0x20 never
+    * occurs inside a multi-byte utf8 sequence). */
+  def tokenStarts(bytes: Array[Byte]): Array[Int] = {
+    if (bytes.isEmpty) return Array(0)
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](bytes.length / 5 + 1)
+    starts += 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) starts += i + 1
+      i += 1
+    }
+    starts.toArray
+  }
+
+  def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = HexChars(b >> 4)
+      out(i * 2 + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+}
+
+object ShingleExpressions {
+  def shingles(text: Column, n: Int): Column =
+    CatalystBridge.column(WordShinglesExpr(CatalystBridge.expression(text), n))
+
+  def minhashSig(text: Column, k: Int, n: Int): Column =
+    CatalystBridge.column(MinHashSigExpr(CatalystBridge.expression(text), k, n))
+}

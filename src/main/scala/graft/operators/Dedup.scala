@@ -39,12 +39,18 @@ object Dedup {
       .groupBy("h")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-doc MinHash signature exploded to (doc_id, band, h) rows. */
+  /** Per-doc MinHash signature exploded to (doc_id, band, h) rows.
+    * The input is repartitioned before the K*shingles hash computation:
+    * a single parquet row group would otherwise pin the whole signature
+    * pass to one task (at cluster scale many input splits make this a
+    * no-op cost-wise; on skewed/small-file inputs it is the difference
+    * between 1 and all cores). */
   private def bandedSignatures(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), wordShingles(wsTokens(col("text")), ShingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), posexplode(minhashSignature(col("sh"), MinhashPerms)).as(Seq("band", "h")))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(ShingleExpressions.minhashSig(col("text"), MinhashPerms, ShingleN))
+          .as(Seq("band", "h")))
 
   /** All ordered pairs from a sorted id array: element i pairs with every
     * later element. Pure expression — runs inside the aggregation stage. */
@@ -79,8 +85,9 @@ object Dedup {
     * only pairs sharing >= 1 shingle are scored (never all pairs). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = docs(s, dir)
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
-        array_distinct(wordShingles(wsTokens(col("text")), ShingleN)).as("sh"))
+        array_distinct(ShingleExpressions.shingles(col("text"), ShingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
     // Inverted index: one shuffle of (shingle -> [docs]); pairs expand

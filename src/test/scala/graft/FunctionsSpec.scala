@@ -45,6 +45,22 @@ class FunctionsSpec extends SparkSpec {
     assert(diff == 0, s"$diff pairs differ between native and HOF cosine")
   }
 
+  test("native shingles/minhash are identical to the declarative formulation on real docs") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    val cmp = d.select(
+      ShingleExpressions.shingles(col("text"), 3).as("native_sh"),
+      wordShingles(wsTokens(col("text")), 3).as("hof_sh"),
+      ShingleExpressions.minhashSig(col("text"), 8, 3).as("native_mh"),
+      minhashSignature(wordShingles(wsTokens(col("text")), 3), 8).as("hof_mh"))
+    val shDiff = cmp.filter(col("native_sh") =!= col("hof_sh")).count()
+    assert(shDiff == 0, s"$shDiff docs differ in shingles")
+    // HOF minhash of an empty shingle array is an array of nulls; native is
+    // empty — compare only docs with shingles (the pipeline filters those).
+    val mhDiff = cmp.filter(size(col("hof_sh")) > 0)
+      .filter(col("native_mh") =!= col("hof_mh")).count()
+    assert(mhDiff == 0, s"$mhDiff docs differ in minhash signatures")
+  }
+
   test("graft_cosine is callable from SQL") {
     graft.functions.VectorExpressions.register(spark)
     val r = spark.sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS c")
