@@ -122,6 +122,19 @@ object Analytics {
         dsum(dec(col("value"), 10, 2)).as("total_value"))
   }
 
+  /** Skew-defused aggregation: two-phase salted groupBy (SURVEY §5).
+    * `event_type` has ~5 values — at 100 TB a plain groupBy sends each
+    * key's entire volume to one reducer. Salting on a uniform column
+    * splits each key 16 ways for the partial aggregate; the final
+    * aggregate combines 16*|keys| tiny rows. Result is identical to the
+    * plain groupBy (the oracle IS the plain groupBy). */
+  def aggSalted(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), pmod(col("event_id"), lit(16)).as("salt"))
+      .agg(count(lit(1)).as("pc"), sum(dec(col("value"), 10, 2)).as("pv"))
+      .groupBy("event_type")
+      .agg(sum(col("pc")).as("n"), sum(col("pv")).cast("double").as("total_value"))
+
   /** Tumbling 1h window aggregation — batch analog of the streaming path. */
   def eventWindow(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -137,6 +150,7 @@ object Analytics {
     "q_window_running" -> (windowRunning _),
     "q_rollup" -> (rollupAgg _),
     "q_event_sessionize" -> (eventSessionize _),
+    "q_agg_salted" -> (aggSalted _),
     "q_event_window" -> (eventWindow _))
 
   def oracles: Map[String, String] = Map(
@@ -177,6 +191,8 @@ object Analytics {
         "sessions AS (SELECT user_id, ts, value, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM flagged) " +
         "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value " +
         "FROM sessions GROUP BY user_id, session_id"),
+    "q_agg_salted" ->
+      "SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value FROM events GROUP BY event_type",
     "q_event_window" ->
       "SELECT date_trunc('hour', ts) AS win, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value FROM events GROUP BY date_trunc('hour', ts), event_type")
 }

@@ -75,6 +75,62 @@ object EventStreams {
         (col("total_cents").cast("double") / 100.0).as("total_value"))
   }
 
+  /** Incremental session state for one user: the currently-open session.
+    * Closed sessions are emitted; the open one lives in the state store —
+    * bounded state per key, the way a production sessionizer holds it. */
+  def sessionStep(user: Long, it: Iterator[Ev], prior: Option[SessionRow],
+      gapUs: Long): (Seq[SessionRow], Option[SessionRow]) = {
+    val evs = it.toVector.sortBy(e => (e.us, e.event_id))
+    var open = prior
+    val closed = Vector.newBuilder[SessionRow]
+    evs.foreach { e =>
+      open = open match {
+        case None => Some(SessionRow(user, 1L, 1L, e.us, e.us, e.cents))
+        case Some(o) if e.us - o.end_us > gapUs =>
+          closed += o
+          Some(SessionRow(user, o.session_id + 1, 1L, e.us, e.us, e.cents))
+        case Some(o) =>
+          Some(o.copy(n_events = o.n_events + 1, end_us = e.us,
+            total_cents = o.total_cents + e.cents))
+      }
+    }
+    (closed.result(), open)
+  }
+
+  /** Streaming sessionization via flatMapGroupsWithState: emits sessions as
+    * they close; each user's open session stays in the state store (so with
+    * a single AvailableNow batch the last session per user is not emitted —
+    * it is still open). */
+  def startSessionizeStream(s: SparkSession, dir: String, name: String,
+      gapUs: Long = SessionGapUs): org.apache.spark.sql.streaming.StreamingQuery = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val typed = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(
+        col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"),
+        (dec(col("value"), 10, 2) * 100).cast("long").as("cents")).as[Ev]
+    val sessions = typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessionRow]) =>
+          val (closed, open) =
+            sessionStep(user, it, if (state.exists) Some(state.get) else None, gapUs)
+          open.foreach(state.update)
+          closed.iterator
+      }
+    sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming entry: file-stream over the events parquet, shared transform,
     * memory sink. Returns the started query; caller does
     * processAllAvailable() then reads table `name`. */

@@ -20,6 +20,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.subsetOf(batch), "streamed window rows diverge from batch analog")
   }
 
+  test("flatMapGroupsWithState sessionizer: closed sessions match batch; open ones stay in state") {
+    val q = EventStreams.startSessionizeStream(spark, sf, "stream_sessions_out")
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("stream_sessions_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    import org.apache.spark.sql.functions._
+    val batchAll = EventStreams.sessionize(spark, Tables.load(spark, sf, "events"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_micros(col("start_ts").cast("timestamp")),
+        unix_micros(col("end_ts").cast("timestamp")),
+        round(col("total_value") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val nUsers = batchAll.map(_._1).distinct.length
+    // everything the stream emitted must be a batch session, and it must be
+    // exactly the batch output minus each user's final (still-open) session
+    val lastPerUser = batchAll.groupBy(_._1).values.map(_.maxBy(_._2)).toSet
+    assert(streamed == (batchAll.toSet -- lastPerUser),
+      s"streamed=${streamed.size} batch=${batchAll.length} users=$nUsers")
+  }
+
   test("sessionize invariants: sessions partition events, gaps exceed threshold") {
     val events = Tables.load(spark, sf, "events")
     val sessions = EventStreams.sessionize(spark, events).cache()
