@@ -122,6 +122,53 @@ object Analytics {
         dsum(dec(col("value"), 10, 2)).as("total_value"))
   }
 
+  /** TPC-H Q7-shaped: shipping volume between nation pairs by year.
+    * Two broadcast copies of `nation` (aliased) — the dims stay map-side. */
+  def nationVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val su = t(s, dir, "supplier")
+    val cn = t(s, dir, "nation").select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val sn = t(s, dir, "nation").select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val one = lit(1).cast("decimal(12,2)")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(cn), c("c_nationkey") === cn("cn_key"))
+      .join(broadcast(sn), su("s_nationkey") === sn("sn_key"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("revenue"))
+  }
+
+  /** Correlated-subquery pattern (orders above their customer's average),
+    * decorrelated into a window — the plan Spark's own decorrelation
+    * would produce, stated directly. */
+  def aboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    t(s, dir, "orders")
+      .withColumn("cust_avg",
+        sum(dec(col("o_totalprice"))).over(w).cast("double") / count(lit(1)).over(w))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
+  }
+
+  /** Q8-lite: each nation's share of yearly revenue (window-normalized). */
+  def revenueShare(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val byYear = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("n_name"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+    byYear
+      .withColumn("share",
+        col("rev").cast("double") / sum(col("rev")).over(Window.partitionBy(col("o_year"))).cast("double"))
+      .select(col("o_year"), col("n_name"), col("rev").cast("double").as("revenue"), col("share"))
+  }
+
   /** Skew-defused aggregation: two-phase salted groupBy (SURVEY §5).
     * `event_type` has ~5 values — at 100 TB a plain groupBy sends each
     * key's entire volume to one reducer. Salting on a uniform column
@@ -151,6 +198,9 @@ object Analytics {
     "q_rollup" -> (rollupAgg _),
     "q_event_sessionize" -> (eventSessionize _),
     "q_agg_salted" -> (aggSalted _),
+    "q_nation_volume" -> (nationVolume _),
+    "q_above_avg_orders" -> (aboveAvgOrders _),
+    "q_revenue_share" -> (revenueShare _),
     "q_event_window" -> (eventWindow _))
 
   def oracles: Map[String, String] = Map(
@@ -193,6 +243,24 @@ object Analytics {
         "FROM sessions GROUP BY user_id, session_id"),
     "q_agg_salted" ->
       "SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value FROM events GROUP BY event_type",
+    "q_nation_volume" ->
+      ("SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation, CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey JOIN nation cn ON c_nationkey = cn.n_nationkey " +
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey WHERE cn.n_name <> sn.n_name " +
+        "GROUP BY cn.n_name, sn.n_name, EXTRACT(year FROM l_shipdate)"),
+    "q_above_avg_orders" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM " +
+        "(SELECT o_orderkey, o_custkey, o_totalprice, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) / count(*) OVER w AS cust_avg " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey)) WHERE o_totalprice > cust_avg"),
+    "q_revenue_share" ->
+      ("WITH by_year AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year, n_name, " +
+        "sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY EXTRACT(year FROM o_orderdate), n_name) " +
+        "SELECT o_year, n_name, CAST(rev AS DOUBLE) AS revenue, " +
+        "CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY o_year) AS DOUBLE) AS share FROM by_year"),
     "q_event_window" ->
       "SELECT date_trunc('hour', ts) AS win, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value FROM events GROUP BY date_trunc('hour', ts), event_type")
 }
