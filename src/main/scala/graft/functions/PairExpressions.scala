@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native pair/signature expressions for the candidate-generation hot path.
+  *
+  * `OrderedPairsExpr` expands a (sorted) array into all i<j element pairs —
+  * the bucket-local quadratic step of LSH candidate generation. The
+  * declarative flatten(transform(transform(slice...))) formulation builds
+  * every pair through interpreted lambda calls; this is one nested loop.
+  *
+  * `HyperplaneSignExpr` computes the random-hyperplane LSH signature
+  * (SURVEY §2C sim_ann_lsh): plane p's coefficient for dimension d is +1
+  * when md5("p_d")'s first byte >= 0x80 — deterministic and replayable.
+  * Accumulation is d=0..dim-1 left-to-right, matching the Column-expression
+  * formulation it replaces bit-for-bit.
+  */
+case class OrderedPairsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private lazy val elementType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", elementType), StructField("b", elementType))),
+    containsNull = false)
+  override def prettyName: String = "graft_ordered_pairs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[AnyRef]((n.toLong * (n - 1) / 2).toInt)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.get(i, elementType)
+      var j = i + 1
+      while (j < n) {
+        out(idx) = new GenericInternalRow(Array[Any](a, arr.get(j, elementType)))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** numPlanes-bit signature from deterministic md5-derived hyperplane signs. */
+case class HyperplaneSignExpr(child: Expression, numPlanes: Int, dims: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_lsh_sign"
+
+  @transient private lazy val signs: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dims) { (p, d) =>
+      val firstByte = md.digest(s"${p}_$d".getBytes("UTF-8")).head & 0xff
+      if (firstByte >= 128) 1.0 else -1.0
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dims)
+    var sig = 0
+    var p = 0
+    while (p < numPlanes) {
+      val s = signs(p)
+      var dot = 0.0
+      var d = 0
+      while (d < n) { dot += v.getFloat(d).toDouble * s(d); d += 1 }
+      if (dot > 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PairExpressions {
+  def orderedPairs(arr: Column): Column =
+    CatalystBridge.column(OrderedPairsExpr(CatalystBridge.expression(arr)))
+
+  def lshSign(emb: Column, numPlanes: Int, dims: Int): Column =
+    CatalystBridge.column(HyperplaneSignExpr(CatalystBridge.expression(emb), numPlanes, dims))
+}

@@ -52,13 +52,6 @@ object Dedup {
         posexplode(ShingleExpressions.minhashSig(col("text"), MinhashPerms, ShingleN))
           .as(Seq("band", "h")))
 
-  /** All ordered pairs from a sorted id array: element i pairs with every
-    * later element. Pure expression — runs inside the aggregation stage. */
-  private def orderedPairs(ids: org.apache.spark.sql.Column) =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)), y =>
-        struct(x.as("doc_a"), y.as("doc_b")))))
-
   /** MinHash-LSH candidate pairs: docs sharing any (band, minhash).
     *
     * Single pass: signatures are computed ONCE, bucketed by (band, hash) in
@@ -72,8 +65,8 @@ object Dedup {
       .groupBy("band", "h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(orderedPairs(col("ids"))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .select(explode(PairExpressions.orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
 
   /** 16-bit SimHash per document (pure per-row expression, no shuffle). */
@@ -97,12 +90,9 @@ object Dedup {
       .groupBy("g")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
-          struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
-            x.getField("n").as("na"), y.getField("n").as("nb")))))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.na").as("na"), col("p.nb").as("nb"))
+      .select(explode(PairExpressions.orderedPairs(col("ds"))).as("p"))
+      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.n").as("na"), col("p.b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .select(col("doc_a"), col("doc_b"),

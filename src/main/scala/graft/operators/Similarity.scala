@@ -39,28 +39,12 @@ object Similarity {
       .filter(col("rank") <= TopK)
   }
 
-  /** Deterministic random-hyperplane signature: plane p's coefficient for
-    * dimension d is +1 when md5("p_d") starts with a hex digit >= '8'.
-    * Same construction is replayable anywhere md5 exists. */
-  private def lshSignature(embCol: String): org.apache.spark.sql.Column = {
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-    val planeBits = (0 until NumPlanes).map { p =>
-      val terms = (0 until 64).map { d =>
-        val firstByte = md5.digest(s"${p}_$d".getBytes("UTF-8")).head & 0xff
-        val sign = if (firstByte >= 128) 1 else -1
-        col(embCol).getItem(d).cast("double") * lit(sign)
-      }
-      val dot = terms.reduce(_ + _)
-      when(dot > 0, lit(1 << p)).otherwise(lit(0))
-    }
-    planeBits.reduce(_ + _)
-  }
-
   /** ANN via LSH buckets: join only within matching signatures, then exact
     * cosine rerank inside the bucket. Recall < 1 by construction; the
     * bruteforce variant is the exactness baseline. Rows-only check. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigd = emb(s, dir).withColumn("sig", lshSignature("embedding"))
+    val sigd = emb(s, dir)
+      .withColumn("sig", PairExpressions.lshSign(col("embedding"), NumPlanes, 64))
     val queries = sigd.filter(col("vec_id") < NumQueries).as("q")
     val corpus = sigd.as("c")
     val scored = corpus.join(broadcast(queries),
