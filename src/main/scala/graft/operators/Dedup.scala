@@ -100,6 +100,46 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** Near-dup cluster assignment: connected components over the MinHash-LSH
+    * candidate graph, each doc labeled with the minimum doc_id reachable —
+    * i.e. "keep one canonical document per near-dup cluster".
+    *
+    * Iterative min-label propagation: per round, every node takes the min
+    * of its own label and its neighbors' labels. Rounds are bounded by the
+    * component diameter (near-dup clusters are shallow); each round is two
+    * shuffles on the edge list, with localCheckpoint cutting plan lineage —
+    * the same alternating-join shape GraphX/connected-components runs at
+    * cluster scale. The driver-side loop only reads a convergence count. */
+  def clusterAssign(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val pairs = minhashLsh(s, dir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = d.withColumn("cluster_id", col("doc_id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst_id"), col("cluster_id").as("dst_label")),
+          col("dst") === col("dst_id"))
+        .groupBy(col("src")).agg(min(col("dst_label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("doc_id").as("d2"), col("cluster_id").as("old")),
+          next("doc_id") === col("d2"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (stand-in for any
     * coarse clustering key at scale). Double-precision left-to-right dot. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
@@ -119,6 +159,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_clusters" -> (clusterAssign _),
     "dedup_embedding" -> (embeddingNearDup _))
 
   // Oracle SQL (generated where repetitive, so Spark and SQL share constants)
@@ -131,6 +172,15 @@ object Dedup {
       .map(i => s"list_min(list_transform(sh, x -> md5('$i|' || x)))")
       .mkString("[", ", ", "]")
 
+  private val lshCtes =
+    s"sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +
+      s"sig AS (SELECT doc_id, $sigListSql AS sig FROM sh WHERE len(sh) > 0), " +
+      "banded AS (SELECT doc_id, generate_subscripts(sig, 1) - 1 AS band, unnest(sig) AS h FROM sig)"
+
+  private val lshPairsSelect =
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b " +
+      "ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id"
+
   private val simhashVoteSql = (0 until 16).map { j =>
     s"list_sum(list_transform(toks, t -> CASE WHEN substr(md5(t), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END))"
   }
@@ -141,12 +191,13 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
-    "dedup_minhash_lsh" ->
-      (s"WITH sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +
-        s"sig AS (SELECT doc_id, $sigListSql AS sig FROM sh WHERE len(sh) > 0), " +
-        "banded AS (SELECT doc_id, generate_subscripts(sig, 1) - 1 AS band, unnest(sig) AS h FROM sig) " +
-        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b " +
-        "ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id"),
+    "dedup_minhash_lsh" -> s"WITH $lshCtes $lshPairsSelect",
+    "dedup_clusters" ->
+      (s"WITH RECURSIVE $lshCtes, pairs AS ($lshPairsSelect), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs), " +
+        "reach(src, dst) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) " +
+        "SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src"),
     "dedup_simhash" ->
       (s"SELECT doc_id, CAST($simhashSql AS INT) AS simhash " +
         "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"),

@@ -57,10 +57,28 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
   }
 
+  /** Int8 symmetric quantization summary per vector — the compression step
+    * a 100 TB embedding store applies before ANN. Quantized value is
+    * floor(v/scale + 0.5) (explicit, so any engine reproduces the exact
+    * rounding); output is the per-vector scale and quantized-sum checksum. */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val scale = aggregate(col("embedding"),
+      lit(0.0), (acc, v) => greatest(acc, abs(v.cast("double")))) / 127.0
+    emb(s, dir)
+      .withColumn("scale", scale)
+      .select(
+        col("vec_id"),
+        col("scale"), // raw double: max/127 is bit-identical across engines
+        aggregate(col("embedding"), lit(0L),
+          (acc, v) => acc + floor(v.cast("double") / col("scale") + 0.5).cast("long"))
+          .as("qsum"))
+  }
+
   // --- wiring --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (topkBruteforce _),
+    "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_ann_lsh" -> (annLsh _))
 
   private val cosSql =
@@ -71,6 +89,10 @@ object Similarity {
   /** sim_ann_lsh intentionally has no oracle (float-sign boundary on plane
     * projections is not portable) → driver records rows-only. */
   def oracles: Map[String, String] = Map(
+    "sim_quantize_int8" ->
+      ("SELECT vec_id, scale, " +
+        "CAST(list_sum(list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT))) AS BIGINT) AS qsum FROM " +
+        "(SELECT vec_id, embedding, list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS scale FROM embeddings)"),
     "sim_topk_bruteforce" ->
       (s"WITH scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS cos " +
         s"FROM embeddings c JOIN embeddings q ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id), " +

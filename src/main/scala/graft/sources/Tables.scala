@@ -62,4 +62,14 @@ object Tables {
     val (dn, dc) = sig(dst)
     (sn, sc, dn, dc)
   }
+
+  /** Hadoop-archives (har) analog: small-file compaction. Reads a table and
+    * rewrites it as `numFiles` parquet files — the remedy for the many-small-
+    * files pathology har exists to solve, columnar-native. */
+  def compact(spark: SparkSession, srcDir: String, table: String, dstDir: String,
+      numFiles: Int = 1): Long = {
+    val df = load(spark, srcDir, table)
+    df.coalesce(numFiles).write.mode("overwrite").parquet(s"$dstDir/$table")
+    spark.read.parquet(s"$dstDir/$table").count()
+  }
 }

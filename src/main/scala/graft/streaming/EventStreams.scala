@@ -131,6 +131,27 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming exact dedup: watermarked dropDuplicates — state holds one
+    * entry per key inside the watermark horizon (bounded, unlike an
+    * unbounded batch distinct). */
+  def startDedupStream(s: SparkSession, dir: String, name: String): StreamingQuery = {
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming entry: file-stream over the events parquet, shared transform,
     * memory sink. Returns the started query; caller does
     * processAllAvailable() then reads table `name`. */

@@ -13,6 +13,14 @@ class SourcesSpec extends SparkSpec {
     assert(sc == dc, "content checksum changed in copy")
   }
 
+  test("compact (har analog) rewrites to fewer files, preserving rows") {
+    val dst = Files.createTempDirectory("graft_compact").toString
+    val n = Tables.compact(spark, sf, "events", dst, numFiles = 1)
+    assert(n == Tables.load(spark, sf, "events").count())
+    val files = new java.io.File(s"$dst/events").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected 1 parquet file, got $files")
+  }
+
   test("csv round-trip (TextOutputFormat analog) preserves values") {
     val dir = Files.createTempDirectory("graft_csv").toString + "/nation"
     val src = Tables.load(spark, sf, "nation")

@@ -42,6 +42,19 @@ class StreamingSpec extends SparkSpec {
       s"streamed=${streamed.size} batch=${batchAll.length} users=$nUsers")
   }
 
+  test("streaming dropDuplicates emits exactly the distinct key set") {
+    val q = EventStreams.startDedupStream(spark, sf, "stream_dedup_out")
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("stream_dedup_out")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val distinctBatch = Tables.load(spark, sf, "events")
+      .select("user_id", "event_type").distinct().count()
+    assert(streamed.length == distinctBatch, "streamed dedup cardinality mismatch")
+    assert(streamed.distinct.length == streamed.length, "stream emitted duplicate keys")
+  }
+
   test("sessionize invariants: sessions partition events, gaps exceed threshold") {
     val events = Tables.load(spark, sf, "events")
     val sessions = EventStreams.sessionize(spark, events).cache()
