@@ -117,6 +117,11 @@ object Dedup {
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
     var labels = d.withColumn("cluster_id", col("doc_id")).localCheckpoint()
+    // Labels only ever decrease, so the label sum is a strict convergence
+    // witness — one cheap aggregation per round instead of a self-join diff.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("cluster_id"))).collect().head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -129,12 +134,10 @@ object Dedup {
         .select(labels("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("doc_id").as("d2"), col("cluster_id").as("old")),
-          next("doc_id") === col("d2"))
-        .filter(col("cluster_id") =!= col("old")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     labels

@@ -57,6 +57,44 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
   }
 
+  val NumCentroids = 16
+  val NumProbes = 2
+
+  /** IVF-style ANN: a coarse quantizer (here: a deterministic centroid set —
+    * production trains k-means offline and broadcasts it the same way)
+    * partitions the corpus into inverted lists; queries probe only the
+    * `NumProbes` nearest lists. Corpus assignment is one broadcast pass
+    * (|corpus| x |centroids| fused-codegen cosines); the candidate join
+    * touches only probed lists — the 100 TB path where brute force cannot
+    * run. Fully deterministic, so oracle-checked end to end. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cent = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val assign = e.join(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        round(cosineSim(col("embedding"), col("cent_emb")), 4).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val probes = e.filter(col("vec_id") < NumQueries).join(broadcast(cent))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cent_id"),
+        round(cosineSim(col("embedding"), col("cent_emb")), 4).as("ccos"))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cent_id").asc)))
+      .filter(col("prn") <= NumProbes)
+      .select(col("query_id"), col("q_emb"), col("cent_id"))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    assign.join(probes, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosineSim(col("q_emb"), col("embedding")), 4).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+  }
+
   /** Int8 symmetric quantization summary per vector — the compression step
     * a 100 TB embedding store applies before ANN. Quantized value is
     * floor(v/scale + 0.5) (explicit, so any engine reproduces the exact
@@ -79,6 +117,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (topkBruteforce _),
     "sim_quantize_int8" -> (quantizeInt8 _),
+    "sim_ann_ivf" -> (annIvf _),
     "sim_ann_lsh" -> (annLsh _))
 
   private val cosSql =
@@ -86,9 +125,24 @@ object Similarity {
       "(sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) * " +
       "sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))), 4)"
 
+  private def cosBetween(x: String, y: String): String =
+    s"round(list_sum(list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))) / " +
+      s"(sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE)))) * " +
+      s"sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST($y[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))))), 4)"
+
   /** sim_ann_lsh intentionally has no oracle (float-sign boundary on plane
     * projections is not portable) → driver records rows-only. */
   def oracles: Map[String, String] = Map(
+    "sim_ann_ivf" ->
+      (s"WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < $NumCentroids), " +
+        s"sa AS (SELECT e.vec_id, e.embedding, c.cent_id, ${cosBetween("e.embedding", "c.cent_emb")} AS ccos FROM embeddings e CROSS JOIN cent c), " +
+        "assign AS (SELECT vec_id, embedding, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM sa) WHERE rn = 1), " +
+        s"sp AS (SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cent_id, ${cosBetween("e.embedding", "c.cent_emb")} AS ccos FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < $NumQueries), " +
+        s"probes AS (SELECT query_id, q_emb, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM sp) WHERE rn <= $NumProbes), " +
+        s"cands AS (SELECT p.query_id, a.vec_id AS neighbor_id, ${cosBetween("p.q_emb", "a.embedding")} AS cos " +
+        "FROM assign a JOIN probes p ON a.cent_id = p.cent_id WHERE a.vec_id <> p.query_id) " +
+        "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank FROM cands) " +
+        s"WHERE rank <= $TopK"),
     "sim_quantize_int8" ->
       ("SELECT vec_id, scale, " +
         "CAST(list_sum(list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT))) AS BIGINT) AS qsum FROM " +
