@@ -149,6 +149,45 @@ object MapReduce {
       .filter(substring(md5Hex(col("l_orderkey").cast("string")), 1, 2) <= "14")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
 
+  /** Word co-occurrence ("pairs" pattern): adjacent-token bigram counts —
+    * the canonical MapReduce second example after wordcount. */
+  def cooccurrence(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(graft.functions.ShingleExpressions.shingles(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+
+  /** Inverted index: token -> sorted distinct posting list (as a joined
+    * string so the oracle compare is scalar). */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id").cast("string").as("d"), explode(wsTokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(array_join(sort_array(collect_set(col("d"))), ",").as("postings"),
+        countDistinct(col("d")).as("df"))
+
+  /** Funnel analysis over events: per user, first time reaching each stage
+    * and whether the full view->click->purchase funnel converted in order. */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .withColumn("converted",
+        col("first_view").isNotNull && col("first_click").isNotNull &&
+          col("first_purchase").isNotNull &&
+          col("first_view") < col("first_click") && col("first_click") < col("first_purchase"))
+
+  /** Semi-structured extraction: pull props.k out of the JSON column and
+    * aggregate — the schema-on-read path. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("k_sum"), max(col("k")).as("k_max"))
+
   // --- wiring --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -166,6 +205,10 @@ object MapReduce {
     "mr_distinct" -> (distinctPairs _),
     "mr_topk" -> (topK _),
     "mr_topk_per_key" -> (topKPerKey _),
+    "mr_cooccurrence" -> (cooccurrence _),
+    "mr_inverted_index" -> (invertedIndex _),
+    "mr_funnel" -> (funnel _),
+    "mr_json_extract" -> (jsonExtract _),
     "mr_sample" -> (sample _))
 
   def oracles: Map[String, String] = Map(
@@ -200,6 +243,22 @@ object MapReduce {
         "(SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER " +
         "(PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) " +
         "WHERE rn <= 5"),
+    "mr_cooccurrence" ->
+      ("SELECT bigram, count(*) AS cnt FROM (SELECT unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1), " +
+        "i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS bigram FROM documents) GROUP BY bigram"),
+    "mr_inverted_index" ->
+      ("SELECT word, string_agg(DISTINCT d, ',' ORDER BY d) AS postings, count(DISTINCT d) AS df FROM " +
+        "(SELECT CAST(doc_id AS VARCHAR) AS d, unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word"),
+    "mr_funnel" ->
+      ("SELECT user_id, first_view, first_click, first_purchase, " +
+        "first_view IS NOT NULL AND first_click IS NOT NULL AND first_purchase IS NOT NULL " +
+        "AND first_view < first_click AND first_click < first_purchase AS converted FROM " +
+        "(SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS first_view, " +
+        "min(CASE WHEN event_type = 'click' THEN ts END) AS first_click, " +
+        "min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase FROM events GROUP BY user_id)"),
+    "mr_json_extract" ->
+      ("SELECT event_type, count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS k_sum, max(k) AS k_max FROM " +
+        "(SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) GROUP BY event_type"),
     "mr_sample" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) <= '14'")
 }

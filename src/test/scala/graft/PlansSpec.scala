@@ -51,6 +51,13 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("graft_cosine"), p)
   }
 
+  test("global sort output is totally ordered across partition boundaries (TeraValidate)") {
+    val rows = MapReduce.sort(spark, sf)
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.sameElements(rows.sorted), "rows not globally sorted")
+  }
+
   test("minhash LSH computes signatures in a single scan (no self-join re-read)") {
     val p = plan(Dedup.minhashLsh(spark, sf))
     assert("FileScan parquet".r.findAllIn(p).size == 1, s"signature relation scanned more than once:\n$p")
