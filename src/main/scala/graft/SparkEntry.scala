@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Extras, MapReduce, Multimodal, Similarity, TextOps}
+import graft.operators.{Analytics, Dedup, Extras, MapReduce, Multimodal, Pipeline, Similarity, TextOps}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -22,6 +22,7 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
       (TextOps.queries, TextOps.oracles),
+      (Pipeline.queries, Pipeline.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (EventStreams.queries, EventStreams.oracles))
 

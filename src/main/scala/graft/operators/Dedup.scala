@@ -155,6 +155,20 @@ object Dedup {
       .filter(col("cos") >= CosineThreshold)
   }
 
+  /** Incremental ingestion dedup: which docs in the new batch (source
+    * 'src0') are NOT already in the corpus (all other sources)? Anti-join
+    * on content hash — the nightly-ingest shape: the corpus side reduces
+    * to a distinct-hash build, never full text. */
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpusHashes = d.filter(col("source") =!= "src0")
+      .select(md5Hex(col("text")).as("h")).distinct()
+    d.filter(col("source") === "src0")
+      .withColumn("h", md5Hex(col("text")))
+      .join(corpusHashes, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("source"))
+  }
+
   // --- wiring --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -163,6 +177,7 @@ object Dedup {
     "dedup_simhash" -> (simhash _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_clusters" -> (clusterAssign _),
+    "dedup_incremental" -> (incremental _),
     "dedup_embedding" -> (embeddingNearDup _))
 
   // Oracle SQL (generated where repetitive, so Spark and SQL share constants)
@@ -194,6 +209,9 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
+    "dedup_incremental" ->
+      ("SELECT doc_id, source FROM documents WHERE source = 'src0' AND md5(text) NOT IN " +
+        "(SELECT md5(text) FROM documents WHERE source <> 'src0')"),
     "dedup_minhash_lsh" -> s"WITH $lshCtes $lshPairsSelect",
     "dedup_clusters" ->
       (s"WITH RECURSIVE $lshCtes, pairs AS ($lshPairsSelect), " +
