@@ -129,10 +129,19 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst_id"), col("cluster_id").as("dst_label")),
           col("dst") === col("dst_id"))
         .groupBy(col("src")).agg(min(col("dst_label")).as("nmin"))
+      // Pointer jumping (path halving): also adopt the label OF the current
+      // label, collapsing chains in log(diameter) rounds instead of diameter.
+      val labelOfLabel = labels
+        .join(labels.select(col("doc_id").as("p_id"), col("cluster_id").as("p_label")),
+          col("cluster_id") === col("p_id"))
+        .select(col("doc_id").as("j_id"), col("p_label"))
       val next = labels
         .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .join(labelOfLabel, labels("doc_id") === col("j_id"), "left")
         .select(labels("doc_id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+          least(col("cluster_id"),
+            coalesce(col("nmin"), col("cluster_id")),
+            coalesce(col("p_label"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint()
       val nextSum = labelSum(next)
       labels = next
