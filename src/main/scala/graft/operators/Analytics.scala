@@ -122,6 +122,31 @@ object Analytics {
         dsum(dec(col("value"), 10, 2)).as("total_value"))
   }
 
+  /** TPC-H Q6-shaped: forecast revenue — pure filter + aggregate, the query
+    * whose whole cost is the scan (pushdown must reach parquet). */
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp_ntz") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(dsum(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q4-shaped: priority counts for orders with a late shipment
+    * (EXISTS → left-semi join; never distinct-then-join). */
+  def latePriority(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-07-01").cast("timestamp_ntz"))
+    val late = t(s, dir, "lineitem")
+    o.join(late,
+        o("o_orderkey") === late("l_orderkey") &&
+          late("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
   /** TPC-H Q7-shaped: shipping volume between nation pairs by year.
     * Two broadcast copies of `nation` (aliased) — the dims stay map-side. */
   def nationVolume(s: SparkSession, dir: String): DataFrame = {
@@ -198,6 +223,8 @@ object Analytics {
     "q_rollup" -> (rollupAgg _),
     "q_event_sessionize" -> (eventSessionize _),
     "q_agg_salted" -> (aggSalted _),
+    "q_forecast_revenue" -> (forecastRevenue _),
+    "q_late_priority" -> (latePriority _),
     "q_nation_volume" -> (nationVolume _),
     "q_above_avg_orders" -> (aboveAvgOrders _),
     "q_revenue_share" -> (revenueShare _),
@@ -243,6 +270,15 @@ object Analytics {
         "FROM sessions GROUP BY user_id, session_id"),
     "q_agg_salted" ->
       "SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value FROM events GROUP BY event_type",
+    "q_forecast_revenue" ->
+      ("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue, count(*) AS n_items " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00' " +
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
+    "q_late_priority" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00' AND EXISTS " +
+        "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY) " +
+        "GROUP BY o_orderpriority"),
     "q_nation_volume" ->
       ("SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation, CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year, " +
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue " +

@@ -90,10 +90,30 @@ object TextOps {
         .as("shingle_fp"))
   }
 
+  /** TF-IDF: top-3 terms per document by tf * ln((N+1)/(df+1)), ranked on
+    * the rounded score (+ term tie-break) so ranking is engine-portable.
+    * Integer tf/df/N keep everything exact until the single ln(). */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.count() // corpus size: a tiny driver-side scalar, same as SQL's subquery
+    val terms = d.select(col("doc_id"), explode(wsTokens(col("text"))).as("word"))
+    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("word")).distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("word").asc)
+    tf.join(df, Seq("word"))
+      .select(col("doc_id"), col("word"),
+        round(col("tf") * log((lit(n) + 1).cast("double") / (col("df") + 1)), 6).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
   // --- wiring --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (langid _),
+    "text_tfidf" -> (tfidf _),
     "text_quality" -> (quality _),
     "text_tokens" -> (tokens _),
     "text_fingerprint" -> (fingerprint _))
@@ -115,6 +135,15 @@ object TextOps {
     "list_transform(generate_series(1, len(string_split(text, ' ')) - 2), i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))"
 
   def oracles: Map[String, String] = Map(
+    "text_tfidf" ->
+      ("WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY doc_id, word), " +
+        "df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM terms) GROUP BY word), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "scored AS (SELECT doc_id, tf.word, round(tf * ln(CAST(n + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf " +
+        "FROM tf JOIN df ON tf.word = df.word CROSS JOIN n) " +
+        "SELECT doc_id, word, tfidf, rank FROM (SELECT *, CAST(row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS INT) AS rank FROM scored) WHERE rank <= 3"),
     "text_langid" ->
       (s"SELECT doc_id, $langCase AS pred_lang FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"),
     "text_quality" ->
