@@ -21,6 +21,7 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", math.max(cores, 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

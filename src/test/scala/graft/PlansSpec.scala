@@ -51,6 +51,22 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("graft_cosine"), p)
   }
 
+  test("forecast revenue pushes every filter into the parquet scan") {
+    // plain toString truncates PushedFilters; formatted mode prints all
+    val p = Analytics.forecastRevenue(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+      "LessThan(l_quantity,24.0)").foreach { f =>
+      assert(p.contains(f), s"filter $f not pushed:\n$p")
+    }
+  }
+
+  test("late-priority EXISTS plans as a semi join") {
+    val p = plan(Analytics.latePriority(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("global sort output is totally ordered across partition boundaries (TeraValidate)") {
     val rows = MapReduce.sort(spark, sf)
       .select("l_orderkey", "l_linenumber").collect()
