@@ -33,6 +33,14 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), dsum(dec(col("value"), 10, 2)).as("total_value"))
       .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Hopping (sliding) 30-minute windows every 15 minutes: each event lands
+    * in exactly two windows. Works on batch or stream. */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "30 minutes", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(dec(col("value"), 10, 2)).as("total_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
+
   /** Imperative per-key session builder — the exact body a
     * flatMapGroupsWithState handler runs per key; exposed over batch via
     * groupByKey+flatMapGroups so the oracle can verify the state logic. */
@@ -179,6 +187,7 @@ object EventStreams {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> ((s, dir) => windowAgg(Tables.load(s, dir, "events"))),
+    "stream_hopping_agg" -> ((s, dir) => hoppingAgg(Tables.load(s, dir, "events"))),
     "stream_sessionize" -> ((s, dir) => sessionize(s, Tables.load(s, dir, "events"))))
 
   def oracles: Map[String, String] = Map(
@@ -186,6 +195,11 @@ object EventStreams {
       ("SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS win_start, event_type, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value FROM events " +
         "GROUP BY time_bucket(INTERVAL 15 MINUTE, ts), event_type"),
+    "stream_hopping_agg" ->
+      ("SELECT win_start, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value FROM " +
+        "(SELECT time_bucket(INTERVAL 15 MINUTE, ts) - to_minutes(15 * k) AS win_start, event_type, value " +
+        "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)) " +
+        "GROUP BY win_start, event_type"),
     "stream_sessionize" ->
       ("WITH flagged AS (SELECT user_id, ts, event_id, value, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
