@@ -194,6 +194,30 @@ object Analytics {
       .select(col("o_year"), col("n_name"), col("rev").cast("double").as("revenue"), col("share"))
   }
 
+  /** As-of join, composed from built-ins (SURVEY preference order (a)):
+    * for every purchase event, the most recent prior view by the same user.
+    * Union-tag + running last_value over one (user, time) window — a single
+    * shuffle on user_id, instead of a range join that would explode. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("view_ts", when(col("event_type") === "view", col("ts")))
+      .withColumn("prev_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("prev_view_ts"))
+  }
+
+  /** Exact per-group quantiles (p25/p50/p75 of order totals per priority). */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 6).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"),
+        count(lit(1)).as("n"))
+
   /** Skew-defused aggregation: two-phase salted groupBy (SURVEY §5).
     * `event_type` has ~5 values — at 100 TB a plain groupBy sends each
     * key's entire volume to one reducer. Salting on a uniform column
@@ -223,6 +247,8 @@ object Analytics {
     "q_rollup" -> (rollupAgg _),
     "q_event_sessionize" -> (eventSessionize _),
     "q_agg_salted" -> (aggSalted _),
+    "q_asof_join" -> (asofJoin _),
+    "q_percentiles" -> (percentiles _),
     "q_forecast_revenue" -> (forecastRevenue _),
     "q_late_priority" -> (latePriority _),
     "q_nation_volume" -> (nationVolume _),
@@ -270,6 +296,16 @@ object Analytics {
         "FROM sessions GROUP BY user_id, session_id"),
     "q_agg_salted" ->
       "SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value FROM events GROUP BY event_type",
+    "q_asof_join" ->
+      ("SELECT event_id, user_id, ts, prev_view_ts FROM " +
+        "(SELECT event_id, user_id, ts, event_type, " +
+        "last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_ts " +
+        "FROM events) WHERE event_type = 'purchase'"),
+    "q_percentiles" ->
+      ("SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.25), 6) AS p25, " +
+        "round(quantile_cont(o_totalprice, 0.5), 6) AS p50, round(quantile_cont(o_totalprice, 0.75), 6) AS p75, " +
+        "count(*) AS n FROM orders GROUP BY o_orderpriority"),
     "q_forecast_revenue" ->
       ("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue, count(*) AS n_items " +
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00' " +

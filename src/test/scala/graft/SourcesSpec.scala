@@ -21,6 +21,29 @@ class SourcesSpec extends SparkSpec {
     assert(files == 1, s"expected 1 parquet file, got $files")
   }
 
+  test("bucketed tables co-locate: join on the bucket key plans without a shuffle") {
+    val wh = Files.createTempDirectory("graft_buckets").toString
+    val o = Tables.load(spark, sf, "orders")
+    val c = Tables.load(spark, sf, "customer")
+    o.write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/b_orders").mode("overwrite").saveAsTable("b_orders")
+    c.write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/b_customer").mode("overwrite").saveAsTable("b_customer")
+    try {
+      val joined = spark.table("b_orders").hint("merge")
+        .join(spark.table("b_customer"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join should not shuffle:\n$p")
+      assert(joined.count() == o.join(c, o("o_custkey") === c("c_custkey")).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("csv round-trip (TextOutputFormat analog) preserves values") {
     val dir = Files.createTempDirectory("graft_csv").toString + "/nation"
     val src = Tables.load(spark, sf, "nation")
