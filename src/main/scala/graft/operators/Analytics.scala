@@ -218,6 +218,24 @@ object Analytics {
         round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"),
         count(lit(1)).as("n"))
 
+  /** TPC-H Q9-shaped: profit by supplier nation and year for parts matching
+    * a name pattern (retail price stands in for supply cost — the schema has
+    * no partsupp table). */
+  def productProfit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part").filter(col("p_name").contains("widget"))
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val one = lit(1).cast("decimal(12,2)")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(
+        dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) -
+          dec(col("p_retailprice")) * dec(col("l_quantity"))).as("profit"))
+  }
+
   /** Skew-defused aggregation: two-phase salted groupBy (SURVEY §5).
     * `event_type` has ~5 values — at 100 TB a plain groupBy sends each
     * key's entire volume to one reducer. Salting on a uniform column
@@ -249,6 +267,7 @@ object Analytics {
     "q_agg_salted" -> (aggSalted _),
     "q_asof_join" -> (asofJoin _),
     "q_percentiles" -> (percentiles _),
+    "q_product_profit" -> (productProfit _),
     "q_forecast_revenue" -> (forecastRevenue _),
     "q_late_priority" -> (latePriority _),
     "q_nation_volume" -> (nationVolume _),
@@ -306,6 +325,13 @@ object Analytics {
       ("SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.25), 6) AS p25, " +
         "round(quantile_cont(o_totalprice, 0.5), 6) AS p50, round(quantile_cont(o_totalprice, 0.75), 6) AS p75, " +
         "count(*) AS n FROM orders GROUP BY o_orderpriority"),
+    "q_product_profit" ->
+      ("SELECT n_name, CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) - " +
+        "CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey WHERE p_name LIKE '%widget%' " +
+        "GROUP BY n_name, EXTRACT(year FROM l_shipdate)"),
     "q_forecast_revenue" ->
       ("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue, count(*) AS n_items " +
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00' " +

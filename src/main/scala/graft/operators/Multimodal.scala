@@ -74,11 +74,32 @@ object Multimodal {
     }.toDF("doc_id", "frame_idx", "frame_md5")
   }
 
+  /** Audio-shaped path: payload as PCM-ish samples, hopping-window energy
+    * features (256-byte windows, 128-byte hop) — integer math, one row per
+    * window, bounded at 8 windows/asset. The feature-extraction shape a real
+    * audio pipeline runs (decode → frame → per-frame features). */
+  def audioWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).flatMap { a =>
+      val bytes = a.payload
+      val win = 256; val hop = 128
+      val starts = (0 until math.max(bytes.length - win + 1, 1) by hop).take(8)
+      starts.map { st =>
+        val end = math.min(st + win, bytes.length)
+        var energy = 0L
+        var i = st
+        while (i < end) { val c = (bytes(i) & 0xff) - 128; energy += c.toLong * c; i += 1 }
+        (a.doc_id, st / hop, end - st, energy)
+      }
+    }.toDF("doc_id", "window_idx", "n_samples", "energy")
+  }
+
   // Rows-only checks: the decode stub stands in for a native codec, which an
   // ANSI-SQL oracle could not replay once real.
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (decode _),
-    "mm_frame_sample" -> (frameSample _))
+    "mm_frame_sample" -> (frameSample _),
+    "mm_audio_windows" -> (audioWindows _))
 
   def oracles: Map[String, String] = Map.empty
 }

@@ -139,6 +139,33 @@ object EventStreams {
       .start()
   }
 
+  /** Stream-stream interval join: purchases matched to same-user views in
+    * the preceding hour. Watermarks on both sides bound the join state the
+    * way a production stream-stream join must. */
+  def startStreamStreamJoin(s: SparkSession, dir: String, name: String): StreamingQuery = {
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    def src = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(views,
+        expr("v_user = user_id AND view_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts"))
+      .select(col("purchase_id"), col("view_id"), col("user_id"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming exact dedup: watermarked dropDuplicates — state holds one
     * entry per key inside the watermark horizon (bounded, unlike an
     * unbounded batch distinct). */

@@ -42,6 +42,22 @@ class StreamingSpec extends SparkSpec {
       s"streamed=${streamed.size} batch=${batchAll.length} users=$nUsers")
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val q = EventStreams.startStreamStreamJoin(spark, sf, "stream_ssj_out")
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("stream_ssj_out").count()
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sf, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"))
+    val batch = p.join(v,
+      expr("v_user = user_id AND view_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts")).count()
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("streaming dropDuplicates emits exactly the distinct key set") {
     val q = EventStreams.startDedupStream(spark, sf, "stream_dedup_out")
     try q.processAllAvailable()
