@@ -63,6 +63,33 @@ object Tables {
     (sn, sc, dn, dc)
   }
 
+  /** SequenceFile support — the reference's native binary KV container
+    * (examples use SequenceFileInput/OutputFormat throughout). Spark ships
+    * the Hadoop I/O classes, so this is real format compatibility, not an
+    * analog: files written here are readable by any Hadoop job. */
+  def writeSequenceFile(df: DataFrame, keyCol: String, valueCol: String, path: String): Unit = {
+    df.select(keyCol, valueCol).rdd
+      .map(r => (r.get(0).toString, r.get(1).toString))
+      .saveAsSequenceFile(path)
+  }
+
+  def readSequenceFile(spark: SparkSession, path: String): DataFrame = {
+    val rdd = spark.sparkContext
+      .sequenceFile[String, String](path)
+    spark.createDataFrame(rdd.map(kv => org.apache.spark.sql.Row(kv._1, kv._2)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
+  }
+
+  /** MapReduce counters analog: named metrics observed during a single pass
+    * (`df.observe`) — collected by the driver without a second action. */
+  def observed(df: DataFrame, name: String,
+      metrics: Seq[org.apache.spark.sql.Column]): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+
   /** Hadoop-archives (har) analog: small-file compaction. Reads a table and
     * rewrites it as `numFiles` parquet files — the remedy for the many-small-
     * files pathology har exists to solve, columnar-native. */

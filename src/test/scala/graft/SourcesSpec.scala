@@ -21,6 +21,36 @@ class SourcesSpec extends SparkSpec {
     assert(files == 1, s"expected 1 parquet file, got $files")
   }
 
+  test("sequence files round-trip through real Hadoop I/O") {
+    val dir = Files.createTempDirectory("graft_seq").toString + "/wc"
+    val wc = graft.operators.MapReduce.wordcount(spark, sf)
+    Tables.writeSequenceFile(wc, "word", "cnt", dir)
+    val back = Tables.readSequenceFile(spark, dir)
+    val a = wc.collect().map(r => (r.getString(0), r.getLong(1).toString)).toSet
+    val b = back.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(a == b)
+  }
+
+  test("small files combine into few scan partitions (CombineFileInputFormat analog)") {
+    val dir = Files.createTempDirectory("graft_small").toString + "/n"
+    Tables.load(spark, sf, "lineitem").repartition(20).write.parquet(dir)
+    val scanned = spark.read.parquet(dir)
+    val parts = scanned.rdd.getNumPartitions
+    assert(parts < 20, s"expected small files packed into few partitions, got $parts")
+    assert(scanned.count() == Tables.load(spark, sf, "lineitem").count())
+  }
+
+  test("observe collects counters in a single pass (MapReduce counters analog)") {
+    import org.apache.spark.sql.functions._
+    val (df, obs) = Tables.observed(Tables.load(spark, sf, "events"), "ev_metrics",
+      Seq(count(lit(1)).as("n"), sum(col("value")).as("v"),
+        count(when(col("event_type") === "error", 1)).as("errors")))
+    val n = df.count()
+    val row = obs.get
+    assert(row("n") == n)
+    assert(row("errors").asInstanceOf[Long] > 0)
+  }
+
   test("bucketed tables co-locate: join on the bucket key plans without a shuffle") {
     val wh = Files.createTempDirectory("graft_buckets").toString
     val o = Tables.load(spark, sf, "orders")
