@@ -15,10 +15,15 @@ object PlanAudit {
       "q_pricing_summary" -> Analytics.pricingSummary(s, sf),
       "mr_join_mapside" -> MapReduce.joinMapSide(s, sf),
       "q_shipping_priority" -> Analytics.shippingPriority(s, sf),
+      "q_forecast_revenue" -> Analytics.forecastRevenue(s, sf),
+      "q_asof_join" -> Analytics.asofJoin(s, sf),
       "mr_topk" -> MapReduce.topK(s, sf),
+      "mr_topk_per_key" -> MapReduce.topKPerKey(s, sf),
       "text_langid" -> TextOps.langid(s, sf),
       "dedup_embedding" -> Dedup.embeddingNearDup(s, sf),
-      "dedup_minhash_lsh" -> Dedup.minhashLsh(s, sf))
+      "dedup_minhash_lsh" -> Dedup.minhashLsh(s, sf),
+      "sim_ann_ivf" -> Similarity.annIvf(s, sf),
+      "pipeline_decontaminate" -> Pipeline.decontaminate(s, sf))
     targets.foreach { case (name, df) =>
       println(s"\n========== $name")
       println(df.queryExecution.executedPlan.toString)

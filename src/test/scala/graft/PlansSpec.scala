@@ -46,6 +46,17 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("as-of join is a single window pass — exactly one shuffle") {
+    val p = plan(Analytics.asofJoin(spark, sf))
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected one shuffle:\n$p")
+    assert(!p.contains("Join"), s"as-of should not plan a join:\n$p")
+  }
+
+  test("decontamination broadcasts the benchmark side") {
+    val p = plan(graft.operators.Pipeline.decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("embedding near-dup runs the fused codegen cosine") {
     val p = plan(Dedup.embeddingNearDup(spark, sf))
     assert(p.contains("graft_cosine"), p)
