@@ -164,6 +164,23 @@ object Dedup {
       .filter(col("cos") >= CosineThreshold)
   }
 
+  /** Skew-guarded variant of minhashLsh: buckets above `maxBucket` are
+    * dropped before the quadratic expansion. At 100 TB a single degenerate
+    * bucket (boilerplate page, empty-ish docs agreeing on a minhash) would
+    * otherwise expand to billions of pairs on one task; the cap bounds
+    * per-bucket work at maxBucket^2/2 and the dropped buckets are exactly
+    * the near-duplicate-everything clusters a pipeline handles separately.
+    * Not oracle-gated (the gated op is the uncapped exact one); spec-tested
+    * for containment. */
+  def minhashLshCapped(s: SparkSession, dir: String, maxBucket: Int): DataFrame =
+    bandedSignatures(s, dir)
+      .groupBy("band", "h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(PairExpressions.orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+
   /** Incremental ingestion dedup: which docs in the new batch (source
     * 'src0') are NOT already in the corpus (all other sources)? Anti-join
     * on content hash — the nightly-ingest shape: the corpus side reduces
