@@ -149,6 +149,23 @@ object MapReduce {
       .filter(substring(md5Hex(col("l_orderkey").cast("string")), 1, 2) <= "14")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
 
+  /** Full outer join (Join.java supports "outer" composite joins): region x
+    * nation keyed on regionkey, preserving unmatched sides. */
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    n.join(r, n("n_regionkey") === r("r_regionkey"), "full_outer")
+      .select(col("n_name"), col("r_name"))
+  }
+
+  /** Grep with a capture group (RegexMapper.GROUP, Grep.java:57): extract
+    * the first digit-run from matching tokens and count per capture. */
+  def grepGroup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("noun"))
+      .filter(col("noun") =!= "")
+      .groupBy("noun").agg(count(lit(1)).as("cnt"))
+
   /** Word co-occurrence ("pairs" pattern): adjacent-token bigram counts —
     * the canonical MapReduce second example after wordcount. */
   def cooccurrence(s: SparkSession, dir: String): DataFrame =
@@ -205,6 +222,8 @@ object MapReduce {
     "mr_distinct" -> (distinctPairs _),
     "mr_topk" -> (topK _),
     "mr_topk_per_key" -> (topKPerKey _),
+    "mr_join_full_outer" -> (joinFullOuter _),
+    "mr_grep_group" -> (grepGroup _),
     "mr_cooccurrence" -> (cooccurrence _),
     "mr_inverted_index" -> (invertedIndex _),
     "mr_funnel" -> (funnel _),
@@ -243,6 +262,11 @@ object MapReduce {
         "(SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER " +
         "(PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) " +
         "WHERE rn <= 5"),
+    "mr_join_full_outer" ->
+      "SELECT n_name, r_name FROM nation FULL OUTER JOIN region ON n_regionkey = r_regionkey",
+    "mr_grep_group" ->
+      ("SELECT noun, count(*) AS cnt FROM (SELECT regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun FROM part) " +
+        "WHERE noun <> '' GROUP BY noun"),
     "mr_cooccurrence" ->
       ("SELECT bigram, count(*) AS cnt FROM (SELECT unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1), " +
         "i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS bigram FROM documents) GROUP BY bigram"),
