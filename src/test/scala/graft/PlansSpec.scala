@@ -11,6 +11,15 @@ class PlansSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("wordcount aggregates partially before the shuffle (the combiner, for free)") {
+    val p = plan(MapReduce.wordcount(spark, sf))
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final aggregate (combiner), got $aggs:\n$p")
+    assert(p.indexOf("HashAggregate") < p.indexOf("Exchange") ||
+      p.lastIndexOf("HashAggregate") > p.indexOf("Exchange"),
+      "no map-side aggregate before the exchange")
+  }
+
   test("pricing summary pushes the shipdate filter into the parquet scan") {
     val p = plan(Analytics.pricingSummary(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
