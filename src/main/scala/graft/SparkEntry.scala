@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Extras, MapReduce, Multimodal, Pipeline, Similarity, TextOps}
+import graft.operators.{Analytics, Dedup, Extras, MapReduce, Multimodal, Pipeline, Similarity, Tera, TextOps}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -18,6 +18,7 @@ object SparkEntry {
     Seq(
       (MapReduce.queries, MapReduce.oracles),
       (Extras.queries, Extras.oracles),
+      (Tera.queries, Tera.oracles),
       (Analytics.queries, Analytics.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),

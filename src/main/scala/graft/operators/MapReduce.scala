@@ -92,13 +92,20 @@ object MapReduce {
     semi.unionAll(anti)
   }
 
+  /** Two-level aggregation instead of count + countDistinct in one pass:
+    * mixing them forces Catalyst's Expand plan (2x row multiplication and a
+    * second shuffle over the expanded rows). Pre-aggregating by (source,
+    * word) shuffles each distinct word once; the second agg over the tiny
+    * distinct relation derives both counts exactly. */
   def aggregateWordcount(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("source"), explode(wsTokens(col("text"))).as("word"))
+      .groupBy("source", "word")
+      .agg(count(lit(1)).as("c"))
       .groupBy("source")
       .agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("word")).as("n_distinct"),
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
         min(col("word")).as("min_word"),
         max(col("word")).as("max_word"),
         max(length(col("word"))).as("max_len"))

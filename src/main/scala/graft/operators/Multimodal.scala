@@ -94,12 +94,41 @@ object Multimodal {
     }.toDF("doc_id", "window_idx", "n_samples", "energy")
   }
 
-  // Rows-only checks: the decode stub stands in for a native codec, which an
-  // ANSI-SQL oracle could not replay once real.
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (decode _),
     "mm_frame_sample" -> (frameSample _),
     "mm_audio_windows" -> (audioWindows _))
 
-  def oracles: Map[String, String] = Map.empty
+  /** The stub codec is pure arithmetic over the payload bytes, and the
+    * payload is utf8(text) with ASCII-only test documents — so byte length
+    * is strlen(text), byte slices are substr, and byte values are ascii().
+    * That makes every mm_* query oracle-replayable TODAY; swapping in a real
+    * native codec later is exactly when these revert to rows-only checks. */
+  def oracles: Map[String, String] = Map(
+    "mm_decode" ->
+      ("SELECT doc_id, CAST(n AS INT) AS n_bytes, CAST(16 + n % 624 AS INT) AS width, " +
+        "CAST(16 + (n * 7 + b0) % 464 AS INT) AS height, CAST(3 AS INT) AS channels, " +
+        "CAST(1 + n % 24 AS INT) AS n_frames FROM " +
+        "(SELECT doc_id, strlen(text) AS n, " +
+        "CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS b0 FROM documents)"),
+    "mm_frame_sample" ->
+      // idxs = (0 until n_frames by 8).take(4) with n_frames <= 24 is always
+      // a subset of {0, 8, 16}; start/len mirror the Scala slice arithmetic.
+      ("WITH base AS (SELECT doc_id, text, strlen(text) AS n, 1 + strlen(text) % 24 AS nf FROM documents), " +
+        "fr AS (SELECT doc_id, text, n, nf, unnest([0, 8, 16]) AS fi FROM base) " +
+        "SELECT doc_id, CAST(fi AS INT) AS frame_idx, " +
+        "md5(substr(text, CAST((fi * 41) % greatest(n, 1) AS INT) + 1, " +
+        "CAST(least(64, n - (fi * 41) % greatest(n, 1)) AS INT))) AS frame_md5 " +
+        "FROM fr WHERE fi < nf"),
+    "mm_audio_windows" ->
+      // starts = (0 until max(n-255,1) by 128).take(8): inclusive stop is
+      // min(max(n-256,0), 896); energy sums (byte-128)^2 over the window.
+      ("WITH base AS (SELECT doc_id, text, strlen(text) AS n FROM documents), " +
+        "w AS (SELECT doc_id, text, n, unnest(generate_series(0, least(greatest(n - 256, 0), 896), 128)) AS st FROM base) " +
+        "SELECT doc_id, CAST(st // 128 AS INT) AS window_idx, " +
+        "CAST(least(st + 256, n) - st AS INT) AS n_samples, " +
+        "CAST(coalesce(list_sum(list_transform(generate_series(st + 1, least(st + 256, n)), " +
+        "j -> (CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT) - 128) * " +
+        "(CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT) - 128))), 0) AS BIGINT) AS energy " +
+        "FROM w"))
 }

@@ -41,7 +41,9 @@ object Similarity {
 
   /** ANN via LSH buckets: join only within matching signatures, then exact
     * cosine rerank inside the bucket. Recall < 1 by construction; the
-    * bruteforce variant is the exactness baseline. Rows-only check. */
+    * bruteforce variant is the exactness baseline (recall@k floor asserted
+    * in SimilaritySpec). Signature math is integer-exact, so the whole
+    * query is oracle-verified end to end. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val sigd = emb(s, dir)
       .withColumn("sig", PairExpressions.lshSign(col("embedding"), NumPlanes, 64))
@@ -130,9 +132,28 @@ object Similarity {
       s"(sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE)))) * " +
       s"sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST($y[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))))), 4)"
 
-  /** sim_ann_lsh intentionally has no oracle (float-sign boundary on plane
-    * projections is not portable) → driver records rows-only. */
+  /** Hyperplane-signature SQL mirroring HyperplaneSignExpr bit for bit:
+    * components quantize to floor(v*1024 + 0.5) BIGINT (exact for floats),
+    * plane p / dim d sign is +1 iff md5("p_d") starts >= '8' (first byte >=
+    * 0x80), signature bit p set iff the integer projection sum > 0. */
+  private val lshSigSql: String = {
+    val planeBits = (0 until NumPlanes).map { p =>
+      val dot = s"list_sum(list_transform(generate_series(1, 64), i -> " +
+        s"CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024 + 0.5) AS BIGINT) * " +
+        s"(CASE WHEN substr(md5('${p}_' || CAST(i - 1 AS VARCHAR)), 1, 1) >= '8' THEN 1 ELSE -1 END)))"
+      s"(CASE WHEN $dot > 0 THEN ${1 << p} ELSE 0 END)"
+    }
+    planeBits.mkString(" + ")
+  }
+
   def oracles: Map[String, String] = Map(
+    "sim_ann_lsh" ->
+      (s"WITH sigd AS (SELECT vec_id, embedding, CAST($lshSigSql AS INT) AS sig FROM embeddings), " +
+        s"scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS cos " +
+        s"FROM sigd c JOIN sigd q ON q.vec_id < $NumQueries AND q.sig = c.sig AND q.vec_id <> c.vec_id) " +
+        "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank FROM scored) " +
+        s"WHERE rank <= $TopK"),
     "sim_ann_ivf" ->
       (s"WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < $NumCentroids), " +
         s"sa AS (SELECT e.vec_id, e.embedding, c.cent_id, ${cosBetween("e.embedding", "c.cent_emb")} AS ccos FROM embeddings e CROSS JOIN cent c), " +

@@ -95,7 +95,10 @@ object TextOps {
     * Integer tf/df/N keep everything exact until the single ln(). */
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val n = d.count() // corpus size: a tiny driver-side scalar, same as SQL's subquery
+    // Corpus size N as a 1-row aggregate cross-joined into the plan (the
+    // SQL oracle's `n` CTE): the whole query stays ONE job — no separate
+    // driver-side count() action scanning the table twice.
+    val n = d.agg(count(lit(1)).as("n_docs"))
     val terms = d.select(col("doc_id"), explode(wsTokens(col("text"))).as("word"))
     val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = terms.select(col("doc_id"), col("word")).distinct()
@@ -103,8 +106,9 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("word").asc)
     tf.join(df, Seq("word"))
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("word"),
-        round(col("tf") * log((lit(n) + 1).cast("double") / (col("df") + 1)), 6).as("tfidf"))
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6).as("tfidf"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
   }

@@ -73,6 +73,30 @@ object Tables {
       .saveAsSequenceFile(path)
   }
 
+  /** Binary-KV SequenceFile (RandomWriter.java's output shape): raw
+    * BytesWritable pairs, readable by any Hadoop job — format parity for
+    * the reference's binary variant, alongside the Text pair writer above. */
+  def writeSequenceFileBinary(df: DataFrame, keyCol: String, valueCol: String, path: String): Unit = {
+    import org.apache.hadoop.io.BytesWritable
+    df.select(keyCol, valueCol).rdd
+      .map(r => (new BytesWritable(r.getAs[Array[Byte]](0)),
+        new BytesWritable(r.getAs[Array[Byte]](1))))
+      .saveAsSequenceFile(path)
+  }
+
+  def readSequenceFileBinary(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.io.BytesWritable
+    val rdd = spark.sparkContext
+      .sequenceFile(path, classOf[BytesWritable], classOf[BytesWritable])
+      // Hadoop record readers REUSE the writable instances; copy per record
+      // before anything downstream can buffer the row.
+      .map { case (k, v) => org.apache.spark.sql.Row(k.copyBytes(), v.copyBytes()) }
+    spark.createDataFrame(rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.BinaryType))))
+  }
+
   def readSequenceFile(spark: SparkSession, path: String): DataFrame = {
     val rdd = spark.sparkContext
       .sequenceFile[String, String](path)

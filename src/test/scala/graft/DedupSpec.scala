@@ -14,8 +14,23 @@ class DedupSpec extends SparkSpec {
 
   test("capped LSH is a subset of the exact candidate set and drops big buckets") {
     val capped = pairs(Dedup.minhashLshCapped(spark, sf, 2))
-    val full = pairs(Dedup.minhashLsh(spark, sf))
+    val full = pairs(Dedup.minhashLshCapped(spark, sf, 100000))
     assert(capped.subsetOf(full))
+  }
+
+  test("degenerate corpus: the DEFAULT gated path stays bounded where uncapped explodes") {
+    // 500 identical docs agree on every minhash band -> one bucket of 500.
+    // Uncapped that expands to 500*499/2 pairs on a single task; the gated
+    // default (cap 64) drops the degenerate bucket entirely.
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen").toString
+    val s = spark
+    import s.implicits._
+    (0L until 500L).map(i => (i, "src0", "the same boilerplate text repeated verbatim"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(pairs(Dedup.minhashLshCapped(spark, dir, 1000)).size == 500 * 499 / 2)
+    assert(pairs(Dedup.minhashLsh(spark, dir)).isEmpty,
+      "default path must not expand a degenerate bucket")
   }
 
   test("cluster ids are canonical: every cluster_id is the min doc_id of its cluster") {
