@@ -20,20 +20,23 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    // Best-of-2 at the target SF: a single timed pass is hostage to GC and
-    // scheduler noise; the minimum reflects steady-state throughput.
+    // Cold = first timed pass at the target SF (includes per-query codegen);
+    // warm = best-of-2 after it (steady-state throughput, GC/scheduler noise
+    // minimized). Both are reported so rounds are comparable either way;
+    // headline "value" is the warm total.
     def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timed(fn), timed(fn))
+      name -> (timed(fn), math.min(timed(fn), timed(fn)))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def obj(sel: ((Double, Double)) => Double): String = results
+      .map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
+    val coldTotal = results.values.map(_._1).sum
+    val warmTotal = results.values.map(_._2).sum
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold_total":$coldTotal,"queries":${obj(_._2)},"queries_cold":${obj(_._1)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -64,7 +64,9 @@ case class OrderedPairsExpr(child: Expression)
 case class HyperplaneSignExpr(child: Expression, numPlanes: Int, dims: Int)
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = IntegerType
+  // LongType: multi-table signatures pack up to 64 plane bits; an Int sign
+  // bit would flip negative at plane 31.
+  override def dataType: DataType = LongType
   override def prettyName: String = "graft_lsh_sign"
 
   @transient private lazy val signs: Array[Array[Long]] = {
@@ -78,7 +80,7 @@ case class HyperplaneSignExpr(child: Expression, numPlanes: Int, dims: Int)
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = math.min(v.numElements(), dims)
-    var sig = 0
+    var sig = 0L
     var p = 0
     while (p < numPlanes) {
       val s = signs(p)
@@ -88,7 +90,7 @@ case class HyperplaneSignExpr(child: Expression, numPlanes: Int, dims: Int)
         dot += math.floor(v.getFloat(d).toDouble * 1024.0 + 0.5).toLong * s(d)
         d += 1
       }
-      if (dot > 0) sig |= (1 << p)
+      if (dot > 0) sig |= (1L << p)
       p += 1
     }
     sig

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.CatalystBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for the vector hot path (SURVEY §2E).
   *
@@ -24,6 +24,13 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
+  // Accept array<float> or array<double> on either side (trained IVF
+  // centroids are double-valued means; raw embeddings are floats).
+  private def isDouble(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+  @transient private lazy val leftDouble = isDouble(left)
+  @transient private lazy val rightDouble = isDouble(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -31,8 +38,8 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (leftDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (rightDouble) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -44,12 +51,14 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val getX = if (leftDouble) s"$x.getDouble($i)" else s"(double) $x.getFloat($i)"
+      val getY = if (rightDouble) s"$y.getDouble($i)" else s"(double) $y.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $x.getFloat($i);
-         |  double $yi = (double) $y.getFloat($i);
+         |  double $xi = $getX;
+         |  double $yi = $getY;
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

@@ -20,7 +20,17 @@ object Similarity {
 
   val NumQueries = 20
   val TopK = 5
-  val NumPlanes = 8
+
+  /** Multi-table LSH (OR-amplification): `NumTables` independent hash
+    * tables of `PlanesPerTable` hyperplanes each; a pair is a candidate if
+    * it collides in ANY table. One signature expression computes all
+    * NumTables*PlanesPerTable plane signs in a single pass; table t's
+    * bucket is bits [t*PlanesPerTable, (t+1)*PlanesPerTable). At larger
+    * corpora, PlanesPerTable should grow ~log2(N / targetBucketSize) so
+    * buckets stay bounded; 4 bits/table is sized for the test corpus. */
+  val NumTables = 8
+  val PlanesPerTable = 4
+  val NumPlanes = NumTables * PlanesPerTable
 
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
@@ -39,40 +49,105 @@ object Similarity {
       .filter(col("rank") <= TopK)
   }
 
-  /** ANN via LSH buckets: join only within matching signatures, then exact
-    * cosine rerank inside the bucket. Recall < 1 by construction; the
-    * bruteforce variant is the exactness baseline (recall@k floor asserted
-    * in SimilaritySpec). Signature math is integer-exact, so the whole
-    * query is oracle-verified end to end. */
+  /** ANN via multi-table LSH: a candidate must share a bucket with the
+    * query in at least one of `NumTables` hash tables (OR-amplification —
+    * the standard recall lever random-hyperplane LSH needs, since a single
+    * table's recall collapses as planes grow). Exact cosine rerank runs
+    * only on the deduplicated candidate set. Recall < 1 by construction;
+    * SimilaritySpec asserts a recall@k floor against the bruteforce
+    * baseline. Signature math is integer-exact (quantized projections), so
+    * the whole query is oracle-verified end to end.
+    *
+    * Scale shape: one signature pass over the corpus (all tables' planes in
+    * one expression), explode to NumTables (table, bucket) rows, shuffle-join
+    * on (table, bucket) against the broadcast query set — candidate volume
+    * is Σ_t |bucket_t(q)|, never a cartesian; dedup before the cosine keeps
+    * the rerank linear in distinct candidates. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val mask = (1 << PlanesPerTable) - 1
     val sigd = emb(s, dir)
       .withColumn("sig", PairExpressions.lshSign(col("embedding"), NumPlanes, 64))
-    val queries = sigd.filter(col("vec_id") < NumQueries).as("q")
-    val corpus = sigd.as("c")
-    val scored = corpus.join(broadcast(queries),
-        col("q.sig") === col("c.sig") && col("q.vec_id") =!= col("c.vec_id"))
-      .select(
-        col("q.vec_id").as("query_id"),
-        col("c.vec_id").as("neighbor_id"),
-        round(cosineSim(col("q.embedding"), col("c.embedding")), 4).as("cos"))
+      .select(col("vec_id"), col("embedding"), explode(array(
+        (0 until NumTables).map(t => struct(
+          lit(t).as("t"),
+          shiftright(col("sig"), t * PlanesPerTable).bitwiseAND(lit(mask)).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val queries = sigd.filter(col("vec_id") < NumQueries)
+      .select(col("t"), col("bucket"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cands = sigd.join(broadcast(queries), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("embedding"), col("q_emb"))
+      .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
+    cands
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineSim(col("q_emb"), col("embedding")), 4).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
   }
 
-  val NumCentroids = 16
+  /** 8 coarse lists trained on the deterministic 1-in-TrainMod sample;
+    * queries probe NumProbes lists → candidate scan fraction ≈
+    * NumProbes/NumCentroids. At real corpus sizes NumCentroids scales
+    * ~sqrt(N) (and TrainMod up, so the training sample stays fixed-size)
+    * keeping the probed fraction tiny; values here are sized for the test
+    * corpus where a recall floor is still measurable. */
+  val NumCentroids = 8
   val NumProbes = 2
+  val TrainMod = 2
+  val KMeansIters = 2
 
-  /** IVF-style ANN: a coarse quantizer (here: a deterministic centroid set —
-    * production trains k-means offline and broadcasts it the same way)
-    * partitions the corpus into inverted lists; queries probe only the
-    * `NumProbes` nearest lists. Corpus assignment is one broadcast pass
-    * (|corpus| x |centroids| fused-codegen cosines); the candidate join
-    * touches only probed lists — the 100 TB path where brute force cannot
-    * run. Fully deterministic, so oracle-checked end to end. */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  /** IVF-style ANN with a TRAINED coarse quantizer: `KMeansIters` Lloyd's
+    * iterations over a deterministic `vec_id % TrainMod` training sample
+    * partition the corpus into inverted lists; queries probe only the
+    * `NumProbes` nearest lists.
+    *
+    * Determinism (so the oracle replays training bit-for-bit): components
+    * quantize to floor(v*1024+0.5) BIGINT (exact for floats, power-of-two
+    * scale); centroid update is an integer per-dimension sum divided by the
+    * cluster count — both order-independent — and assignment ranks on
+    * round(cos, 4) with cent_id tie-break. Init = the first NumCentroids
+    * sample vectors snapped to the same 1/1024 grid.
+    *
+    * Scale: training touches only the fixed sample (at 100 TB, Lloyd's runs
+    * on the sample, never the corpus); each iteration is one broadcast of
+    * <=16 centroids + one 64-row-per-vector explode/agg on the sample.
+    * Corpus assignment is one broadcast pass (|corpus| x 16 fused-codegen
+    * cosines); the candidate join touches only probed lists — the 100 TB
+    * path where brute force cannot run. */
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    annIvfIters(s, dir, KMeansIters)
+
+  /** Same query with a configurable training depth (0 = untrained init —
+    * the round-1 baseline, kept for the recall-improvement spec). */
+  def annIvfIters(s: SparkSession, dir: String, iters: Int,
+      nprobe: Int = NumProbes, trainMod: Int = TrainMod,
+      numCentroids: Int = NumCentroids): DataFrame = {
     val e = emb(s, dir)
-    val cent = e.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val qemb = transform(col("embedding"),
+      v => floor(v.cast("double") * 1024 + 0.5).cast("long"))
+    val train = e.filter(col("vec_id") % trainMod === 0)
+      .select(col("vec_id"), col("embedding"), qemb.as("qemb"))
+    var cent = train.filter(col("vec_id") < trainMod.toLong * numCentroids)
+      .select((col("vec_id") / trainMod).cast("int").as("cent_id"),
+        transform(col("qemb"), q => q.cast("double") / 1024.0).as("cent_emb"))
+    for (_ <- 1 to iters) {
+      val wA = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id").asc)
+      val assigned = train.join(broadcast(cent))
+        .select(col("vec_id"), col("qemb"), col("cent_id"),
+          round(cosineSim(col("embedding"), col("cent_emb")), 4).as("ccos"))
+        .withColumn("arn", row_number().over(wA))
+        .filter(col("arn") === 1)
+      cent = assigned
+        .select(col("cent_id"), posexplode(col("qemb")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(sum(col("col")).as("qs"), count(lit(1)).as("n"))
+        .groupBy(col("cent_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            (col("qs") / col("n") / 1024.0).as("m")))),
+          x => x.getField("m")).as("cent_emb"))
+    }
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id").asc)
     val assign = e.join(broadcast(cent))
@@ -86,7 +161,7 @@ object Similarity {
         round(cosineSim(col("embedding"), col("cent_emb")), 4).as("ccos"))
       .withColumn("prn", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cent_id").asc)))
-      .filter(col("prn") <= NumProbes)
+      .filter(col("prn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cent_id"))
     val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     assign.join(probes, Seq("cent_id"))
@@ -141,21 +216,34 @@ object Similarity {
       val dot = s"list_sum(list_transform(generate_series(1, 64), i -> " +
         s"CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024 + 0.5) AS BIGINT) * " +
         s"(CASE WHEN substr(md5('${p}_' || CAST(i - 1 AS VARCHAR)), 1, 1) >= '8' THEN 1 ELSE -1 END)))"
-      s"(CASE WHEN $dot > 0 THEN ${1 << p} ELSE 0 END)"
+      s"(CASE WHEN $dot > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
     }
     planeBits.mkString(" + ")
   }
 
   def oracles: Map[String, String] = Map(
     "sim_ann_lsh" ->
-      (s"WITH sigd AS (SELECT vec_id, embedding, CAST($lshSigSql AS INT) AS sig FROM embeddings), " +
-        s"scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS cos " +
-        s"FROM sigd c JOIN sigd q ON q.vec_id < $NumQueries AND q.sig = c.sig AND q.vec_id <> c.vec_id) " +
+      (s"WITH sigd AS (SELECT vec_id, embedding, CAST($lshSigSql AS BIGINT) AS sig FROM embeddings), " +
+        s"tb AS (SELECT vec_id, (sig >> (t * $PlanesPerTable)) & ${(1 << PlanesPerTable) - 1} AS bucket, t " +
+        s"FROM sigd CROSS JOIN generate_series(0, ${NumTables - 1}) g(t)), " +
+        s"cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id " +
+        s"FROM tb c JOIN tb q ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id < $NumQueries AND q.vec_id <> c.vec_id), " +
+        s"scored AS (SELECT cand.query_id, cand.neighbor_id, $cosSql AS cos " +
+        "FROM cand JOIN embeddings q ON q.vec_id = cand.query_id JOIN embeddings c ON c.vec_id = cand.neighbor_id) " +
         "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, CAST(row_number() OVER " +
         "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank FROM scored) " +
         s"WHERE rank <= $TopK"),
     "sim_ann_ivf" ->
-      (s"WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < $NumCentroids), " +
+      (s"WITH qv AS (SELECT vec_id, embedding, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qemb FROM embeddings), " +
+        s"train AS (SELECT * FROM qv WHERE vec_id % $TrainMod = 0), " +
+        s"cent0 AS (SELECT CAST(vec_id // $TrainMod AS INT) AS cent_id, list_transform(qemb, q -> CAST(q AS DOUBLE) / 1024.0) AS cent_emb FROM train WHERE vec_id < ${TrainMod * NumCentroids}), " +
+        (1 to KMeansIters).map { k =>
+          s"s$k AS (SELECT t.vec_id, t.qemb, c.cent_id, ${cosBetween("t.embedding", "c.cent_emb")} AS ccos FROM train t CROSS JOIN cent${k - 1} c), " +
+            s"a$k AS (SELECT vec_id, qemb, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM s$k) WHERE rn = 1), " +
+            s"u$k AS (SELECT cent_id, i AS pos, CAST(sum(qemb[i]) AS BIGINT) AS qs, count(*) AS n FROM a$k CROSS JOIN generate_series(1, 64) g(i) GROUP BY 1, 2), " +
+            s"cent$k AS (SELECT cent_id, list(CAST(qs AS DOUBLE) / n / 1024.0 ORDER BY pos) AS cent_emb FROM u$k GROUP BY cent_id)"
+        }.mkString(", ") + ", " +
+        s"cent AS (SELECT * FROM cent$KMeansIters), " +
         s"sa AS (SELECT e.vec_id, e.embedding, c.cent_id, ${cosBetween("e.embedding", "c.cent_emb")} AS ccos FROM embeddings e CROSS JOIN cent c), " +
         "assign AS (SELECT vec_id, embedding, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM sa) WHERE rn = 1), " +
         s"sp AS (SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cent_id, ${cosBetween("e.embedding", "c.cent_emb")} AS ccos FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < $NumQueries), " +
