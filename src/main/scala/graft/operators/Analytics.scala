@@ -255,6 +255,125 @@ object Analytics {
       .groupBy(date_trunc("hour", col("ts")).as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(dec(col("value"), 10, 2)).as("total_value"))
 
+  /** TPC-H Q10-shaped: top-20 customers by revenue lost to returns in a
+    * 6-month window. Fact-fact join shuffles on orderkey; nation broadcasts;
+    * top-20 is TakeOrderedAndProject. */
+  def returnedItems(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-07-01").cast("timestamp_ntz"))
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val one = lit(1).cast("decimal(12,2)")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(dsum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q13-shaped: distribution of orders-per-customer, including
+    * zero-order customers (left outer join + double aggregation). */
+  def custDist(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q14-shaped: monthly share of revenue from PROMO-type parts.
+    * Part is a broadcast dim; the ratio is computed from exact DECIMAL sums
+    * and rounded once. */
+  def promoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp_ntz"))
+    val p = t(s, dir, "part")
+    val one = lit(1).cast("decimal(12,2)")
+    val rev = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(month(col("l_shipdate")).as("l_month"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(12,2)")))
+          .as("promo_revenue"),
+        dsum(rev).as("total_revenue"))
+      .select(col("l_month"), col("promo_revenue"), col("total_revenue"),
+        round(col("promo_revenue") / col("total_revenue"), 6).as("promo_share"))
+  }
+
+  /** TPC-H Q18-shaped: large-volume orders (per-order quantity sum above a
+    * threshold, joined back to customer). The orderkey aggregate and the
+    * orders join share the same key, so the agg output joins without a
+    * second exchange; AQE splits any skewed orderkey. */
+  def largeOrders(s: SparkSession, dir: String): DataFrame = {
+    val qty = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+      .filter(col("qty_dec") > 250)
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(qty, o("o_orderkey") === qty("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("qty_dec").cast("double").as("total_qty"))
+  }
+
+  /** TPC-H Q19-shaped: revenue under an OR-of-ANDs predicate over part
+    * attributes and line quantities — the disjunctive-pushdown shape. Part
+    * broadcasts; the residual filter runs map-side on the joined rows. */
+  def discountRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val one = lit(1).cast("decimal(12,2)")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 25) && col("l_quantity").between(20, 30)))
+      .agg(dsum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q15-shaped: the top supplier(s) by Q1-1998 revenue. The max is a
+    * 1-row aggregate cross-joined back (no global single-partition window),
+    * and the equality test runs on exact DECIMAL revenue so ties are exact. */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(12,2)")
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-04-01").cast("timestamp_ntz"))
+      .groupBy("l_suppkey")
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev_dec"))
+    val maxRev = rev.agg(max(col("rev_dec")).as("max_rev"))
+    val top = rev.crossJoin(broadcast(maxRev)).filter(col("rev_dec") === col("max_rev"))
+    t(s, dir, "supplier")
+      .join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_dec").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q22-shaped: well-funded customers gone idle — above-average
+    * account balance and no order since 2000. The global average is a 1-row
+    * broadcast; the idle check is a left-anti join (never distinct-then-
+    * join); output groups by nation. */
+  def idleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val avgRow = c.filter(col("c_acctbal") > 0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+    c.crossJoin(broadcast(avgRow))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), dsum(dec(col("c_acctbal"))).as("totacctbal"))
+  }
+
   // --- wiring --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -273,7 +392,14 @@ object Analytics {
     "q_nation_volume" -> (nationVolume _),
     "q_above_avg_orders" -> (aboveAvgOrders _),
     "q_revenue_share" -> (revenueShare _),
-    "q_event_window" -> (eventWindow _))
+    "q_event_window" -> (eventWindow _),
+    "q_returned_items" -> (returnedItems _),
+    "q_custdist" -> (custDist _),
+    "q_promo_revenue" -> (promoRevenue _),
+    "q_large_orders" -> (largeOrders _),
+    "q_discount_revenue" -> (discountRevenue _),
+    "q_top_supplier" -> (topSupplier _),
+    "q_idle_customers" -> (idleCustomers _))
 
   def oracles: Map[String, String] = Map(
     "q_pricing_summary" ->
@@ -360,5 +486,47 @@ object Analytics {
         "SELECT o_year, n_name, CAST(rev AS DOUBLE) AS revenue, " +
         "CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY o_year) AS DOUBLE) AS share FROM by_year"),
     "q_event_window" ->
-      "SELECT date_trunc('hour', ts) AS win, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value FROM events GROUP BY date_trunc('hour', ts), event_type")
+      "SELECT date_trunc('hour', ts) AS win, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value FROM events GROUP BY date_trunc('hour', ts), event_type",
+    "q_returned_items" ->
+      ("SELECT c_custkey, c_name, c_acctbal, n_name, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00' " +
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey ASC LIMIT 20"),
+    "q_custdist" ->
+      ("SELECT c_count, count(*) AS custdist FROM " +
+        "(SELECT c_custkey, count(o_orderkey) AS c_count FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) " +
+        "GROUP BY c_count"),
+    "q_promo_revenue" ->
+      ("SELECT CAST(month(l_shipdate) AS INT) AS l_month, " +
+        "CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue, " +
+        "round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) / " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6) AS promo_share " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00' " +
+        "GROUP BY month(l_shipdate)"),
+    "q_large_orders" ->
+      ("SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, CAST(qty_dec AS DOUBLE) AS total_qty " +
+        "FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec FROM lineitem GROUP BY l_orderkey) " +
+        "JOIN orders ON o_orderkey = l_orderkey JOIN customer ON o_custkey = c_custkey WHERE qty_dec > 250"),
+    "q_discount_revenue" ->
+      ("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue, count(*) AS n_items " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE " +
+        "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) OR " +
+        "(p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20) OR " +
+        "(p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)"),
+    "q_top_supplier" ->
+      ("WITH rev AS (SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev_dec " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00' GROUP BY l_suppkey), " +
+        "m AS (SELECT max(rev_dec) AS max_rev FROM rev) " +
+        "SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue " +
+        "FROM rev CROSS JOIN m JOIN supplier ON s_suppkey = l_suppkey WHERE rev_dec = max_rev"),
+    "q_idle_customers" ->
+      ("WITH a AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_bal FROM customer WHERE c_acctbal > 0) " +
+        "SELECT c_nationkey, count(*) AS numcust, CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal " +
+        "FROM customer CROSS JOIN a WHERE c_acctbal > avg_bal AND NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') " +
+        "GROUP BY c_nationkey"))
 }

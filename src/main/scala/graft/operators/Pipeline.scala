@@ -63,10 +63,52 @@ object Pipeline {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Context-window packing planner (concat-and-chunk): documents are laid
+    * end-to-end per source in doc_id order and cut into `CtxTokens`-token
+    * context windows; the output is the chunk manifest (docs, tokens, fill
+    * ratio per chunk) a sequence-packing writer would execute. One window
+    * per source — the cumulative sum shuffles on source only, so packing
+    * scales with sources × docs-per-source and never materializes text. */
+  val CtxTokens = 512
+
+  def pack(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.wsTokens
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    graft.sources.Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), size(wsTokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      // chunk = which context window this doc STARTS in (integer division —
+      // exact, engine-portable; docs can straddle a boundary by design in
+      // the concat-and-chunk model)
+      .withColumn("chunk_id", expr(s"(cum - n_tok) DIV $CtxTokens"))
+      .groupBy("source", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        round(sum(col("n_tok")) / lit(CtxTokens.toDouble), 6).as("fill_ratio"))
+  }
+
+  /** Domain-mixture sampling: each source gets a deterministic keep-rate
+    * (derived from its numeric suffix — standing in for the tuned domain
+    * weights a real mixture config supplies) and each doc keeps or drops by
+    * md5 hash — RNG-free, re-run/repartition stable, any engine replays it.
+    * Output is the per-source mixture audit (total vs kept vs rate). */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val rate = lit(20) + lit(3) * (substring(col("source"), 4, 10).cast("int") % 7)
+    val bucket = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))
+      .cast("binary")), 1, 4), 16, 10).cast("long") % 100
+    graft.sources.Tables.load(s, dir, "documents")
+      .select(col("source"), rate.as("rate"), when(bucket < rate, 1L).otherwise(0L).as("kept"))
+      .groupBy("source", "rate")
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> (curate _),
     "pipeline_split" -> (split _),
-    "pipeline_decontaminate" -> (decontaminate _))
+    "pipeline_decontaminate" -> (decontaminate _),
+    "pipeline_pack" -> (pack _),
+    "pipeline_sample_weighted" -> (sampleWeighted _))
 
   private val hexVal = "(strpos('0123456789abcdef', %s) - 1)"
   private val shingles5Sql =
@@ -86,6 +128,22 @@ object Pipeline {
         "corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= 10) " +
         "SELECT c.doc_id, count(DISTINCT c.g) AS n_shared_grams, count(DISTINCT b.bench_id) AS n_bench_docs " +
         "FROM corpus c JOIN bench b ON c.g = b.g GROUP BY c.doc_id"),
+    "pipeline_pack" ->
+      ("SELECT source, chunk_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+        s"round(CAST(sum(n_tok) AS DOUBLE) / $CtxTokens, 6) AS fill_ratio FROM " +
+        s"(SELECT source, (cum - n_tok) // $CtxTokens AS chunk_id, n_tok FROM " +
+        "(SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+        "CAST(sum(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum " +
+        "FROM documents)) GROUP BY source, chunk_id"),
+    "pipeline_sample_weighted" -> {
+      val h = (i: Int) => String.format(hexVal,
+        s"substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), $i, 1)")
+      val bucket = s"(${h(1)} * 4096 + ${h(2)} * 256 + ${h(3)} * 16 + ${h(4)}) % 100"
+      "SELECT source, rate, count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept FROM " +
+        "(SELECT source, 20 + 3 * (CAST(substr(source, 4) AS INT) % 7) AS rate, " +
+        s"CASE WHEN $bucket < 20 + 3 * (CAST(substr(source, 4) AS INT) % 7) THEN 1 ELSE 0 END AS kept " +
+        "FROM documents) GROUP BY source, rate"
+    },
     "pipeline_curate" ->
       (s"WITH lang AS (${TextOps.oracles("text_langid")}), " +
         s"qual AS (${TextOps.oracles("text_quality")}), " +

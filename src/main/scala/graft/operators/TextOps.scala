@@ -113,6 +113,42 @@ object TextOps {
       .filter(col("rank") <= 3)
   }
 
+  /** Bigram-LM perplexity filter (the CCNet-style quality signal): train an
+    * add-one-smoothed bigram model on the corpus itself, then score each
+    * document by its average negative log-likelihood. High
+    * avg_nll = surprising under the corpus distribution = low quality.
+    *
+    * Float discipline: each bigram's -ln P is computed from exact integer
+    * counts, rounded once to 6 places, and summed as DECIMAL — so the
+    * per-document total is order-independent and engine-portable (a raw
+    * double sum would depend on aggregation order). Docs with < 2 tokens
+    * have no bigrams and are excluded by construction.
+    *
+    * Scale: the model is two aggregates over the exploded bigram stream
+    * (shuffles on bigram/prefix — the standard LM-count shape); scoring is
+    * one join of the stream against the model. Nothing is driver-side; the
+    * vocab size rides along as a broadcast 1-row aggregate. */
+  def perplexity(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = wsTokens(col("text"))
+    val grams = d.select(col("doc_id"), explode(wordShingles(toks, 2)).as("g"))
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+    val c2 = grams.groupBy("g").agg(count(lit(1)).as("c2"))
+    val c1 = grams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = d.select(explode(array_distinct(toks)).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val nll = round(log((col("c1") + col("v")).cast("double") / (col("c2") + 1)), 6)
+    grams
+      .join(c2, Seq("g"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(nll.cast("decimal(18,6)")).as("total_nll_dec"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("total_nll_dec").cast("double") / col("n_bigrams"), 6).as("avg_nll"))
+  }
+
   // --- wiring --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -120,7 +156,8 @@ object TextOps {
     "text_tfidf" -> (tfidf _),
     "text_quality" -> (quality _),
     "text_tokens" -> (tokens _),
-    "text_fingerprint" -> (fingerprint _))
+    "text_fingerprint" -> (fingerprint _),
+    "text_perplexity" -> (perplexity _))
 
   private def sqlIn(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ", ", ")")
   private def scoreSql(words: Seq[String]) =
@@ -165,5 +202,16 @@ object TextOps {
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe FROM documents"),
     "text_fingerprint" ->
       (s"SELECT doc_id, md5(text) AS content_md5, " +
-        s"coalesce(list_min(list_transform($shinglesSql, x -> md5(x))), md5(text)) AS shingle_fp FROM documents"))
+        s"coalesce(list_min(list_transform($shinglesSql, x -> md5(x))), md5(text)) AS shingle_fp FROM documents"),
+    "text_perplexity" ->
+      ("WITH grams AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1), " +
+        "i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS g FROM documents), " +
+        "g2 AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM grams), " +
+        "cb AS (SELECT g, count(*) AS c2 FROM g2 GROUP BY g), " +
+        "cp AS (SELECT w1, count(*) AS c1 FROM g2 GROUP BY w1), " +
+        "vo AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)), " +
+        "scored AS (SELECT doc_id, CAST(round(ln(CAST(c1 + v AS DOUBLE) / (c2 + 1)), 6) AS DECIMAL(18,6)) AS nll " +
+        "FROM g2 JOIN cb USING (g) JOIN cp USING (w1) CROSS JOIN vo) " +
+        "SELECT doc_id, count(*) AS n_bigrams, round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll " +
+        "FROM scored GROUP BY doc_id"))
 }

@@ -98,4 +98,53 @@ class PlansSpec extends SparkSpec {
     val p = plan(Dedup.minhashLsh(spark, sf))
     assert("FileScan parquet".r.findAllIn(p).size == 1, s"signature relation scanned more than once:\n$p")
   }
+
+  test("returned-items top-20 plans as TakeOrderedAndProject with broadcast nation") {
+    val p = plan(Analytics.returnedItems(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)") ||
+      p.contains("EqualTo(l_returnflag,R)"), s"returnflag filter not pushed:\n$p")
+  }
+
+  test("top-supplier max is a broadcast 1-row aggregate, not a global window") {
+    val p = plan(Analytics.topSupplier(spark, sf))
+    assert(!p.contains("Window"), s"Q15 max should not plan a single-partition window:\n$p")
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("discount revenue (OR-of-ANDs) broadcasts part and keeps lineitem scan filters") {
+    val p = plan(Analytics.discountRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("idle-customers plans an anti join, never distinct-then-join") {
+    val p = plan(Analytics.idleCustomers(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("packing manifest tokens add up to the corpus token count") {
+    import org.apache.spark.sql.functions._
+    val packed = graft.operators.Pipeline.pack(spark, sf)
+      .agg(sum("n_tokens")).collect().head.getLong(0)
+    val total = TextOps.tokens(spark, sf)
+      .agg(sum(col("n_ws").cast("long"))).collect().head.getLong(0)
+    assert(packed == total, s"packing lost tokens: $packed != $total")
+  }
+
+  test("weighted sampling keeps within rate bounds per source") {
+    import org.apache.spark.sql.functions._
+    val bad = graft.operators.Pipeline.sampleWeighted(spark, sf)
+      .filter(col("n_kept") > col("n_total") ||
+        col("rate") < 20 || col("rate") > 38).count()
+    assert(bad == 0)
+  }
+
+  test("perplexity bigram counts line up with token counts (n_bigrams = n_ws - 1)") {
+    import org.apache.spark.sql.functions._
+    val joined = TextOps.perplexity(spark, sf)
+      .join(TextOps.tokens(spark, sf), "doc_id")
+    assert(joined.filter(col("n_bigrams") =!= col("n_ws") - 1).count() == 0)
+    assert(joined.filter(col("avg_nll").isNull || col("avg_nll") <= 0).count() == 0,
+      "every add-one-smoothed nll must be positive")
+  }
 }
