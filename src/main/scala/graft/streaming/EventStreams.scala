@@ -210,12 +210,37 @@ object EventStreams {
       .start()
   }
 
+  /** Batch analog of the stream-stream interval join (same predicate as
+    * startStreamStreamJoin): purchases matched to same-user views in the
+    * preceding hour. Plans as an equi-join on user with the time range as a
+    * residual — one shuffle on user_id, state bounded by user cardinality
+    * per window. */
+  def intervalJoinBatch(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+    purchases.join(views,
+        col("v_user") === col("user_id") &&
+          col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+          col("view_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("view_id"), col("user_id"))
+  }
+
+  /** Batch analog of the streaming exact dedup: one row per
+    * (user_id, event_type) carrying the earliest timestamp — the
+    * deterministic statement of "first arrival wins". */
+  def dedupBatch(events: DataFrame): DataFrame =
+    events.groupBy("user_id", "event_type").agg(min(col("ts")).as("first_ts"))
+
   // --- wiring (batch analogs, oracle-checked) ------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> ((s, dir) => windowAgg(Tables.load(s, dir, "events"))),
     "stream_hopping_agg" -> ((s, dir) => hoppingAgg(Tables.load(s, dir, "events"))),
-    "stream_sessionize" -> ((s, dir) => sessionize(s, Tables.load(s, dir, "events"))))
+    "stream_sessionize" -> ((s, dir) => sessionize(s, Tables.load(s, dir, "events"))),
+    "stream_interval_join" -> ((s, dir) => intervalJoinBatch(Tables.load(s, dir, "events"))),
+    "stream_dedup" -> ((s, dir) => dedupBatch(Tables.load(s, dir, "events"))))
 
   def oracles: Map[String, String] = Map(
     "stream_window_agg" ->
@@ -232,5 +257,12 @@ object EventStreams {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
         "sessions AS (SELECT user_id, ts, value, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM flagged) " +
         "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value " +
-        "FROM sessions GROUP BY user_id, session_id"))
+        "FROM sessions GROUP BY user_id, session_id"),
+    "stream_interval_join" ->
+      ("SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id " +
+        "FROM events p JOIN events v ON v.user_id = p.user_id " +
+        "AND p.event_type = 'purchase' AND v.event_type = 'view' " +
+        "AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts"),
+    "stream_dedup" ->
+      "SELECT user_id, event_type, min(ts) AS first_ts FROM events GROUP BY user_id, event_type")
 }
