@@ -21,7 +21,11 @@ import graft.sources.Tables
   *
   * The hash family is md5-over-utf8 (see graft.functions) so every step is
   * replayable by the ANSI-SQL oracle — the whole LSH pipeline is
-  * hash-match-verified, not just row counts.
+  * hash-match-verified, not just row counts. MinHash derives all K
+  * permutation hashes from ONE md5 per shingle (Broder's construction,
+  * MinHashSigExpr) — the 100 TB hashing bill is 1/K of the naive
+  * per-permutation-md5 formulation, and LSH bucket keys shuffle as 8-byte
+  * longs, not 32-char hex strings.
   */
 object Dedup {
 
@@ -210,15 +214,24 @@ object Dedup {
   private val shinglesSql =
     "list_transform(generate_series(1, len(string_split(text, ' ')) - 2), i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))"
 
-  private val sigListSql =
-    (0 until MinhashPerms)
-      .map(i => s"list_min(list_transform(sh, x -> md5('$i|' || x)))")
-      .mkString("[", ", ", "]")
+  /** Hex digits [from, from+16) of md5 expression `m` as a HUGEINT — the
+    * big-endian 64-bit half MinHashSigExpr reads from the raw digest. */
+  private def hexHalf(m: String, from: Int): String =
+    (0 until 16).map { j =>
+      val pow = BigInt(16).pow(15 - j)
+      s"CAST(strpos('0123456789abcdef', substr($m, ${from + j}, 1)) - 1 AS HUGEINT) * $pow"
+    }.mkString("(", " + ", ")")
 
   private val lshCtes =
     s"sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +
-      s"sig AS (SELECT doc_id, $sigListSql AS sig FROM sh WHERE len(sh) > 0), " +
-      "banded AS (SELECT doc_id, generate_subscripts(sig, 1) - 1 AS band, unnest(sig) AS h FROM sig), " +
+      "ex AS (SELECT doc_id, unnest(sh) AS x FROM sh WHERE len(sh) > 0), " +
+      // Derived-hash MinHash (mirrors MinHashSigExpr): one md5 per shingle,
+      // h1/h2 = the two 64-bit digest halves, perm p's hash =
+      // (h1 + p*h2) mod 2^64 — canonical values of Java's wrapping longs.
+      s"hm AS (SELECT doc_id, ${hexHalf("m", 1)} AS h1, ${hexHalf("m", 17)} AS h2 " +
+      "FROM (SELECT doc_id, md5(x) AS m FROM ex)), " +
+      s"banded AS (SELECT doc_id, p AS band, min((h1 + p * h2) % 18446744073709551616) AS h " +
+      s"FROM hm CROSS JOIN generate_series(0, ${MinhashPerms - 1}) g(p) GROUP BY doc_id, p), " +
       // Mirror of the gated path's bucket-size cap (Dedup.MaxBucket).
       "bandedc AS (SELECT doc_id, band, h FROM (SELECT doc_id, band, h, " +
       s"count(*) OVER (PARTITION BY band, h) AS bn FROM banded) WHERE bn <= $MaxBucket)"

@@ -45,20 +45,43 @@ class FunctionsSpec extends SparkSpec {
     assert(diff == 0, s"$diff pairs differ between native and HOF cosine")
   }
 
-  test("native shingles/minhash are identical to the declarative formulation on real docs") {
+  test("native shingles are identical to the declarative formulation on real docs") {
     val d = graft.sources.Tables.load(spark, sf, "documents")
     val cmp = d.select(
       ShingleExpressions.shingles(col("text"), 3).as("native_sh"),
-      wordShingles(wsTokens(col("text")), 3).as("hof_sh"),
-      ShingleExpressions.minhashSig(col("text"), 8, 3).as("native_mh"),
-      minhashSignature(wordShingles(wsTokens(col("text")), 3), 8).as("hof_mh"))
+      wordShingles(wsTokens(col("text")), 3).as("hof_sh"))
     val shDiff = cmp.filter(col("native_sh") =!= col("hof_sh")).count()
     assert(shDiff == 0, s"$shDiff docs differ in shingles")
-    // HOF minhash of an empty shingle array is an array of nulls; native is
-    // empty — compare only docs with shingles (the pipeline filters those).
-    val mhDiff = cmp.filter(size(col("hof_sh")) > 0)
-      .filter(col("native_mh") =!= col("hof_mh")).count()
-    assert(mhDiff == 0, s"$mhDiff docs differ in minhash signatures")
+  }
+
+  test("derived-hash minhash matches an independent reference implementation") {
+    // Reference: the Broder construction computed in plain Scala from the
+    // shingle strings — one md5 per shingle, h1/h2 = big-endian digest
+    // halves, perm p = h1 + p*h2 (wrapping), unsigned min per perm.
+    def reference(text: String, k: Int, n: Int): Seq[Long] = {
+      val toks = text.split(" ", -1)
+      val shingles = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      if (shingles.isEmpty) return Seq.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val mins = new Array[Long](k)
+      shingles.zipWithIndex.foreach { case (sh, idx) =>
+        val dg = md.digest(sh.getBytes("UTF-8"))
+        def be(off: Int) = (0 until 8).foldLeft(0L)((v, i) => (v << 8) | (dg(off + i) & 0xffL))
+        val h1 = be(0); val h2 = be(8)
+        (0 until k).foreach { p =>
+          val h = h1 + p * h2
+          if (idx == 0 || java.lang.Long.compareUnsigned(h, mins(p)) < 0) mins(p) = h
+        }
+      }
+      mins.toSeq
+    }
+    val d = graft.sources.Tables.load(spark, sf, "documents").limit(100)
+    val rows = d.select(col("text"),
+      ShingleExpressions.minhashSig(col("text"), 8, 3).as("mh")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == reference(r.getString(0), 8, 3),
+        s"native minhash differs from reference for: ${r.getString(0).take(60)}")
+    }
   }
 
   test("graft_cosine is callable from SQL") {
