@@ -123,4 +123,36 @@ object Tables {
     df.coalesce(numFiles).write.mode("overwrite").parquet(s"$dstDir/$table")
     spark.read.parquet(s"$dstDir/$table").count()
   }
+
+  /** JDBC source/sink (DBInput/DBOutputFormat analog — the reference's
+    * DBCountPageView.java reads pageview rows from an SQL database and
+    * writes aggregated counts back through DBOutputFormat). Spark-first
+    * that's `read.jdbc` / `write.jdbc`; Derby (embedded, ships in Spark's
+    * jars directory) stands in for the demo database with no extra
+    * dependency. Reads can be partition-parallel: pass a numeric
+    * `partitionColumn` and Spark issues one bounded query per partition —
+    * the DBInputFormat split model, but with predicate pushdown into the
+    * remote SQL (the spec asserts the filter leaves the Spark plan). */
+  val DerbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  /** `columnTypes` pins SQL types for string columns ("c VARCHAR(32)") —
+    * Derby otherwise maps StringType to CLOB, which SQL can't compare. */
+  def jdbcWrite(df: DataFrame, url: String, table: String,
+      columnTypes: Option[String] = None): Unit = {
+    val w = df.write.format("jdbc")
+      .option("url", url).option("dbtable", table).option("driver", DerbyDriver)
+    columnTypes.fold(w)(t => w.option("createTableColumnTypes", t))
+      .mode("overwrite").save()
+  }
+
+  def jdbcRead(spark: SparkSession, url: String, table: String,
+      partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).option("driver", DerbyDriver)
+    partitionColumn.fold(base) { case (colName, lower, upper, n) =>
+      base.option("partitionColumn", colName)
+        .option("lowerBound", lower).option("upperBound", upper)
+        .option("numPartitions", n)
+    }.load()
+  }
 }

@@ -21,6 +21,32 @@ class SourcesSpec extends SparkSpec {
     assert(files == 1, s"expected 1 parquet file, got $files")
   }
 
+  test("JDBC source/sink round-trips a DBCountPageView-shaped pipeline through Derby") {
+    import org.apache.spark.sql.functions._
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft_derby")}/db;create=true"
+    // Sink: load the pageview-shaped rows into the database.
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    Tables.jdbcWrite(ev, url, "pageviews", Some("event_type VARCHAR(32)"))
+    // Source: partition-parallel read (DBInputFormat's split model) with a
+    // predicate that must reach the remote SQL, not the Spark plan.
+    val maxId = ev.agg(max("event_id")).collect().head.getLong(0)
+    val back = Tables.jdbcRead(spark, url, "pageviews",
+      Some(("event_id", 0L, maxId + 1, 4)))
+    assert(back.rdd.getNumPartitions == 4, "JDBC read not partition-parallel")
+    val filtered = back.filter(col("event_type") === "view")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("event_type"),
+      s"predicate not pushed into the JDBC scan:\n$plan")
+    val expected = ev.filter(col("event_type") === "view").count()
+    assert(filtered.count() == expected)
+    // DBOutputFormat analog: write the aggregate back to a second table.
+    val counts = back.groupBy("event_type").agg(count(lit(1)).as("n"))
+    Tables.jdbcWrite(counts, url, "pageview_counts", Some("event_type VARCHAR(32)"))
+    val persisted = Tables.jdbcRead(spark, url, "pageview_counts")
+    assert(persisted.count() == counts.count())
+  }
+
   test("sequence files round-trip through real Hadoop I/O") {
     val dir = Files.createTempDirectory("graft_seq").toString + "/wc"
     val wc = graft.operators.MapReduce.wordcount(spark, sf)
