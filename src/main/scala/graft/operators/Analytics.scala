@@ -276,13 +276,16 @@ object Analytics {
   }
 
   /** TPC-H Q13-shaped: distribution of orders-per-customer, including
-    * zero-order customers (left outer join + double aggregation). */
+    * zero-order customers. Orders are pre-aggregated to (custkey, count)
+    * BEFORE the join — the map-side partial aggregate shrinks the shuffle
+    * from every order row to one row per customer; the left join then only
+    * fills in zero-order customers. */
   def custDist(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders")
-    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
-      .groupBy(c("c_custkey"))
-      .agg(count(col("o_orderkey")).as("c_count"))
+    val perCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    c.join(perCust, c("c_custkey") === perCust("o_custkey"), "left_outer")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
       .groupBy("c_count")
       .agg(count(lit(1)).as("custdist"))
   }
@@ -365,8 +368,12 @@ object Analytics {
     val c = t(s, dir, "customer")
     val avgRow = c.filter(col("c_acctbal") > 0)
       .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    // Distinct custkeys only: the anti join needs set membership, not rows —
+    // the partial-distinct combine cuts the build-side shuffle to one row
+    // per active customer.
     val recent = t(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+      .select(col("o_custkey")).distinct()
     c.crossJoin(broadcast(avgRow))
       .filter(col("c_acctbal") > col("avg_bal"))
       .join(recent, col("c_custkey") === recent("o_custkey"), "left_anti")
