@@ -63,12 +63,50 @@ object Extras {
       .select(col("id"), pick(2654435761L, 7L).as("word1"), pick(2246822519L, 13L).as("word2"))
   }
 
+  val KmvK = 64
+  private val Two52 = 4503599627370496.0 // 16^13: the h-value range
+
+  /** KMV (k-minimum-values) distinct-count sketch per source — the
+    * mergeable cardinality estimator a 100 TB pipeline runs where exact
+    * countDistinct can't (Hadoop's ValueAggregator "uniq" at scale).
+    * Unlike HLL, KMV over md5 is engine-portable: estimate =
+    * (k-1) / (h_k / 16^13) where h_k is the k-th smallest 52-bit hash of
+    * the distinct 3-shingles, so the oracle replays it bit for bit.
+    *
+    * Scale shape: the k-th smallest is found in two bounded phases — rank
+    * within (source, h%256) salt buckets keeps only k rows per bucket
+    * (no task ever sorts a whole source), then the global rank runs over
+    * <= 256k survivors per source. Exact min-k: a global top-k member is
+    * within the top-k of its own salt bucket by construction. The exact
+    * distinct count rides along for the accuracy audit (spec asserts the
+    * 1/sqrt(k) error band); the sketch is the product. */
+  def sketchDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.load(s, dir, "documents")
+      .select(col("source"), explode(ShingleExpressions.shingles(col("text"), 3)).as("g"))
+      .distinct()
+    val hashed = sh.select(col("source"), col("g"),
+      conv(substring(md5(col("g").cast("binary")), 1, 13), 16, 10).cast("long").as("h"))
+    val wSalt = Window.partitionBy(col("source"), pmod(col("h"), lit(256)))
+      .orderBy(col("h").asc, col("g").asc)
+    val wGlobal = Window.partitionBy(col("source")).orderBy(col("h").asc, col("g").asc)
+    val kth = hashed
+      .withColumn("rs", row_number().over(wSalt)).filter(col("rs") <= KmvK)
+      .withColumn("rn", row_number().over(wGlobal)).filter(col("rn") === KmvK)
+      .select(col("source"), col("h").as("h_k"))
+    val exact = sh.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    kth.join(exact, Seq("source"))
+      .select(col("source"), col("n_exact"), col("h_k"),
+        round(lit((KmvK - 1) * Two52) / col("h_k"), 6).as("est_distinct"))
+  }
+
   // --- wiring --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mr_streaming_pipe" -> (streamingPipe _),
     "mr_quasi_monte_carlo" -> (quasiMonteCarlo _),
-    "mr_random_text" -> (randomText _))
+    "mr_random_text" -> (randomText _),
+    "mr_sketch_distinct" -> (sketchDistinct _))
 
   private val vocabSql = Vocab.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -83,5 +121,20 @@ object Extras {
     "mr_random_text" ->
       (s"SELECT i AS id, $vocabSql[CAST(((i * 2654435761 + 7) % 4294967296) % ${Vocab.size} AS INT) + 1] AS word1, " +
         s"$vocabSql[CAST(((i * 2246822519 + 13) % 4294967296) % ${Vocab.size} AS INT) + 1] AS word2 " +
-        s"FROM generate_series(1, $RandN) t(i)"))
+        s"FROM generate_series(1, $RandN) t(i)"),
+    "mr_sketch_distinct" -> {
+      // 52-bit hash = first 13 md5 hex digits (single global rank — exact
+      // min-k equals the two-phase salted construction by definition).
+      val hex13 = (0 until 13).map { j =>
+        val pow = BigInt(16).pow(12 - j)
+        s"(strpos('0123456789abcdef', substr(m, ${j + 1}, 1)) - 1) * $pow"
+      }.mkString("(", " + ", ")")
+      "WITH sh AS (SELECT DISTINCT source, unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS g FROM documents), " +
+        s"h AS (SELECT source, g, CAST($hex13 AS BIGINT) AS h FROM (SELECT source, g, md5(g) AS m FROM sh)), " +
+        "r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h, g) AS rn FROM h), " +
+        "e AS (SELECT source, count(*) AS n_exact FROM sh GROUP BY source) " +
+        s"SELECT r.source, n_exact, h AS h_k, round(${(KmvK - 1).toDouble * Two52} / h, 6) AS est_distinct " +
+        s"FROM r JOIN e ON r.source = e.source WHERE rn = $KmvK"
+    })
 }

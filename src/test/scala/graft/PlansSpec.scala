@@ -139,6 +139,18 @@ class PlansSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("KMV sketch estimates within the 1/sqrt(k) error band of exact distinct") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Extras.sketchDistinct(spark, sf)
+      .select(col("source"), col("n_exact"), col("est_distinct")).collect()
+    assert(rows.nonEmpty, "every source should have >= k distinct shingles")
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val rel = math.abs(r.getDouble(2) - exact) / exact
+      assert(rel < 0.35, s"${r.getString(0)}: KMV rel error $rel (exact=$exact est=${r.getDouble(2)})")
+    }
+  }
+
   test("perplexity bigram counts line up with token counts (n_bigrams = n_ws - 1)") {
     import org.apache.spark.sql.functions._
     val joined = TextOps.perplexity(spark, sf)
