@@ -47,14 +47,8 @@ class StreamingSpec extends SparkSpec {
     try q.processAllAvailable()
     finally q.stop()
     val streamed = spark.table("stream_ssj_out").count()
-    import org.apache.spark.sql.functions._
-    val ev = Tables.load(spark, sf, "events")
-    val v = ev.filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("purchase_ts"))
-    val batch = p.join(v,
-      expr("v_user = user_id AND view_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts")).count()
+    // same transform the gated stream_interval_join query runs
+    val batch = EventStreams.intervalJoinBatch(Tables.load(spark, sf, "events")).count()
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
@@ -65,8 +59,8 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("stream_dedup_out")
       .select("user_id", "event_type").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    val distinctBatch = Tables.load(spark, sf, "events")
-      .select("user_id", "event_type").distinct().count()
+    // same key set the gated stream_dedup batch analog produces
+    val distinctBatch = EventStreams.dedupBatch(Tables.load(spark, sf, "events")).count()
     assert(streamed.length == distinctBatch, "streamed dedup cardinality mismatch")
     assert(streamed.distinct.length == streamed.length, "stream emitted duplicate keys")
   }
