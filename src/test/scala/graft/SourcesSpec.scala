@@ -21,6 +21,32 @@ class SourcesSpec extends SparkSpec {
     assert(files == 1, s"expected 1 parquet file, got $files")
   }
 
+  test("partitioned parquet write prunes to one directory on a partition-key filter") {
+    import org.apache.spark.sql.functions._
+    val dst = Files.createTempDirectory("graft_part").toString
+    Tables.load(spark, sf, "documents")
+      .write.partitionBy("source").mode("overwrite").parquet(s"$dst/docs")
+    val back = spark.read.parquet(s"$dst/docs").filter(col("source") === "src3")
+    val plan = back.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters"), s"no partition filter in scan:\n$plan")
+    // collect() runs THIS DataFrame's query execution, populating its scan
+    // metrics (count() would build a separate execution).
+    assert(back.collect().length.toLong ==
+      Tables.load(spark, sf, "documents").filter(col("source") === "src3").count())
+    // The scan metric (post-pruning) must see only src3's files — 1 of the
+    // 20 partition directories. (df.inputFiles is pre-pruning; don't use it.)
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    val totalFiles = new java.io.File(s"$dst/docs").listFiles()
+      .filter(_.getName.startsWith("source=")).map(_.listFiles()
+        .count(_.getName.endsWith(".parquet"))).sum
+    assert(filesRead < totalFiles && filesRead > 0,
+      s"partition pruning read $filesRead of $totalFiles files")
+  }
+
   test("JDBC source/sink round-trips a DBCountPageView-shaped pipeline through Derby") {
     import org.apache.spark.sql.functions._
     val url = s"jdbc:derby:${Files.createTempDirectory("graft_derby")}/db;create=true"
