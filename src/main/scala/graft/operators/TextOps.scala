@@ -145,8 +145,13 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(nll.cast("decimal(18,6)")).as("total_nll_dec"))
+      // Explicit floor(x*1e6+0.5)/1e6, not round(): dividing an exact
+      // 6-decimal sum by an integer lands on .5e-7 half-way points where
+      // engine round() implementations disagree; floor over identical IEEE
+      // doubles cannot.
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("total_nll_dec").cast("double") / col("n_bigrams"), 6).as("avg_nll"))
+        (floor(col("total_nll_dec").cast("double") / col("n_bigrams") * 1e6 + 0.5) / 1e6)
+          .as("avg_nll"))
   }
 
   // --- wiring --------------------------------------------------------------
@@ -212,6 +217,6 @@ object TextOps {
         "vo AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)), " +
         "scored AS (SELECT doc_id, CAST(round(ln(CAST(c1 + v AS DOUBLE) / (c2 + 1)), 6) AS DECIMAL(18,6)) AS nll " +
         "FROM g2 JOIN cb USING (g) JOIN cp USING (w1) CROSS JOIN vo) " +
-        "SELECT doc_id, count(*) AS n_bigrams, round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll " +
+        "SELECT doc_id, count(*) AS n_bigrams, floor(CAST(sum(nll) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS avg_nll " +
         "FROM scored GROUP BY doc_id"))
 }
