@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSimilarityExpr, DotProductExpr}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.GraftFunctions
 import graft.plans.TopKStrategy
 
 /** Canonical extension point: enables graft on any session at build time —
@@ -12,22 +14,18 @@ import graft.plans.TopKStrategy
   *
   *   --conf spark.sql.extensions=graft.GraftExtensions
   *
-  * Injects the TopKPerKey planner strategy and registers the native vector
-  * functions for SQL (`graft_cosine`, `graft_dot`). `GraftSession.local`
-  * and `TopKPerKey.topKPerKey` also self-register for ad-hoc sessions.
+  * Injects the TopKPerKey planner strategy and registers every native graft
+  * expression for SQL (`graft_cosine`, `graft_dot`, `graft_shingles`,
+  * `graft_minhash`, `graft_lsh_sign`). `GraftSession.local` and
+  * `TopKPerKey.topKPerKey` also self-register for ad-hoc sessions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKStrategy)
-    ext.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions", "graft_cosine"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          CosineSimilarityExpr(exprs.head, exprs(1))))
-    ext.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions", "graft_dot"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          DotProductExpr(exprs.head, exprs(1))))
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        (exprs: Seq[Expression]) => builder(exprs)))
+    }
   }
 }

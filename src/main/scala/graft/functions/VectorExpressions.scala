@@ -111,11 +111,8 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     CatalystBridge.column(DotProductExpr(CatalystBridge.expression(a), CatalystBridge.expression(b)))
 
-  /** SQL registration: SELECT graft_cosine(a, b), graft_dot(a, b). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine", exprs => CosineSimilarityExpr(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProductExpr(exprs.head, exprs(1)), "built-in")
-  }
+  /** SQL registration of the full native function set (delegates to the
+    * shared builder table in [[GraftFunctions]]). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftFunctions.register(spark)
 }

@@ -90,4 +90,20 @@ class FunctionsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(r == 0.0)
   }
+
+  test("graft_shingles/graft_minhash/graft_lsh_sign are callable from SQL and match the DataFrame path") {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = spark.sql("SELECT graft_shingles('a b c d', 3) AS s")
+      .collect().head.getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    graft.sources.Tables.load(spark, sf, "documents").limit(20)
+      .createOrReplaceTempView("fn_docs")
+    val viaSql = spark.sql("SELECT doc_id, graft_minhash(text, 8, 3) AS mh FROM fn_docs")
+    val viaDf = graft.sources.Tables.load(spark, sf, "documents").limit(20)
+      .select(col("doc_id"), ShingleExpressions.minhashSig(col("text"), 8, 3).as("mh"))
+    assert(viaSql.exceptAll(viaDf).count() == 0 && viaDf.exceptAll(viaSql).count() == 0)
+    val sig = spark.sql("SELECT graft_lsh_sign(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 8, 2) AS s")
+      .collect().head.getLong(0)
+    assert(sig >= 0 && sig < 256)
+  }
 }
