@@ -128,7 +128,7 @@ object Dedup {
     // Labels only ever decrease, so the label sum is a strict convergence
     // witness — one cheap aggregation per round instead of a self-join diff.
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("cluster_id"))).collect().head.getLong(0)
+      df.agg(coalesce(sum(col("cluster_id")), lit(0L))).collect().head.getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
