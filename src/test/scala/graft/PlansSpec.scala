@@ -139,6 +139,41 @@ class PlansSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions._
+    val keys = Seq("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "64KB")
+      spark.conf.set(keys(1), "2")
+      spark.conf.set(keys(2), "16KB")
+      spark.conf.set(keys(3), "-1") // force a shuffle join
+      // one hot key carrying most rows — the 100 TB skew shape. The pad
+      // column must survive the join (no pruning) so the hot partition's
+      // shuffle bytes actually exceed the skew threshold.
+      val left = spark.range(60000).select(
+        when(col("id") < 50000, 0L).otherwise(col("id")).as("k"),
+        // non-foldable payload: a literal pad would be constant-folded out
+        // of the shuffle and the hot partition would stay under threshold
+        concat(md5(col("id").cast("string").cast("binary")),
+          md5((col("id") + 1).cast("string").cast("binary"))).as("pad"))
+      val right = spark.range(1000).select(col("id").as("k"), lit(1).as("v"))
+      // collect() executes THIS dataset's queryExecution so AQE finalizes
+      // it (foreach/rdd use a separate rddQueryExecution and would leave
+      // the observed plan unexecuted).
+      val j = left.join(right, "k")
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not split the skewed partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("KMV sketch estimates within the 1/sqrt(k) error band of exact distinct") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.Extras.sketchDistinct(spark, sf)
