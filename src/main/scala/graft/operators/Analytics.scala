@@ -381,6 +381,45 @@ object Analytics {
       .agg(count(lit(1)).as("numcust"), dsum(dec(col("c_acctbal"))).as("totacctbal"))
   }
 
+  /** TPC-H Q17-shaped: revenue impact of small-quantity orders — lineitems
+    * below 20% of their part's average quantity. The correlated avg is
+    * decorrelated into a per-part aggregate joined back on the same key
+    * (agg output partitioning is reused by the join; no second exchange of
+    * the aggregated side). */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val partAvg = li.groupBy("l_partkey")
+      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+    li.join(partAvg, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q21-shaped: suppliers who kept a finished multi-supplier order
+    * waiting — their line shipped > 60 days after the order date while
+    * every co-supplier shipped on time. EXISTS/NOT-EXISTS stated as
+    * left-semi / left-anti joins over distinct (order, supplier) pairs
+    * (never distinct-then-join of raw rows); top-20 deterministic. */
+  def waitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    val li = t(s, dir, "lineitem")
+    val lateBase = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val allPairs = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")).distinct()
+    val withCoSupplier = lateBase.join(allPairs,
+      col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+    val soleLate = withCoSupplier.join(
+      lateBase.select(col("ok").as("ok3"), col("sk").as("sk3")),
+      col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+    soleLate.join(t(s, dir, "supplier"), col("sk") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
+      .limit(20)
+  }
+
   // --- wiring --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -406,7 +445,9 @@ object Analytics {
     "q_large_orders" -> (largeOrders _),
     "q_discount_revenue" -> (discountRevenue _),
     "q_top_supplier" -> (topSupplier _),
-    "q_idle_customers" -> (idleCustomers _))
+    "q_idle_customers" -> (idleCustomers _),
+    "q_small_qty_revenue" -> (smallQtyRevenue _),
+    "q_waiting_suppliers" -> (waitingSuppliers _))
 
   def oracles: Map[String, String] = Map(
     "q_pricing_summary" ->
@@ -535,5 +576,19 @@ object Analytics {
         "SELECT c_nationkey, count(*) AS numcust, CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal " +
         "FROM customer CROSS JOIN a WHERE c_acctbal > avg_bal AND NOT EXISTS " +
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') " +
-        "GROUP BY c_nationkey"))
+        "GROUP BY c_nationkey"),
+    "q_small_qty_revenue" ->
+      ("WITH pa AS (SELECT l_partkey, CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty " +
+        "FROM lineitem GROUP BY l_partkey) " +
+        "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly, count(*) AS n_items " +
+        "FROM lineitem JOIN pa USING (l_partkey) WHERE l_quantity < 0.2 * avg_qty"),
+    "q_waiting_suppliers" ->
+      ("WITH late AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 60 DAY) " +
+        "SELECT s_suppkey, s_name, numwait FROM " +
+        "(SELECT sk, count(*) AS numwait FROM late l1 WHERE EXISTS " +
+        "(SELECT 1 FROM lineitem WHERE l_orderkey = l1.ok AND l_suppkey <> l1.sk) " +
+        "AND NOT EXISTS (SELECT 1 FROM late l2 WHERE l2.ok = l1.ok AND l2.sk <> l1.sk) " +
+        "GROUP BY sk) JOIN supplier ON sk = s_suppkey " +
+        "ORDER BY numwait DESC, s_suppkey ASC LIMIT 20"))
 }

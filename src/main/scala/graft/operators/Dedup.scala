@@ -184,6 +184,37 @@ object Dedup {
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
 
+  /** Rows-per-band for the banded LSH variant (AND-amplification). */
+  val BandRows = 2
+
+  /** Banded MinHash-LSH (b=4 bands x r=2 rows): a pair is a candidate only
+    * if BOTH minhashes of some band agree — the precision knob of the
+    * classic banding construction (`minhashLsh` is the r=1 recall-leaning
+    * layout; real deployments tune b x r to the target Jaccard threshold).
+    * The bucket key is the minhash value pair itself (band, h1, h2) — no
+    * re-hashing, and by construction the candidate set is a subset of the
+    * r=1 candidates (spec-asserted). Same single-scan, capped-bucket,
+    * pairs-only shape as the r=1 path. */
+  def minhashLshBanded(s: SparkSession, dir: String): DataFrame = {
+    val nBands = MinhashPerms / BandRows
+    val sig = docs(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        ShingleExpressions.minhashSig(col("text"), MinhashPerms, ShingleN).as("sig"))
+      .filter(size(col("sig")) > 0)
+    sig
+      .select(col("doc_id"), explode(array((0 until nBands).map(b => struct(
+        lit(b).as("band"),
+        element_at(col("sig"), 2 * b + 1).as("h1"),
+        element_at(col("sig"), 2 * b + 2).as("h2"))): _*)).as("t"))
+      .groupBy(col("t.band"), col("t.h1"), col("t.h2"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
+      .select(explode(PairExpressions.orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+  }
+
   /** Incremental ingestion dedup: which docs in the new batch (source
     * 'src0') are NOT already in the corpus (all other sources)? Anti-join
     * on content hash — the nightly-ingest shape: the corpus side reduces
@@ -203,6 +234,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_minhash_banded" -> (minhashLshBanded _),
     "dedup_simhash" -> (simhash _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_clusters" -> (clusterAssign _),
@@ -254,6 +286,14 @@ object Dedup {
       ("SELECT doc_id, source FROM documents WHERE source = 'src0' AND md5(text) NOT IN " +
         "(SELECT md5(text) FROM documents WHERE source <> 'src0')"),
     "dedup_minhash_lsh" -> s"WITH $lshCtes $lshPairsSelect",
+    "dedup_minhash_banded" ->
+      (s"WITH $lshCtes, " +
+        s"b2 AS (SELECT a.doc_id, a.band // $BandRows AS band, a.h AS h1, b.h AS h2 " +
+        s"FROM banded a JOIN banded b ON a.doc_id = b.doc_id AND b.band = a.band + 1 AND a.band % $BandRows = 0), " +
+        "b2c AS (SELECT doc_id, band, h1, h2 FROM (SELECT doc_id, band, h1, h2, " +
+        s"count(*) OVER (PARTITION BY band, h1, h2) AS bn FROM b2) WHERE bn <= $MaxBucket) " +
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM b2c a JOIN b2c b " +
+        "ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id"),
     "dedup_clusters" ->
       (s"WITH RECURSIVE $lshCtes, pairs AS ($lshPairsSelect), " +
         "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs), " +

@@ -33,6 +33,14 @@ class DedupSpec extends SparkSpec {
       "default path must not expand a degenerate bucket")
   }
 
+  test("banded LSH (AND-amplification) candidates are a subset of the r=1 candidates") {
+    val banded = pairs(Dedup.minhashLshBanded(spark, sf))
+    val r1 = pairs(Dedup.minhashLsh(spark, sf))
+    assert(banded.nonEmpty, "banded LSH found no candidates on the test corpus")
+    assert(banded.subsetOf(r1),
+      "a pair matching BOTH rows of a band must match each row's r=1 bucket")
+  }
+
   test("cluster ids are canonical: every cluster_id is the min doc_id of its cluster") {
     val rows = Dedup.clusterAssign(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
