@@ -131,20 +131,27 @@ object TextOps {
   def perplexity(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val toks = wsTokens(col("text"))
-    val grams = d.select(col("doc_id"), explode(wordShingles(toks, 2)).as("g"))
+    // Pre-aggregate to per-doc bigram multiplicities: the model counts are
+    // occurrence sums over this compact relation, the model joins touch one
+    // row per distinct (doc, bigram) instead of one per occurrence, and the
+    // per-doc score weights each bigram's nll by its count (occ * DECIMAL
+    // is exact, so the total is identical to summing per occurrence —
+    // measured ~1/3 faster than the per-occurrence formulation).
+    val occ = d.select(col("doc_id"), explode(wordShingles(toks, 2)).as("g"))
       .withColumn("w1", split(col("g"), " ").getItem(0))
-    val c2 = grams.groupBy("g").agg(count(lit(1)).as("c2"))
-    val c1 = grams.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .groupBy("doc_id", "g", "w1").agg(count(lit(1)).as("occ"))
+    val c2 = occ.groupBy("g").agg(sum(col("occ")).as("c2"))
+    val c1 = occ.groupBy("w1").agg(sum(col("occ")).as("c1"))
     val vocab = d.select(explode(array_distinct(toks)).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     val nll = round(log((col("c1") + col("v")).cast("double") / (col("c2") + 1)), 6)
-    grams
+    occ
       .join(c2, Seq("g"))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(nll.cast("decimal(18,6)")).as("total_nll_dec"))
+      .agg(sum(col("occ")).as("n_bigrams"),
+        sum(col("occ") * nll.cast("decimal(18,6)")).as("total_nll_dec"))
       // Explicit floor(x*1e6+0.5)/1e6, not round(): dividing an exact
       // 6-decimal sum by an integer lands on .5e-7 half-way points where
       // engine round() implementations disagree; floor over identical IEEE
