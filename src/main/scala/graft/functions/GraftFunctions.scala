@@ -25,14 +25,27 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  // Arity-checked up front: SQL callers reach these through the analyzer,
+  // and a raw IndexOutOfBounds from exprs(2) is a far worse error than
+  // "graft_minhash expects 3 arguments".
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${exprs.length}")
+      build(exprs)
+    }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_cosine" -> (exprs => CosineSimilarityExpr(exprs.head, exprs(1))),
-    "graft_dot" -> (exprs => DotProductExpr(exprs.head, exprs(1))),
-    "graft_shingles" -> (exprs =>
+    "graft_cosine" -> arity("graft_cosine", 2)(exprs =>
+      CosineSimilarityExpr(exprs.head, exprs(1))),
+    "graft_dot" -> arity("graft_dot", 2)(exprs =>
+      DotProductExpr(exprs.head, exprs(1))),
+    "graft_shingles" -> arity("graft_shingles", 2)(exprs =>
       WordShinglesExpr(exprs.head, intArg(exprs(1), "n"))),
-    "graft_minhash" -> (exprs =>
+    "graft_minhash" -> arity("graft_minhash", 3)(exprs =>
       MinHashSigExpr(exprs.head, intArg(exprs(1), "k"), intArg(exprs(2), "n"))),
-    "graft_lsh_sign" -> (exprs =>
+    "graft_lsh_sign" -> arity("graft_lsh_sign", 3)(exprs =>
       HyperplaneSignExpr(exprs.head, intArg(exprs(1), "numPlanes"), intArg(exprs(2), "dims"))))
 
   /** Ad-hoc registration on an existing session. */

@@ -28,6 +28,19 @@ package object functions {
   def seededHash(seed: Int, c: Column): Column =
     md5(concat(lit(s"$seed|"), c).cast("binary"))
 
+  /** Oracle-SQL fragment parsing `digits` hex chars of SQL expression `m`
+    * (1-based index `from`) as an integer — the ONE hex parser every oracle
+    * builder shares (Dedup 64-bit halves, Extras 52-bit sketch hashes,
+    * Pipeline split/sampling buckets), so a change to the digit scheme
+    * cannot drift between them. `huge = true` casts terms to HUGEINT
+    * (needed from 16 digits, where BIGINT terms overflow). */
+  def hexIntSql(m: String, from: Int, digits: Int, huge: Boolean = false): String =
+    (0 until digits).map { j =>
+      val pow = BigInt(16).pow(digits - 1 - j)
+      val hv = s"(strpos('0123456789abcdef', substr($m, ${from + j}, 1)) - 1)"
+      if (huge) s"CAST($hv AS HUGEINT) * $pow" else s"$hv * $pow"
+    }.mkString("(", " + ", ")")
+
   /** n-word shingles of a token array, empty when fewer than n tokens.
     * Mirror: list_transform(generate_series(1, len(toks)-(n-1)),
     *                        i -> array_to_string(toks[i:i+n-1], ' '))
@@ -39,8 +52,12 @@ package object functions {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature: k seeded-md5 min-hashes over a shingle array.
-    * Element i = min over shingles s of md5("<i>|<s>"). */
+  /** LEGACY declarative MinHash (k seeded-md5 min-hashes over a shingle
+    * array; element i = min over shingles s of md5("<i>|<s>")). NOT the
+    * pipeline's hash family: the gated dedup path uses the native
+    * derived-hash `ShingleExpressions.minhashSig` (one md5 per shingle,
+    * long values). Kept as the naive per-permutation formulation the
+    * native expression is measured against (10-30x slower). */
   def minhashSignature(shingleCol: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(shingleCol, s => md5(concat(lit(s"$i|"), s).cast("binary"))))

@@ -306,8 +306,11 @@ object Analytics {
         dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(12,2)")))
           .as("promo_revenue"),
         dsum(rev).as("total_revenue"))
+      // floor(x*1e6+0.5), not round(): a double quotient can land on .5e-7
+      // half-way points where engine round() implementations disagree (the
+      // text_perplexity lesson); floor over identical IEEE doubles cannot.
       .select(col("l_month"), col("promo_revenue"), col("total_revenue"),
-        round(col("promo_revenue") / col("total_revenue"), 6).as("promo_share"))
+        (floor(col("promo_revenue") / col("total_revenue") * 1e6 + 0.5) / 1e6).as("promo_share"))
   }
 
   /** TPC-H Q18-shaped: large-volume orders (per-order quantity sum above a
@@ -550,8 +553,8 @@ object Analytics {
       ("SELECT CAST(month(l_shipdate) AS INT) AS l_month, " +
         "CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue, " +
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue, " +
-        "round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) / " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6) AS promo_share " +
+        "floor(CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) / " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS promo_share " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00' " +
         "GROUP BY month(l_shipdate)"),

@@ -193,8 +193,11 @@ object Dedup {
     * layout; real deployments tune b x r to the target Jaccard threshold).
     * The bucket key is the minhash value pair itself (band, h1, h2) — no
     * re-hashing, and by construction the candidate set is a subset of the
-    * r=1 candidates (spec-asserted). Same single-scan, capped-bucket,
-    * pairs-only shape as the r=1 path. */
+    * UNCAPPED r=1 candidates (spec-asserted). The caveat matters: each
+    * path caps its own bucket granularity, so on a degenerate corpus a
+    * (h1, h2) pair bucket can stay under the cap while both single-hash
+    * buckets blow past it — the capped sets are not nested. Same
+    * single-scan, capped-bucket, pairs-only shape as the r=1 path. */
   def minhashLshBanded(s: SparkSession, dir: String): DataFrame = {
     val nBands = MinhashPerms / BandRows
     val sig = docs(s, dir)
@@ -249,10 +252,7 @@ object Dedup {
   /** Hex digits [from, from+16) of md5 expression `m` as a HUGEINT — the
     * big-endian 64-bit half MinHashSigExpr reads from the raw digest. */
   private def hexHalf(m: String, from: Int): String =
-    (0 until 16).map { j =>
-      val pow = BigInt(16).pow(15 - j)
-      s"CAST(strpos('0123456789abcdef', substr($m, ${from + j}, 1)) - 1 AS HUGEINT) * $pow"
-    }.mkString("(", " + ", ")")
+    hexIntSql(m, from, 16, huge = true)
 
   private val lshCtes =
     s"sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +

@@ -95,9 +95,12 @@ object Extras {
       .withColumn("rn", row_number().over(wGlobal)).filter(col("rn") === KmvK)
       .select(col("source"), col("h").as("h_k"))
     val exact = sh.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    // floor(x*1e6+0.5), not round(): engine round() implementations
+    // disagree on .5e-7 half-way quotients; floor over identical IEEE
+    // doubles cannot.
     kth.join(exact, Seq("source"))
       .select(col("source"), col("n_exact"), col("h_k"),
-        round(lit((KmvK - 1) * Two52) / col("h_k"), 6).as("est_distinct"))
+        (floor(lit((KmvK - 1) * Two52) / col("h_k") * 1e6 + 0.5) / 1e6).as("est_distinct"))
   }
 
   // --- wiring --------------------------------------------------------------
@@ -125,16 +128,13 @@ object Extras {
     "mr_sketch_distinct" -> {
       // 52-bit hash = first 13 md5 hex digits (single global rank — exact
       // min-k equals the two-phase salted construction by definition).
-      val hex13 = (0 until 13).map { j =>
-        val pow = BigInt(16).pow(12 - j)
-        s"(strpos('0123456789abcdef', substr(m, ${j + 1}, 1)) - 1) * $pow"
-      }.mkString("(", " + ", ")")
+      val hex13 = hexIntSql("m", 1, 13)
       "WITH sh AS (SELECT DISTINCT source, unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 2), " +
         "i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS g FROM documents), " +
         s"h AS (SELECT source, g, CAST($hex13 AS BIGINT) AS h FROM (SELECT source, g, md5(g) AS m FROM sh)), " +
         "r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h, g) AS rn FROM h), " +
         "e AS (SELECT source, count(*) AS n_exact FROM sh GROUP BY source) " +
-        s"SELECT r.source, n_exact, h AS h_k, round(${(KmvK - 1).toDouble * Two52} / h, 6) AS est_distinct " +
+        s"SELECT r.source, n_exact, h AS h_k, floor(${(KmvK - 1).toDouble * Two52} / h * 1000000 + 0.5) / 1000000 AS est_distinct " +
         s"FROM r JOIN e ON r.source = e.source WHERE rn = $KmvK"
     })
 }

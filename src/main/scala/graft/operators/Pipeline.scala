@@ -84,8 +84,11 @@ object Pipeline {
       // the concat-and-chunk model)
       .withColumn("chunk_id", expr(s"(cum - n_tok) DIV $CtxTokens"))
       .groupBy("source", "chunk_id")
+      // floor(x*1e6+0.5), not round(): house rule for rounding double
+      // ratios (engine round() diverges on half-way points; k/512 provably
+      // can't hit one, but uniformity costs nothing)
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
-        round(sum(col("n_tok")) / lit(CtxTokens.toDouble), 6).as("fill_ratio"))
+        (floor(sum(col("n_tok")) / lit(CtxTokens.toDouble) * 1e6 + 0.5) / 1e6).as("fill_ratio"))
   }
 
   /** Domain-mixture sampling: each source gets a deterministic keep-rate
@@ -110,7 +113,6 @@ object Pipeline {
     "pipeline_pack" -> (pack _),
     "pipeline_sample_weighted" -> (sampleWeighted _))
 
-  private val hexVal = "(strpos('0123456789abcdef', %s) - 1)"
   private val shingles5Sql =
     "list_transform(generate_series(1, len(string_split(text, ' ')) - 4), i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))"
 
@@ -119,8 +121,7 @@ object Pipeline {
       ("SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM " +
         "(SELECT n_chars, CASE WHEN b < 230 THEN 'train' WHEN b < 243 THEN 'val' ELSE 'test' END AS split FROM " +
         "(SELECT n_chars, " +
-        String.format(hexVal, "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)") + " * 16 + " +
-        String.format(hexVal, "substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)") + " AS b " +
+        graft.functions.hexIntSql("md5(CAST(doc_id AS VARCHAR))", 1, 2) + " AS b " +
         "FROM documents)) GROUP BY split"),
     "pipeline_decontaminate" ->
       (s"WITH grams AS (SELECT doc_id, unnest(list_distinct($shingles5Sql)) AS g FROM documents), " +
@@ -130,15 +131,14 @@ object Pipeline {
         "FROM corpus c JOIN bench b ON c.g = b.g GROUP BY c.doc_id"),
     "pipeline_pack" ->
       ("SELECT source, chunk_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
-        s"round(CAST(sum(n_tok) AS DOUBLE) / $CtxTokens, 6) AS fill_ratio FROM " +
+        s"floor(CAST(sum(n_tok) AS DOUBLE) / $CtxTokens * 1000000 + 0.5) / 1000000 AS fill_ratio FROM " +
         s"(SELECT source, (cum - n_tok) // $CtxTokens AS chunk_id, n_tok FROM " +
         "(SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
         "CAST(sum(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum " +
         "FROM documents)) GROUP BY source, chunk_id"),
     "pipeline_sample_weighted" -> {
-      val h = (i: Int) => String.format(hexVal,
-        s"substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), $i, 1)")
-      val bucket = s"(${h(1)} * 4096 + ${h(2)} * 256 + ${h(3)} * 16 + ${h(4)}) % 100"
+      val bucket = graft.functions
+        .hexIntSql("md5(CAST(doc_id AS VARCHAR) || ':' || source)", 1, 4) + " % 100"
       "SELECT source, rate, count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept FROM " +
         "(SELECT source, 20 + 3 * (CAST(substr(source, 4) AS INT) % 7) AS rate, " +
         s"CASE WHEN $bucket < 20 + 3 * (CAST(substr(source, 4) AS INT) % 7) THEN 1 ELSE 0 END AS kept " +

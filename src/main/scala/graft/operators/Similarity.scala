@@ -61,27 +61,33 @@ object Similarity {
     * Scale shape: one signature pass over the corpus (all tables' planes in
     * one expression), explode to NumTables (table, bucket) rows, shuffle-join
     * on (table, bucket) against the broadcast query set — candidate volume
-    * is Σ_t |bucket_t(q)|, never a cartesian; dedup before the cosine keeps
-    * the rerank linear in distinct candidates. */
+    * is Σ_t |bucket_t(q)|, never a cartesian. Cross-table dedup runs on the
+    * bare (query, neighbor) id pair (16 bytes/row) and the embeddings join
+    * back AFTER — shuffling 64-float vectors through the distinct would
+    * cost ~16x the bytes for the same result. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val mask = (1 << PlanesPerTable) - 1
-    val sigd = emb(s, dir)
+    val e = emb(s, dir)
+    val sigd = e
       .withColumn("sig", PairExpressions.lshSign(col("embedding"), NumPlanes, 64))
-      .select(col("vec_id"), col("embedding"), explode(array(
+      .select(col("vec_id"), explode(array(
         (0 until NumTables).map(t => struct(
           lit(t).as("t"),
           shiftright(col("sig"), t * PlanesPerTable).bitwiseAND(lit(mask)).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val queries = sigd.filter(col("vec_id") < NumQueries)
-      .select(col("t"), col("bucket"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("t"), col("bucket"), col("vec_id").as("query_id"))
     val cands = sigd.join(broadcast(queries), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("embedding"), col("q_emb"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     cands
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")), Seq("neighbor_id"))
+      .join(broadcast(e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosineSim(col("q_emb"), col("embedding")), 4).as("cos"))
+        round(cosineSim(col("q_emb"), col("n_emb")), 4).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
   }
 

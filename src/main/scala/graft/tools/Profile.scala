@@ -21,9 +21,11 @@ object Profile {
 
     time("scan+tokens")(docs.select(wsTokens(col("text")).as("t")).select(sum(size(col("t")))).collect().head.getLong(0))
     time("shingles")(docs.select(wordShingles(wsTokens(col("text")), 3).as("sh")).select(sum(size(col("sh")))).collect().head.getLong(0))
-    val sig = docs.select(col("doc_id"), wordShingles(wsTokens(col("text")), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), posexplode(minhashSignature(col("sh"), 8)).as(Seq("band", "h")))
+    // the ACTUAL pipeline expression (derived-hash family), not the legacy
+    // HOF helper — profiling the wrong hash family tells you nothing
+    val sig = docs
+      .select(col("doc_id"),
+        posexplode(ShingleExpressions.minhashSig(col("text"), 8, 3)).as(Seq("band", "h")))
     time("minhash signatures")(sig.count())
     val buckets = sig.groupBy("band", "h").agg(sort_array(collect_list(col("doc_id"))).as("ids")).filter(size(col("ids")) > 1)
     time("buckets")(buckets.count())

@@ -33,12 +33,15 @@ class DedupSpec extends SparkSpec {
       "default path must not expand a degenerate bucket")
   }
 
-  test("banded LSH (AND-amplification) candidates are a subset of the r=1 candidates") {
+  test("banded LSH (AND-amplification) candidates are a subset of the UNCAPPED r=1 candidates") {
+    // Uncapped on the r=1 side: each path caps its own bucket granularity,
+    // so the CAPPED sets are not nested (an (h1,h2) bucket can stay under
+    // the cap while both single-hash buckets blow past it).
     val banded = pairs(Dedup.minhashLshBanded(spark, sf))
-    val r1 = pairs(Dedup.minhashLsh(spark, sf))
+    val r1 = pairs(Dedup.minhashLshCapped(spark, sf, Int.MaxValue))
     assert(banded.nonEmpty, "banded LSH found no candidates on the test corpus")
     assert(banded.subsetOf(r1),
-      "a pair matching BOTH rows of a band must match each row's r=1 bucket")
+      "a pair matching BOTH rows of a band must match each row's uncapped r=1 bucket")
   }
 
   test("cluster ids are canonical: every cluster_id is the min doc_id of its cluster") {
