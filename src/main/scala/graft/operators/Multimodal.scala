@@ -94,10 +94,36 @@ object Multimodal {
     }.toDF("doc_id", "window_idx", "n_samples", "energy")
   }
 
+  val MaxSide = 224
+  val Patch = 16
+
+  /** Resize planner + patch grid — the preprocessing step between decode
+    * and a vision model: aspect-preserving downscale with the long side
+    * capped at `MaxSide` (images already within bounds pass through), and
+    * the ceil-divided `Patch`x`Patch` grid count for the resized frame.
+    * Integer arithmetic only (DIV, no floats), pure column expressions over
+    * the decode output — no shuffle, engine-exact. A real pixel resampler
+    * slots in at the same place the codec stub does; the planning
+    * arithmetic a data pipeline shards work by is what's computed here. */
+  def resizePlan(s: SparkSession, dir: String): DataFrame =
+    decode(s, dir).selectExpr(
+      "doc_id",
+      "width AS src_w",
+      "height AS src_h",
+      s"CAST(CASE WHEN greatest(width, height) <= $MaxSide THEN width " +
+        s"WHEN width >= height THEN $MaxSide " +
+        s"ELSE greatest(1, (width * $MaxSide) DIV height) END AS INT) AS out_w",
+      s"CAST(CASE WHEN greatest(width, height) <= $MaxSide THEN height " +
+        s"WHEN width >= height THEN greatest(1, (height * $MaxSide) DIV width) " +
+        s"ELSE $MaxSide END AS INT) AS out_h")
+    .selectExpr("doc_id", "src_w", "src_h", "out_w", "out_h",
+      s"CAST(((out_w + ${Patch - 1}) DIV $Patch) * ((out_h + ${Patch - 1}) DIV $Patch) AS INT) AS n_patches")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (decode _),
     "mm_frame_sample" -> (frameSample _),
-    "mm_audio_windows" -> (audioWindows _))
+    "mm_audio_windows" -> (audioWindows _),
+    "mm_resize" -> (resizePlan _))
 
   /** The stub codec is pure arithmetic over the payload bytes, and the
     * payload is utf8(text) with ASCII-only test documents — so byte length
@@ -120,6 +146,16 @@ object Multimodal {
         "md5(substr(text, CAST((fi * 41) % greatest(n, 1) AS INT) + 1, " +
         "CAST(least(64, n - (fi * 41) % greatest(n, 1)) AS INT))) AS frame_md5 " +
         "FROM fr WHERE fi < nf"),
+    "mm_resize" ->
+      ("WITH m AS (SELECT doc_id, CAST(strlen(text) AS INT) AS n, " +
+        "CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS b0 FROM documents), " +
+        "d AS (SELECT doc_id, CAST(16 + n % 624 AS INT) AS w, CAST(16 + (n * 7 + b0) % 464 AS INT) AS h FROM m), " +
+        s"r AS (SELECT doc_id, w, h, CAST(CASE WHEN greatest(w, h) <= $MaxSide THEN w " +
+        s"WHEN w >= h THEN $MaxSide ELSE greatest(1, (w * $MaxSide) // h) END AS INT) AS out_w, " +
+        s"CAST(CASE WHEN greatest(w, h) <= $MaxSide THEN h " +
+        s"WHEN w >= h THEN greatest(1, (h * $MaxSide) // w) ELSE $MaxSide END AS INT) AS out_h FROM d) " +
+        "SELECT doc_id, w AS src_w, h AS src_h, out_w, out_h, " +
+        s"CAST(((out_w + ${Patch - 1}) // $Patch) * ((out_h + ${Patch - 1}) // $Patch) AS INT) AS n_patches FROM r"),
     "mm_audio_windows" ->
       // starts = (0 until max(n-255,1) by 128).take(8): inclusive stop is
       // min(max(n-256,0), 896); energy sums (byte-128)^2 over the window.

@@ -25,4 +25,16 @@ class MultimodalSpec extends SparkSpec {
     assert(maxFrames <= 4)
     assert(df.filter(not(col("frame_md5").rlike("^[0-9a-f]{32}$"))).count() == 0)
   }
+
+  test("mm_resize preserves bounds: long side capped, nothing upscaled, patch grid exact") {
+    import org.apache.spark.sql.functions._
+    val df = Multimodal.resizePlan(spark, sf)
+    assert(df.filter(
+      greatest(col("out_w"), col("out_h")) > Multimodal.MaxSide ||
+        col("out_w") < 1 || col("out_h") < 1 ||
+        col("out_w") > col("src_w") || col("out_h") > col("src_h")).count() == 0,
+      "resize must never upscale and must cap the long side")
+    assert(df.filter(col("n_patches") =!=
+      (ceil(col("out_w") / Multimodal.Patch) * ceil(col("out_h") / Multimodal.Patch)).cast("int")).count() == 0)
+  }
 }
