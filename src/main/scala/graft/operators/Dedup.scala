@@ -82,6 +82,35 @@ object Dedup {
     docs(s, dir)
       .select(col("doc_id"), simhash16(wsTokens(col("text"))).cast("int").as("simhash"))
 
+  val MaxHamming = 2
+
+  /** SimHash near-dup pairs within `MaxHamming` bits, by block pigeonhole:
+    * <= 2 differing bits cannot touch all three hash blocks (6+5+5), so
+    * every qualifying pair collides exactly in at least one block bucket —
+    * candidate generation is 3 bucket rows per doc and one shuffle, never
+    * all-pairs; the XOR-popcount verification runs only on candidates.
+    * Same capped-bucket expansion discipline as the LSH paths. */
+  def simhashPairs(s: SparkSession, dir: String,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), simhash16(wsTokens(col("text"))).cast("int").as("h"))
+    d.select(col("doc_id"), col("h"), explode(array(
+        struct(lit(0).as("bi"), col("h").bitwiseAND(lit(63)).as("bv")),
+        struct(lit(1).as("bi"), shiftright(col("h"), 6).bitwiseAND(lit(31)).as("bv")),
+        struct(lit(2).as("bi"), shiftright(col("h"), 11).bitwiseAND(lit(31)).as("bv")))).as("t"))
+      .select(col("doc_id"), col("h"), col("t.bi").as("bi"), col("t.bv").as("bv"))
+      .groupBy("bi", "bv")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("h")))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      .select(explode(PairExpressions.orderedPairs(col("ds"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.a.h").as("ha"),
+        col("p.b.doc_id").as("doc_b"), col("p.b.h").as("hb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+      .filter(col("hamming") <= MaxHamming)
+  }
+
   /** n-gram Jaccard verification over inverted-index candidates:
     * only pairs sharing >= 1 shingle are scored (never all pairs). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
@@ -239,6 +268,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_minhash_banded" -> (minhashLshBanded _),
     "dedup_simhash" -> (simhash _),
+    "dedup_simhash_pairs" -> ((s: SparkSession, dir: String) => simhashPairs(s, dir)),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_clusters" -> (clusterAssign _),
     "dedup_incremental" -> (incremental _),
@@ -303,6 +333,17 @@ object Dedup {
     "dedup_simhash" ->
       (s"SELECT doc_id, CAST($simhashSql AS INT) AS simhash " +
         "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"),
+    "dedup_simhash_pairs" ->
+      (s"WITH sh AS (SELECT doc_id, CAST($simhashSql AS INT) AS h " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)), " +
+        "bl AS (SELECT doc_id, h, bi, CASE bi WHEN 0 THEN h & 63 WHEN 1 THEN (h >> 6) & 31 ELSE (h >> 11) & 31 END AS bv " +
+        "FROM sh CROSS JOIN (SELECT unnest([0, 1, 2]) AS bi)), " +
+        "blc AS (SELECT doc_id, h, bi, bv FROM (SELECT doc_id, h, bi, bv, " +
+        s"count(*) OVER (PARTITION BY bi, bv) AS bn FROM bl) WHERE bn <= $MaxBucket), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.h AS ha, b.doc_id AS doc_b, b.h AS hb " +
+        "FROM blc a JOIN blc b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS INT) AS hamming " +
+        s"FROM cand WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= $MaxHamming"),
     "dedup_ngram_jaccard" ->
       (s"WITH sh AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +
         "ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh WHERE len(sh) > 0), " +

@@ -44,6 +44,19 @@ class DedupSpec extends SparkSpec {
       "a pair matching BOTH rows of a band must match each row's uncapped r=1 bucket")
   }
 
+  test("simhash block pigeonhole finds EXACTLY the brute-force hamming<=2 pairs (uncapped)") {
+    import org.apache.spark.sql.functions._
+    val got = Dedup.simhashPairs(spark, sf, Int.MaxValue)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val h = Dedup.simhash(spark, sf)
+    val brute = h.as("a").join(h.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("bit_count(a.simhash ^ b.simhash) <= 2"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"pigeonhole missed ${(brute -- got).size} / extra ${(got -- brute).size} pairs")
+  }
+
   test("cluster ids are canonical: every cluster_id is the min doc_id of its cluster") {
     val rows = Dedup.clusterAssign(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
