@@ -178,6 +178,64 @@ object Similarity {
       .filter(col("rank") <= TopK)
   }
 
+  val GraphK = 3
+  /** The graph path uses FINER buckets than the 20-query ANN (5 plane bits
+    * -> 32 buckets/table instead of 16): an all-pairs graph touches every
+    * bucket, so bucket population must track corpus/buckets as data grows
+    * (the PlanesPerTable ~ log2(N / targetBucketSize) rule). Clustered
+    * embeddings concentrate whole clusters into single buckets regardless,
+    * so oversized buckets are SALTED — split into ceil(n/cap) deterministic
+    * vec_id-mod groups, pairs expanding only within a group — instead of
+    * dropped: every vector keeps neighbors (dropping a dense bucket
+    * disconnects exactly the vectors that most need dedup) while per-group
+    * quadratic work stays bounded. */
+  val GraphPlanesPerTable = 5
+  val GraphNumPlanes = NumTables * GraphPlanesPerTable
+  val GraphBucketCap = 192
+
+  /** Corpus-wide k-NN graph — every vector's top-k approximate neighbors,
+    * the precursor to embedding-dedup clustering and diversity sampling at
+    * scale (the 20-query ANN paths answer lookups; this builds the whole
+    * graph). Candidates come from the same multi-table LSH buckets as
+    * annLsh with the bucket-size cap bounding quadratic expansion; edges
+    * symmetrize (a bucket pair is a candidate in both directions) and each
+    * vector keeps its top `GraphK` by cosine via the custom TopKPerKey
+    * physical operator — per-partition bounded heaps, so the shuffle
+    * carries at most k rows per (vector, partition) instead of every
+    * scored edge (the window+filter plan would shuffle and fully sort all
+    * of them). */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val mask = (1 << GraphPlanesPerTable) - 1
+    val e = emb(s, dir)
+    val sigd = e
+      .withColumn("sig", PairExpressions.lshSign(col("embedding"), GraphNumPlanes, 64))
+      .select(col("vec_id"), explode(array(
+        (0 until NumTables).map(t => struct(
+          lit(t).as("t"),
+          shiftright(col("sig"), t * GraphPlanesPerTable).bitwiseAND(lit(mask)).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val wB = Window.partitionBy(col("t"), col("bucket"))
+    val pairs = sigd
+      .withColumn("bn", count(lit(1)).over(wB))
+      .withColumn("salt", pmod(col("vec_id"),
+        expr(s"(bn + ${GraphBucketCap - 1}) DIV $GraphBucketCap")))
+      .groupBy("t", "bucket", "salt")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      // modulo splits unevenly in the worst case; 2x cap is the safety net
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= 2 * GraphBucketCap)
+      .select(explode(PairExpressions.orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("va"), col("p.b").as("vb"))
+      .distinct()
+    val edges = pairs.unionAll(pairs.select(col("vb").as("va"), col("va").as("vb")))
+    val scored = edges
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), Seq("va"))
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), Seq("vb"))
+      .select(col("va").as("src"), col("vb").as("dst"),
+        round(cosineSim(col("ea"), col("eb")), 4).as("cos"))
+    graft.plans.TopKPerKey.topKPerKey(scored, Seq("src"),
+      Seq(col("cos").desc, col("dst").asc), GraphK)
+  }
+
   /** Int8 symmetric quantization summary per vector — the compression step
     * a 100 TB embedding store applies before ANN. Quantized value is
     * floor(v/scale + 0.5) (explicit, so any engine reproduces the exact
@@ -201,7 +259,8 @@ object Similarity {
     "sim_topk_bruteforce" -> (topkBruteforce _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_ann_ivf" -> (annIvf _),
-    "sim_ann_lsh" -> (annLsh _))
+    "sim_ann_lsh" -> (annLsh _),
+    "sim_knn_graph" -> (knnGraph _))
 
   private val cosSql =
     "round(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / " +
@@ -217,8 +276,8 @@ object Similarity {
     * components quantize to floor(v*1024 + 0.5) BIGINT (exact for floats),
     * plane p / dim d sign is +1 iff md5("p_d") starts >= '8' (first byte >=
     * 0x80), signature bit p set iff the integer projection sum > 0. */
-  private val lshSigSql: String = {
-    val planeBits = (0 until NumPlanes).map { p =>
+  private def lshSigSqlFor(numPlanes: Int): String = {
+    val planeBits = (0 until numPlanes).map { p =>
       val dot = s"list_sum(list_transform(generate_series(1, 64), i -> " +
         s"CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024 + 0.5) AS BIGINT) * " +
         s"(CASE WHEN substr(md5('${p}_' || CAST(i - 1 AS VARCHAR)), 1, 1) >= '8' THEN 1 ELSE -1 END)))"
@@ -226,6 +285,7 @@ object Similarity {
     }
     planeBits.mkString(" + ")
   }
+  private val lshSigSql: String = lshSigSqlFor(NumPlanes)
 
   def oracles: Map[String, String] = Map(
     "sim_ann_lsh" ->
@@ -258,6 +318,23 @@ object Similarity {
         "FROM assign a JOIN probes p ON a.cent_id = p.cent_id WHERE a.vec_id <> p.query_id) " +
         "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank FROM cands) " +
         s"WHERE rank <= $TopK"),
+    "sim_knn_graph" ->
+      (s"WITH sigd AS (SELECT vec_id, embedding, CAST(${lshSigSqlFor(GraphNumPlanes)} AS BIGINT) AS sig FROM embeddings), " +
+        s"tb AS (SELECT vec_id, (sig >> (t * $GraphPlanesPerTable)) & ${(1 << GraphPlanesPerTable) - 1} AS bucket, t " +
+        s"FROM sigd CROSS JOIN generate_series(0, ${NumTables - 1}) g(t)), " +
+        "tbs AS (SELECT vec_id, t, bucket, " +
+        s"vec_id % ((bn + ${GraphBucketCap - 1}) // $GraphBucketCap) AS salt " +
+        "FROM (SELECT vec_id, t, bucket, count(*) OVER (PARTITION BY t, bucket) AS bn FROM tb)), " +
+        "tbc AS (SELECT vec_id, t, bucket, salt FROM (SELECT vec_id, t, bucket, salt, " +
+        s"count(*) OVER (PARTITION BY t, bucket, salt) AS gn FROM tbs) WHERE gn <= ${2 * GraphBucketCap}), " +
+        "pairs AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb " +
+        "FROM tbc a JOIN tbc b ON a.t = b.t AND a.bucket = b.bucket AND a.salt = b.salt AND a.vec_id < b.vec_id), " +
+        "edges AS (SELECT va, vb FROM pairs UNION ALL SELECT vb AS va, va AS vb FROM pairs), " +
+        s"scored AS (SELECT e.va AS src, e.vb AS dst, ${cosBetween("ea.embedding", "eb.embedding")} AS cos " +
+        "FROM edges e JOIN embeddings ea ON ea.vec_id = e.va JOIN embeddings eb ON eb.vec_id = e.vb) " +
+        "SELECT src, dst, cos FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn FROM scored) " +
+        s"WHERE rn <= $GraphK"),
     "sim_quantize_int8" ->
       ("SELECT vec_id, scale, " +
         "CAST(list_sum(list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT))) AS BIGINT) AS qsum FROM " +

@@ -32,6 +32,26 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.6, s"IVF recall $r below floor")
   }
 
+  test("knn graph plans the custom TopKPerKey operator, bounds degree, and overlaps exact top-3") {
+    import org.apache.spark.sql.functions._
+    val g = Similarity.knnGraph(spark, sf)
+    assert(g.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "knn graph must rank through the custom physical operator")
+    val maxDeg = g.groupBy("src").count().agg(max("count")).collect().head.getLong(0)
+    assert(maxDeg <= Similarity.GraphK)
+    // graph edges for the query vectors vs their exact top-3: LSH-bucketed
+    // approximation, so partial overlap — assert a floor
+    val graphEdges = g.filter(col("src") < Similarity.NumQueries)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact3 = Similarity.topkBruteforce(spark, sf)
+      .filter(col("rank") <= Similarity.GraphK)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (graphEdges & exact3).size.toDouble / exact3.size
+    info(f"knn-graph top-3 recall = $recall%.3f")
+    assert(recall >= 0.5, s"knn graph recall $recall below floor")
+  }
+
   test("trained IVF centroids do not lose recall vs the untrained init") {
     val untrained = recallOf(Similarity.annIvfIters(spark, sf, 0))
     val trained = recallOf(Similarity.annIvf(spark, sf))
