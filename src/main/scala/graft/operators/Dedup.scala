@@ -89,19 +89,33 @@ object Dedup {
     * every qualifying pair collides exactly in at least one block bucket —
     * candidate generation is 3 bucket rows per doc and one shuffle, never
     * all-pairs; the XOR-popcount verification runs only on candidates.
-    * Same capped-bucket expansion discipline as the LSH paths. */
+    *
+    * A 16-bit hash space makes dense buckets NORMAL as the corpus grows
+    * (only 32-64 values per block), so oversized buckets are SALTED into
+    * ceil(n/maxBucket) deterministic doc_id-mod groups — pairs expand only
+    * within a group (bounded quadratic work, cross-salt pairs forgone)
+    * rather than dropping the bucket and silently losing exactly the dense
+    * regions dedup exists for. At real scale the hash itself should also
+    * widen (64-bit simhash, ~21-bit blocks), which is a constant change to
+    * simhash16 + these block masks. */
   def simhashPairs(s: SparkSession, dir: String,
       maxBucket: Int = MaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
       .select(col("doc_id"), simhash16(wsTokens(col("text"))).cast("int").as("h"))
+    val wB = Window.partitionBy(col("bi"), col("bv"))
     d.select(col("doc_id"), col("h"), explode(array(
         struct(lit(0).as("bi"), col("h").bitwiseAND(lit(63)).as("bv")),
         struct(lit(1).as("bi"), shiftright(col("h"), 6).bitwiseAND(lit(31)).as("bv")),
         struct(lit(2).as("bi"), shiftright(col("h"), 11).bitwiseAND(lit(31)).as("bv")))).as("t"))
       .select(col("doc_id"), col("h"), col("t.bi").as("bi"), col("t.bv").as("bv"))
-      .groupBy("bi", "bv")
+      .withColumn("bn", count(lit(1)).over(wB))
+      .withColumn("salt", pmod(col("doc_id"),
+        expr(s"(bn + ${maxBucket - 1L}) DIV ${maxBucket.toLong}")))
+      .groupBy("bi", "bv", "salt")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("h")))).as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      // modulo splits unevenly in the worst case; 2x cap is the safety net
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= lit(2L * maxBucket))
       .select(explode(PairExpressions.orderedPairs(col("ds"))).as("p"))
       .select(col("p.a.doc_id").as("doc_a"), col("p.a.h").as("ha"),
         col("p.b.doc_id").as("doc_b"), col("p.b.h").as("hb"))
@@ -338,10 +352,13 @@ object Dedup {
         "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)), " +
         "bl AS (SELECT doc_id, h, bi, CASE bi WHEN 0 THEN h & 63 WHEN 1 THEN (h >> 6) & 31 ELSE (h >> 11) & 31 END AS bv " +
         "FROM sh CROSS JOIN (SELECT unnest([0, 1, 2]) AS bi)), " +
-        "blc AS (SELECT doc_id, h, bi, bv FROM (SELECT doc_id, h, bi, bv, " +
-        s"count(*) OVER (PARTITION BY bi, bv) AS bn FROM bl) WHERE bn <= $MaxBucket), " +
+        "bls AS (SELECT doc_id, h, bi, bv, " +
+        s"doc_id % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
+        "FROM (SELECT doc_id, h, bi, bv, count(*) OVER (PARTITION BY bi, bv) AS bn FROM bl)), " +
+        "blc AS (SELECT doc_id, h, bi, bv, salt FROM (SELECT doc_id, h, bi, bv, salt, " +
+        s"count(*) OVER (PARTITION BY bi, bv, salt) AS gn FROM bls) WHERE gn <= ${2 * MaxBucket}), " +
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.h AS ha, b.doc_id AS doc_b, b.h AS hb " +
-        "FROM blc a JOIN blc b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
+        "FROM blc a JOIN blc b ON a.bi = b.bi AND a.bv = b.bv AND a.salt = b.salt AND a.doc_id < b.doc_id) " +
         "SELECT doc_a, doc_b, CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS INT) AS hamming " +
         s"FROM cand WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= $MaxHamming"),
     "dedup_ngram_jaccard" ->
