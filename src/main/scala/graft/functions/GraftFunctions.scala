@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   *   graft_dot(a, b)               dot product over float arrays
   *   graft_shingles(text, n)      n-token shingles of single-space text
   *   graft_minhash(text, k, n)    k derived-hash MinHash values (bigint)
+  *   graft_simhash64(text)        64-bit SimHash of the tokens (bigint)
   *   graft_lsh_sign(emb, p, d)    p-plane hyperplane signature (bigint)
   *
   * Integer parameters must be literals (they shape the expression itself,
@@ -45,6 +46,8 @@ object GraftFunctions {
       WordShinglesExpr(exprs.head, intArg(exprs(1), "n"))),
     "graft_minhash" -> arity("graft_minhash", 3)(exprs =>
       MinHashSigExpr(exprs.head, intArg(exprs(1), "k"), intArg(exprs(2), "n"))),
+    "graft_simhash64" -> arity("graft_simhash64", 1)(exprs =>
+      SimHash64Expr(exprs.head)),
     "graft_lsh_sign" -> arity("graft_lsh_sign", 3)(exprs =>
       HyperplaneSignExpr(exprs.head, intArg(exprs(1), "numPlanes"), intArg(exprs(2), "dims"))))
 

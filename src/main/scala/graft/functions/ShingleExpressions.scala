@@ -105,6 +105,55 @@ case class MinHashSigExpr(child: Expression, k: Int, n: Int)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash over the single-space tokens of a text column (Charikar's
+  * construction). Each token's md5 is computed ONCE with a reused digest;
+  * bit j of the big-endian FIRST digest half (the same h1 64-bit read
+  * MinHashSigExpr uses) votes +1/-1, and bit j of the result is the
+  * majority. 64 bits keep the hamming<=2 pigeonhole blocks ~21 bits wide,
+  * so organic near-dup bucket populations stay bounded as the corpus grows —
+  * a 16-bit space has only 32-64 values per block and saturates at ~1e5
+  * docs, exactly where a 100 TB dedup run lives. The SQL oracle replays bit
+  * j by hex-parsing digit 16 - j/4 of md5(token) and reading nibble bit
+  * j%4 (big-endian hex == the same 64-bit value). */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val starts = ShingleBytes.tokenStarts(bytes)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < starts.length) {
+      val from = starts(i)
+      val until = if (i + 1 < starts.length) starts(i + 1) - 1 else bytes.length
+      md.reset()
+      md.update(bytes, from, until - from)
+      val h = ShingleBytes.longBE(md.digest(), 0)
+      var j = 0
+      while (j < 64) {
+        votes(j) += ((((h >>> j) & 1L).toInt) << 1) - 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleBytes {
   /** Byte offsets where tokens start (split on single 0x20; 0x20 never
     * occurs inside a multi-byte utf8 sequence). */
@@ -159,4 +208,7 @@ object ShingleExpressions {
 
   def minhashSig(text: Column, k: Int, n: Int): Column =
     CatalystBridge.column(MinHashSigExpr(CatalystBridge.expression(text), k, n))
+
+  def simhash64(text: Column): Column =
+    CatalystBridge.column(SimHash64Expr(CatalystBridge.expression(text)))
 }

@@ -63,20 +63,6 @@ package object functions {
       array_min(transform(shingleCol, s => md5(concat(lit(s"$i|"), s).cast("binary"))))
     }: _*)
 
-  /** 16-bit SimHash over a (multiset) token array: nibble j of each token's
-    * md5 votes +1 if >= '8' else -1; bit j of the result is the majority.
-    * Pure expression — computed per row without an explode/groupBy. */
-  def simhash16(toks: Column): Column = {
-    val votes = (0 until 16).map { j =>
-      aggregate(
-        transform(toks, t => when(substring(md5(t.cast("binary")), j + 1, 1) >= lit("8"), 1).otherwise(-1)),
-        lit(0), (acc, v) => acc + v)
-    }
-    votes.zipWithIndex.map { case (v, j) =>
-      when(v > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-  }
-
   /** Double-precision dot product of two float-array columns, summed left to
     * right so it is bit-identical to the oracle's
     * list_sum(list_transform(generate_series(1,d), i -> a[i]::DOUBLE * b[i]::DOUBLE)).

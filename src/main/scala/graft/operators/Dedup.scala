@@ -14,7 +14,7 @@ import graft.sources.Tables
   *    (no explode of shingles across the shuffle); only (band, hash) pairs
   *    shuffle, so candidate volume is tuned by the band/row layout, and the
   *    quadratic Jaccard verification only ever runs on LSH candidates.
-  *  - SimHash: one 16-bit int per doc; near-dup buckets shuffle ints.
+  *  - SimHash: one 64-bit long per doc; near-dup buckets shuffle longs.
   *  - embedding near-dup: blocked pairwise (here by `label`, standing in for
   *    any coarse clustering/LSH prefix) — the all-pairs cross join never
   *    materializes.
@@ -77,41 +77,53 @@ object Dedup {
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashLshCapped(s, dir, MaxBucket)
 
-  /** 16-bit SimHash per document (pure per-row expression, no shuffle). */
+  /** 64-bit SimHash per document (pure per-row expression, no shuffle).
+    * 64 bits — not 16 — so the hamming-pigeonhole block space below stays
+    * sparse as the corpus grows (a 16-bit space saturates at ~1e5 docs). */
   def simhash(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), simhash16(wsTokens(col("text"))).cast("int").as("simhash"))
+      .select(col("doc_id"), ShingleExpressions.simhash64(col("text")).as("simhash"))
 
   val MaxHamming = 2
 
   /** SimHash near-dup pairs within `MaxHamming` bits, by block pigeonhole:
-    * <= 2 differing bits cannot touch all three hash blocks (6+5+5), so
+    * <= 2 differing bits cannot touch all three hash blocks (22+21+21), so
     * every qualifying pair collides exactly in at least one block bucket —
     * candidate generation is 3 bucket rows per doc and one shuffle, never
     * all-pairs; the XOR-popcount verification runs only on candidates.
     *
-    * A 16-bit hash space makes dense buckets NORMAL as the corpus grows
-    * (only 32-64 values per block), so oversized buckets are SALTED into
+    * Boilerplate-heavy corpora still concentrate organic near-dup clusters
+    * into single buckets, so oversized buckets are SALTED into
     * ceil(n/maxBucket) deterministic doc_id-mod groups — pairs expand only
     * within a group (bounded quadratic work, cross-salt pairs forgone)
     * rather than dropping the bucket and silently losing exactly the dense
-    * regions dedup exists for. At real scale the hash itself should also
-    * widen (64-bit simhash, ~21-bit blocks), which is a constant change to
-    * simhash16 + these block masks. */
+    * regions dedup exists for.
+    *
+    * The bucket census is a `groupBy(bi, bv).count()` (map-side partial
+    * aggregation → one tiny row per OVERSIZED bucket) broadcast back with a
+    * left join — document rows never move to be counted. The obvious
+    * `count over Window.partitionBy(bucket)` would hash-partition the rows
+    * on the bucket key and buffer each dense bucket on ONE task — i.e.
+    * re-concentrate the very skew the salt exists to defuse — before the
+    * salt is even computed. The census pass recomputes the per-doc simhash
+    * (embarrassingly parallel CPU); that trade is strictly better at scale
+    * than a windowed buffer of the densest buckets. */
   def simhashPairs(s: SparkSession, dir: String,
       maxBucket: Int = MaxBucket): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = docs(s, dir)
-      .select(col("doc_id"), simhash16(wsTokens(col("text"))).cast("int").as("h"))
-    val wB = Window.partitionBy(col("bi"), col("bv"))
-    d.select(col("doc_id"), col("h"), explode(array(
-        struct(lit(0).as("bi"), col("h").bitwiseAND(lit(63)).as("bv")),
-        struct(lit(1).as("bi"), shiftright(col("h"), 6).bitwiseAND(lit(31)).as("bv")),
-        struct(lit(2).as("bi"), shiftright(col("h"), 11).bitwiseAND(lit(31)).as("bv")))).as("t"))
+    val blocked = docs(s, dir)
+      .select(col("doc_id"), ShingleExpressions.simhash64(col("text")).as("h"))
+      .select(col("doc_id"), col("h"), explode(array(
+        struct(lit(0).as("bi"), col("h").bitwiseAND(lit(4194303L)).as("bv")),
+        struct(lit(1).as("bi"), shiftright(col("h"), 22).bitwiseAND(lit(2097151L)).as("bv")),
+        struct(lit(2).as("bi"), shiftright(col("h"), 43).bitwiseAND(lit(2097151L)).as("bv")))).as("t"))
       .select(col("doc_id"), col("h"), col("t.bi").as("bi"), col("t.bv").as("bv"))
-      .withColumn("bn", count(lit(1)).over(wB))
+    // Only buckets past the cap need a group count (ceil(bn/cap) = 1
+    // otherwise), so the broadcast side is the dense outliers alone.
+    val dense = blocked.groupBy("bi", "bv").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket)
+    blocked.join(broadcast(dense), Seq("bi", "bv"), "left")
       .withColumn("salt", pmod(col("doc_id"),
-        expr(s"(bn + ${maxBucket - 1L}) DIV ${maxBucket.toLong}")))
+        coalesce(expr(s"(bn + ${maxBucket - 1L}) DIV ${maxBucket.toLong}"), lit(1L))))
       .groupBy("bi", "bv", "salt")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("h")))).as("ds"))
       // modulo splits unevenly in the worst case; 2x cap is the safety net
@@ -316,12 +328,23 @@ object Dedup {
     "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bandedc a JOIN bandedc b " +
       "ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id"
 
-  private val simhashVoteSql = (0 until 16).map { j =>
-    s"list_sum(list_transform(toks, t -> CASE WHEN substr(md5(t), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END))"
+  /** Mirror of SimHash64Expr: bit j of a token's 64-bit hash is nibble bit
+    * j%4 of hex digit 16 - j/4 of md5(token) (big-endian hex == the same
+    * value as the digest's first 8 bytes read big-endian). The 64 majority
+    * bits assemble into an UNSIGNED HUGEINT (`s`); callers convert to the
+    * signed BIGINT Spark holds via `simhashSignedSql`. */
+  private val simhashVoteSql = (0 until 64).map { j =>
+    s"list_sum(list_transform(toks, t -> CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), ${16 - j / 4}, 1)) - 1) // ${1 << (j % 4)}) % 2 = 1 THEN 1 ELSE -1 END))"
   }
-  private val simhashSql = simhashVoteSql.zipWithIndex
-    .map { case (v, j) => s"CASE WHEN $v > 0 THEN ${1 << j} ELSE 0 END" }
-    .mkString(" + ")
+  private val simhashRawSql = simhashVoteSql.zipWithIndex
+    .map { case (v, j) => s"CASE WHEN $v > 0 THEN CAST('${BigInt(1) << j}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END" }
+    .mkString("(", " + ", ")")
+  private def simhashSignedSql(c: String): String =
+    s"CAST(CASE WHEN $c >= CAST('9223372036854775808' AS HUGEINT) THEN $c - CAST('18446744073709551616' AS HUGEINT) ELSE $c END AS BIGINT)"
+  /** Pigeonhole block value bi of unsigned simhash `c`: bits 0-21 / 22-42 /
+    * 43-63, matching the gated path's shiftright+mask on the signed long. */
+  private def simhashBlockSql(c: String): String =
+    s"CASE bi WHEN 0 THEN CAST($c % 4194304 AS BIGINT) WHEN 1 THEN CAST(($c // 4194304) % 2097152 AS BIGINT) ELSE CAST($c // 8796093022208 AS BIGINT) END"
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -345,12 +368,14 @@ object Dedup {
         "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) " +
         "SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src"),
     "dedup_simhash" ->
-      (s"SELECT doc_id, CAST($simhashSql AS INT) AS simhash " +
-        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"),
+      (s"SELECT doc_id, ${simhashSignedSql("s")} AS simhash " +
+        s"FROM (SELECT doc_id, $simhashRawSql AS s " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))"),
     "dedup_simhash_pairs" ->
-      (s"WITH sh AS (SELECT doc_id, CAST($simhashSql AS INT) AS h " +
+      (s"WITH raw AS (SELECT doc_id, $simhashRawSql AS s " +
         "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)), " +
-        "bl AS (SELECT doc_id, h, bi, CASE bi WHEN 0 THEN h & 63 WHEN 1 THEN (h >> 6) & 31 ELSE (h >> 11) & 31 END AS bv " +
+        s"sh AS (SELECT doc_id, ${simhashSignedSql("s")} AS h, s FROM raw), " +
+        s"bl AS (SELECT doc_id, h, bi, ${simhashBlockSql("s")} AS bv " +
         "FROM sh CROSS JOIN (SELECT unnest([0, 1, 2]) AS bi)), " +
         "bls AS (SELECT doc_id, h, bi, bv, " +
         s"doc_id % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +

@@ -214,11 +214,19 @@ object Similarity {
           lit(t).as("t"),
           shiftright(col("sig"), t * GraphPlanesPerTable).bitwiseAND(lit(mask)).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    val wB = Window.partitionBy(col("t"), col("bucket"))
-    val pairs = sigd
-      .withColumn("bn", count(lit(1)).over(wB))
+    // Bucket census as a groupBy(...).count() broadcast back — map-side
+    // partial aggregation means vector rows never move to be counted, and
+    // the broadcast side holds ONLY the oversized buckets (ceil(bn/cap) = 1
+    // below the cap, so sparse buckets need no count at all). A
+    // `count over Window.partitionBy(t, bucket)` here would buffer each
+    // dense bucket on one task BEFORE the salt exists — re-concentrating
+    // the skew this salting defuses. Census recomputes the signature scan
+    // (parallel CPU) — strictly cheaper at scale than a windowed buffer.
+    val dense = sigd.groupBy("t", "bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > GraphBucketCap)
+    val pairs = sigd.join(broadcast(dense), Seq("t", "bucket"), "left")
       .withColumn("salt", pmod(col("vec_id"),
-        expr(s"(bn + ${GraphBucketCap - 1}) DIV $GraphBucketCap")))
+        coalesce(expr(s"(bn + ${GraphBucketCap - 1}) DIV $GraphBucketCap"), lit(1L))))
       .groupBy("t", "bucket", "salt")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       // modulo splits unevenly in the worst case; 2x cap is the safety net

@@ -22,11 +22,26 @@ class FunctionsSpec extends SparkSpec {
     assert(a == b && a.length == 4 && a.forall(_.length == 32))
   }
 
-  test("simhash16 stays within 16 bits and is stable") {
-    val df = Seq("spark sql engine", "spark sql engine").toDF("text")
-      .select(simhash16(wsTokens(col("text"))).as("h"))
-    val vals = df.collect().map(_.getInt(0)).toList
-    assert(vals.distinct.size == 1 && vals.head >= 0 && vals.head < 65536)
+  test("simhash64 matches an independent per-token bit-vote computation") {
+    // Reference: plain-Scala Charikar simhash — one md5 per token, votes
+    // from the big-endian first digest half, majority per bit.
+    def reference(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](64)
+      text.split(" ", -1).foreach { t =>
+        val dg = md.digest(t.getBytes("UTF-8"))
+        val h = (0 until 8).foldLeft(0L)((v, i) => (v << 8) | (dg(i) & 0xffL))
+        (0 until 64).foreach(j => votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1))
+      }
+      (0 until 64).foldLeft(0L)((acc, j) => if (votes(j) > 0) acc | (1L << j) else acc)
+    }
+    val rows = graft.sources.Tables.load(spark, sf, "documents").limit(100)
+      .select(col("text"), ShingleExpressions.simhash64(col("text")).as("h")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == reference(r.getString(0)),
+        s"native simhash64 differs from reference for: ${r.getString(0).take(60)}")
+    }
   }
 
   test("cosineSim of a vector with itself is 1") {

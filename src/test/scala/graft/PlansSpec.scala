@@ -186,6 +186,17 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("salting bucket census is a broadcast aggregate, never a Window over dense buckets") {
+    // A `count over Window.partitionBy(bucket)` ships every row of a dense
+    // bucket to ONE task before the salt exists — the 100 TB anti-pattern
+    // this guards against. The census must be a groupBy count broadcast back.
+    Seq("dedup_simhash_pairs" -> plan(Dedup.simhashPairs(spark, sf)),
+        "sim_knn_graph" -> plan(Similarity.knnGraph(spark, sf))).foreach { case (name, p) =>
+      assert(!p.contains("Window"), s"$name plans a windowed bucket census:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$name bucket counts are not broadcast back:\n$p")
+    }
+  }
+
   test("perplexity bigram counts line up with token counts (n_bigrams = n_ws - 1)") {
     import org.apache.spark.sql.functions._
     val joined = TextOps.perplexity(spark, sf)
