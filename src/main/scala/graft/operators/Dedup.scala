@@ -33,14 +33,18 @@ object Dedup {
   val ShingleN = 3
   val JaccardThreshold = 0.2
   val CosineThreshold = 0.4
-  /** Default LSH bucket-size cap (gated path AND oracle). A degenerate
-    * bucket — boilerplate or empty-ish docs all agreeing on a minhash —
-    * expands quadratically on one task at 100 TB; capping bounds per-bucket
-    * work at MaxBucket^2/2 and bounds the collect_list buffer. 64 is far
+  /** Default LSH bucket-size cap (gated path AND oracle). A dense bucket —
+    * boilerplate or empty-ish docs all agreeing on a minhash — expands
+    * quadratically on one task at 100 TB. The shared policy on EVERY
+    * candidate path (minhash r=1/banded, simhash blocks, ngram posting
+    * lists, knn buckets): count bucket sizes with a broadcast aggregate,
+    * then SALT oversized buckets into ceil(n/cap) deterministic id-mod
+    * groups — per-group quadratic work and collect_list buffers stay
+    * bounded at ~cap while every doc keeps in-group candidates (dropping
+    * the bucket would silently lose exactly the near-dup-dense regions
+    * dedup exists for; see DedupSpec degenerate-corpus spec). 64 is far
     * above any organic bucket in the test corpora (max observed: 19 at
-    * sf0.1), so capped output == uncapped output on real data; only the
-    * adversarial near-duplicate-everything clusters are dropped, and those
-    * a pipeline handles separately (see DedupSpec degenerate-corpus spec). */
+    * sf0.1), so salted output == uncapped output on real data. */
   val MaxBucket = 64
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
@@ -67,13 +71,13 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs: docs sharing any (band, minhash).
     *
-    * Single pass: signatures are computed ONCE, bucketed by (band, hash) in
-    * one shuffle, and pairs expand inside each bucket — no self-join that
-    * would recompute/reshuffle the signature relation twice. Bucket sizes
-    * are bounded by LSH design (a bucket == docs agreeing on a minhash) AND
-    * by the skew cap: this is the capped variant by default — the oracle
-    * applies the same `<= MaxBucket` filter — so one adversarial degenerate
-    * bucket can never pin a 100 TB run to a single quadratic task. */
+    * Signatures bucket by (band, hash) in one shuffle and pairs expand
+    * inside each (bucket, salt) group — no self-join that would reshuffle
+    * the signature relation against itself. Bucket sizes are bounded by
+    * LSH design (a bucket == docs agreeing on a minhash) AND by salting:
+    * this is the salted variant by default — the oracle applies the same
+    * salt arithmetic — so one degenerate bucket can never pin a 100 TB run
+    * to a single quadratic task, and its near-dup pairs still surface. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashLshCapped(s, dir, MaxBucket)
 
@@ -138,7 +142,15 @@ object Dedup {
   }
 
   /** n-gram Jaccard verification over inverted-index candidates:
-    * only pairs sharing >= 1 shingle are scored (never all pairs). */
+    * only pairs sharing >= 1 shingle are scored (never all pairs).
+    * Posting lists are the same quadratic hazard as LSH buckets one tier
+    * down — a stopword-like shingle's list grows with the corpus — so
+    * oversized lists are salted with the shared broadcast-census policy.
+    * A pair's intersection then counts only shingles where both docs land
+    * in the same salt group: for lists under the cap (all organic lists in
+    * the test corpora) that is every shared shingle, and for dense lists
+    * the loss is exactly the near-zero-signal stopword shingles — jaccard
+    * degrades toward a df-cut, never an OOM. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = docs(s, dir)
       .repartition(col("doc_id"))
@@ -146,13 +158,17 @@ object Dedup {
         array_distinct(ShingleExpressions.shingles(col("text"), ShingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+    val dense = sh.groupBy("g").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > MaxBucket)
     // Inverted index: one shuffle of (shingle -> [docs]); pairs expand
-    // within each posting list (sorted, so doc_a < doc_b by construction),
-    // then one aggregation counts shared shingles per pair.
-    val pairs = sh
-      .groupBy("g")
+    // within each (posting list, salt) group (sorted, so doc_a < doc_b by
+    // construction), then one aggregation counts shared shingles per pair.
+    val pairs = sh.join(broadcast(dense), Seq("g"), "left")
+      .withColumn("salt", pmod(col("doc_id"),
+        coalesce(expr(s"(bn + ${MaxBucket - 1L}) DIV ${MaxBucket.toLong}"), lit(1L))))
+      .groupBy("g", "salt")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= lit(2L * MaxBucket))
       .select(explode(PairExpressions.orderedPairs(col("ds"))).as("p"))
       .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         col("p.a.n").as("na"), col("p.b.n").as("nb"))
@@ -228,16 +244,32 @@ object Dedup {
   }
 
   /** Skew-guarded LSH candidate generation (the implementation behind the
-    * gated `minhashLsh`): buckets above `maxBucket` are dropped before the
-    * quadratic expansion, bounding per-bucket work at maxBucket^2/2. */
-  def minhashLshCapped(s: SparkSession, dir: String, maxBucket: Int): DataFrame =
-    bandedSignatures(s, dir)
-      .groupBy("band", "h")
+    * gated `minhashLsh`): buckets above `maxBucket` are SALTED into
+    * ceil(n/maxBucket) deterministic doc_id-mod groups — the one skew
+    * policy every candidate path shares (see simhashPairs). Dense buckets
+    * are exactly the near-dup-dense regions dedup exists for; dropping
+    * them (the round-1/2 policy here) silently disconnected the densest
+    * duplicate clusters from `clusterAssign`. Per-group quadratic work
+    * stays bounded at (2*maxBucket)^2/2; cross-salt pairs are forgone
+    * (bounded recall trade, not silent loss — every doc keeps
+    * ~maxBucket in-bucket partners). The census is the same broadcast
+    * aggregate as simhashPairs: count per bucket, keep only oversized
+    * buckets, broadcast back — bucket rows never move to be counted. */
+  def minhashLshCapped(s: SparkSession, dir: String, maxBucket: Int): DataFrame = {
+    val sig = bandedSignatures(s, dir)
+    val dense = sig.groupBy("band", "h").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket)
+    sig.join(broadcast(dense), Seq("band", "h"), "left")
+      .withColumn("salt", pmod(col("doc_id"),
+        coalesce(expr(s"(bn + ${maxBucket - 1L}) DIV ${maxBucket.toLong}"), lit(1L))))
+      .groupBy("band", "h", "salt")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      // modulo splits unevenly in the worst case; 2x cap is the safety net
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= lit(2L * maxBucket))
       .select(explode(PairExpressions.orderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
+  }
 
   /** Rows-per-band for the banded LSH variant (AND-amplification). */
   val BandRows = 2
@@ -249,25 +281,30 @@ object Dedup {
     * The bucket key is the minhash value pair itself (band, h1, h2) — no
     * re-hashing, and by construction the candidate set is a subset of the
     * UNCAPPED r=1 candidates (spec-asserted). The caveat matters: each
-    * path caps its own bucket granularity, so on a degenerate corpus a
-    * (h1, h2) pair bucket can stay under the cap while both single-hash
-    * buckets blow past it — the capped sets are not nested. Same
-    * single-scan, capped-bucket, pairs-only shape as the r=1 path. */
+    * path salts its own bucket granularity, so on a degenerate corpus the
+    * salted sets are not nested. Same single-scan, salted-bucket,
+    * pairs-only shape as the r=1 path. */
   def minhashLshBanded(s: SparkSession, dir: String): DataFrame = {
     val nBands = MinhashPerms / BandRows
-    val sig = docs(s, dir)
+    val bb = docs(s, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         ShingleExpressions.minhashSig(col("text"), MinhashPerms, ShingleN).as("sig"))
       .filter(size(col("sig")) > 0)
-    sig
       .select(col("doc_id"), explode(array((0 until nBands).map(b => struct(
         lit(b).as("band"),
         element_at(col("sig"), 2 * b + 1).as("h1"),
         element_at(col("sig"), 2 * b + 2).as("h2"))): _*)).as("t"))
-      .groupBy(col("t.band"), col("t.h1"), col("t.h2"))
+      .select(col("doc_id"), col("t.band").as("band"),
+        col("t.h1").as("h1"), col("t.h2").as("h2"))
+    val dense = bb.groupBy("band", "h1", "h2").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > MaxBucket)
+    bb.join(broadcast(dense), Seq("band", "h1", "h2"), "left")
+      .withColumn("salt", pmod(col("doc_id"),
+        coalesce(expr(s"(bn + ${MaxBucket - 1L}) DIV ${MaxBucket.toLong}"), lit(1L))))
+      .groupBy("band", "h1", "h2", "salt")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= lit(2L * MaxBucket))
       .select(explode(PairExpressions.orderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
@@ -320,13 +357,15 @@ object Dedup {
       "FROM (SELECT doc_id, md5(x) AS m FROM ex)), " +
       s"banded AS (SELECT doc_id, p AS band, min((h1 + p * h2) % 18446744073709551616) AS h " +
       s"FROM hm CROSS JOIN generate_series(0, ${MinhashPerms - 1}) g(p) GROUP BY doc_id, p), " +
-      // Mirror of the gated path's bucket-size cap (Dedup.MaxBucket).
-      "bandedc AS (SELECT doc_id, band, h FROM (SELECT doc_id, band, h, " +
-      s"count(*) OVER (PARTITION BY band, h) AS bn FROM banded) WHERE bn <= $MaxBucket)"
+      // Mirror of the gated path's bucket salting (Dedup.MaxBucket).
+      s"bandeds AS (SELECT doc_id, band, h, doc_id % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
+      "FROM (SELECT doc_id, band, h, count(*) OVER (PARTITION BY band, h) AS bn FROM banded)), " +
+      "bandedc AS (SELECT doc_id, band, h, salt FROM (SELECT doc_id, band, h, salt, " +
+      s"count(*) OVER (PARTITION BY band, h, salt) AS gn FROM bandeds) WHERE gn <= ${2 * MaxBucket})"
 
   private val lshPairsSelect =
     "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bandedc a JOIN bandedc b " +
-      "ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id"
+      "ON a.band = b.band AND a.h = b.h AND a.salt = b.salt AND a.doc_id < b.doc_id"
 
   /** Mirror of SimHash64Expr: bit j of a token's 64-bit hash is nibble bit
     * j%4 of hex digit 16 - j/4 of md5(token) (big-endian hex == the same
@@ -357,10 +396,12 @@ object Dedup {
       (s"WITH $lshCtes, " +
         s"b2 AS (SELECT a.doc_id, a.band // $BandRows AS band, a.h AS h1, b.h AS h2 " +
         s"FROM banded a JOIN banded b ON a.doc_id = b.doc_id AND b.band = a.band + 1 AND a.band % $BandRows = 0), " +
-        "b2c AS (SELECT doc_id, band, h1, h2 FROM (SELECT doc_id, band, h1, h2, " +
-        s"count(*) OVER (PARTITION BY band, h1, h2) AS bn FROM b2) WHERE bn <= $MaxBucket) " +
+        s"b2s AS (SELECT doc_id, band, h1, h2, doc_id % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
+        "FROM (SELECT doc_id, band, h1, h2, count(*) OVER (PARTITION BY band, h1, h2) AS bn FROM b2)), " +
+        "b2c AS (SELECT doc_id, band, h1, h2, salt FROM (SELECT doc_id, band, h1, h2, salt, " +
+        s"count(*) OVER (PARTITION BY band, h1, h2, salt) AS gn FROM b2s) WHERE gn <= ${2 * MaxBucket}) " +
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM b2c a JOIN b2c b " +
-        "ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id"),
+        "ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.salt = b.salt AND a.doc_id < b.doc_id"),
     "dedup_clusters" ->
       (s"WITH RECURSIVE $lshCtes, pairs AS ($lshPairsSelect), " +
         "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs), " +
@@ -389,8 +430,12 @@ object Dedup {
     "dedup_ngram_jaccard" ->
       (s"WITH sh AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +
         "ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh WHERE len(sh) > 0), " +
+        s"exs AS (SELECT doc_id, n, g, doc_id % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
+        "FROM (SELECT doc_id, n, g, count(*) OVER (PARTITION BY g) AS bn FROM ex)), " +
+        "exc AS (SELECT doc_id, n, g, salt FROM (SELECT doc_id, n, g, salt, " +
+        s"count(*) OVER (PARTITION BY g, salt) AS gn FROM exs) WHERE gn <= ${2 * MaxBucket}), " +
         "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb " +
-        "FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
+        "FROM exc a JOIN exc b ON a.g = b.g AND a.salt = b.salt AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
         s"SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard FROM pairs " +
         s"WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= $JaccardThreshold"),
     "dedup_embedding" ->

@@ -12,16 +12,19 @@ class DedupSpec extends SparkSpec {
       pairs(Dedup.minhashLsh(spark, sf)))
   }
 
-  test("capped LSH is a subset of the exact candidate set and drops big buckets") {
-    val capped = pairs(Dedup.minhashLshCapped(spark, sf, 2))
+  test("salted LSH with a tight cap is a subset of the exact candidate set") {
+    val salted = pairs(Dedup.minhashLshCapped(spark, sf, 2))
     val full = pairs(Dedup.minhashLshCapped(spark, sf, 100000))
-    assert(capped.subsetOf(full))
+    assert(salted.subsetOf(full))
   }
 
-  test("degenerate corpus: the DEFAULT gated path stays bounded where uncapped explodes") {
+  test("degenerate corpus: the DEFAULT gated path salts the dense bucket into bounded groups") {
     // 500 identical docs agree on every minhash band -> one bucket of 500.
     // Uncapped that expands to 500*499/2 pairs on a single task; the gated
-    // default (cap 64) drops the degenerate bucket entirely.
+    // default (cap 64) salts the bucket into ceil(500/64) = 8 doc_id-mod
+    // groups, retaining exactly the within-group pairs — near-dup-dense
+    // regions keep candidates instead of vanishing (the round-2 drop
+    // policy returned ZERO pairs here).
     val dir = java.nio.file.Files.createTempDirectory("graft_degen").toString
     val s = spark
     import s.implicits._
@@ -29,8 +32,13 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "source", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     assert(pairs(Dedup.minhashLshCapped(spark, dir, 1000)).size == 500 * 499 / 2)
-    assert(pairs(Dedup.minhashLsh(spark, dir)).isEmpty,
-      "default path must not expand a degenerate bucket")
+    val salted = pairs(Dedup.minhashLsh(spark, dir))
+    val groups = (500 + Dedup.MaxBucket - 1) / Dedup.MaxBucket
+    val expected = (for {
+      a <- 0L until 500L; b <- a + 1 until 500L; if a % groups == b % groups
+    } yield (a, b)).toSet
+    assert(salted == expected,
+      s"salting must retain exactly the within-salt-group pairs (got ${salted.size}, want ${expected.size})")
   }
 
   test("banded LSH (AND-amplification) candidates are a subset of the UNCAPPED r=1 candidates") {

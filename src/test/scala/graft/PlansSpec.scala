@@ -94,9 +94,14 @@ class PlansSpec extends SparkSpec {
     assert(rows.sameElements(rows.sorted), "rows not globally sorted")
   }
 
-  test("minhash LSH computes signatures in a single scan (no self-join re-read)") {
+  test("minhash LSH pairs expand inside buckets — census broadcast, no signature self-join") {
     val p = plan(Dedup.minhashLsh(spark, sf))
-    assert("FileScan parquet".r.findAllIn(p).size == 1, s"signature relation scanned more than once:\n$p")
+    // Two narrow scans: the signature pass and the bucket census. What must
+    // NEVER appear is a shuffle join of the signature relation against
+    // itself (the candidates-by-self-join shape).
+    assert("FileScan parquet".r.findAllIn(p).size == 2, s"expected signature + census scans:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"signature relation self-joined through a shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bucket counts are not broadcast back:\n$p")
   }
 
   test("returned-items top-20 plans as TakeOrderedAndProject with broadcast nation") {
