@@ -7,10 +7,14 @@ import graft.sources.Tables
 
 /** Remaining reference workload surface (SURVEY §2A extras):
   *
-  *  - `mr_streaming_pipe`: hadoop-streaming (hadoop-tools/hadoop-streaming)
-  *    runs arbitrary executables over record streams via stdin/stdout. The
-  *    Spark-first analog is RDD.pipe: partition-parallel process fan-out,
-  *    one external process per partition — same contract, same scaling.
+  *  - `mr_streaming_pipe` / `mr_streaming_pipe_reduce`: hadoop-streaming
+  *    (hadoop-tools/hadoop-streaming) runs arbitrary executables over
+  *    record streams via stdin/stdout — PipeMapper before the shuffle,
+  *    PipeReducer over the key-sorted stream after it. The Spark-first
+  *    analog is RDD.pipe: partition-parallel process fan-out, one external
+  *    process per partition; the reduce-side variant adds the keyed
+  *    repartition + sortWithinPartitions that reproduce the reducer's
+  *    input contract.
   *  - `mr_quasi_monte_carlo`: QuasiMonteCarlo.java estimates pi from a
   *    deterministic low-discrepancy point set; here the point stream is a
   *    portable integer LCG (Knuth multiplicative hashes) so the SQL oracle
@@ -33,6 +37,32 @@ object Extras {
     val piped = words.rdd.pipe(Seq("tr", "a-z", "A-Z"))
     s.createDataset(piped).toDF("word_upper")
       .groupBy("word_upper").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Reduce-side keyed pipe — the OTHER half of hadoop-streaming:
+    * PipeReducer (hadoop-tools/hadoop-streaming/src/main/java/org/apache/
+    * hadoop/streaming/PipeReducer.java) feeds the reducer executable a
+    * key-SORTED record stream after the shuffle, one process per reduce
+    * task (`mr_streaming_pipe` covers only the map-side PipeMapper). The
+    * Spark-first form: hash-repartition on the key (the MapReduce
+    * partitioner), sortWithinPartitions (the merge-sort every reduce task
+    * performs), then one external process per partition. `uniq -c` is the
+    * canonical streaming reducer — each key's run is contiguous, so its
+    * single output line per key IS the reduce; a key lives in exactly one
+    * partition, so counts are exact and partitioning-independent. */
+  def streamingPipeReduce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.load(s, dir, "documents")
+      .select(explode(wsTokens(col("text"))).as("word"))
+      .repartition(col("word"))
+      .sortWithinPartitions("word")
+      .as[String]
+    val piped = keyed.rdd.pipe(Seq("uniq", "-c"))
+    // uniq -c lines are "<spaces><count> <word>" (word may be empty).
+    val line = s.createDataset(piped).toDF("line")
+    line.select(
+      regexp_extract(col("line"), "^\\s*(\\d+) (.*)$", 2).as("word"),
+      regexp_extract(col("line"), "^\\s*(\\d+) (.*)$", 1).cast("long").as("cnt"))
   }
 
   val QmcN = 100000L
@@ -107,6 +137,7 @@ object Extras {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mr_streaming_pipe" -> (streamingPipe _),
+    "mr_streaming_pipe_reduce" -> (streamingPipeReduce _),
     "mr_quasi_monte_carlo" -> (quasiMonteCarlo _),
     "mr_random_text" -> (randomText _),
     "mr_sketch_distinct" -> (sketchDistinct _))
@@ -116,6 +147,8 @@ object Extras {
   def oracles: Map[String, String] = Map(
     "mr_streaming_pipe" ->
       "SELECT upper(word) AS word_upper, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY upper(word)",
+    "mr_streaming_pipe_reduce" ->
+      "SELECT word, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word",
     "mr_quasi_monte_carlo" ->
       (s"SELECT count(*) AS n, CAST(sum(CASE WHEN x*x + y*y <= 1.0 THEN 1 ELSE 0 END) AS DOUBLE) * 4.0 / $QmcN AS pi_estimate FROM " +
         s"(SELECT CAST((i * 2654435761 + 12345) % 4294967296 AS DOUBLE) / 4294967296 AS x, " +
