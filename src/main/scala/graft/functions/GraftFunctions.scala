@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   *   graft_minhash(text, k, n)    k derived-hash MinHash values (bigint)
   *   graft_simhash64(text)        64-bit SimHash of the tokens (bigint)
   *   graft_lsh_sign(emb, p, d)    p-plane hyperplane signature (bigint)
+  *   graft_gensort_record(n)      100-byte gensort record n (binary)
   *
   * Integer parameters must be literals (they shape the expression itself,
   * exactly like the DataFrame-side constructors).
@@ -49,7 +50,9 @@ object GraftFunctions {
     "graft_simhash64" -> arity("graft_simhash64", 1)(exprs =>
       SimHash64Expr(exprs.head)),
     "graft_lsh_sign" -> arity("graft_lsh_sign", 3)(exprs =>
-      HyperplaneSignExpr(exprs.head, intArg(exprs(1), "numPlanes"), intArg(exprs(2), "dims"))))
+      HyperplaneSignExpr(exprs.head, intArg(exprs(1), "numPlanes"), intArg(exprs(2), "dims"))),
+    "graft_gensort_record" -> arity("graft_gensort_record", 1)(exprs =>
+      GensortRecordExpr(exprs.head)))
 
   /** Ad-hoc registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -60,6 +60,19 @@ object Tera {
         .cast("long").as("cksum"))
       .agg(count(lit(1)).as("n_records"), sum(col("cksum")).as("checksum"))
 
+  /** Bit-faithful TeraGen: the EXACT 100-byte gensort records (128-bit LCG
+    * skip-ahead, GenSort.generateRecord layout — see GensortLcg), generated
+    * partition-parallel from `spark.range`. Not oracle-gated: 128-bit
+    * modular multiplication has no ANSI-SQL replay, so fidelity is
+    * spec-verified instead (TeraSpec: closed-form LCG cross-check + record
+    * layout + DataFrame/local agreement). `mr_teragen` stays the gated
+    * md5 default; this is the interop path whose output byte-matches
+    * reference TeraGen / gensort 1.1. */
+  def teragenGensort(s: SparkSession, n: Long = TeraN): DataFrame =
+    s.range(0, n).select(
+      col("id").as("row_id"),
+      GensortExpressions.gensortRecord(col("id")).as("record"))
+
   val RandBinN = 10000L
 
   /** RandomWriter's binary-KV variant (RandomWriter.java): deterministic

@@ -21,6 +21,23 @@ class SourcesSpec extends SparkSpec {
     assert(files == 1, s"expected 1 parquet file, got $files")
   }
 
+  test("gzip text round-trips transparently (TextInputFormat codec parity)") {
+    // The reference's TextInputFormat decompresses .gz splits transparently
+    // (hadoop-common GzipCodec); Spark's text/csv readers inherit the same
+    // Hadoop codec wiring — this pins the round-trip so a source-layer
+    // refactor can't lose it.
+    val dst = Files.createTempDirectory("graft_gzip").toString
+    val src = Tables.load(spark, sf, "documents").select(col("text"))
+    src.write.option("compression", "gzip").mode("overwrite").text(s"$dst/docs")
+    val gzFiles = new java.io.File(s"$dst/docs").listFiles().count(_.getName.endsWith(".txt.gz"))
+    assert(gzFiles > 0, "writer did not produce gzip members")
+    val back = Tables.text(spark, s"$dst/docs")
+    assert(back.count() == src.count())
+    def sig(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(sum(hash(col(df.columns.head)).cast("long"))).collect().head.getLong(0)
+    assert(sig(back) == sig(src), "line content changed through the gzip round-trip")
+  }
+
   test("partitioned parquet write prunes to one directory on a partition-key filter") {
     import org.apache.spark.sql.functions._
     val dst = Files.createTempDirectory("graft_part").toString

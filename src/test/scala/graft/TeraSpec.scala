@@ -34,6 +34,59 @@ class TeraSpec extends SparkSpec {
     assert(direct.getLong(1) == reparted.getLong(1))
   }
 
+  test("gensort LCG skip-ahead matches the closed form and step-by-step iteration") {
+    import graft.functions.GensortLcg
+    val mod = BigInt(1) << 128
+    // Independent route: X_n = C * (A^n - 1) / (A - 1) mod 2^128, the
+    // geometric-series closed form computed with EXACT integer arithmetic
+    // ((A^n - 1) is divisible by (A - 1) over the integers, so no modular
+    // inverse is needed) — a completely different derivation than the
+    // squaring-based skip table.
+    def closedForm(n: Int): BigInt =
+      (GensortLcg.C * ((GensortLcg.A.pow(n) - 1) / (GensortLcg.A - 1))) % mod
+    Seq(1, 2, 3, 10, 57, 123).foreach { n =>
+      assert(GensortLcg.skipAhead(n) == closedForm(n), s"skipAhead($n) != closed form")
+    }
+    var x = BigInt(0)
+    (1 to 7).foreach { n =>
+      x = GensortLcg.nextRand(x)
+      assert(GensortLcg.skipAhead(n) == x, s"skipAhead($n) != $n iterated steps")
+    }
+  }
+
+  test("gensort records carry the exact GenSort layout for the first 10 record numbers") {
+    import graft.functions.GensortLcg
+    (0L until 10L).foreach { rec =>
+      val r = GensortLcg.record(rec)
+      assert(r.length == 100)
+      val rand = GensortLcg.nextRand(GensortLcg.skipAhead(rec))
+      (0 until 10).foreach(i => assert(r(i) == GensortLcg.byteAt(rand, i), s"key byte $i of rec $rec"))
+      assert(r(10) == 0x00 && r(11) == 0x11)
+      val recHex = new String(r.slice(12, 44), "US-ASCII")
+      assert(recHex == GensortLcg.hex32(BigInt(rec)), s"record-number hex of rec $rec")
+      assert(r(44) == 0x88.toByte && r(45) == 0x99.toByte &&
+        r(46) == 0xAA.toByte && r(47) == 0xBB.toByte)
+      val randHex = GensortLcg.hex32(rand)
+      (0 until 12).foreach { i =>
+        val ch = randHex.charAt(20 + i).toByte
+        (0 until 4).foreach(j => assert(r(48 + i * 4 + j) == ch, s"filler $i/$j of rec $rec"))
+      }
+      assert(r(96) == 0xCC.toByte && r(97) == 0xDD.toByte &&
+        r(98) == 0xEE.toByte && r(99) == 0xFF.toByte)
+    }
+  }
+
+  test("distributed gensort records equal the local generator byte for byte") {
+    import graft.functions.GensortLcg
+    val rows = Tera.teragenGensort(spark, 64).repartition(8)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toMap
+    assert(rows.size == 64)
+    rows.foreach { case (rec, bytes) =>
+      assert(bytes.sameElements(GensortLcg.record(rec)),
+        s"record $rec differs between partition-parallel and local generation")
+    }
+  }
+
   test("random binary KV round-trips through a BytesWritable SequenceFile") {
     val dir = Files.createTempDirectory("graft_seqbin").toString + "/rb"
     // Materialize the mr_random_binary derivation as actual bytes: key is the
