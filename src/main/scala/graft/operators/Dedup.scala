@@ -189,9 +189,12 @@ object Dedup {
     * shuffles on the edge list, with localCheckpoint cutting plan lineage —
     * the same alternating-join shape GraphX/connected-components runs at
     * cluster scale. The driver-side loop only reads a convergence count. */
-  def clusterAssign(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"))
-    val pairs = minhashLsh(s, dir)
+  def clusterAssign(s: SparkSession, dir: String): DataFrame =
+    ccLabels(docs(s, dir).select(col("doc_id")), minhashLsh(s, dir))
+
+  /** Min-label connected components over an undirected candidate-pair list
+    * (the engine behind `clusterAssign` and `survivors`). */
+  private def ccLabels(d: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -310,6 +313,48 @@ object Dedup {
       .distinct()
   }
 
+  /** The canonical MinHash-LSH dedup pipeline: LSH candidates VERIFIED by
+    * exact n-gram Jaccard — the 100 TB near-dup operator. `minhashLsh`
+    * bounds the candidate volume (bucketed + salted, never all-pairs);
+    * verification then joins each candidate id pair back to the two
+    * documents' distinct-shingle sets and computes the exact set Jaccard,
+    * so verification cost is proportional to CANDIDATES, not corpus^2 (and
+    * unlike `ngramJaccard`'s inverted index, no posting-list expansion at
+    * all — the shingle arrays ship once per candidate partner). */
+  def minhashVerified(s: SparkSession, dir: String): DataFrame = {
+    val shd = docs(s, dir)
+      .select(col("doc_id"),
+        array_distinct(ShingleExpressions.shingles(col("text"), ShingleN)).as("dsh"))
+      .filter(size(col("dsh")) > 0)
+    val inter = size(array_intersect(col("dsha"), col("dshb")))
+    minhashLsh(s, dir)
+      .join(shd.select(col("doc_id").as("doc_a"), col("dsh").as("dsha")), Seq("doc_a"))
+      .join(shd.select(col("doc_id").as("doc_b"), col("dsh").as("dshb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") / (size(col("dsha")) + size(col("dshb")) - inter), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** End-to-end dedup: the surviving corpus after exact AND near-dup
+    * removal — one row per kept (canonical) document with the number of
+    * documents it represents. Edges = LSH candidate pairs UNION exact-hash
+    * star edges (canonical -> every identical copy). The exact edges matter
+    * under salting: identical docs split across salt groups are not LSH
+    * pairs, but the hash star reconnects them, so a duplicate set always
+    * collapses to ONE survivor regardless of bucket density. */
+  def survivors(s: SparkSession, dir: String): DataFrame = {
+    val hx = docs(s, dir).select(col("doc_id"), md5Hex(col("text")).as("h"))
+    val canon = hx.groupBy("h").agg(min(col("doc_id")).as("canon"))
+    val exactPairs = hx.join(canon, Seq("h"))
+      .filter(col("doc_id") =!= col("canon"))
+      .select(col("canon").as("doc_a"), col("doc_id").as("doc_b"))
+    ccLabels(docs(s, dir).select(col("doc_id")),
+      minhashLsh(s, dir).unionAll(exactPairs))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_repr"))
+      .select(col("cluster_id").as("doc_id"), col("n_repr"))
+  }
+
   /** Incremental ingestion dedup: which docs in the new batch (source
     * 'src0') are NOT already in the corpus (all other sources)? Anti-join
     * on content hash — the nightly-ingest shape: the corpus side reduces
@@ -334,6 +379,8 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s: SparkSession, dir: String) => simhashPairs(s, dir)),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_clusters" -> (clusterAssign _),
+    "dedup_minhash_verified" -> (minhashVerified _),
+    "dedup_survivors" -> (survivors _),
     "dedup_incremental" -> (incremental _),
     "dedup_embedding" -> (embeddingNearDup _))
 
@@ -408,6 +455,25 @@ object Dedup {
         "reach(src, dst) AS (SELECT doc_id, doc_id FROM documents " +
         "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) " +
         "SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src"),
+    "dedup_minhash_verified" ->
+      (s"WITH $lshCtes, cand AS ($lshPairsSelect), " +
+        "shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh WHERE len(sh) > 0) " +
+        "SELECT doc_a, doc_b, jaccard FROM (SELECT c.doc_a, c.doc_b, " +
+        "round(CAST(len(list_intersect(a.dsh, b.dsh)) AS DOUBLE) / " +
+        "(len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh))), 4) AS jaccard " +
+        "FROM cand c JOIN shd a ON a.doc_id = c.doc_a JOIN shd b ON b.doc_id = c.doc_b) " +
+        s"WHERE jaccard >= $JaccardThreshold"),
+    "dedup_survivors" ->
+      (s"WITH RECURSIVE $lshCtes, pairs AS ($lshPairsSelect), " +
+        "hx AS (SELECT doc_id, md5(text) AS h FROM documents), " +
+        "hc AS (SELECT h, min(doc_id) AS canon FROM hx GROUP BY h), " +
+        "epairs AS (SELECT hc.canon AS doc_a, hx.doc_id AS doc_b FROM hx JOIN hc ON hx.h = hc.h WHERE hx.doc_id <> hc.canon), " +
+        "ap AS (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_a, doc_b FROM epairs), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM ap UNION ALL SELECT doc_b AS src, doc_a AS dst FROM ap), " +
+        "reach(src, dst) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+        "lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src) " +
+        "SELECT cluster_id AS doc_id, count(*) AS n_repr FROM lab GROUP BY cluster_id"),
     "dedup_simhash" ->
       (s"SELECT doc_id, ${simhashSignedSql("s")} AS simhash " +
         s"FROM (SELECT doc_id, $simhashRawSql AS s " +

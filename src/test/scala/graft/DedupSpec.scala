@@ -65,6 +65,48 @@ class DedupSpec extends SparkSpec {
       s"pigeonhole missed ${(brute -- got).size} / extra ${(got -- brute).size} pairs")
   }
 
+  test("verified minhash pairs are candidates with independently recomputed exact jaccard") {
+    import org.apache.spark.sql.functions._
+    val ver = Dedup.minhashVerified(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(ver.nonEmpty, "no verified near-dup pairs on the test corpus")
+    assert(ver.keySet.subsetOf(pairs(Dedup.minhashLsh(spark, sf))),
+      "verified pairs must come from the LSH candidate set")
+    val sets = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.ShingleExpressions.shingles(col("text"), Dedup.ShingleN).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    ver.foreach { case ((a, b), j) =>
+      val (sa, sb) = (sets(a), sets(b))
+      val inter = (sa & sb).size.toDouble
+      val expect = math.round(inter / (sa.size + sb.size - inter) * 1e4) / 1e4
+      assert(j >= Dedup.JaccardThreshold && math.abs(j - expect) < 1e-9,
+        s"pair ($a,$b): got $j want $expect")
+    }
+  }
+
+  test("degenerate corpus collapses to a single survivor despite salting") {
+    // Identical docs split across salt groups are not LSH pairs, but the
+    // exact-hash star edges reconnect them: 500 verbatim copies -> one
+    // surviving doc representing all 500.
+    val dir = java.nio.file.Files.createTempDirectory("graft_surv").toString
+    val s = spark
+    import s.implicits._
+    (0L until 500L).map(i => (i, "src0", "the same boilerplate text repeated verbatim"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.survivors(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((0L, 500L)), s"expected one survivor (0, 500), got $rows")
+  }
+
+  test("survivor representation counts partition the corpus") {
+    val total = graft.sources.Tables.load(spark, sf, "documents").count()
+    val sums = Dedup.survivors(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_repr")).collect().head.getLong(0)
+    assert(sums == total, s"survivors represent $sums of $total docs")
+  }
+
   test("cluster ids are canonical: every cluster_id is the min doc_id of its cluster") {
     val rows = Dedup.clusterAssign(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
