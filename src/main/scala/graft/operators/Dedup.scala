@@ -322,12 +322,24 @@ object Dedup {
     * unlike `ngramJaccard`'s inverted index, no posting-list expansion at
     * all — the shingle arrays ship once per candidate partner). */
   def minhashVerified(s: SparkSession, dir: String): DataFrame = {
+    // Candidate pairs are bounded by LSH design — materialize them once
+    // (localCheckpoint, like ccLabels' edge list) so the id set and the two
+    // verification joins don't re-run candidate generation.
+    val p = minhashLsh(s, dir).localCheckpoint()
+    val candIds = p.select(col("doc_a").as("doc_id"))
+      .unionAll(p.select(col("doc_b").as("doc_id"))).distinct()
+    // Semi-join reduction BEFORE the pair joins: only candidate documents'
+    // shingle sets are materialized, so the arrays that shuffle are
+    // candidate-sized, not corpus-sized — the difference between verifying
+    // 0.1% near-dups and re-shuffling 100 TB twice.
     val shd = docs(s, dir)
       .select(col("doc_id"),
         array_distinct(ShingleExpressions.shingles(col("text"), ShingleN)).as("dsh"))
       .filter(size(col("dsh")) > 0)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val inter = size(array_intersect(col("dsha"), col("dshb")))
-    minhashLsh(s, dir)
+    p
       .join(shd.select(col("doc_id").as("doc_a"), col("dsh").as("dsha")), Seq("doc_a"))
       .join(shd.select(col("doc_id").as("doc_b"), col("dsh").as("dshb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
