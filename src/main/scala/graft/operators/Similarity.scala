@@ -178,6 +178,94 @@ object Similarity {
       .filter(col("rank") <= TopK)
   }
 
+  /** Product quantization: 64 dims = 16 subspaces x 4 dims, 16 centroids
+    * per subspace -> a corpus vector compresses to 16 5-bit codes (10 bytes
+    * vs 256) — the compression that lets a 100 TB embedding store scan in
+    * memory. With a 16-value codebook, narrow subspaces beat wide ones
+    * (quantization error per subspace ~ dims/codebook); at real scale
+    * PqCentroids grows to 256 (1 byte/code) and subspaces widen to 8. */
+  val PqSubspaces = 16
+  val PqSubDims = 4
+  val PqCentroids = 32
+  /** PQ trains longer than the coarse IVF quantizer: 16 independent 4-dim
+    * problems converge cheaply (sample x 16 centroids per round). */
+  val PqIters = 2
+
+  /** PQ-compressed ANN (asymmetric distance computation, after Jegou et
+    * al.'s product-quantization construction): subquantizers train with
+    * `KMeansIters` Lloyd's rounds on the deterministic sample, every corpus
+    * vector encodes to its 8 nearest subspace centroids, and queries scan
+    * the CODES — per query, 16 partial squared distances per subspace form
+    * a lookup table (broadcast), and a vector's approximate distance is the
+    * sum of 8 table entries. No full vector is touched at scan time.
+    *
+    * Determinism (oracle replays end to end): components quantize to the
+    * 1/1024 grid; Lloyd's assignment ranks on round(subspace L2^2, 4) with
+    * cent_id tie-break (the `sim_ann_ivf` recipe); ADC table entries are
+    * exact micro-unit longs (floor(d*1e6+0.5)), so the 8-way sum is
+    * integer — order-independent — and ranking on it is total with the
+    * neighbor_id tie-break.
+    *
+    * Scale shape: training touches the fixed sample; encoding is one
+    * broadcast pass (|corpus| x 16 subspace distances per subspace);
+    * scoring joins codes against a BROADCAST table of |queries| x 8 x 16
+    * entries and partial-aggregates map-side — the only shuffle carries
+    * one row per (query, vector). This is the compressed linear scan; at
+    * 100 TB it composes with `sim_ann_ivf`'s coarse lists to prune the
+    * scan to probed inverted lists (IVF-PQ). */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val base = e.select(col("vec_id"),
+      transform(col("embedding"), v => floor(v.cast("double") * 1024 + 0.5).cast("long")).as("qemb"))
+    def subs(df: DataFrame): DataFrame = df.select(col("vec_id"), explode(array(
+        (0 until PqSubspaces).map(m => struct(lit(m).as("m"),
+          slice(col("qemb"), m * PqSubDims + 1, PqSubDims).as("sub"))): _*)).as("t"))
+      .select(col("vec_id"), col("t.m").as("m"), col("t.sub").as("sub"))
+    val trainSub = subs(base.filter(col("vec_id") % TrainMod === 0))
+    var cent = trainSub.filter(col("vec_id") < TrainMod.toLong * PqCentroids)
+      .select(col("m"), (col("vec_id") / TrainMod).cast("int").as("cent_id"),
+        transform(col("sub"), q => q.cast("double") / 1024.0).as("cent"))
+    // Left-to-right subspace L2^2 on the grid (zip_with + aggregate = the
+    // oracle's ordered list_sum).
+    val subDist = aggregate(zip_with(col("sub"), col("cent"),
+        (q, c) => (q.cast("double") / 1024.0 - c) * (q.cast("double") / 1024.0 - c)),
+      lit(0.0), (acc, v) => acc + v)
+    // min(struct(d, cent_id)) = deterministic argmin as a hash aggregate —
+    // no per-(vector, subspace) window sort.
+    for (_ <- 1 to PqIters) {
+      val assigned = trainSub.join(broadcast(cent), Seq("m"))
+        .select(col("vec_id"), col("m"), col("sub"), col("cent_id"),
+          round(subDist, 4).as("d"))
+        .groupBy("vec_id", "m", "sub")
+        .agg(min(struct(col("d"), col("cent_id"))).as("mc"))
+        .select(col("m"), col("mc.cent_id").as("cent_id"), col("sub"))
+      cent = assigned.select(col("m"), col("cent_id"), posexplode(col("sub")))
+        .groupBy("m", "cent_id", "pos")
+        .agg(sum(col("col")).as("qs"), count(lit(1)).as("n"))
+        .groupBy("m", "cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          (col("qs") / col("n") / 1024.0).as("c")))), x => x.getField("c")).as("cent"))
+    }
+    val codes = subs(base).join(broadcast(cent), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cent_id"), round(subDist, 4).as("d"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("cent_id"))).as("mc"))
+      .select(col("vec_id"), col("m"), col("mc.cent_id").as("cent_id"))
+    val lut = subs(base.filter(col("vec_id") < NumQueries))
+      .join(broadcast(cent), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("cent_id"),
+        floor(subDist * 1e6 + 0.5).cast("long").as("pd6"))
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist2_pq").asc, col("neighbor_id").asc)
+    codes.join(broadcast(lut), Seq("m", "cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg((sum(col("pd6")).cast("double") / 1e6).as("dist2_pq"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("dist2_pq"))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= TopK)
+  }
+
   val GraphK = 3
   /** The graph path uses FINER buckets than the 20-query ANN (5 plane bits
     * -> 32 buckets/table instead of 16): an all-pairs graph touches every
@@ -267,6 +355,7 @@ object Similarity {
     "sim_topk_bruteforce" -> (topkBruteforce _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_ann_ivf" -> (annIvf _),
+    "sim_ann_pq" -> (annPq _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_knn_graph" -> (knnGraph _))
 
@@ -326,6 +415,38 @@ object Similarity {
         "FROM assign a JOIN probes p ON a.cent_id = p.cent_id WHERE a.vec_id <> p.query_id) " +
         "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank FROM cands) " +
         s"WHERE rank <= $TopK"),
+    "sim_ann_pq" -> {
+      // Subspace m of qemb is elements m*8+1 .. m*8+8; mirror of `subDist`
+      // against a (m, cent) relation.
+      def dSql(q: String, c: String, m: String): String =
+        s"list_sum(list_transform(generate_series(1, $PqSubDims), j -> " +
+          s"(CAST($q[$m * $PqSubDims + j] AS DOUBLE) / 1024.0 - $c[j]) * " +
+          s"(CAST($q[$m * $PqSubDims + j] AS DOUBLE) / 1024.0 - $c[j])))"
+      s"WITH qv AS (SELECT vec_id, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qemb FROM embeddings), " +
+        s"tv AS (SELECT vec_id, qemb, m FROM qv CROSS JOIN generate_series(0, ${PqSubspaces - 1}) g(m) WHERE vec_id % $TrainMod = 0), " +
+        s"cent0 AS (SELECT m, CAST(vec_id // $TrainMod AS INT) AS cent_id, " +
+        s"list_transform(generate_series(1, $PqSubDims), j -> CAST(qemb[m * $PqSubDims + j] AS DOUBLE) / 1024.0) AS cent " +
+        s"FROM tv WHERE vec_id < ${TrainMod * PqCentroids}), " +
+        (1 to PqIters).map { k =>
+          s"s$k AS (SELECT t.vec_id, t.m, t.qemb, c.cent_id, round(${dSql("t.qemb", "c.cent", "t.m")}, 4) AS d " +
+            s"FROM tv t JOIN cent${k - 1} c ON c.m = t.m), " +
+            s"a$k AS (SELECT vec_id, m, qemb, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn FROM s$k) WHERE rn = 1), " +
+            s"u$k AS (SELECT m, cent_id, j AS pos, CAST(sum(qemb[m * $PqSubDims + j]) AS BIGINT) AS qs, count(*) AS n " +
+            s"FROM a$k CROSS JOIN generate_series(1, $PqSubDims) g(j) GROUP BY 1, 2, 3), " +
+            s"cent$k AS (SELECT m, cent_id, list(CAST(qs AS DOUBLE) / n / 1024.0 ORDER BY pos) AS cent FROM u$k GROUP BY m, cent_id)"
+        }.mkString(", ") + ", " +
+        s"cent AS (SELECT * FROM cent$PqIters), " +
+        s"av AS (SELECT vec_id, qemb, m FROM qv CROSS JOIN generate_series(0, ${PqSubspaces - 1}) g(m)), " +
+        s"se AS (SELECT a.vec_id, a.m, c.cent_id, round(${dSql("a.qemb", "c.cent", "a.m")}, 4) AS d FROM av a JOIN cent c ON c.m = a.m), " +
+        "codes AS (SELECT vec_id, m, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn FROM se) WHERE rn = 1), " +
+        s"lut AS (SELECT q.vec_id AS query_id, c.m, c.cent_id, CAST(floor(${dSql("q.qemb", "c.cent", "c.m")} * 1000000 + 0.5) AS BIGINT) AS pd6 " +
+        s"FROM qv q CROSS JOIN cent c WHERE q.vec_id < $NumQueries), " +
+        "scored AS (SELECT l.query_id, co.vec_id, CAST(sum(l.pd6) AS BIGINT) AS d6 " +
+        "FROM codes co JOIN lut l ON l.m = co.m AND l.cent_id = co.cent_id WHERE co.vec_id <> l.query_id GROUP BY 1, 2) " +
+        "SELECT query_id, vec_id AS neighbor_id, CAST(d6 AS DOUBLE) / 1000000 AS dist2_pq, rank FROM " +
+        "(SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY d6, vec_id) AS INT) AS rank FROM scored) " +
+        s"WHERE rank <= $TopK"
+    },
     "sim_knn_graph" ->
       (s"WITH sigd AS (SELECT vec_id, embedding, CAST(${lshSigSqlFor(GraphNumPlanes)} AS BIGINT) AS sig FROM embeddings), " +
         s"tb AS (SELECT vec_id, (sig >> (t * $GraphPlanesPerTable)) & ${(1 << GraphPlanesPerTable) - 1} AS bucket, t " +

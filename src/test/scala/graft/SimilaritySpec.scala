@@ -32,6 +32,35 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.6, s"IVF recall $r below floor")
   }
 
+  test("sim_ann_pq recall@5 vs exact grid L2 meets the floor and codes are complete") {
+    import org.apache.spark.sql.functions._
+    // Ground truth for the L2-ranked PQ path: EXACT squared distance on the
+    // same 1/1024 integer grid PQ quantizes to — pure integer math.
+    val q = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), v => floor(v.cast("double") * 1024 + 0.5).cast("long")).as("qemb"))
+    val exactL2 = q.as("a").join(q.filter(col("vec_id") < Similarity.NumQueries).as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("b.vec_id").as("query_id"), col("a.vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("a.qemb"), col("b.qemb"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("d2"))
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id").asc)))
+      .filter(col("rank") <= Similarity.TopK)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.annPq(spark, sf)
+    val got = pairs(pq)
+    val r = (got & exactL2).size.toDouble / exactL2.size
+    info(f"PQ recall@${Similarity.TopK} = $r%.3f")
+    assert(r >= 0.4, s"PQ recall $r below floor")
+    // every query scores every other vector through all 8 subspace codes
+    val n = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    val perQuery = pq.groupBy("query_id").count().agg(min("count")).collect().head.getLong(0)
+    assert(perQuery == Similarity.TopK, "PQ scan must rank a full top-k per query")
+    assert(got.size == Similarity.NumQueries * Similarity.TopK && n > 0)
+  }
+
   test("knn graph plans the custom TopKPerKey operator, bounds degree, and overlaps exact top-3") {
     import org.apache.spark.sql.functions._
     val g = Similarity.knnGraph(spark, sf)
