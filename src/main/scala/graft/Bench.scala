@@ -29,13 +29,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted order: map-hash iteration reshuffles when queries are added,
+    // which made round-over-round artifacts hard to diff (and moved the
+    // first-query JIT cost to a random victim).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> (timed(fn), math.min(timed(fn), timed(fn)))
     }
     def obj(sel: ((Double, Double)) => Double): String = results
       .map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
-    val coldTotal = results.values.map(_._1).sum
-    val warmTotal = results.values.map(_._2).sum
+    val coldTotal = results.map(_._2._1).sum
+    val warmTotal = results.map(_._2._2).sum
     // Headline warm numbers print LAST: the driver archives the final 2000
     // chars of output, so the tail must carry the warm per-query dict and
     // "value" (the r2 artifact kept only the cold dict and lost the warm).

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   *
   *   graft_cosine(a, b)            cosine similarity over float/double arrays
   *   graft_dot(a, b)               dot product over float arrays
+  *   graft_grid_l2(q, c)           squared L2: 1/1024-grid longs vs doubles
   *   graft_shingles(text, n)      n-token shingles of single-space text
   *   graft_minhash(text, k, n)    k derived-hash MinHash values (bigint)
   *   graft_simhash64(text)        64-bit SimHash of the tokens (bigint)
@@ -43,6 +44,8 @@ object GraftFunctions {
       CosineSimilarityExpr(exprs.head, exprs(1))),
     "graft_dot" -> arity("graft_dot", 2)(exprs =>
       DotProductExpr(exprs.head, exprs(1))),
+    "graft_grid_l2" -> arity("graft_grid_l2", 2)(exprs =>
+      GridL2Expr(exprs.head, exprs(1))),
     "graft_shingles" -> arity("graft_shingles", 2)(exprs =>
       WordShinglesExpr(exprs.head, intArg(exprs(1), "n"))),
     "graft_minhash" -> arity("graft_minhash", 3)(exprs =>

@@ -103,6 +103,52 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance between a 1/1024-grid-quantized vector (array<long>)
+  * and a double-valued centroid (array<double>) — the PQ subspace kernel.
+  * Left-to-right double accumulation of (q/1024 - c)^2: bit-identical to
+  * the aggregate(zip_with(...)) HOF formulation AND the oracle's ordered
+  * list_sum (long->double conversion is exact below 2^53; /1024 is a
+  * power-of-two scale), just without per-element interpreted lambdas —
+  * the difference between 6 s and sub-second for the PQ encode pass. */
+case class GridL2Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_grid_l2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val c = b.asInstanceOf[ArrayData]
+    val n = math.min(q.numElements(), c.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = q.getLong(i) / 1024.0 - c.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($q.numElements(), $c.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $q.getLong($i) / 1024.0 - $c.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column-level entry points. */
   def cosine(a: Column, b: Column): Column =
@@ -110,6 +156,9 @@ object VectorExpressions {
 
   def dot(a: Column, b: Column): Column =
     CatalystBridge.column(DotProductExpr(CatalystBridge.expression(a), CatalystBridge.expression(b)))
+
+  def gridL2(q: Column, c: Column): Column =
+    CatalystBridge.column(GridL2Expr(CatalystBridge.expression(q), CatalystBridge.expression(c)))
 
   /** SQL registration of the full native function set (delegates to the
     * shared builder table in [[GraftFunctions]]). */

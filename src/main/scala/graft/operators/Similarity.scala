@@ -221,15 +221,16 @@ object Similarity {
         (0 until PqSubspaces).map(m => struct(lit(m).as("m"),
           slice(col("qemb"), m * PqSubDims + 1, PqSubDims).as("sub"))): _*)).as("t"))
       .select(col("vec_id"), col("t.m").as("m"), col("t.sub").as("sub"))
-    val trainSub = subs(base.filter(col("vec_id") % TrainMod === 0))
+    // The sample and the (tiny) model relation are each consumed several
+    // times (every Lloyd's round, encoding, and the query tables) —
+    // materialize them so lineage doesn't re-run training per consumer.
+    val trainSub = subs(base.filter(col("vec_id") % TrainMod === 0)).localCheckpoint()
     var cent = trainSub.filter(col("vec_id") < TrainMod.toLong * PqCentroids)
       .select(col("m"), (col("vec_id") / TrainMod).cast("int").as("cent_id"),
         transform(col("sub"), q => q.cast("double") / 1024.0).as("cent"))
-    // Left-to-right subspace L2^2 on the grid (zip_with + aggregate = the
-    // oracle's ordered list_sum).
-    val subDist = aggregate(zip_with(col("sub"), col("cent"),
-        (q, c) => (q.cast("double") / 1024.0 - c) * (q.cast("double") / 1024.0 - c)),
-      lit(0.0), (acc, v) => acc + v)
+    // Left-to-right subspace L2^2 on the grid — the fused codegen kernel;
+    // bit-identical to the oracle's ordered list_sum.
+    val subDist = VectorExpressions.gridL2(col("sub"), col("cent"))
     // min(struct(d, cent_id)) = deterministic argmin as a hash aggregate —
     // no per-(vector, subspace) window sort.
     for (_ <- 1 to PqIters) {
@@ -245,6 +246,7 @@ object Similarity {
         .groupBy("m", "cent_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"),
           (col("qs") / col("n") / 1024.0).as("c")))), x => x.getField("c")).as("cent"))
+        .localCheckpoint()
     }
     val codes = subs(base).join(broadcast(cent), Seq("m"))
       .select(col("vec_id"), col("m"), col("cent_id"), round(subDist, 4).as("d"))

@@ -44,6 +44,19 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native grid L2 is bit-identical to the HOF formulation on real embeddings") {
+    val e = graft.sources.Tables.load(spark, sf, "embeddings").limit(60)
+      .select(col("vec_id"),
+        transform(col("embedding"), v => floor(v.cast("double") * 1024 + 0.5).cast("long")).as("q"),
+        transform(col("embedding"), v => (v.cast("double") * 0.5)).as("c"))
+    val hof = aggregate(zip_with(col("a.q"), col("b.c"),
+        (q, c) => (q.cast("double") / 1024.0 - c) * (q.cast("double") / 1024.0 - c)),
+      lit(0.0), (acc, v) => acc + v)
+    val both = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(VectorExpressions.gridL2(col("a.q"), col("b.c")).as("native"), hof.as("ref"))
+    assert(both.filter(col("native") =!= col("ref")).count() == 0)
+  }
+
   test("cosineSim of a vector with itself is 1") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
       .toDF("a", "b").select(cosineSim(col("a"), col("b")).as("c"))
