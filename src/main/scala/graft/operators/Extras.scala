@@ -94,7 +94,7 @@ object Extras {
   }
 
   val KmvK = 64
-  private val Two52 = 4503599627370496.0 // 16^13: the h-value range
+  val Two52 = 4503599627370496.0 // 16^13: the h-value range (shared with stream_sketch_distinct)
 
   /** KMV (k-minimum-values) distinct-count sketch per source — the
     * mergeable cardinality estimator a 100 TB pipeline runs where exact

@@ -233,6 +233,60 @@ object EventStreams {
   def dedupBatch(events: DataFrame): DataFrame =
     events.groupBy("user_id", "event_type").agg(min(col("ts")).as("first_ts"))
 
+  /** Per-window approximate distinct users — the KMV sketch
+    * (graft.operators.Extras.sketchDistinct) applied per tumbling 1-hour
+    * window: the shape a 100 TB event pipeline uses for cardinality
+    * dashboards where exact countDistinct cannot hold per-window state.
+    * md5-portable, so the whole estimate is oracle-replayable; a window
+    * holding fewer than k users falls back to its exact count (a KMV
+    * sketch under capacity IS exact). Same two-phase salted ranking as the
+    * corpus sketch: no task ever sorts a whole window's users. The exact
+    * count rides along as the accuracy audit. */
+  def windowDistinctSketch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Extras.{KmvK, Two52}
+    val du = events
+      .select(window(col("ts"), "1 hour").as("w"), col("user_id")).distinct()
+    val hashed = du.select(col("w"), col("user_id"),
+      conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 13), 16, 10)
+        .cast("long").as("h"))
+    val wSalt = Window.partitionBy(col("w"), pmod(col("h"), lit(256)))
+      .orderBy(col("h").asc, col("user_id").asc)
+    val wGlobal = Window.partitionBy(col("w")).orderBy(col("h").asc, col("user_id").asc)
+    val kth = hashed
+      .withColumn("rs", row_number().over(wSalt)).filter(col("rs") <= KmvK)
+      .withColumn("rn", row_number().over(wGlobal)).filter(col("rn") === KmvK)
+      .select(col("w"), col("h").as("h_k"))
+    val exact = du.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+    exact.join(kth, Seq("w"), "left")
+      .select(col("w.start").as("win_start"), col("n_exact"),
+        coalesce(
+          floor(lit((KmvK - 1) * Two52) / col("h_k") * 1e6 + 0.5) / 1e6,
+          col("n_exact").cast("double")).as("est_distinct"))
+  }
+
+  /** Streaming variant: Spark's native HLL++ approx_count_distinct per
+    * watermarked window — the engine-native estimator for the true stream
+    * path (the KMV batch analog above is the oracle-replayable one). */
+  def startWindowDistinctStream(s: SparkSession, dir: String, name: String): StreamingQuery = {
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("w.start").as("win_start"), col("approx_users"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // --- wiring (batch analogs, oracle-checked) ------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -240,7 +294,8 @@ object EventStreams {
     "stream_hopping_agg" -> ((s, dir) => hoppingAgg(Tables.load(s, dir, "events"))),
     "stream_sessionize" -> ((s, dir) => sessionize(s, Tables.load(s, dir, "events"))),
     "stream_interval_join" -> ((s, dir) => intervalJoinBatch(Tables.load(s, dir, "events"))),
-    "stream_dedup" -> ((s, dir) => dedupBatch(Tables.load(s, dir, "events"))))
+    "stream_dedup" -> ((s, dir) => dedupBatch(Tables.load(s, dir, "events"))),
+    "stream_sketch_distinct" -> ((s, dir) => windowDistinctSketch(Tables.load(s, dir, "events"))))
 
   def oracles: Map[String, String] = Map(
     "stream_window_agg" ->
@@ -264,5 +319,15 @@ object EventStreams {
         "AND p.event_type = 'purchase' AND v.event_type = 'view' " +
         "AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts"),
     "stream_dedup" ->
-      "SELECT user_id, event_type, min(ts) AS first_ts FROM events GROUP BY user_id, event_type")
+      "SELECT user_id, event_type, min(ts) AS first_ts FROM events GROUP BY user_id, event_type",
+    "stream_sketch_distinct" -> {
+      import graft.operators.Extras.{KmvK, Two52}
+      val hex13 = graft.functions.hexIntSql("md5(CAST(user_id AS VARCHAR))", 1, 13)
+      "WITH du AS (SELECT DISTINCT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, user_id FROM events), " +
+        s"h AS (SELECT win_start, user_id, CAST($hex13 AS BIGINT) AS h FROM du), " +
+        "r AS (SELECT win_start, h, row_number() OVER (PARTITION BY win_start ORDER BY h, user_id) AS rn FROM h), " +
+        "e AS (SELECT win_start, count(*) AS n_exact FROM du GROUP BY win_start) " +
+        s"SELECT e.win_start, n_exact, COALESCE(floor(${(KmvK - 1).toDouble * Two52} / r.h * 1000000 + 0.5) / 1000000, CAST(n_exact AS DOUBLE)) AS est_distinct " +
+        s"FROM e LEFT JOIN (SELECT * FROM r WHERE rn = $KmvK) r ON e.win_start = r.win_start"
+    })
 }

@@ -65,6 +65,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.distinct.length == streamed.length, "stream emitted duplicate keys")
   }
 
+  test("streaming per-window distinct estimate tracks the exact batch counts") {
+    val q = EventStreams.startWindowDistinctStream(spark, sf, "stream_adc_out")
+    try q.processAllAvailable()
+    finally q.stop()
+    import org.apache.spark.sql.functions._
+    val streamed = spark.table("stream_adc_out").collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty, "streaming distinct query emitted nothing")
+    val exact = EventStreams.windowDistinctSketch(Tables.load(spark, sf, "events"))
+      .select(unix_micros(col("win_start").cast("timestamp")) / 1000, col("n_exact"))
+      .collect().map(r => r.getDouble(0).toLong -> r.getLong(1)).toMap
+    streamed.foreach { case (w, est) =>
+      val ex = exact.getOrElse(w, -1L)
+      assert(ex > 0, s"stream emitted a window $w batch never saw")
+      val rel = math.abs(est - ex).toDouble / ex
+      assert(rel < 0.25, s"window $w: HLL estimate $est vs exact $ex (rel $rel)")
+    }
+  }
+
   test("sessionize invariants: sessions partition events, gaps exceed threshold") {
     val events = Tables.load(spark, sf, "events")
     val sessions = EventStreams.sessionize(spark, events).cache()
