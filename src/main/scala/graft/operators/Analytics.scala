@@ -255,6 +255,24 @@ object Analytics {
       .groupBy(date_trunc("hour", col("ts")).as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(dec(col("value"), 10, 2)).as("total_value"))
 
+  /** Cohort retention over the event stream: users grouped by first-seen
+    * day, fraction still active N days later — the engagement query every
+    * event warehouse runs. Two aggregations over distinct (user, day) pairs
+    * (the fact table reduces to user-days first, so the heavy groupBys run
+    * on the reduced relation); cohort sizes broadcast back. */
+  def retentionCohort(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val cohortSize = cohort.groupBy("cohort_day").agg(count(lit(1)).as("n_cohort"))
+    days.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohortSize), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"), col("n_cohort"),
+        (floor(col("n_active").cast("double") / col("n_cohort") * 1e6 + 0.5) / 1e6).as("retention"))
+  }
+
   /** TPC-H Q10-shaped: top-20 customers by revenue lost to returns in a
     * 6-month window. Fact-fact join shuffles on orderkey; nation broadcasts;
     * top-20 is TakeOrderedAndProject. */
@@ -442,6 +460,7 @@ object Analytics {
     "q_above_avg_orders" -> (aboveAvgOrders _),
     "q_revenue_share" -> (revenueShare _),
     "q_event_window" -> (eventWindow _),
+    "q_retention_cohort" -> (retentionCohort _),
     "q_returned_items" -> (returnedItems _),
     "q_custdist" -> (custDist _),
     "q_promo_revenue" -> (promoRevenue _),
@@ -538,6 +557,15 @@ object Analytics {
         "CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY o_year) AS DOUBLE) AS share FROM by_year"),
     "q_event_window" ->
       "SELECT date_trunc('hour', ts) AS win, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value FROM events GROUP BY date_trunc('hour', ts), event_type",
+    "q_retention_cohort" ->
+      ("WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), " +
+        "cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id), " +
+        "cs AS (SELECT cohort_day, count(*) AS n_cohort FROM cohort GROUP BY cohort_day), " +
+        "act AS (SELECT c.cohort_day, date_diff('day', c.cohort_day, d.day) AS day_offset, count(*) AS n_active " +
+        "FROM days d JOIN cohort c ON d.user_id = c.user_id GROUP BY 1, 2) " +
+        "SELECT a.cohort_day, CAST(day_offset AS INT) AS day_offset, n_active, n_cohort, " +
+        "floor(CAST(n_active AS DOUBLE) / n_cohort * 1000000 + 0.5) / 1000000 AS retention " +
+        "FROM act a JOIN cs ON a.cohort_day = cs.cohort_day"),
     "q_returned_items" ->
       ("SELECT c_custkey, c_name, c_acctbal, n_name, " +
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue " +

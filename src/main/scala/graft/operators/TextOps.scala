@@ -43,6 +43,22 @@ object TextOps {
     docs(s, dir).select(col("doc_id"), pred.as("pred_lang"))
   }
 
+  /** Language-ID audit: confusion matrix of predicted vs labeled language
+    * plus per-cell share of the label's documents — the accuracy readout a
+    * pipeline inspects before trusting the classifier gate. Reuses the
+    * exact `langid` prediction column; one aggregation over its output. */
+  def langidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val labeled = docs(s, dir).select(col("doc_id"), col("lang"))
+    // Window over the AGGREGATED confusion cells (<= |langs|^2 rows), not
+    // raw documents — a per-label share needs its label total.
+    val byLabel = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    langid(s, dir).join(labeled, Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("label_share",
+        floor(col("n_docs").cast("double") / sum(col("n_docs")).over(byLabel) * 1e6 + 0.5) / 1e6)
+  }
+
   /** Quality scoring: token stats + punctuation + stopword + repetition
     * ratios, equal-weight composite. All ratios of exact ints → bit-stable. */
   def quality(s: SparkSession, dir: String): DataFrame = {
@@ -165,6 +181,7 @@ object TextOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (langid _),
+    "text_langid_confusion" -> (langidConfusion _),
     "text_tfidf" -> (tfidf _),
     "text_quality" -> (quality _),
     "text_tokens" -> (tokens _),
@@ -199,6 +216,11 @@ object TextOps {
         "(PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS INT) AS rank FROM scored) WHERE rank <= 3"),
     "text_langid" ->
       (s"SELECT doc_id, $langCase AS pred_lang FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"),
+    "text_langid_confusion" ->
+      (s"WITH pred AS (SELECT doc_id, $langCase AS pred_lang FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)), " +
+        "cells AS (SELECT d.lang, p.pred_lang, count(*) AS n_docs FROM pred p JOIN documents d ON p.doc_id = d.doc_id GROUP BY 1, 2) " +
+        "SELECT lang, pred_lang, n_docs, " +
+        "floor(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang) * 1000000 + 0.5) / 1000000 AS label_share FROM cells"),
     "text_quality" ->
       ("SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, " +
         "round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS avg_token_len, " +
