@@ -202,6 +202,11 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("retention cohort sizes broadcast back to the offset aggregation") {
+    val p = plan(Analytics.retentionCohort(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"cohort sizes should broadcast:\n$p")
+  }
+
   test("perplexity bigram counts line up with token counts (n_bigrams = n_ws - 1)") {
     import org.apache.spark.sql.functions._
     val joined = TextOps.perplexity(spark, sf)
