@@ -350,11 +350,15 @@ object Dedup {
 
   /** End-to-end dedup: the surviving corpus after exact AND near-dup
     * removal — one row per kept (canonical) document with the number of
-    * documents it represents. Edges = LSH candidate pairs UNION exact-hash
-    * star edges (canonical -> every identical copy). The exact edges matter
-    * under salting: identical docs split across salt groups are not LSH
-    * pairs, but the hash star reconnects them, so a duplicate set always
-    * collapses to ONE survivor regardless of bucket density. */
+    * documents it represents. Edges = VERIFIED near-dup pairs (exact
+    * n-gram Jaccard over the LSH candidates — raw candidates over-merge:
+    * docs sharing any single minhash chain whole sources into one cluster)
+    * UNION exact-hash star edges (canonical -> every identical copy). The
+    * exact edges matter under salting: identical docs split across salt
+    * groups are not LSH pairs, but the hash star reconnects them, so a
+    * duplicate set always collapses to ONE survivor regardless of bucket
+    * density. `clusterAssign` stays the candidate-graph view; this is the
+    * verified corpus-level answer. */
   def survivors(s: SparkSession, dir: String): DataFrame = {
     val hx = docs(s, dir).select(col("doc_id"), md5Hex(col("text")).as("h"))
     val canon = hx.groupBy("h").agg(min(col("doc_id")).as("canon"))
@@ -362,7 +366,7 @@ object Dedup {
       .filter(col("doc_id") =!= col("canon"))
       .select(col("canon").as("doc_a"), col("doc_id").as("doc_b"))
     ccLabels(docs(s, dir).select(col("doc_id")),
-      minhashLsh(s, dir).unionAll(exactPairs))
+      minhashVerified(s, dir).select(col("doc_a"), col("doc_b")).unionAll(exactPairs))
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_repr"))
       .select(col("cluster_id").as("doc_id"), col("n_repr"))
   }
@@ -444,6 +448,27 @@ object Dedup {
   private def simhashBlockSql(c: String): String =
     s"CASE bi WHEN 0 THEN CAST($c % 4194304 AS BIGINT) WHEN 1 THEN CAST(($c // 4194304) % 2097152 AS BIGINT) ELSE CAST($c // 8796093022208 AS BIGINT) END"
 
+  /** CTE chain (requires WITH RECURSIVE) ending in `lab(doc_id,
+    * cluster_id)` — the connected-components labeling over LSH pairs ∪
+    * exact-hash star edges. Shared by the `dedup_survivors` oracle and the
+    * composed curation oracle in Pipeline. */
+  private[operators] def survivorLabCtes: String =
+    s"$lshCtes, pairs AS ($lshPairsSelect), " +
+      "shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh WHERE len(sh) > 0), " +
+      "vp AS (SELECT doc_a, doc_b FROM (SELECT c.doc_a, c.doc_b, " +
+      "round(CAST(len(list_intersect(a.dsh, b.dsh)) AS DOUBLE) / " +
+      "(len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh))), 4) AS jaccard " +
+      "FROM pairs c JOIN shd a ON a.doc_id = c.doc_a JOIN shd b ON b.doc_id = c.doc_b) " +
+      s"WHERE jaccard >= $JaccardThreshold), " +
+      "hx AS (SELECT doc_id, md5(text) AS h FROM documents), " +
+      "hc AS (SELECT h, min(doc_id) AS canon FROM hx GROUP BY h), " +
+      "epairs AS (SELECT hc.canon AS doc_a, hx.doc_id AS doc_b FROM hx JOIN hc ON hx.h = hc.h WHERE hx.doc_id <> hc.canon), " +
+      "ap AS (SELECT doc_a, doc_b FROM vp UNION ALL SELECT doc_a, doc_b FROM epairs), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM ap UNION ALL SELECT doc_b AS src, doc_a AS dst FROM ap), " +
+      "reach(src, dst) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+      "lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)"
+
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
@@ -476,15 +501,7 @@ object Dedup {
         "FROM cand c JOIN shd a ON a.doc_id = c.doc_a JOIN shd b ON b.doc_id = c.doc_b) " +
         s"WHERE jaccard >= $JaccardThreshold"),
     "dedup_survivors" ->
-      (s"WITH RECURSIVE $lshCtes, pairs AS ($lshPairsSelect), " +
-        "hx AS (SELECT doc_id, md5(text) AS h FROM documents), " +
-        "hc AS (SELECT h, min(doc_id) AS canon FROM hx GROUP BY h), " +
-        "epairs AS (SELECT hc.canon AS doc_a, hx.doc_id AS doc_b FROM hx JOIN hc ON hx.h = hc.h WHERE hx.doc_id <> hc.canon), " +
-        "ap AS (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_a, doc_b FROM epairs), " +
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM ap UNION ALL SELECT doc_b AS src, doc_a AS dst FROM ap), " +
-        "reach(src, dst) AS (SELECT doc_id, doc_id FROM documents " +
-        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
-        "lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src) " +
+      (s"WITH RECURSIVE $survivorLabCtes " +
         "SELECT cluster_id AS doc_id, count(*) AS n_repr FROM lab GROUP BY cluster_id"),
     "dedup_simhash" ->
       (s"SELECT doc_id, ${simhashSignedSql("s")} AS simhash " +

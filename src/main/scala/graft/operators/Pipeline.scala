@@ -29,6 +29,15 @@ object Pipeline {
       .select(col("doc_id"), col("pred_lang"), col("quality_score"))
   }
 
+  /** The full curation capstone: `curate`'s language/quality/exact-dedup
+    * gates PLUS near-dup removal — only cluster-canonical survivors
+    * (Dedup.survivors: CC over LSH pairs ∪ exact-hash stars) pass. A
+    * cluster's canonical doc is also its own hash group's canonical, so
+    * this strictly refines `curate`; the semi-join ships bare doc_ids. */
+  def curateNearDup(s: SparkSession, dir: String): DataFrame =
+    curate(s, dir)
+      .join(Dedup.survivors(s, dir).select(col("doc_id")), Seq("doc_id"), "left_semi")
+
   /** Deterministic train/val/test split: md5 of the doc id buckets every
     * document reproducibly — no RNG, stable under re-runs and re-partitions,
     * replayable by any engine. 90/5/5 by hex prefix. */
@@ -108,6 +117,7 @@ object Pipeline {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> (curate _),
+    "pipeline_curate_neardup" -> (curateNearDup _),
     "pipeline_split" -> (split _),
     "pipeline_decontaminate" -> (decontaminate _),
     "pipeline_pack" -> (pack _),
@@ -150,5 +160,14 @@ object Pipeline {
         "keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)) " +
         "SELECT l.doc_id, l.pred_lang, q.quality_score FROM lang l JOIN qual q ON l.doc_id = q.doc_id " +
         s"WHERE l.pred_lang = 'en' AND q.quality_score >= $QualityThreshold " +
-        "AND l.doc_id IN (SELECT keep_id FROM keep)"))
+        "AND l.doc_id IN (SELECT keep_id FROM keep)"),
+    "pipeline_curate_neardup" ->
+      (s"WITH RECURSIVE ${Dedup.survivorLabCtes}, " +
+        s"lang AS (${TextOps.oracles("text_langid")}), " +
+        s"qual AS (${TextOps.oracles("text_quality")}), " +
+        "keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)) " +
+        "SELECT l.doc_id, l.pred_lang, q.quality_score FROM lang l JOIN qual q ON l.doc_id = q.doc_id " +
+        s"WHERE l.pred_lang = 'en' AND q.quality_score >= $QualityThreshold " +
+        "AND l.doc_id IN (SELECT keep_id FROM keep) " +
+        "AND l.doc_id IN (SELECT DISTINCT cluster_id FROM lab)"))
 }

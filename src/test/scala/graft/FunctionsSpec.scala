@@ -133,5 +133,15 @@ class FunctionsSpec extends SparkSpec {
     val sig = spark.sql("SELECT graft_lsh_sign(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 8, 2) AS s")
       .collect().head.getLong(0)
     assert(sig >= 0 && sig < 256)
+    val sh64 = spark.sql("SELECT graft_simhash64('spark sql engine') AS h").collect().head.getLong(0)
+    val sh64Df = spark.range(1)
+      .select(ShingleExpressions.simhash64(lit("spark sql engine"))).collect().head.getLong(0)
+    assert(sh64 == sh64Df)
+    val g = spark.sql("SELECT graft_grid_l2(array(CAST(1024 AS BIGINT)), array(CAST(0.0 AS DOUBLE))) AS d")
+      .collect().head.getDouble(0)
+    assert(g == 1.0)
+    val rec = spark.sql("SELECT graft_gensort_record(CAST(0 AS BIGINT)) AS r")
+      .collect().head.getAs[Array[Byte]](0)
+    assert(rec.length == 100 && rec.sameElements(GensortLcg.record(0L)))
   }
 }
