@@ -16,8 +16,8 @@ import graft.sources.Tables
   *    quadratic Jaccard verification only ever runs on LSH candidates.
   *  - SimHash: one 64-bit long per doc; near-dup buckets shuffle longs.
   *  - embedding near-dup: blocked pairwise (here by `label`, standing in for
-  *    any coarse clustering/LSH prefix) — the all-pairs cross join never
-  *    materializes.
+  *    any coarse clustering/LSH prefix), dense labels salted into bounded
+  *    vec_id-mod groups — the all-pairs cross join never materializes.
   *
   * The hash family is md5-over-utf8 (see graft.functions) so every step is
   * replayable by the ANSI-SQL oracle — the whole LSH pipeline is
@@ -234,13 +234,40 @@ object Dedup {
     labels
   }
 
+  /** Label blocks are COARSE — a block holds corpus/|labels| vectors, so an
+    * unsalted label self-join is an unbounded quadratic at 100 TB (think
+    * "en" as a label). Cap sized above the organic block sizes of every
+    * test corpus (max observed: 218 at sf0.1) so salting is a no-op on real
+    * test data while still bounding any dense label at scale. */
+  val LabelCap = 256
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (stand-in for any
-    * coarse clustering key at scale). Double-precision left-to-right dot. */
+    * coarse clustering key at scale). Double-precision left-to-right dot.
+    *
+    * The block self-join runs under the SAME salted-bucket skew policy as
+    * every other candidate path (minhash r=1/banded, simhash blocks, ngram
+    * posting lists, knn buckets): a broadcast census counts label sizes
+    * (map-side partial agg — vector rows never move to be counted), ships
+    * back ONLY oversized labels, and splits them into ceil(n/LabelCap)
+    * deterministic vec_id-mod salt groups; pairs expand only within a
+    * group, so per-task quadratic work stays ~LabelCap^2/2. The 2x-cap
+    * group census is the safety net for uneven modulo splits. Cross-salt
+    * pairs are forgone — the same bounded recall trade the LSH paths make,
+    * never a silent full-block loss. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
-    val a = e.as("a")
-    val b = e.as("b")
-    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    val dense = e.groupBy("label").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > LabelCap)
+    val salted = e.join(broadcast(dense), Seq("label"), "left")
+      .withColumn("salt", pmod(col("vec_id"),
+        coalesce(expr(s"(bn + ${LabelCap - 1L}) DIV ${LabelCap.toLong}"), lit(1L))))
+      .select(col("label"), col("salt"), col("vec_id"), col("embedding"))
+    val oversized = salted.groupBy("label", "salt").agg(count(lit(1)).as("gn"))
+      .filter(col("gn") > 2L * LabelCap)
+    val bounded = salted.join(broadcast(oversized), Seq("label", "salt"), "left_anti")
+    bounded.as("a")
+      .join(bounded.as("b"), col("a.label") === col("b.label") &&
+        col("a.salt") === col("b.salt") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cosineSim(col("a.embedding"), col("b.embedding")), 4).as("cos"))
       .filter(col("cos") >= CosineThreshold)
@@ -534,10 +561,17 @@ object Dedup {
         s"SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard FROM pairs " +
         s"WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= $JaccardThreshold"),
     "dedup_embedding" ->
-      ("WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+      // Salt mirror: ceil(bn/cap) computed for ALL labels (== 1 below the
+      // cap, where Spark's broadcast side has no row and coalesces to 1).
+      ("WITH census AS (SELECT label, count(*) AS bn FROM embeddings GROUP BY label), " +
+        s"salted AS (SELECT e.label, e.vec_id, e.embedding, e.vec_id % ((c.bn + ${LabelCap - 1}) // $LabelCap) AS salt " +
+        "FROM embeddings e JOIN census c ON c.label = e.label), " +
+        "grp AS (SELECT label, salt, count(*) AS gn FROM salted GROUP BY 1, 2), " +
+        s"bounded AS (SELECT s.* FROM salted s JOIN grp g ON g.label = s.label AND g.salt = s.salt WHERE g.gn <= ${2 * LabelCap}), " +
+        "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
         "round(list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / " +
         "(sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) * " +
         "sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4) AS cos " +
-        "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id) " +
+        "FROM bounded a JOIN bounded b ON a.label = b.label AND a.salt = b.salt AND a.vec_id < b.vec_id) " +
         s"SELECT vec_a, vec_b, cos FROM p WHERE cos >= $CosineThreshold"))
 }

@@ -75,19 +75,46 @@ object Pipeline {
   /** Context-window packing planner (concat-and-chunk): documents are laid
     * end-to-end per source in doc_id order and cut into `CtxTokens`-token
     * context windows; the output is the chunk manifest (docs, tokens, fill
-    * ratio per chunk) a sequence-packing writer would execute. One window
-    * per source — the cumulative sum shuffles on source only, so packing
-    * scales with sources × docs-per-source and never materializes text. */
+    * ratio per chunk) a sequence-packing writer would execute.
+    *
+    * The cumulative token position is a DISTRIBUTED two-level prefix sum —
+    * the classic scan decomposition — never a `Window.partitionBy(source)`
+    * over the raw doc stream (that ships EVERY row of a source to one task
+    * and sorts it there: ~5 TB per window partition at 100 TB with tens of
+    * sources). Level 1 windows only within (source, block) — ≤ PackBlock
+    * doc_ids per partition, cache-sized by construction; level 2 prefix-sums
+    * the per-block subtotals (a PackBlock-fold smaller relation) and
+    * BROADCASTS the offsets back, so each row's global position is computed
+    * map-side. Output values are bit-identical to the single-window form. */
   val CtxTokens = 512
 
+  /** Docs per prefix-sum block. Sized so the sf-test corpus spans multiple
+    * blocks (500 docs → 8 blocks); at real scale PackBlock grows to ~10^6 so
+    * level-1 windows stay cache-sized while the level-2 relation shrinks to
+    * corpus/PackBlock rows per source. A third level repeats the same
+    * decomposition if sources ever exceed PackBlock^2 docs. */
+  val PackBlock = 64
+
   def pack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import graft.functions.wsTokens
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    graft.sources.Tables.load(s, dir, "documents")
+    val base = graft.sources.Tables.load(s, dir, "documents")
       .select(col("source"), col("doc_id"), size(wsTokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("blk", expr(s"doc_id DIV $PackBlock"))
+    // Level 1: running sum inside each (source, block) — bounded partitions.
+    val wLocal = Window.partitionBy(col("source"), col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = base.withColumn("lcum", sum(col("n_tok")).over(wLocal))
+    // Level 2: per-block subtotals (map-side partial agg), then the prefix
+    // of PRIOR blocks per source — a window over the tiny block relation.
+    val wOff = Window.partitionBy(col("source")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("source"), col("blk"))
+      .agg(sum(col("n_tok")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .select(col("source"), col("blk"), col("off"))
+    local.join(broadcast(offsets), Seq("source", "blk"))
+      .withColumn("cum", col("lcum") + col("off"))
       // chunk = which context window this doc STARTS in (integer division —
       // exact, engine-portable; docs can straddle a boundary by design in
       // the concat-and-chunk model)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
@@ -10,11 +10,14 @@ import graft.sources.Tables
   * table (vec_id, embedding array<float>[64], label).
   *
   * Scale design (100 TB): the query set is small and is BROADCAST against the
-  * corpus — one narrow pass, no corpus shuffle; top-k per query is a window
-  * over (query, candidate) pairs whose cardinality is |Q| * |corpus|, further
-  * cut by LSH bucketing in the ANN variant (only same-signature buckets
-  * join). Ranking ties break on rounded score then vec_id so results are
-  * deterministic across engines and runs.
+  * corpus — one narrow pass, no corpus shuffle; top-k per query runs through
+  * the custom TopKPerKey physical operator (per-partition bounded heaps →
+  * shuffle at most k survivors per (query, partition) — a window would ship
+  * each query's FULL scored scan to one task and sort it there), then a rank
+  * window over the <=k survivors assigns positions. Candidate volume is
+  * further cut by LSH bucketing in the ANN variants (only same-signature
+  * buckets join). Ranking ties break on rounded score then vec_id so results
+  * are deterministic across engines and runs.
   */
 object Similarity {
 
@@ -43,10 +46,20 @@ object Similarity {
         col("q.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
         round(cosineSim(col("q.embedding"), col("c.embedding")), 4).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+    rankTopK(scored, col("cos").desc)
+  }
+
+  /** Shared ranking tail for the per-query paths: TopKPerKey bounds the
+    * shuffle to k rows per (query, partition) — the map-side-heap shape
+    * `sim_knn_graph` pioneered — and the rank window only ever sees the
+    * <=TopK survivors per query (never the raw scored relation). The
+    * survivor set equals the window-filter set exactly because the order
+    * (score, then neighbor_id) is total. */
+  private def rankTopK(scored: DataFrame, scoreOrd: Column): DataFrame = {
+    val top = graft.plans.TopKPerKey.topKPerKey(scored, Seq("query_id"),
+      Seq(scoreOrd, col("neighbor_id").asc), TopK)
+    top.withColumn("rank", row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(scoreOrd, col("neighbor_id").asc)))
   }
 
   /** ANN via multi-table LSH: a candidate must share a bucket with the
@@ -81,14 +94,13 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    cands
+    val scored = cands
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")), Seq("neighbor_id"))
       .join(broadcast(e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosineSim(col("q_emb"), col("n_emb")), 4).as("cos"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
+    rankTopK(scored, col("cos").desc)
   }
 
   /** 8 coarse lists trained on the deterministic 1-in-TrainMod sample;
@@ -169,46 +181,45 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cent_id").asc)))
       .filter(col("prn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cent_id"))
-    val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    assign.join(probes, Seq("cent_id"))
+    val scored = assign.join(probes, Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosineSim(col("q_emb"), col("embedding")), 4).as("cos"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= TopK)
+    rankTopK(scored, col("cos").desc)
   }
 
-  /** Product quantization: 64 dims = 16 subspaces x 4 dims, 16 centroids
+  /** Product quantization: 64 dims = 16 subspaces x 4 dims, 32 centroids
     * per subspace -> a corpus vector compresses to 16 5-bit codes (10 bytes
     * vs 256) — the compression that lets a 100 TB embedding store scan in
-    * memory. With a 16-value codebook, narrow subspaces beat wide ones
+    * memory. With a 32-value codebook, narrow subspaces beat wide ones
     * (quantization error per subspace ~ dims/codebook); at real scale
     * PqCentroids grows to 256 (1 byte/code) and subspaces widen to 8. */
   val PqSubspaces = 16
   val PqSubDims = 4
   val PqCentroids = 32
   /** PQ trains longer than the coarse IVF quantizer: 16 independent 4-dim
-    * problems converge cheaply (sample x 16 centroids per round). */
+    * problems converge cheaply (sample x 32 centroids per round). */
   val PqIters = 2
 
   /** PQ-compressed ANN (asymmetric distance computation, after Jegou et
     * al.'s product-quantization construction): subquantizers train with
-    * `KMeansIters` Lloyd's rounds on the deterministic sample, every corpus
-    * vector encodes to its 8 nearest subspace centroids, and queries scan
-    * the CODES — per query, 16 partial squared distances per subspace form
-    * a lookup table (broadcast), and a vector's approximate distance is the
-    * sum of 8 table entries. No full vector is touched at scan time.
+    * `PqIters` Lloyd's rounds on the deterministic sample, each of a corpus
+    * vector's 16 subspaces encodes to the nearest of its 32 centroids, and
+    * queries scan the CODES — per query, 32 partial squared distances per
+    * subspace form a lookup table (broadcast), and a vector's approximate
+    * distance is the sum of 16 table entries (one per subspace). No full
+    * vector is touched at scan time.
     *
     * Determinism (oracle replays end to end): components quantize to the
     * 1/1024 grid; Lloyd's assignment ranks on round(subspace L2^2, 4) with
     * cent_id tie-break (the `sim_ann_ivf` recipe); ADC table entries are
-    * exact micro-unit longs (floor(d*1e6+0.5)), so the 8-way sum is
+    * exact micro-unit longs (floor(d*1e6+0.5)), so the 16-way sum is
     * integer — order-independent — and ranking on it is total with the
     * neighbor_id tie-break.
     *
     * Scale shape: training touches the fixed sample; encoding is one
-    * broadcast pass (|corpus| x 16 subspace distances per subspace);
-    * scoring joins codes against a BROADCAST table of |queries| x 8 x 16
+    * broadcast pass (32 centroid distances per subspace per vector);
+    * scoring joins codes against a BROADCAST table of |queries| x 16 x 32
     * entries and partial-aggregates map-side — the only shuffle carries
     * one row per (query, vector). This is the compressed linear scan; at
     * 100 TB it composes with `sim_ann_ivf`'s coarse lists to prune the
@@ -257,15 +268,12 @@ object Similarity {
       .join(broadcast(cent), Seq("m"))
       .select(col("vec_id").as("query_id"), col("m"), col("cent_id"),
         floor(subDist * 1e6 + 0.5).cast("long").as("pd6"))
-    val wR = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist2_pq").asc, col("neighbor_id").asc)
-    codes.join(broadcast(lut), Seq("m", "cent_id"))
+    val scored = codes.join(broadcast(lut), Seq("m", "cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg((sum(col("pd6")).cast("double") / 1e6).as("dist2_pq"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("dist2_pq"))
-      .withColumn("rank", row_number().over(wR))
-      .filter(col("rank") <= TopK)
+    rankTopK(scored, col("dist2_pq").asc)
   }
 
   val GraphK = 3
@@ -418,8 +426,8 @@ object Similarity {
         "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank FROM cands) " +
         s"WHERE rank <= $TopK"),
     "sim_ann_pq" -> {
-      // Subspace m of qemb is elements m*8+1 .. m*8+8; mirror of `subDist`
-      // against a (m, cent) relation.
+      // Subspace m of qemb is elements m*4+1 .. m*4+4 (PqSubDims = 4);
+      // mirror of `subDist` against a (m, cent) relation.
       def dSql(q: String, c: String, m: String): String =
         s"list_sum(list_transform(generate_series(1, $PqSubDims), j -> " +
           s"(CAST($q[$m * $PqSubDims + j] AS DOUBLE) / 1024.0 - $c[j]) * " +

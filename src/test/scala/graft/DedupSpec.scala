@@ -85,6 +85,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("degenerate embedding corpus: a dense label salts into bounded vec_id-mod groups") {
+    // 600 identical vectors under ONE label: unsalted, that block is a
+    // 600*599/2-pair quadratic wherever the label lands. The gated path
+    // salts it into ceil(600/LabelCap) = 3 vec_id-mod groups and keeps
+    // exactly the within-group pairs (cos = 1.0 for all of them).
+    val dir = java.nio.file.Files.createTempDirectory("graft_embdegen").toString
+    val s = spark
+    import s.implicits._
+    val emb = Seq.fill(64)(0.5f)
+    (0L until 600L).map(i => (i, emb, 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = pairs(Dedup.embeddingNearDup(spark, dir))
+    val groups = (600 + Dedup.LabelCap - 1) / Dedup.LabelCap
+    assert(groups == 3)
+    val expected = (for {
+      a <- 0L until 600L; b <- a + 1 until 600L; if a % groups == b % groups
+    } yield (a, b)).toSet
+    assert(got == expected,
+      s"embedding salting must keep exactly the within-salt-group pairs (got ${got.size}, want ${expected.size})")
+  }
+
   test("degenerate corpus collapses to a single survivor despite salting") {
     // Identical docs split across salt groups are not LSH pairs, but the
     // exact-hash star edges reconnect them: 500 verbatim copies -> one

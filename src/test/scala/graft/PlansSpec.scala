@@ -127,6 +127,21 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("pack's cumulative sum is a two-level prefix sum, never a per-source window over raw docs") {
+    // `sum over Window.partitionBy(source).orderBy(doc_id)` on the raw doc
+    // stream ships an ENTIRE source to one task (~5 TB per partition at
+    // 100 TB) — the windows allowed here are the block-local cumsum
+    // (partition key (source, blk), bounded by PackBlock doc_ids) and the
+    // per-source prefix over block SUBTOTALS (a PackBlock-fold smaller
+    // relation); the offsets then broadcast back.
+    val p = plan(graft.operators.Pipeline.pack(spark, sf))
+    assert("windowspecdefinition\\(source#\\d+, doc_id".r.findFirstIn(p).isEmpty,
+      s"pack windows the raw per-source doc stream on one task:\n$p")
+    assert("windowspecdefinition\\(source#\\d+, blk#\\d+L?, doc_id".r.findFirstIn(p).isDefined,
+      s"expected the block-local bounded cumsum window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"block offsets must broadcast back:\n$p")
+  }
+
   test("packing manifest tokens add up to the corpus token count") {
     import org.apache.spark.sql.functions._
     val packed = graft.operators.Pipeline.pack(spark, sf)
@@ -196,9 +211,33 @@ class PlansSpec extends SparkSpec {
     // bucket to ONE task before the salt exists — the 100 TB anti-pattern
     // this guards against. The census must be a groupBy count broadcast back.
     Seq("dedup_simhash_pairs" -> plan(Dedup.simhashPairs(spark, sf)),
-        "sim_knn_graph" -> plan(Similarity.knnGraph(spark, sf))).foreach { case (name, p) =>
+        "sim_knn_graph" -> plan(Similarity.knnGraph(spark, sf)),
+        "dedup_embedding" -> plan(Dedup.embeddingNearDup(spark, sf))).foreach { case (name, p) =>
       assert(!p.contains("Window"), s"$name plans a windowed bucket census:\n$p")
       assert(p.contains("BroadcastHashJoin"), s"$name bucket counts are not broadcast back:\n$p")
+    }
+  }
+
+  test("per-query ANN top-k ranks through TopKPerKey, never a window over the raw scan") {
+    // A `row_number over Window.partitionBy(query_id)` on the scored relation
+    // ships each query's FULL scored scan (the whole corpus, for bruteforce
+    // and the PQ compressed scan) to one task and fully sorts it — 20 tasks
+    // of 10^9-row sort+spill at 100 TB while the cluster idles. The custom
+    // TopKPerKey operator must bound the shuffle first; the only Window
+    // allowed is the rank assignment ABOVE it (input <= k rows per query).
+    Seq("sim_topk_bruteforce" -> plan(Similarity.topkBruteforce(spark, sf)),
+        "sim_ann_pq" -> plan(Similarity.annPq(spark, sf)),
+        "sim_ann_lsh" -> plan(Similarity.annLsh(spark, sf)),
+        "sim_ann_ivf" -> plan(Similarity.annIvf(spark, sf))).foreach { case (name, p) =>
+      assert(p.contains("TopKPerKey"), s"$name must rank through TopKPerKey:\n$p")
+      assert(p.indexOf("Window") >= 0 && p.indexOf("Window") < p.indexOf("TopKPerKey"),
+        s"$name rank window must consume TopKPerKey's survivors:\n$p")
+    }
+    // bruteforce and PQ have no other windows at all: exactly the rank one
+    Seq("sim_topk_bruteforce" -> plan(Similarity.topkBruteforce(spark, sf)),
+        "sim_ann_pq" -> plan(Similarity.annPq(spark, sf))).foreach { case (name, p) =>
+      assert("Window".r.findAllIn(p).size == 1,
+        s"$name must plan exactly the bounded rank window:\n$p")
     }
   }
 

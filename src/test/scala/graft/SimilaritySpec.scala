@@ -54,7 +54,7 @@ class SimilaritySpec extends SparkSpec {
     val r = (got & exactL2).size.toDouble / exactL2.size
     info(f"PQ recall@${Similarity.TopK} = $r%.3f")
     assert(r >= 0.4, s"PQ recall $r below floor")
-    // every query scores every other vector through all 8 subspace codes
+    // every query scores every other vector through all 16 subspace codes
     val n = graft.sources.Tables.load(spark, sf, "embeddings").count()
     val perQuery = pq.groupBy("query_id").count().agg(min("count")).collect().head.getLong(0)
     assert(perQuery == Similarity.TopK, "PQ scan must rank a full top-k per query")
