@@ -23,6 +23,11 @@ object EventStreams {
   val SessionGapUs: Long = 30L * 60 * 1000000 // 30 minutes
 
   case class Ev(user_id: Long, event_id: Long, us: Long, cents: Long)
+  /** Stream-side event carrying the watermark column: EventTimeTimeout
+    * requires the watermarked attribute to survive into the
+    * flatMapGroupsWithState input, so the typed row keeps `ets`. */
+  case class EvW(user_id: Long, event_id: Long, us: Long, cents: Long,
+      ets: java.sql.Timestamp)
   case class SessionRow(user_id: Long, session_id: Long, n_events: Long,
       start_us: Long, end_us: Long, total_cents: Long)
 
@@ -106,37 +111,68 @@ object EventStreams {
   }
 
   /** Streaming sessionization via flatMapGroupsWithState: emits sessions as
-    * they close; each user's open session stays in the state store (so with
-    * a single AvailableNow batch the last session per user is not emitted —
-    * it is still open). */
+    * they close. Each user's open session lives in the state store under an
+    * EVENT-TIME TIMEOUT of one session gap past its last event — when the
+    * watermark passes end + gap with no new events, the session is complete
+    * by definition, so it is emitted and its state REMOVED. Without the
+    * timeout (round-3 shape: NoTimeout), every user who ever goes quiet
+    * would leave an open session in the state store forever — on an
+    * unbounded stream the store grows with lifetime-distinct users until
+    * the job dies. With it, state size tracks ACTIVE users inside the
+    * watermark horizon, and the "closed sessions" output is complete
+    * rather than truncated at each user's final session.
+    *
+    * `glob`/`checkpoint` exist for the restart spec: a second AvailableNow
+    * run over the same checkpoint picks up new files, advances the
+    * watermark, and fires the pending timeouts (StreamingSpec). */
   def startSessionizeStream(s: SparkSession, dir: String, name: String,
-      gapUs: Long = SessionGapUs): org.apache.spark.sql.streaming.StreamingQuery = {
+      gapUs: Long = SessionGapUs, glob: String = "events.parquet",
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val rawSchema = s.read.option("pathGlobFilter", glob).parquet(dir).schema
     val typed = s.readStream
       .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
-      .select(
-        col("user_id"), col("event_id"),
-        expr("ts div 1000").as("us"),
-        (dec(col("value"), 10, 2) * 100).cast("long").as("cents")).as[Ev]
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("ets", expr("timestamp_micros(us)"))
+      .withWatermark("ets", "1 hour")
+      .select(col("user_id"), col("event_id"), col("us"),
+        (dec(col("value"), 10, 2) * 100).cast("long").as("cents"), col("ets")).as[EvW]
+    val gapMs = gapUs / 1000
     val sessions = typed
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[Ev], state: GroupState[SessionRow]) =>
-          val (closed, open) =
-            sessionStep(user, it, if (state.exists) Some(state.get) else None, gapUs)
-          open.foreach(state.update)
-          closed.iterator
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[EvW], state: GroupState[SessionRow]) =>
+          if (state.hasTimedOut) {
+            // The gap elapsed in event time with no new events: the open
+            // session is complete — emit it and drop the state entry.
+            val open = state.get
+            state.remove()
+            Iterator.single(open)
+          } else {
+            val (closed, open) = sessionStep(user,
+              it.map(e => Ev(e.user_id, e.event_id, e.us, e.cents)),
+              if (state.exists) Some(state.get) else None, gapUs)
+            open.foreach { o =>
+              state.update(o)
+              // A timer at-or-before the current watermark is rejected by
+              // Spark; an already-expired open session fires on the next
+              // watermark advance instead.
+              state.setTimeoutTimestamp(
+                math.max(o.end_us / 1000 + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.iterator
+          }
       }
-    sessions.writeStream
+    val sink = sessions.writeStream
       .outputMode("append")
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
-      .start()
+    checkpoint.foreach(cp => sink.option("checkpointLocation", cp))
+    sink.start()
   }
 
   /** Stream-stream interval join: purchases matched to same-user views in
