@@ -124,10 +124,11 @@ object EventStreams {
     *
     * `glob`/`checkpoint` exist for the restart spec: a second AvailableNow
     * run over the same checkpoint picks up new files, advances the
-    * watermark, and fires the pending timeouts (StreamingSpec). */
-  def startSessionizeStream(s: SparkSession, dir: String, name: String,
-      gapUs: Long = SessionGapUs, glob: String = "events.parquet",
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    * watermark, and fires the pending timeouts (StreamingSpec
+    * "sessionizer checkpoint restart"). */
+  def sessionizeStreamDS(s: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      gapUs: Long = SessionGapUs): Dataset[SessionRow] = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     val rawSchema = s.read.option("pathGlobFilter", glob).parquet(dir).schema
@@ -166,13 +167,41 @@ object EventStreams {
             closed.iterator
           }
       }
-    val sink = sessions.writeStream
+    sessions
+  }
+
+  /** Streaming sessionizer → memory sink (one-shot spec path). */
+  def startSessionizeStream(s: SparkSession, dir: String, name: String,
+      gapUs: Long = SessionGapUs, glob: String = "events.parquet",
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val sink = sessionizeStreamDS(s, dir, glob, gapUs).writeStream
       .outputMode("append")
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
     checkpoint.foreach(cp => sink.option("checkpointLocation", cp))
     sink.start()
+  }
+
+  /** One restartable AvailableNow pass of the sessionizer: resume state from
+    * `checkpoint`, ingest any files under `dir` matching `glob` that the
+    * checkpoint has not seen, append newly closed / timed-out sessions to the
+    * `outPath` parquet sink, and stop. This is the production shape for an
+    * event pipeline fed by periodic file drops: each scheduled run picks up
+    * the new files, the watermark advances, pending event-time timeouts fire,
+    * and state for completed sessions is dropped — across process restarts,
+    * because every piece of state lives in the checkpoint, not the JVM. */
+  def runSessionizeStep(s: SparkSession, dir: String, checkpoint: String,
+      outPath: String, glob: String = "*.parquet",
+      gapUs: Long = SessionGapUs): Unit = {
+    val q = sessionizeStreamDS(s, dir, glob, gapUs).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** Stream-stream interval join: purchases matched to same-user views in

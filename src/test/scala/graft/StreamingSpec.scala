@@ -35,11 +35,19 @@ class StreamingSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
     val nUsers = batchAll.map(_._1).distinct.length
-    // everything the stream emitted must be a batch session, and it must be
-    // exactly the batch output minus each user's final (still-open) session
+    // EventTimeTimeout semantics: every gap-closed session emits, PLUS each
+    // user's final session whose timeout (end + gap, in ms) fell strictly
+    // behind the final watermark (max event time - 1 h). Final sessions still
+    // inside the horizon stay open in the state store and must NOT emit.
     val lastPerUser = batchAll.groupBy(_._1).values.map(_.maxBy(_._2)).toSet
-    assert(streamed == (batchAll.toSet -- lastPerUser),
-      s"streamed=${streamed.size} batch=${batchAll.length} users=$nUsers")
+    val gapMs = EventStreams.SessionGapUs / 1000
+    val wmMs = batchAll.map(_._5).max / 1000 - 3600000L
+    val timedOut = lastPerUser.filter(s => s._5 / 1000 + gapMs < wmMs)
+    val expected = (batchAll.toSet -- lastPerUser) ++ timedOut
+    assert(streamed == expected,
+      s"streamed=${streamed.size} expected=${expected.size} " +
+        s"(closed=${batchAll.length - lastPerUser.size} timedOut=${timedOut.size} " +
+        s"users=$nUsers)")
   }
 
   test("stream-stream interval join matches the batch join") {
@@ -82,6 +90,102 @@ class StreamingSpec extends SparkSpec {
       val rel = math.abs(est - ex).toDouble / ex
       assert(rel < 0.25, s"window $w: HLL estimate $est vs exact $ex (rel $rel)")
     }
+  }
+
+  // --- restartable file-drop harness for the checkpointed sessionizer -----
+
+  private val Min = 60L * 1000000 // one minute in micros
+  private val Hr = 60 * Min
+
+  /** Drop one parquet file of events (user_id, event_id, ts-nanos, value)
+    * into the stream input dir under a deterministic name. */
+  private def addEventsFile(in: String, tag: String,
+      rows: Seq[(Long, Long, Long, Double)]): Unit = {
+    val sp = spark
+    import sp.implicits._
+    val tmp = s"${in}_tmp_$tag"
+    rows.map { case (u, e, us, v) => (u, e, us * 1000, v) }
+      .toDF("user_id", "event_id", "ts", "value")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(in, s"$tag.parquet"))
+  }
+
+  /** All sessions emitted to the file sink so far, as comparable tuples
+    * (user_id, session_id, n_events, start_us, end_us, total_cents). */
+  private def emitted(out: String): Set[(Long, Long, Long, Long, Long, Long)] = {
+    val schema = org.apache.spark.sql.Encoders.product[EventStreams.SessionRow].schema
+    if (!new java.io.File(out).exists()) Set.empty
+    else spark.read.schema(schema).parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+  }
+
+  test("sessionizer checkpoint restart: timeouts fire across runs and state drops") {
+    val base = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val in = s"$base/in"; val cp = s"$base/cp"; val out = s"$base/out"
+    val t0 = 1700000000L * 1000000 // epoch micros
+    def run() = EventStreams.runSessionizeStep(spark, in, cp, out)
+
+    // run 1: user 1 has an open session; nothing is behind the watermark yet
+    addEventsFile(in, "f1", Seq((1L, 1L, t0, 1.0), (1L, 2L, t0 + 10 * Min, 2.0), (2L, 3L, t0, 1.0)))
+    run()
+    assert(emitted(out).isEmpty, "no session should close in run 1")
+
+    // run 2: a new file 3 h later advances the watermark to t0+2h — user 1's
+    // open session (timeout t0+40min) fires via hasTimedOut and its state
+    // drops; user 2's first session closes by gap against the new event
+    addEventsFile(in, "f2", Seq((2L, 4L, t0 + 3 * Hr, 1.0)))
+    run()
+    val afterRun2 = emitted(out)
+    assert(afterRun2 == Set(
+      (1L, 1L, 2L, t0, t0 + 10 * Min, 300L),
+      (2L, 1L, 1L, t0, t0, 100L)),
+      s"run 2 should emit user 1 via timeout and user 2 via gap: $afterRun2")
+
+    // run 3: another file 3 h later — if user 1's state had NOT been removed
+    // on timeout, it would re-emit here; only user 2's second session closes
+    addEventsFile(in, "f3", Seq((2L, 5L, t0 + 6 * Hr, 1.0)))
+    run()
+    val afterRun3 = emitted(out)
+    assert(afterRun3 -- afterRun2 == Set((2L, 2L, 1L, t0 + 3 * Hr, t0 + 3 * Hr, 100L)),
+      s"run 3 must emit only user 2's closed session (no duplicate for user 1): $afterRun3")
+    assert(afterRun3.count(_._1 == 1L) == 1, "timed-out state must not re-emit")
+  }
+
+  test("sessionizer late data: events behind the watermark do not resurrect state") {
+    val base = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val in = s"$base/in"; val cp = s"$base/cp"; val out = s"$base/out"
+    val t0 = 1700000000L * 1000000
+    def run() = EventStreams.runSessionizeStep(spark, in, cp, out)
+
+    addEventsFile(in, "f1", Seq((1L, 1L, t0, 1.0), (9L, 2L, t0, 1.0)))
+    run()
+    // watermark → t0+2h: user 1's session times out, user 9's closes by gap
+    addEventsFile(in, "f2", Seq((9L, 3L, t0 + 3 * Hr, 1.0)))
+    run()
+    val afterRun2 = emitted(out)
+    assert(afterRun2 == Set((1L, 1L, 1L, t0, t0, 100L), (9L, 1L, 1L, t0, t0, 100L)),
+      s"both initial sessions should have emitted: $afterRun2")
+
+    // run 3: a LATE user-1 event at t0+10min (watermark is t0+2h) plus an
+    // in-horizon user-9 event; the late event must be dropped, not open state
+    addEventsFile(in, "f3", Seq((1L, 4L, t0 + 10 * Min, 5.0), (9L, 5L, t0 + 3 * Hr + 10 * Min, 1.0)))
+    run()
+    // run 4: advance the watermark far enough (t0+8h) that ANY state user 1
+    // still held would fire — none may exist
+    addEventsFile(in, "f4", Seq((9L, 6L, t0 + 9 * Hr, 1.0)))
+    run()
+    val finalOut = emitted(out)
+    assert(finalOut.filter(_._1 == 1L) == Set((1L, 1L, 1L, t0, t0, 100L)),
+      s"late event resurrected user-1 state: ${finalOut.filter(_._1 == 1L)}")
+    assert(finalOut.filter(_._1 == 9L) == Set(
+      (9L, 1L, 1L, t0, t0, 100L),
+      (9L, 2L, 2L, t0 + 3 * Hr, t0 + 3 * Hr + 10 * Min, 200L)),
+      s"user-9 sessions wrong: ${finalOut.filter(_._1 == 9L)}")
   }
 
   test("sessionize invariants: sessions partition events, gaps exceed threshold") {
