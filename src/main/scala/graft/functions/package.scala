@@ -41,6 +41,13 @@ package object functions {
       if (huge) s"CAST($hv AS HUGEINT) * $pow" else s"$hv * $pow"
     }.mkString("(", " + ", ")")
 
+  /** 52-bit portable hash of a column's decimal-string form — the salting
+    * hash: uniform regardless of the id distribution (raw id-mod salting
+    * collapses strided ids into one group). Mirror:
+    * CAST(hexIntSql("md5(CAST(c AS VARCHAR))", 1, 13) AS BIGINT). */
+  def hash52(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 13), 16, 10).cast("long")
+
   /** n-word shingles of a token array, empty when fewer than n tokens.
     * Mirror: list_transform(generate_series(1, len(toks)-(n-1)),
     *                        i -> array_to_string(toks[i:i+n-1], ' '))

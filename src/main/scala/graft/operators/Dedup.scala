@@ -249,17 +249,22 @@ object Dedup {
     * posting lists, knn buckets): a broadcast census counts label sizes
     * (map-side partial agg — vector rows never move to be counted), ships
     * back ONLY oversized labels, and splits them into ceil(n/LabelCap)
-    * deterministic vec_id-mod salt groups; pairs expand only within a
-    * group, so per-task quadratic work stays ~LabelCap^2/2. The 2x-cap
-    * group census is the safety net for uneven modulo splits. Cross-salt
-    * pairs are forgone — the same bounded recall trade the LSH paths make,
-    * never a silent full-block loss. */
+    * salt groups keyed on the md5 hash of the vec_id (hash52) — uniform
+    * regardless of the id distribution, so strided or residue-correlated
+    * ids cannot collapse a dense label into one oversized group the way a
+    * raw vec_id-mod salt could. Pairs expand only within a group, so
+    * per-task quadratic work stays ~LabelCap^2/2. The 2x-cap group census
+    * remains as a safety net, but with a uniform hash the overflow it
+    * guards against needs a ~2x binomial deviation at n >= 256 — vanishing
+    * at any scale, rather than constructible by an adversarial id stride.
+    * Cross-salt pairs are forgone — the same bounded recall trade the LSH
+    * paths make, never a silent full-block loss. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
     val dense = e.groupBy("label").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > LabelCap)
     val salted = e.join(broadcast(dense), Seq("label"), "left")
-      .withColumn("salt", pmod(col("vec_id"),
+      .withColumn("salt", pmod(hash52(col("vec_id")),
         coalesce(expr(s"(bn + ${LabelCap - 1L}) DIV ${LabelCap.toLong}"), lit(1L))))
       .select(col("label"), col("salt"), col("vec_id"), col("embedding"))
     val oversized = salted.groupBy("label", "salt").agg(count(lit(1)).as("gn"))
@@ -564,7 +569,7 @@ object Dedup {
       // Salt mirror: ceil(bn/cap) computed for ALL labels (== 1 below the
       // cap, where Spark's broadcast side has no row and coalesces to 1).
       ("WITH census AS (SELECT label, count(*) AS bn FROM embeddings GROUP BY label), " +
-        s"salted AS (SELECT e.label, e.vec_id, e.embedding, e.vec_id % ((c.bn + ${LabelCap - 1}) // $LabelCap) AS salt " +
+        s"salted AS (SELECT e.label, e.vec_id, e.embedding, CAST(${graft.functions.hexIntSql("md5(CAST(e.vec_id AS VARCHAR))", 1, 13)} AS BIGINT) % ((c.bn + ${LabelCap - 1}) // $LabelCap) AS salt " +
         "FROM embeddings e JOIN census c ON c.label = e.label), " +
         "grp AS (SELECT label, salt, count(*) AS gn FROM salted GROUP BY 1, 2), " +
         s"bounded AS (SELECT s.* FROM salted s JOIN grp g ON g.label = s.label AND g.salt = s.salt WHERE g.gn <= ${2 * LabelCap}), " +

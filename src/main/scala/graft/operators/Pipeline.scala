@@ -88,19 +88,23 @@ object Pipeline {
     * map-side. Output values are bit-identical to the single-window form. */
   val CtxTokens = 512
 
-  /** Docs per prefix-sum block. Sized so the sf-test corpus spans multiple
-    * blocks (500 docs → 8 blocks); at real scale PackBlock grows to ~10^6 so
-    * level-1 windows stay cache-sized while the level-2 relation shrinks to
-    * corpus/PackBlock rows per source. A third level repeats the same
-    * decomposition if sources ever exceed PackBlock^2 docs. */
+  /** Default docs per prefix-sum block — the TEST-corpus size (500 docs →
+    * 8 blocks, so the two-level decomposition is exercised, not skipped).
+    * `pack` takes the block size as a parameter because the broadcast-back
+    * of level-2 offsets is only valid when `docs / packBlock` rows fit the
+    * driver: a deployment sizes packBlock ≈ corpusDocs / 10^6 (e.g. 10^5 at
+    * 10^11 docs → 10^6 offset rows of 24 bytes), keeping level-1 windows
+    * cache-sized AND the offsets relation broadcastable by construction. A
+    * third level repeats the same decomposition if a source ever exceeds
+    * packBlock^2 docs. */
   val PackBlock = 64
 
-  def pack(s: SparkSession, dir: String): DataFrame = {
+  def pack(s: SparkSession, dir: String, packBlock: Int = PackBlock): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.wsTokens
     val base = graft.sources.Tables.load(s, dir, "documents")
       .select(col("source"), col("doc_id"), size(wsTokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("blk", expr(s"doc_id DIV $PackBlock"))
+      .withColumn("blk", expr(s"doc_id DIV $packBlock"))
     // Level 1: running sum inside each (source, block) — bounded partitions.
     val wLocal = Window.partitionBy(col("source"), col("blk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -147,7 +151,7 @@ object Pipeline {
     "pipeline_curate_neardup" -> (curateNearDup _),
     "pipeline_split" -> (split _),
     "pipeline_decontaminate" -> (decontaminate _),
-    "pipeline_pack" -> (pack _),
+    "pipeline_pack" -> ((s: SparkSession, dir: String) => pack(s, dir)),
     "pipeline_sample_weighted" -> (sampleWeighted _))
 
   private val shingles5Sql =

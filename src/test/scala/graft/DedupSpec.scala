@@ -85,11 +85,13 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("degenerate embedding corpus: a dense label salts into bounded vec_id-mod groups") {
+  test("degenerate embedding corpus: a dense label salts into bounded md5-hash groups") {
     // 600 identical vectors under ONE label: unsalted, that block is a
     // 600*599/2-pair quadratic wherever the label lands. The gated path
-    // salts it into ceil(600/LabelCap) = 3 vec_id-mod groups and keeps
-    // exactly the within-group pairs (cos = 1.0 for all of them).
+    // salts it into ceil(600/LabelCap) = 3 md5-hash (hash52) groups and
+    // keeps exactly the within-group pairs (cos = 1.0 for all of them).
+    // Sequential 0..599 ids are exactly the strided layout that would
+    // collapse a raw id-mod salt if the stride matched the divisor.
     val dir = java.nio.file.Files.createTempDirectory("graft_embdegen").toString
     val s = spark
     import s.implicits._
@@ -99,8 +101,16 @@ class DedupSpec extends SparkSpec {
     val got = pairs(Dedup.embeddingNearDup(spark, dir))
     val groups = (600 + Dedup.LabelCap - 1) / Dedup.LabelCap
     assert(groups == 3)
+    def salt(v: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.substring(0, 13), 16) % groups
+    }
+    val bySalt = (0L until 600L).groupBy(salt)
+    assert(bySalt.size == groups && bySalt.values.forall(_.size <= 2 * Dedup.LabelCap),
+      s"hash salt must spread the label into $groups bounded groups: ${bySalt.view.mapValues(_.size).toMap}")
     val expected = (for {
-      a <- 0L until 600L; b <- a + 1 until 600L; if a % groups == b % groups
+      a <- 0L until 600L; b <- a + 1 until 600L; if salt(a) == salt(b)
     } yield (a, b)).toSet
     assert(got == expected,
       s"embedding salting must keep exactly the within-salt-group pairs (got ${got.size}, want ${expected.size})")
