@@ -35,14 +35,26 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> (timed(fn), math.min(timed(fn), timed(fn)))
     }
+    def r3(d: Double): Double = math.round(d * 1000) / 1000.0
     def obj(sel: ((Double, Double)) => Double): String = results
-      .map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
+      .map { case (k, v) => s"\"" + k + "\":" + r3(sel(v)) }.mkString("{", ",", "}")
     val coldTotal = results.map(_._2._1).sum
     val warmTotal = results.map(_._2._2).sum
-    // Headline warm numbers print LAST: the driver archives the final 2000
-    // chars of output, so the tail must carry the warm per-query dict and
-    // "value" (the r2 artifact kept only the cold dict and lost the warm).
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","cold_total":$coldTotal,"queries_cold":${obj(_._1)},"queries":${obj(_._2)},"value":$warmTotal}""")
+    // The driver archives only the final ~2000 chars of output; a single
+    // line with two 96-entry dicts (~6 KB) truncates mid-dictionary (the
+    // r4 artifact lost its first 33 timings and didn't parse). So: the FULL
+    // artifact goes out first on stdout AND to a file, and the LAST line is
+    // a compact, complete JSON — headline totals plus the 25 slowest warm
+    // queries — guaranteed to fit the archived tail and parse.
+    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","cold_total":${r3(coldTotal)},"queries_cold":${obj(_._1)},"queries":${obj(_._2)},"value":${r3(warmTotal)}}"""
+    println(full)
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val slow = results.sortBy(-_._2._2).take(25)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v._2) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","value":${r3(warmTotal)},"cold_total":${r3(coldTotal)},"n_queries":${results.size},"full_artifact":"$fullPath","queries":$slow}""")
     spark.stop()
   }
 }
