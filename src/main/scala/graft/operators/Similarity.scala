@@ -140,6 +140,20 @@ object Similarity {
   def annIvfIters(s: SparkSession, dir: String, iters: Int,
       nprobe: Int = NumProbes, trainMod: Int = TrainMod,
       numCentroids: Int = NumCentroids): DataFrame = {
+    val (assign, probes) = ivfParts(s, dir, iters, nprobe, trainMod, numCentroids)
+    val scored = assign.join(probes, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosineSim(col("q_emb"), col("embedding")), 4).as("cos"))
+    rankTopK(scored, col("cos").desc)
+  }
+
+  /** The trained coarse quantizer's two products, shared by `annIvf` (exact
+    * rerank inside probed lists) and `annIvfPq` (ADC inside probed lists):
+    * `assign` = (vec_id, embedding, cent_id) corpus→list assignment;
+    * `probes` = (query_id, q_emb, cent_id), each query's nprobe lists. */
+  private def ivfParts(s: SparkSession, dir: String, iters: Int,
+      nprobe: Int, trainMod: Int, numCentroids: Int): (DataFrame, DataFrame) = {
     val e = emb(s, dir)
     val qemb = transform(col("embedding"),
       v => floor(v.cast("double") * 1024 + 0.5).cast("long"))
@@ -181,11 +195,7 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cent_id").asc)))
       .filter(col("prn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cent_id"))
-    val scored = assign.join(probes, Seq("cent_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosineSim(col("q_emb"), col("embedding")), 4).as("cos"))
-    rankTopK(scored, col("cos").desc)
+    (assign, probes)
   }
 
   /** Product quantization: 64 dims = 16 subspaces x 4 dims, 32 centroids
@@ -223,8 +233,23 @@ object Similarity {
     * entries and partial-aggregates map-side — the only shuffle carries
     * one row per (query, vector). This is the compressed linear scan; at
     * 100 TB it composes with `sim_ann_ivf`'s coarse lists to prune the
-    * scan to probed inverted lists (IVF-PQ). */
+    * scan to probed inverted lists (IVF-PQ — `annIvfPq` below). */
   def annPq(s: SparkSession, dir: String): DataFrame = {
+    val (codes, lut) = pqParts(s, dir)
+    val scored = codes.join(broadcast(lut), Seq("m", "cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg((sum(col("pd6")).cast("double") / 1e6).as("dist2_pq"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("dist2_pq"))
+    rankTopK(scored, col("dist2_pq").asc)
+  }
+
+  /** The product quantizer's two products, shared by `annPq` (full
+    * compressed scan) and `annIvfPq` (scan restricted to probed lists):
+    * `codes` = (vec_id, m, cent_id), each corpus vector's 16 subspace
+    * codes; `lut` = (query_id, m, cent_id, pd6), each query's broadcastable
+    * integer ADC table. */
+  private def pqParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = emb(s, dir)
     val base = e.select(col("vec_id"),
       transform(col("embedding"), v => floor(v.cast("double") * 1024 + 0.5).cast("long")).as("qemb"))
@@ -268,8 +293,29 @@ object Similarity {
       .join(broadcast(cent), Seq("m"))
       .select(col("vec_id").as("query_id"), col("m"), col("cent_id"),
         floor(subDist * 1e6 + 0.5).cast("long").as("pd6"))
-    val scored = codes.join(broadcast(lut), Seq("m", "cent_id"))
+    (codes, lut)
+  }
+
+  /** IVF-PQ (the composition `annPq`'s scale note promises): the trained
+    * coarse quantizer prunes the scan to each query's `NumProbes` inverted
+    * lists, and scoring INSIDE those lists runs on PQ codes through the
+    * broadcast ADC table — no full vector is touched at query time. This
+    * is the standard billion-scale serving layout (Jegou et al.'s IVFADC):
+    * at 100 TB the per-query work is ~NumProbes/NumCentroids of a
+    * 10-byte-per-vector code store, with the probed-list restriction
+    * applied BEFORE the ADC join so unprobed codes are never scored. The
+    * only corpus-sized shuffle co-locates codes with their list ids; the
+    * probe set and the ADC table both broadcast. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val (assign, probes) = ivfParts(s, dir, KMeansIters, NumProbes, TrainMod, NumCentroids)
+    val (codes, lut) = pqParts(s, dir)
+    val lists = assign.select(col("vec_id"), col("cent_id").as("list_id"))
+    val plists = probes.select(col("query_id"), col("cent_id").as("list_id"))
+    val scored = codes
+      .join(lists, Seq("vec_id"))
+      .join(broadcast(plists), Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "cent_id"))
       .groupBy("query_id", "vec_id")
       .agg((sum(col("pd6")).cast("double") / 1e6).as("dist2_pq"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("dist2_pq"))
@@ -366,6 +412,7 @@ object Similarity {
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_ann_pq" -> (annPq _),
+    "sim_ann_ivfpq" -> (annIvfPq _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_knn_graph" -> (knnGraph _))
 
@@ -393,6 +440,14 @@ object Similarity {
     planeBits.mkString(" + ")
   }
   private val lshSigSql: String = lshSigSqlFor(NumPlanes)
+
+  /** Subspace m of qemb is elements m*4+1 .. m*4+4 (PqSubDims = 4); mirror
+    * of `subDist` against a (m, cent) relation — shared by the PQ and
+    * IVF-PQ oracles so the distance formulation cannot drift. */
+  private def dSql(q: String, c: String, m: String): String =
+    s"list_sum(list_transform(generate_series(1, $PqSubDims), j -> " +
+      s"(CAST($q[$m * $PqSubDims + j] AS DOUBLE) / 1024.0 - $c[j]) * " +
+      s"(CAST($q[$m * $PqSubDims + j] AS DOUBLE) / 1024.0 - $c[j])))"
 
   def oracles: Map[String, String] = Map(
     "sim_ann_lsh" ->
@@ -426,12 +481,6 @@ object Similarity {
         "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank FROM cands) " +
         s"WHERE rank <= $TopK"),
     "sim_ann_pq" -> {
-      // Subspace m of qemb is elements m*4+1 .. m*4+4 (PqSubDims = 4);
-      // mirror of `subDist` against a (m, cent) relation.
-      def dSql(q: String, c: String, m: String): String =
-        s"list_sum(list_transform(generate_series(1, $PqSubDims), j -> " +
-          s"(CAST($q[$m * $PqSubDims + j] AS DOUBLE) / 1024.0 - $c[j]) * " +
-          s"(CAST($q[$m * $PqSubDims + j] AS DOUBLE) / 1024.0 - $c[j])))"
       s"WITH qv AS (SELECT vec_id, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qemb FROM embeddings), " +
         s"tv AS (SELECT vec_id, qemb, m FROM qv CROSS JOIN generate_series(0, ${PqSubspaces - 1}) g(m) WHERE vec_id % $TrainMod = 0), " +
         s"cent0 AS (SELECT m, CAST(vec_id // $TrainMod AS INT) AS cent_id, " +
@@ -453,6 +502,51 @@ object Similarity {
         s"FROM qv q CROSS JOIN cent c WHERE q.vec_id < $NumQueries), " +
         "scored AS (SELECT l.query_id, co.vec_id, CAST(sum(l.pd6) AS BIGINT) AS d6 " +
         "FROM codes co JOIN lut l ON l.m = co.m AND l.cent_id = co.cent_id WHERE co.vec_id <> l.query_id GROUP BY 1, 2) " +
+        "SELECT query_id, vec_id AS neighbor_id, CAST(d6 AS DOUBLE) / 1000000 AS dist2_pq, rank FROM " +
+        "(SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY d6, vec_id) AS INT) AS rank FROM scored) " +
+        s"WHERE rank <= $TopK"
+    },
+    "sim_ann_ivfpq" -> {
+      // The IVF chain (i-prefixed) and PQ chain (p-prefixed) are the same
+      // recipes as the standalone oracles, composed: scored pairs are only
+      // (query, vector) where the vector's coarse list is probed.
+      val ivfIter = (1 to KMeansIters).map { k =>
+        s"is$k AS (SELECT t.vec_id, t.qemb, c.cent_id, ${cosBetween("t.embedding", "c.cent_emb")} AS ccos FROM train t CROSS JOIN icent${k - 1} c), " +
+          s"ia$k AS (SELECT vec_id, qemb, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM is$k) WHERE rn = 1), " +
+          s"iu$k AS (SELECT cent_id, i AS pos, CAST(sum(qemb[i]) AS BIGINT) AS qs, count(*) AS n FROM ia$k CROSS JOIN generate_series(1, 64) g(i) GROUP BY 1, 2), " +
+          s"icent$k AS (SELECT cent_id, list(CAST(qs AS DOUBLE) / n / 1024.0 ORDER BY pos) AS cent_emb FROM iu$k GROUP BY cent_id)"
+      }.mkString(", ")
+      val pqIter = (1 to PqIters).map { k =>
+        s"ps$k AS (SELECT t.vec_id, t.m, t.qemb, c.cent_id, round(${dSql("t.qemb", "c.cent", "t.m")}, 4) AS d FROM tv t JOIN pcent${k - 1} c ON c.m = t.m), " +
+          s"pa$k AS (SELECT vec_id, m, qemb, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn FROM ps$k) WHERE rn = 1), " +
+          s"pu$k AS (SELECT m, cent_id, j AS pos, CAST(sum(qemb[m * $PqSubDims + j]) AS BIGINT) AS qs, count(*) AS n FROM pa$k CROSS JOIN generate_series(1, $PqSubDims) g(j) GROUP BY 1, 2, 3), " +
+          s"pcent$k AS (SELECT m, cent_id, list(CAST(qs AS DOUBLE) / n / 1024.0 ORDER BY pos) AS cent FROM pu$k GROUP BY m, cent_id)"
+      }.mkString(", ")
+      s"WITH qv AS (SELECT vec_id, embedding, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qemb FROM embeddings), " +
+        s"train AS (SELECT * FROM qv WHERE vec_id % $TrainMod = 0), " +
+        s"icent0 AS (SELECT CAST(vec_id // $TrainMod AS INT) AS cent_id, list_transform(qemb, q -> CAST(q AS DOUBLE) / 1024.0) AS cent_emb FROM train WHERE vec_id < ${TrainMod * NumCentroids}), " +
+        ivfIter + ", " +
+        s"icent AS (SELECT * FROM icent$KMeansIters), " +
+        s"isa AS (SELECT e.vec_id, c.cent_id, ${cosBetween("e.embedding", "c.cent_emb")} AS ccos FROM embeddings e CROSS JOIN icent c), " +
+        "iassign AS (SELECT vec_id, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM isa) WHERE rn = 1), " +
+        s"isp AS (SELECT e.vec_id AS query_id, c.cent_id, ${cosBetween("e.embedding", "c.cent_emb")} AS ccos FROM embeddings e CROSS JOIN icent c WHERE e.vec_id < $NumQueries), " +
+        s"iprobes AS (SELECT query_id, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM isp) WHERE rn <= $NumProbes), " +
+        s"tv AS (SELECT vec_id, qemb, m FROM qv CROSS JOIN generate_series(0, ${PqSubspaces - 1}) g(m) WHERE vec_id % $TrainMod = 0), " +
+        s"pcent0 AS (SELECT m, CAST(vec_id // $TrainMod AS INT) AS cent_id, " +
+        s"list_transform(generate_series(1, $PqSubDims), j -> CAST(qemb[m * $PqSubDims + j] AS DOUBLE) / 1024.0) AS cent " +
+        s"FROM tv WHERE vec_id < ${TrainMod * PqCentroids}), " +
+        pqIter + ", " +
+        s"pcent AS (SELECT * FROM pcent$PqIters), " +
+        s"av AS (SELECT vec_id, qemb, m FROM qv CROSS JOIN generate_series(0, ${PqSubspaces - 1}) g(m)), " +
+        s"pse AS (SELECT a.vec_id, a.m, c.cent_id, round(${dSql("a.qemb", "c.cent", "a.m")}, 4) AS d FROM av a JOIN pcent c ON c.m = a.m), " +
+        "codes AS (SELECT vec_id, m, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn FROM pse) WHERE rn = 1), " +
+        s"lut AS (SELECT q.vec_id AS query_id, c.m, c.cent_id, CAST(floor(${dSql("q.qemb", "c.cent", "c.m")} * 1000000 + 0.5) AS BIGINT) AS pd6 " +
+        s"FROM qv q CROSS JOIN pcent c WHERE q.vec_id < $NumQueries), " +
+        "scored AS (SELECT l.query_id, co.vec_id, CAST(sum(l.pd6) AS BIGINT) AS d6 " +
+        "FROM codes co JOIN iassign a ON a.vec_id = co.vec_id " +
+        "JOIN iprobes p ON p.cent_id = a.cent_id " +
+        "JOIN lut l ON l.query_id = p.query_id AND l.m = co.m AND l.cent_id = co.cent_id " +
+        "WHERE co.vec_id <> l.query_id GROUP BY 1, 2) " +
         "SELECT query_id, vec_id AS neighbor_id, CAST(d6 AS DOUBLE) / 1000000 AS dist2_pq, rank FROM " +
         "(SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY d6, vec_id) AS INT) AS rank FROM scored) " +
         s"WHERE rank <= $TopK"

@@ -228,7 +228,8 @@ class PlansSpec extends SparkSpec {
     Seq("sim_topk_bruteforce" -> plan(Similarity.topkBruteforce(spark, sf)),
         "sim_ann_pq" -> plan(Similarity.annPq(spark, sf)),
         "sim_ann_lsh" -> plan(Similarity.annLsh(spark, sf)),
-        "sim_ann_ivf" -> plan(Similarity.annIvf(spark, sf))).foreach { case (name, p) =>
+        "sim_ann_ivf" -> plan(Similarity.annIvf(spark, sf)),
+        "sim_ann_ivfpq" -> plan(Similarity.annIvfPq(spark, sf))).foreach { case (name, p) =>
       assert(p.contains("TopKPerKey"), s"$name must rank through TopKPerKey:\n$p")
       assert(p.indexOf("Window") >= 0 && p.indexOf("Window") < p.indexOf("TopKPerKey"),
         s"$name rank window must consume TopKPerKey's survivors:\n$p")

@@ -61,6 +61,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size == Similarity.NumQueries * Similarity.TopK && n > 0)
   }
 
+  test("sim_ann_ivfpq composes list pruning with ADC: recall floor, distance parity with PQ") {
+    import org.apache.spark.sql.functions._
+    def distMap(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select("query_id", "neighbor_id", "dist2_pq").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivfpq = distMap(Similarity.annIvfPq(spark, sf))
+    // full top-k per query: probed lists hold far more than TopK vectors
+    assert(ivfpq.size == Similarity.NumQueries * Similarity.TopK,
+      s"expected a full top-k per query, got ${ivfpq.size} pairs")
+    // ADC parity: any pair both paths rank carries the IDENTICAL compressed
+    // distance — the composition changes the candidate set, never the metric
+    val pq = distMap(Similarity.annPq(spark, sf))
+    val common = ivfpq.keySet & pq.keySet
+    assert(common.nonEmpty, "IVF-PQ and PQ top-k sets are disjoint — pruning is broken")
+    common.foreach { k =>
+      assert(ivfpq(k) == pq(k), s"ADC distance diverges for $k: ${ivfpq(k)} vs ${pq(k)}")
+    }
+    // recall vs the full compressed scan: list pruning may only cost recall
+    // bounded by the probe fraction; floor set well under observed
+    val overlap = common.size.toDouble / pq.size
+    info(f"IVF-PQ overlap with full PQ scan top-k = $overlap%.3f")
+    assert(overlap >= 0.3, s"IVF-PQ overlap $overlap below floor")
+  }
+
   test("knn graph plans the custom TopKPerKey operator, bounds degree, and overlaps exact top-3") {
     import org.apache.spark.sql.functions._
     val g = Similarity.knnGraph(spark, sf)
