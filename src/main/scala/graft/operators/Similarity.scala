@@ -180,6 +180,10 @@ object Similarity {
             (col("qs") / col("n") / 1024.0).as("m")))),
           x => x.getField("m")).as("cent_emb"))
     }
+    // The trained model is <= numCentroids rows consumed by BOTH the corpus
+    // assignment and the query probes (and twice more in annIvfPq) —
+    // materialize it once so Lloyd's lineage doesn't re-run per consumer.
+    cent = cent.localCheckpoint()
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id").asc)
     val assign = e.join(broadcast(cent))
