@@ -198,7 +198,13 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = d.withColumn("cluster_id", col("doc_id")).localCheckpoint()
+    // Isolated docs can never change label — keep them OUT of the loop. The
+    // iteration state is then ∝ edge-touched nodes (the near-dup-dense
+    // subset), not the corpus: at 100 TB most documents are singletons, and
+    // carrying them through every round's three joins would multiply the
+    // loop's shuffle volume by 1/dup-rate for rows that are fixed points.
+    val touched = edges.select(col("src").as("doc_id")).distinct().localCheckpoint()
+    var labels = touched.withColumn("cluster_id", col("doc_id")).localCheckpoint()
     // Labels only ever decrease, so the label sum is a strict convergence
     // witness — one cheap aggregation per round instead of a self-join diff.
     def labelSum(df: DataFrame): Long =
@@ -231,7 +237,10 @@ object Dedup {
       prevSum = nextSum
       iter += 1
     }
-    labels
+    // singletons rejoin as their own one-doc cluster
+    labels.unionAll(
+      d.join(touched, Seq("doc_id"), "left_anti")
+        .withColumn("cluster_id", col("doc_id")))
   }
 
   /** Label blocks are COARSE — a block holds corpus/|labels| vectors, so an
