@@ -87,6 +87,25 @@ object TextOps {
       score.as("quality_score"))
   }
 
+  /** Repetition audit — the duplicate-n-gram quality signal (the
+    * MassiveText/Gopher filter family, Rae et al. 2021, uses duplicate
+    * 2–4-gram fractions): what fraction of a document's 3-gram instances
+    * are repeats of a 3-gram already seen in the SAME document.
+    * `quality`'s repetition_ratio is the unigram form; boilerplate headers,
+    * templated spam and degenerate generations repeat whole phrases while
+    * keeping unigram diversity, which only the n-gram form catches.
+    * Shuffle-free: one codegen'd pass per document row. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val sh = wordShingles(wsTokens(col("text")), 3)
+    docs(s, dir).select(
+      col("doc_id"),
+      size(sh).as("n_grams"),
+      (size(sh) - size(array_distinct(sh))).as("n_repeated"))
+      .withColumn("rep_ratio", when(col("n_grams") > 0,
+        floor(col("n_repeated").cast("double") / col("n_grams") * 1e6 + 0.5) / 1e6)
+        .otherwise(lit(0.0)))
+  }
+
   /** Token counting: whitespace tokens + BPE-ish regex token count
     * (letter runs | digit runs | single punctuation). */
   def tokens(s: SparkSession, dir: String): DataFrame =
@@ -185,6 +204,7 @@ object TextOps {
     "text_tfidf" -> (tfidf _),
     "text_quality" -> (quality _),
     "text_tokens" -> (tokens _),
+    "text_repetition" -> (repetition _),
     "text_fingerprint" -> (fingerprint _),
     "text_perplexity" -> (perplexity _))
 
@@ -234,6 +254,15 @@ object TextOps {
     "text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe FROM documents"),
+    "text_repetition" -> {
+      val sh3 = "list_transform(generate_series(1, len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))"
+      "SELECT doc_id, n_grams, n_repeated, CASE WHEN n_grams > 0 THEN " +
+        "floor(CAST(n_repeated AS DOUBLE) / n_grams * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS rep_ratio FROM " +
+        "(SELECT doc_id, CAST(len(sh) AS INT) AS n_grams, " +
+        "CAST(len(sh) - len(list_distinct(sh)) AS INT) AS n_repeated FROM " +
+        s"(SELECT doc_id, $sh3 AS sh FROM documents))"
+    },
     "text_fingerprint" ->
       (s"SELECT doc_id, md5(text) AS content_md5, " +
         s"coalesce(list_min(list_transform($shinglesSql, x -> md5(x))), md5(text)) AS shingle_fp FROM documents"),

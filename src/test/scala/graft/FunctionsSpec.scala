@@ -7,6 +7,21 @@ class FunctionsSpec extends SparkSpec {
   private val ss = SparkSpec.spark
   import ss.implicits._
 
+  test("text_repetition flags a fully templated doc and clears a distinct one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    Seq((1L, "src0", "spam ham eggs spam ham eggs spam ham eggs"),
+        (2L, "src0", "one two three four five six seven"),
+        (3L, "src0", "too short"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.repetition(ss, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    // doc 1: 7 trigram instances over 3 distinct -> 4/7 repeated
+    assert(got(1L) == ((7, 4, math.floor(4.0 / 7 * 1e6 + 0.5) / 1e6)))
+    assert(got(2L) == ((5, 0, 0.0)), "distinct text must score zero")
+    assert(got(3L) == ((0, 0, 0.0)), "sub-n docs have no grams and ratio 0")
+  }
+
   test("wordShingles is empty below n tokens and sliding above") {
     val df = Seq("a b", "a b c d").toDF("text")
       .select(wordShingles(wsTokens(col("text")), 3).as("sh"))
