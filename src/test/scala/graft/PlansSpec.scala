@@ -49,7 +49,8 @@ class PlansSpec extends SparkSpec {
 
   test("text operators are shuffle-free single-pass pipelines") {
     Seq(TextOps.langid(spark, sf), TextOps.quality(spark, sf),
-      TextOps.tokens(spark, sf), TextOps.fingerprint(spark, sf)).foreach { df =>
+      TextOps.tokens(spark, sf), TextOps.fingerprint(spark, sf),
+      TextOps.repetition(spark, sf)).foreach { df =>
       val p = plan(df)
       assert(!p.contains("Exchange"), s"unexpected shuffle in text op:\n$p")
     }
