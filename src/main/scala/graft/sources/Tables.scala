@@ -98,6 +98,7 @@ object Tables {
     * partition-parallel job. Returns (srcFiles, copied). */
   def copyUpdate(spark: SparkSession, srcDir: String, dstDir: String): (Long, Long) = {
     import org.apache.spark.sql.functions.{col, md5, regexp_extract}
+    import scala.jdk.CollectionConverters._
     // a sync tool must see CURRENT file state, not the session's cached
     // listing (stale lengths fail the read of any file modified in place)
     spark.catalog.refreshByPath(srcDir)
@@ -106,19 +107,30 @@ object Tables {
       spark.read.format("binaryFile").load(dir)
         .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
           col("length"), md5(col("content")).as("chk"))
+    // destination existence goes through the Hadoop FS for the path's OWN
+    // scheme (configureStore credentials/impls apply) — a java.io probe
+    // would break every non-local destination this tool exists to serve
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dstPath = new org.apache.hadoop.fs.Path(dstDir)
+    val dstFs = dstPath.getFileSystem(hconf)
     val srcM = manifest(srcDir)
     val dstM =
-      if (new java.io.File(dstDir).listFiles() != null &&
-          new java.io.File(dstDir).listFiles().nonEmpty) manifest(dstDir)
+      if (dstFs.exists(dstPath) && dstFs.listStatus(dstPath).nonEmpty) manifest(dstDir)
       else srcM.limit(0)
     val toCopy = srcM.join(dstM, Seq("name", "length", "chk"), "left_anti")
       .select("name").collect().map(_.getString(0)).toSeq
     val nSrc = srcM.count()
     if (toCopy.nonEmpty) {
+      // Configuration is not serializable; ship the session's entries as a
+      // plain seq so executor-side FileSystems resolve the same schemes,
+      // committers and credentials the driver configured.
+      val confEntries = hconf.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toSeq
       spark.sparkContext
         .parallelize(toCopy, math.min(toCopy.length, 32))
         .foreach { n =>
           val conf = new org.apache.hadoop.conf.Configuration()
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
           val sp = new org.apache.hadoop.fs.Path(s"$srcDir/$n")
           val dp = new org.apache.hadoop.fs.Path(s"$dstDir/$n")
           org.apache.hadoop.fs.FileUtil.copy(

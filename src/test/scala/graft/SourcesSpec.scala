@@ -108,6 +108,22 @@ class SourcesSpec extends SparkSpec {
     assert(m(dstD) == m(srcD), "post-update destination diverges from source")
   }
 
+  test("distcp -update syncs onto a non-default scheme destination") {
+    // the object-store composition: configureStore registers the scheme,
+    // copyUpdate resolves existence AND executor-side copies through it
+    Tables.configureStore(spark, Map("fs.graftfs.impl" -> classOf[SchemeTestFs].getName))
+    val srcD = Files.createTempDirectory("graft_upd2_src").toString
+    val dstLocal = Files.createTempDirectory("graft_upd2_dst").toString + "/synced"
+    val dstD = s"graftfs://$dstLocal"
+    Tables.load(spark, sf, "region").repartition(2).write.mode("overwrite").parquet(srcD)
+    val (n1, c1) = Tables.copyUpdate(spark, srcD, dstD)
+    assert(c1 == n1 && c1 > 0, s"first pass must copy every file ($c1 of $n1)")
+    assert(new java.io.File(dstLocal).listFiles().nonEmpty,
+      "copies did not land through the scheme-registered filesystem")
+    val (_, c2) = Tables.copyUpdate(spark, srcD, dstD)
+    assert(c2 == 0, s"unchanged re-run copied $c2 files across the scheme")
+  }
+
   test("partitioned parquet write prunes to one directory on a partition-key filter") {
     import org.apache.spark.sql.functions._
     val dst = Files.createTempDirectory("graft_part").toString
