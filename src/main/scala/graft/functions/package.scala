@@ -48,6 +48,10 @@ package object functions {
   def hash52(c: Column): Column =
     conv(substring(md5(c.cast("string").cast("binary")), 1, 13), 16, 10).cast("long")
 
+  /** Oracle-SQL mirror of [[hash52]] for a SQL expression `c`. */
+  def hash52Sql(c: String): String =
+    s"CAST(${hexIntSql(s"md5(CAST($c AS VARCHAR))", 1, 13)} AS BIGINT)"
+
   /** n-word shingles of a token array, empty when fewer than n tokens.
     * Mirror: list_transform(generate_series(1, len(toks)-(n-1)),
     *                        i -> array_to_string(toks[i:i+n-1], ' '))

@@ -17,7 +17,7 @@ import graft.sources.Tables
   *  - SimHash: one 64-bit long per doc; near-dup buckets shuffle longs.
   *  - embedding near-dup: blocked pairwise (here by `label`, standing in for
   *    any coarse clustering/LSH prefix), dense labels salted into bounded
-  *    vec_id-mod groups — the all-pairs cross join never materializes.
+  *    md5-hash groups — the all-pairs cross join never materializes.
   *
   * The hash family is md5-over-utf8 (see graft.functions) so every step is
   * replayable by the ANSI-SQL oracle — the whole LSH pipeline is
@@ -38,8 +38,10 @@ object Dedup {
     * quadratically on one task at 100 TB. The shared policy on EVERY
     * candidate path (minhash r=1/banded, simhash blocks, ngram posting
     * lists, knn buckets): count bucket sizes with a broadcast aggregate,
-    * then SALT oversized buckets into ceil(n/cap) deterministic id-mod
-    * groups — per-group quadratic work and collect_list buffers stay
+    * then SALT oversized buckets into ceil(n/cap) md5-hash (hash52) groups
+    * — uniform under ANY id distribution, so a strided id layout cannot
+    * collapse a bucket into one oversized group the way raw id-mod salting
+    * could. Per-group quadratic work and collect_list buffers stay
     * bounded at ~cap while every doc keeps in-group candidates (dropping
     * the bucket would silently lose exactly the near-dup-dense regions
     * dedup exists for; see DedupSpec degenerate-corpus spec). 64 is far
@@ -98,7 +100,7 @@ object Dedup {
     *
     * Boilerplate-heavy corpora still concentrate organic near-dup clusters
     * into single buckets, so oversized buckets are SALTED into
-    * ceil(n/maxBucket) deterministic doc_id-mod groups — pairs expand only
+    * ceil(n/maxBucket) md5-hash groups — pairs expand only
     * within a group (bounded quadratic work, cross-salt pairs forgone)
     * rather than dropping the bucket and silently losing exactly the dense
     * regions dedup exists for.
@@ -126,11 +128,11 @@ object Dedup {
     val dense = blocked.groupBy("bi", "bv").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > maxBucket)
     blocked.join(broadcast(dense), Seq("bi", "bv"), "left")
-      .withColumn("salt", pmod(col("doc_id"),
+      .withColumn("salt", pmod(hash52(col("doc_id")),
         coalesce(expr(s"(bn + ${maxBucket - 1L}) DIV ${maxBucket.toLong}"), lit(1L))))
       .groupBy("bi", "bv", "salt")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("h")))).as("ds"))
-      // modulo splits unevenly in the worst case; 2x cap is the safety net
+      // hash splits can still fluctuate; 2x cap is the safety net
       .filter(size(col("ds")) > 1 && size(col("ds")) <= lit(2L * maxBucket))
       .select(explode(PairExpressions.orderedPairs(col("ds"))).as("p"))
       .select(col("p.a.doc_id").as("doc_a"), col("p.a.h").as("ha"),
@@ -164,7 +166,7 @@ object Dedup {
     // within each (posting list, salt) group (sorted, so doc_a < doc_b by
     // construction), then one aggregation counts shared shingles per pair.
     val pairs = sh.join(broadcast(dense), Seq("g"), "left")
-      .withColumn("salt", pmod(col("doc_id"),
+      .withColumn("salt", pmod(hash52(col("doc_id")),
         coalesce(expr(s"(bn + ${MaxBucket - 1L}) DIV ${MaxBucket.toLong}"), lit(1L))))
       .groupBy("g", "salt")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
@@ -289,7 +291,7 @@ object Dedup {
 
   /** Skew-guarded LSH candidate generation (the implementation behind the
     * gated `minhashLsh`): buckets above `maxBucket` are SALTED into
-    * ceil(n/maxBucket) deterministic doc_id-mod groups — the one skew
+    * ceil(n/maxBucket) md5-hash (hash52) groups — the one skew
     * policy every candidate path shares (see simhashPairs). Dense buckets
     * are exactly the near-dup-dense regions dedup exists for; dropping
     * them (the round-1/2 policy here) silently disconnected the densest
@@ -304,11 +306,11 @@ object Dedup {
     val dense = sig.groupBy("band", "h").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > maxBucket)
     sig.join(broadcast(dense), Seq("band", "h"), "left")
-      .withColumn("salt", pmod(col("doc_id"),
+      .withColumn("salt", pmod(hash52(col("doc_id")),
         coalesce(expr(s"(bn + ${maxBucket - 1L}) DIV ${maxBucket.toLong}"), lit(1L))))
       .groupBy("band", "h", "salt")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      // modulo splits unevenly in the worst case; 2x cap is the safety net
+      // hash splits can still fluctuate; 2x cap is the safety net
       .filter(size(col("ids")) > 1 && size(col("ids")) <= lit(2L * maxBucket))
       .select(explode(PairExpressions.orderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
@@ -344,7 +346,7 @@ object Dedup {
     val dense = bb.groupBy("band", "h1", "h2").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > MaxBucket)
     bb.join(broadcast(dense), Seq("band", "h1", "h2"), "left")
-      .withColumn("salt", pmod(col("doc_id"),
+      .withColumn("salt", pmod(hash52(col("doc_id")),
         coalesce(expr(s"(bn + ${MaxBucket - 1L}) DIV ${MaxBucket.toLong}"), lit(1L))))
       .groupBy("band", "h1", "h2", "salt")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -462,7 +464,7 @@ object Dedup {
       s"banded AS (SELECT doc_id, p AS band, min((h1 + p * h2) % 18446744073709551616) AS h " +
       s"FROM hm CROSS JOIN generate_series(0, ${MinhashPerms - 1}) g(p) GROUP BY doc_id, p), " +
       // Mirror of the gated path's bucket salting (Dedup.MaxBucket).
-      s"bandeds AS (SELECT doc_id, band, h, doc_id % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
+      s"bandeds AS (SELECT doc_id, band, h, ${graft.functions.hash52Sql("doc_id")} % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
       "FROM (SELECT doc_id, band, h, count(*) OVER (PARTITION BY band, h) AS bn FROM banded)), " +
       "bandedc AS (SELECT doc_id, band, h, salt FROM (SELECT doc_id, band, h, salt, " +
       s"count(*) OVER (PARTITION BY band, h, salt) AS gn FROM bandeds) WHERE gn <= ${2 * MaxBucket})"
@@ -521,7 +523,7 @@ object Dedup {
       (s"WITH $lshCtes, " +
         s"b2 AS (SELECT a.doc_id, a.band // $BandRows AS band, a.h AS h1, b.h AS h2 " +
         s"FROM banded a JOIN banded b ON a.doc_id = b.doc_id AND b.band = a.band + 1 AND a.band % $BandRows = 0), " +
-        s"b2s AS (SELECT doc_id, band, h1, h2, doc_id % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
+        s"b2s AS (SELECT doc_id, band, h1, h2, ${graft.functions.hash52Sql("doc_id")} % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
         "FROM (SELECT doc_id, band, h1, h2, count(*) OVER (PARTITION BY band, h1, h2) AS bn FROM b2)), " +
         "b2c AS (SELECT doc_id, band, h1, h2, salt FROM (SELECT doc_id, band, h1, h2, salt, " +
         s"count(*) OVER (PARTITION BY band, h1, h2, salt) AS gn FROM b2s) WHERE gn <= ${2 * MaxBucket}) " +
@@ -555,7 +557,7 @@ object Dedup {
         s"bl AS (SELECT doc_id, h, bi, ${simhashBlockSql("s")} AS bv " +
         "FROM sh CROSS JOIN (SELECT unnest([0, 1, 2]) AS bi)), " +
         "bls AS (SELECT doc_id, h, bi, bv, " +
-        s"doc_id % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
+        s"${graft.functions.hash52Sql("doc_id")} % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
         "FROM (SELECT doc_id, h, bi, bv, count(*) OVER (PARTITION BY bi, bv) AS bn FROM bl)), " +
         "blc AS (SELECT doc_id, h, bi, bv, salt FROM (SELECT doc_id, h, bi, bv, salt, " +
         s"count(*) OVER (PARTITION BY bi, bv, salt) AS gn FROM bls) WHERE gn <= ${2 * MaxBucket}), " +
@@ -566,7 +568,7 @@ object Dedup {
     "dedup_ngram_jaccard" ->
       (s"WITH sh AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +
         "ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh WHERE len(sh) > 0), " +
-        s"exs AS (SELECT doc_id, n, g, doc_id % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
+        s"exs AS (SELECT doc_id, n, g, ${graft.functions.hash52Sql("doc_id")} % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
         "FROM (SELECT doc_id, n, g, count(*) OVER (PARTITION BY g) AS bn FROM ex)), " +
         "exc AS (SELECT doc_id, n, g, salt FROM (SELECT doc_id, n, g, salt, " +
         s"count(*) OVER (PARTITION BY g, salt) AS gn FROM exs) WHERE gn <= ${2 * MaxBucket}), " +
@@ -578,7 +580,7 @@ object Dedup {
       // Salt mirror: ceil(bn/cap) computed for ALL labels (== 1 below the
       // cap, where Spark's broadcast side has no row and coalesces to 1).
       ("WITH census AS (SELECT label, count(*) AS bn FROM embeddings GROUP BY label), " +
-        s"salted AS (SELECT e.label, e.vec_id, e.embedding, CAST(${graft.functions.hexIntSql("md5(CAST(e.vec_id AS VARCHAR))", 1, 13)} AS BIGINT) % ((c.bn + ${LabelCap - 1}) // $LabelCap) AS salt " +
+        s"salted AS (SELECT e.label, e.vec_id, e.embedding, ${graft.functions.hash52Sql("e.vec_id")} % ((c.bn + ${LabelCap - 1}) // $LabelCap) AS salt " +
         "FROM embeddings e JOIN census c ON c.label = e.label), " +
         "grp AS (SELECT label, salt, count(*) AS gn FROM salted GROUP BY 1, 2), " +
         s"bounded AS (SELECT s.* FROM salted s JOIN grp g ON g.label = s.label AND g.salt = s.salt WHERE g.gn <= ${2 * LabelCap}), " +

@@ -333,7 +333,7 @@ object Similarity {
     * (the PlanesPerTable ~ log2(N / targetBucketSize) rule). Clustered
     * embeddings concentrate whole clusters into single buckets regardless,
     * so oversized buckets are SALTED — split into ceil(n/cap) deterministic
-    * vec_id-mod groups, pairs expanding only within a group — instead of
+    * md5-hash (hash52) groups, pairs expanding only within a group — instead of
     * dropped: every vector keeps neighbors (dropping a dense bucket
     * disconnects exactly the vectors that most need dedup) while per-group
     * quadratic work stays bounded. */
@@ -373,11 +373,11 @@ object Similarity {
     val dense = sigd.groupBy("t", "bucket").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > GraphBucketCap)
     val pairs = sigd.join(broadcast(dense), Seq("t", "bucket"), "left")
-      .withColumn("salt", pmod(col("vec_id"),
+      .withColumn("salt", pmod(hash52(col("vec_id")),
         coalesce(expr(s"(bn + ${GraphBucketCap - 1}) DIV $GraphBucketCap"), lit(1L))))
       .groupBy("t", "bucket", "salt")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      // modulo splits unevenly in the worst case; 2x cap is the safety net
+      // hash splits can still fluctuate; 2x cap is the safety net
       .filter(size(col("ids")) > 1 && size(col("ids")) <= 2 * GraphBucketCap)
       .select(explode(PairExpressions.orderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("va"), col("p.b").as("vb"))
@@ -560,7 +560,7 @@ object Similarity {
         s"tb AS (SELECT vec_id, (sig >> (t * $GraphPlanesPerTable)) & ${(1 << GraphPlanesPerTable) - 1} AS bucket, t " +
         s"FROM sigd CROSS JOIN generate_series(0, ${NumTables - 1}) g(t)), " +
         "tbs AS (SELECT vec_id, t, bucket, " +
-        s"vec_id % ((bn + ${GraphBucketCap - 1}) // $GraphBucketCap) AS salt " +
+        s"${graft.functions.hash52Sql("vec_id")} % ((bn + ${GraphBucketCap - 1}) // $GraphBucketCap) AS salt " +
         "FROM (SELECT vec_id, t, bucket, count(*) OVER (PARTITION BY t, bucket) AS bn FROM tb)), " +
         "tbc AS (SELECT vec_id, t, bucket, salt FROM (SELECT vec_id, t, bucket, salt, " +
         s"count(*) OVER (PARTITION BY t, bucket, salt) AS gn FROM tbs) WHERE gn <= ${2 * GraphBucketCap}), " +

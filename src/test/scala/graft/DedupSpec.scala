@@ -7,6 +7,14 @@ class DedupSpec extends SparkSpec {
   private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  /** JVM mirror of graft.functions.hash52 % groups — the salting rule every
+    * candidate path shares, recomputed independently of Spark. */
+  private def salt52(v: Long, groups: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.toString.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.substring(0, 13), 16) % groups
+  }
+
   test("capped LSH with a generous cap equals the exact candidate set") {
     assert(pairs(Dedup.minhashLshCapped(spark, sf, 100000)) ==
       pairs(Dedup.minhashLsh(spark, sf)))
@@ -21,7 +29,7 @@ class DedupSpec extends SparkSpec {
   test("degenerate corpus: the DEFAULT gated path salts the dense bucket into bounded groups") {
     // 500 identical docs agree on every minhash band -> one bucket of 500.
     // Uncapped that expands to 500*499/2 pairs on a single task; the gated
-    // default (cap 64) salts the bucket into ceil(500/64) = 8 doc_id-mod
+    // default (cap 64) salts the bucket into ceil(500/64) = 8 md5-hash
     // groups, retaining exactly the within-group pairs — near-dup-dense
     // regions keep candidates instead of vanishing (the round-2 drop
     // policy returned ZERO pairs here).
@@ -33,9 +41,9 @@ class DedupSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     assert(pairs(Dedup.minhashLshCapped(spark, dir, 1000)).size == 500 * 499 / 2)
     val salted = pairs(Dedup.minhashLsh(spark, dir))
-    val groups = (500 + Dedup.MaxBucket - 1) / Dedup.MaxBucket
+    val groups = ((500 + Dedup.MaxBucket - 1) / Dedup.MaxBucket).toLong
     val expected = (for {
-      a <- 0L until 500L; b <- a + 1 until 500L; if a % groups == b % groups
+      a <- 0L until 500L; b <- a + 1 until 500L; if salt52(a, groups) == salt52(b, groups)
     } yield (a, b)).toSet
     assert(salted == expected,
       s"salting must retain exactly the within-salt-group pairs (got ${salted.size}, want ${expected.size})")
@@ -101,11 +109,7 @@ class DedupSpec extends SparkSpec {
     val got = pairs(Dedup.embeddingNearDup(spark, dir))
     val groups = (600 + Dedup.LabelCap - 1) / Dedup.LabelCap
     assert(groups == 3)
-    def salt(v: Long): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(v.toString.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.substring(0, 13), 16) % groups
-    }
+    def salt(v: Long): Long = salt52(v, groups)
     val bySalt = (0L until 600L).groupBy(salt)
     assert(bySalt.size == groups && bySalt.values.forall(_.size <= 2 * Dedup.LabelCap),
       s"hash salt must spread the label into $groups bounded groups: ${bySalt.view.mapValues(_.size).toMap}")
