@@ -49,6 +49,32 @@ class DedupSpec extends SparkSpec {
       s"salting must retain exactly the within-salt-group pairs (got ${salted.size}, want ${expected.size})")
   }
 
+  test("strided doc_ids cannot collapse the salt: dense bucket keeps pairs") {
+    // 500 identical docs whose ids all share residue 0 mod 8 — under the
+    // old id-mod salting (divisor ceil(500/64) = 8) every doc landed in
+    // salt group 0, the group blew past the 2x cap, and the census dropped
+    // it: ZERO candidate pairs for exactly the densest near-dup region.
+    // hash52 salting is blind to the id layout, so the bucket still splits
+    // into bounded groups and every doc keeps in-group partners.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stride").toString
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 500L).map(_ * 8)
+    ids.map(i => (i, "src0", "the same boilerplate text repeated verbatim"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val salted = pairs(Dedup.minhashLsh(spark, dir))
+    val groups = ((500 + Dedup.MaxBucket - 1) / Dedup.MaxBucket).toLong
+    val bySalt = ids.groupBy(salt52(_, groups))
+    assert(bySalt.values.forall(_.size <= 2 * Dedup.MaxBucket),
+      s"hash salt must bound every group: ${bySalt.view.mapValues(_.size).toMap}")
+    val expected = (for {
+      a <- ids; b <- ids; if a < b && salt52(a, groups) == salt52(b, groups)
+    } yield (a, b)).toSet
+    assert(salted == expected && salted.nonEmpty,
+      s"strided ids must keep within-salt-group pairs (got ${salted.size}, want ${expected.size})")
+  }
+
   test("banded LSH (AND-amplification) candidates are a subset of the UNCAPPED r=1 candidates") {
     // Uncapped on the r=1 side: each path caps its own bucket granularity,
     // so the CAPPED sets are not nested (an (h1,h2) bucket can stay under
