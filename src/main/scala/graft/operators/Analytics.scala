@@ -194,6 +194,43 @@ object Analytics {
       .select(col("o_year"), col("n_name"), col("rev").cast("double").as("revenue"), col("share"))
   }
 
+  /** TPC-H Q8 full market-share: within the ASIA region's PROMO-part market,
+    * NATION_2's share of yearly revenue. The genuine Q8 join graph — lineitem
+    * against both the customer chain (restricted to the region) and the
+    * supplier chain (tagging the competing nation) — unlike `revenueShare`'s
+    * single-chain "lite" form. Scale: part/nation/region broadcast (part is
+    * pre-filtered to one type), fact-fact joins shuffle on their keys, the
+    * share is a per-year aggregate ratio — no window at all. */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part").filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val o = t(s, dir, "orders").filter(
+      col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+    val c = t(s, dir, "customer")
+    val su = t(s, dir, "supplier")
+    val cn = t(s, dir, "nation").select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val sn = t(s, dir, "nation").select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+    val one = lit(1).cast("decimal(12,2)")
+    val vol = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(cn), c("c_nationkey") === cn("cn_key"))
+      .join(broadcast(r), cn("cn_region") === r("r_regionkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(sn), su("s_nationkey") === sn("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        dsum(when(col("supp_nation") === "NATION_2", vol).otherwise(lit(0).cast("decimal(12,2)")))
+          .as("nation_revenue"),
+        dsum(vol).as("total_revenue"))
+      // floor(x*1e6+0.5), not round(): house rule for double-quotient rounding.
+      .withColumn("mkt_share",
+        floor(col("nation_revenue") / col("total_revenue") * 1e6 + 0.5) / 1e6)
+  }
+
   /** As-of join, composed from built-ins (SURVEY preference order (a)):
     * for every purchase event, the most recent prior view by the same user.
     * Union-tag + running last_value over one (user, time) window — a single
@@ -459,6 +496,7 @@ object Analytics {
     "q_nation_volume" -> (nationVolume _),
     "q_above_avg_orders" -> (aboveAvgOrders _),
     "q_revenue_share" -> (revenueShare _),
+    "q_market_share" -> (marketShare _),
     "q_event_window" -> (eventWindow _),
     "q_retention_cohort" -> (retentionCohort _),
     "q_returned_items" -> (returnedItems _),
@@ -555,6 +593,21 @@ object Analytics {
         "JOIN nation ON c_nationkey = n_nationkey GROUP BY EXTRACT(year FROM o_orderdate), n_name) " +
         "SELECT o_year, n_name, CAST(rev AS DOUBLE) AS revenue, " +
         "CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY o_year) AS DOUBLE) AS share FROM by_year"),
+    "q_market_share" ->
+      ("SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year, " +
+        "CAST(sum(CASE WHEN n2.n_name = 'NATION_2' THEN vol ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS nation_revenue, " +
+        "CAST(sum(vol) AS DOUBLE) AS total_revenue, " +
+        "floor(CAST(sum(CASE WHEN n2.n_name = 'NATION_2' THEN vol ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) / " +
+        "CAST(sum(vol) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mkt_share " +
+        "FROM (SELECT l_partkey, l_orderkey, l_suppkey, " +
+        "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS vol FROM lineitem) li " +
+        "JOIN part ON l_partkey = p_partkey JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+        "JOIN region ON n1.n_regionkey = r_regionkey JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+        "WHERE p_type = 'PROMO' AND r_name = 'ASIA' " +
+        "AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY EXTRACT(year FROM o_orderdate)"),
     "q_event_window" ->
       "SELECT date_trunc('hour', ts) AS win, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value FROM events GROUP BY date_trunc('hour', ts), event_type",
     "q_retention_cohort" ->

@@ -414,6 +414,43 @@ object Dedup {
       .select(col("cluster_id").as("doc_id"), col("n_repr"))
   }
 
+  /** Word-window size for the repeated-passage audit (Lee et al. 2022 use
+    * 50-BPE-token windows at corpus scale; 5 words fits the test corpus'
+    * 8-100-token documents while keeping the same construction). */
+  val SubstrGram = 5
+
+  /** Cross-document repeated-passage audit — the exact-substring dedup
+    * signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): a document's W-word windows that also occur in ANOTHER
+    * document are duplicated passages (boilerplate, licenses, syndicated
+    * text) that document-level dedup cannot see when the surrounding text
+    * differs. Output: per-doc window count, duplicated-window count, ratio.
+    *
+    * Scale: windows never shuffle as text — each (doc, window) reduces
+    * map-side to (doc_id, md5) and pre-aggregates to per-doc multiplicity;
+    * cross-doc occurrence is a second aggregate over one row per distinct
+    * (doc, window); the flag joins back on the 32-byte hash. A corpus-wide
+    * boilerplate window (the skew case) is ONE row in the census join —
+    * heavy keys concentrate counts, not rows, so there is no quadratic or
+    * windowed-buffer hazard anywhere (contrast the pair-generating paths
+    * above, which need salting because they EXPAND buckets). */
+  def substringDup(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(wordShingles(wsTokens(col("text")), SubstrGram)).as("g"))
+      .select(col("doc_id"), md5Hex(col("g")).as("gh"))
+    val perDoc = g.groupBy("doc_id", "gh").agg(count(lit(1)).as("occ"))
+    // perDoc is unique per (doc, gh), so count(*) counts distinct documents.
+    val docsPerGram = perDoc.groupBy("gh").agg(count(lit(1)).as("ndocs"))
+    perDoc.join(docsPerGram, Seq("gh"))
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_windows"),
+        sum(when(col("ndocs") >= 2, col("occ")).otherwise(lit(0L))).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        floor(col("n_dup_windows").cast("double") / col("n_windows") * 1e6 + 0.5) / 1e6)
+  }
+
   /** Incremental ingestion dedup: which docs in the new batch (source
     * 'src0') are NOT already in the corpus (all other sources)? Anti-join
     * on content hash — the nightly-ingest shape: the corpus side reduces
@@ -441,6 +478,7 @@ object Dedup {
     "dedup_minhash_verified" -> (minhashVerified _),
     "dedup_survivors" -> (survivors _),
     "dedup_incremental" -> (incremental _),
+    "dedup_substring" -> (substringDup _),
     "dedup_embedding" -> (embeddingNearDup _))
 
   // Oracle SQL (generated where repetitive, so Spark and SQL share constants)
@@ -576,6 +614,17 @@ object Dedup {
         "FROM exc a JOIN exc b ON a.g = b.g AND a.salt = b.salt AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
         s"SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard FROM pairs " +
         s"WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= $JaccardThreshold"),
+    "dedup_substring" -> {
+      val sh5 = s"list_transform(generate_series(1, len(string_split(text, ' ')) - ${SubstrGram - 1}), " +
+        s"i -> array_to_string((string_split(text, ' '))[i:i+${SubstrGram - 1}], ' '))"
+      s"WITH g AS (SELECT doc_id, md5(g) AS gh FROM (SELECT doc_id, unnest(sh) AS g FROM (SELECT doc_id, $sh5 AS sh FROM documents))), " +
+        "pd AS (SELECT doc_id, gh, count(*) AS occ FROM g GROUP BY doc_id, gh), " +
+        "dg AS (SELECT gh, count(*) AS ndocs FROM pd GROUP BY gh) " +
+        "SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_windows, " +
+        "CAST(sum(CASE WHEN ndocs >= 2 THEN occ ELSE 0 END) AS BIGINT) AS n_dup_windows, " +
+        "floor(CAST(sum(CASE WHEN ndocs >= 2 THEN occ ELSE 0 END) AS DOUBLE) / sum(occ) * 1000000 + 0.5) / 1000000 AS dup_ratio " +
+        "FROM pd JOIN dg USING (gh) GROUP BY doc_id"
+    },
     "dedup_embedding" ->
       // Salt mirror: ceil(bn/cap) computed for ALL labels (== 1 below the
       // cap, where Spark's broadcast side has no row and coalesces to 1).

@@ -131,6 +131,62 @@ object Pipeline {
         (floor(sum(col("n_tok")) / lit(CtxTokens.toDouble) * 1e6 + 0.5) / 1e6).as("fill_ratio"))
   }
 
+  /** Output shard fan-out for the balanced-shard writer. */
+  val NumShards = 16
+
+  /** Balanced output sharding: within each source, documents are ranked by
+    * (n_tok DESC, doc_id) and dealt round-robin into `NumShards` shards —
+    * the classic LPT-flavored layout that keeps shard token totals within
+    * one max-document of each other, so downstream training readers stream
+    * equal-sized shards instead of whatever skew the corpus arrived with.
+    * Output is the shard manifest (docs / tokens / extremes per shard).
+    *
+    * The rank is DISTRIBUTED, never a raw `row_number() OVER (PARTITION BY
+    * source)` (one task would sort a whole source — the pipeline_pack
+    * hazard). rank = strictly-larger-size count + within-size two-level
+    * running count:
+    *  level 0 — per-(source, n_tok) size histogram, windowed per source over
+    *    <= |distinct sizes| rows for the cumulative larger-size offset;
+    *  level 1 — row_number only within (source, n_tok, doc_id-block) — <=
+    *    `packBlock` rows per window partition by construction;
+    *  level 2 — per-block subtotals windowed per (source, n_tok) (a
+    *    packBlock-fold smaller relation), offsets BROADCAST back like
+    *    `pack`'s (same driver-size invariant: size packBlock ≈ docs/10^6).
+    * All three window inputs are aggregates or bounded blocks; the raw doc
+    * stream is never window-partitioned by source alone (plan-asserted). */
+  def shard(s: SparkSession, dir: String, packBlock: Int = PackBlock): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.wsTokens
+    val base = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), size(wsTokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("blk", expr(s"doc_id DIV $packBlock"))
+    // Level 0: docs with a strictly larger n_tok in the same source rank
+    // first — a cumulative count over the per-source SIZE HISTOGRAM.
+    val wSize = Window.partitionBy(col("source")).orderBy(col("n_tok").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sizeOff = base.groupBy(col("source"), col("n_tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("soff", coalesce(sum(col("cnt")).over(wSize), lit(0L)))
+      .select(col("source"), col("n_tok"), col("soff"))
+    // Levels 1+2: running count by doc_id inside (source, n_tok), decomposed
+    // into bounded blocks exactly like pack's prefix sum.
+    val wLocal = Window.partitionBy(col("source"), col("n_tok"), col("blk")).orderBy(col("doc_id"))
+    val wBlk = Window.partitionBy(col("source"), col("n_tok")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOff = base.groupBy(col("source"), col("n_tok"), col("blk"))
+      .agg(count(lit(1)).as("bcnt"))
+      .withColumn("boff", coalesce(sum(col("bcnt")).over(wBlk), lit(0L)))
+      .select(col("source"), col("n_tok"), col("blk"), col("boff"))
+    base
+      .withColumn("lrn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(blkOff), Seq("source", "n_tok", "blk"))
+      .join(broadcast(sizeOff), Seq("source", "n_tok"))
+      .withColumn("shard", pmod(col("soff") + col("boff") + col("lrn") - 1, lit(NumShards.toLong)))
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+        max(col("n_tok")).as("max_tokens"), min(col("n_tok")).as("min_tokens"))
+  }
+
   /** Domain-mixture sampling: each source gets a deterministic keep-rate
     * (derived from its numeric suffix — standing in for the tuned domain
     * weights a real mixture config supplies) and each doc keeps or drops by
@@ -152,6 +208,7 @@ object Pipeline {
     "pipeline_split" -> (split _),
     "pipeline_decontaminate" -> (decontaminate _),
     "pipeline_pack" -> ((s: SparkSession, dir: String) => pack(s, dir)),
+    "pipeline_shard" -> ((s: SparkSession, dir: String) => shard(s, dir)),
     "pipeline_sample_weighted" -> (sampleWeighted _))
 
   private val shingles5Sql =
@@ -177,6 +234,12 @@ object Pipeline {
         "(SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
         "CAST(sum(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum " +
         "FROM documents)) GROUP BY source, chunk_id"),
+    "pipeline_shard" ->
+      (s"SELECT source, shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens, " +
+        "CAST(max(n_tok) AS BIGINT) AS max_tokens, CAST(min(n_tok) AS BIGINT) AS min_tokens FROM " +
+        s"(SELECT source, n_tok, (row_number() OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id) - 1) % $NumShards AS shard FROM " +
+        "(SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents)) " +
+        "GROUP BY source, shard"),
     "pipeline_sample_weighted" -> {
       val bucket = graft.functions
         .hexIntSql("md5(CAST(doc_id AS VARCHAR) || ':' || source)", 1, 4) + " % 100"

@@ -106,6 +106,32 @@ object TextOps {
         .otherwise(lit(0.0)))
   }
 
+  /** PII patterns shared verbatim with the SQL oracle — RE2 ∩ Java syntax
+    * only (char classes, bounded repeats, \b), so both engines compile them
+    * identically. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "n_email" -> "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "n_phone" -> "\\d{3}[-. ]\\d{3}[-. ]\\d{4}",
+    "n_ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "n_id" -> "\\b\\d{6,}\\b")
+
+  /** PII audit (the scrub gate every training pipeline runs before release —
+    * the C4/Dolma email/phone/IP filter family): per-document match counts
+    * for email, phone, IPv4 and long-digit-ID patterns plus a has_pii flag.
+    * Shuffle-free single codegen pass; counts (not just flags) so the audit
+    * doubles as the redaction workload estimate. The shipped corpus is
+    * digit-free, so the gated run proves hash parity at zero counts; the
+    * detection behavior itself is spec-proven on a synthetic PII corpus. */
+  def pii(s: SparkSession, dir: String): DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).as(name)
+    }
+    val total = PiiPatterns.map { case (name, _) => col(name) }.reduce(_ + _)
+    docs(s, dir).select(col("doc_id") +: counts: _*)
+      .withColumn("pii_total", total)
+      .withColumn("has_pii", when(col("pii_total") > 0, 1).otherwise(0))
+  }
+
   /** Token counting: whitespace tokens + BPE-ish regex token count
     * (letter runs | digit runs | single punctuation). */
   def tokens(s: SparkSession, dir: String): DataFrame =
@@ -204,6 +230,7 @@ object TextOps {
     "text_tfidf" -> (tfidf _),
     "text_quality" -> (quality _),
     "text_tokens" -> (tokens _),
+    "text_pii" -> (pii _),
     "text_repetition" -> (repetition _),
     "text_fingerprint" -> (fingerprint _),
     "text_perplexity" -> (perplexity _))
@@ -254,6 +281,15 @@ object TextOps {
     "text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe FROM documents"),
+    "text_pii" -> {
+      // Built from the SAME PiiPatterns constants the Spark plan compiles.
+      val cnt = PiiPatterns.map { case (n, p) => s"CAST(len(regexp_extract_all(text, '$p')) AS INT) AS $n" }
+      val names = PiiPatterns.map(_._1)
+      val tot = names.mkString(" + ")
+      s"SELECT doc_id, ${names.mkString(", ")}, $tot AS pii_total, " +
+        s"CASE WHEN $tot > 0 THEN 1 ELSE 0 END AS has_pii FROM " +
+        s"(SELECT doc_id, ${cnt.mkString(", ")} FROM documents)"
+    },
     "text_repetition" -> {
       val sh3 = "list_transform(generate_series(1, len(string_split(text, ' ')) - 2), " +
         "i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))"

@@ -75,6 +75,33 @@ class DedupSpec extends SparkSpec {
       s"strided ids must keep within-salt-group pairs (got ${salted.size}, want ${expected.size})")
   }
 
+  test("substring dedup flags exactly the cross-doc repeated windows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    val s = spark
+    import s.implicits._
+    // docs 1 and 2 share the 5-word passage "p q r s t" at different
+    // offsets; doc 3 is disjoint; doc 4 repeats a window IN-DOC only
+    // (in-doc repetition is text_repetition's signal, not cross-doc dedup's
+    // — but a cross-doc window counts every instance, spec'd via doc 5).
+    Seq(
+      (1L, "src0", "p q r s t u v w"),
+      (2L, "src0", "x y z p q r s t"),
+      (3L, "src0", "a b c d e f g"),
+      (4L, "src0", "m n o he he m n o he he"),
+      (5L, "src0", "p q r s t p q r s t"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.substringDup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 1L, 0.25)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((4L, 1L, 0.25)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((3L, 0L, 0.0)), "disjoint doc must not flag")
+    assert(got(4L)._2 == 0L, "in-doc-only repeats are not cross-doc duplicates")
+    // doc 5 holds "p q r s t" twice -> BOTH instances count as duplicated,
+    // plus it shares that window with docs 1/2.
+    assert(got(5L)._1 == 6L && got(5L)._2 == 2L, s"doc5: ${got(5L)}")
+  }
+
   test("banded LSH (AND-amplification) candidates are a subset of the UNCAPPED r=1 candidates") {
     // Uncapped on the r=1 side: each path caps its own bucket granularity,
     // so the CAPPED sets are not nested (an (h1,h2) bucket can stay under

@@ -22,6 +22,27 @@ class FunctionsSpec extends SparkSpec {
     assert(got(3L) == ((0, 0, 0.0)), "sub-n docs have no grams and ratio 0")
   }
 
+  test("text_pii detects emails, phones, IPs and long ids on a synthetic corpus") {
+    // The shipped corpus is digit-free (the gated oracle run proves parity
+    // at zero counts); detection itself is pinned here.
+    val dir = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    Seq(
+      (1L, "src0", "contact me at jane.doe@example.com or bob@mail.co today"),
+      (2L, "src0", "call 555-867-5309 from 10.0.0.1 with account 123456789"),
+      (3L, "src0", "nothing sensitive here at all"),
+      (4L, "src0", "short num 12345 is not an id and 999.1.2 is not an ip"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.pii(ss, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)), r.getInt(5), r.getInt(6)))
+      .toMap
+    assert(got(1L) == (((2, 0, 0, 0), 2, 1)), s"emails: ${got(1L)}")
+    assert(got(2L) == (((0, 1, 1, 1), 3, 1)), s"phone+ip+id: ${got(2L)}")
+    assert(got(3L) == (((0, 0, 0, 0), 0, 0)), "clean doc must not flag")
+    assert(got(4L) == (((0, 0, 0, 0), 0, 0)), "5-digit runs and non-quad dots must not flag")
+  }
+
   test("wordShingles is empty below n tokens and sliding above") {
     val df = Seq("a b", "a b c d").toDF("text")
       .select(wordShingles(wsTokens(col("text")), 3).as("sh"))

@@ -143,6 +143,43 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"block offsets must broadcast back:\n$p")
   }
 
+  test("shard's rank is distributed: no raw per-source window, offsets broadcast back") {
+    // A naive `row_number() OVER (PARTITION BY source ORDER BY n_tok ...)`
+    // over the raw doc stream would sort a whole source on one task; the
+    // only window allowed on the raw stream is the block-local rank inside
+    // (source, n_tok, blk), with histogram/block offsets broadcast back.
+    val p = plan(graft.operators.Pipeline.shard(spark, sf))
+    assert("windowspecdefinition\\(source#\\d+, n_tok".r.findFirstIn(p).isEmpty ||
+      "windowspecdefinition\\(source#\\d+, n_tok#\\d+L?, blk".r.findFirstIn(p).isDefined,
+      s"shard must not window (source, n_tok) without the block split:\n$p")
+    assert("windowspecdefinition\\(source#\\d+, doc_id".r.findFirstIn(p).isEmpty,
+      s"shard windows the raw per-source doc stream on one task:\n$p")
+    assert("windowspecdefinition\\(source#\\d+, n_tok#\\d+L?, blk#\\d+L?, doc_id".r.findFirstIn(p).isDefined,
+      s"expected the block-local bounded rank window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"rank offsets must broadcast back:\n$p")
+  }
+
+  test("shard deals round-robin: per-source doc counts and token totals stay balanced") {
+    import org.apache.spark.sql.functions._
+    val m = graft.operators.Pipeline.shard(spark, sf)
+      .groupBy("source")
+      .agg((max(col("n_docs")) - min(col("n_docs"))).as("ddocs"),
+        (max(col("total_tokens")) - min(col("total_tokens"))).as("dtok"),
+        max(col("max_tokens")).as("biggest"),
+        sum(col("n_docs")).as("n"))
+      .collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      assert(r.getAs[Long]("ddocs") <= 1, s"${r.getString(0)}: doc counts unbalanced")
+      // descending round-robin keeps shard totals within one max-document
+      assert(r.getAs[Long]("dtok") <= r.getAs[Long]("biggest"),
+        s"${r.getString(0)}: token totals unbalanced beyond one max doc")
+    }
+    val total = m.map(_.getAs[Long]("n")).sum
+    val docs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(total == docs, s"sharding lost docs: $total != $docs")
+  }
+
   test("packing manifest tokens add up to the corpus token count") {
     import org.apache.spark.sql.functions._
     val packed = graft.operators.Pipeline.pack(spark, sf)
