@@ -115,9 +115,19 @@ object Dedup {
     * (embarrassingly parallel CPU); that trade is strictly better at scale
     * than a windowed buffer of the densest buckets. */
   def simhashPairs(s: SparkSession, dir: String,
+      maxBucket: Int = MaxBucket): DataFrame =
+    hammingPairs(
+      docs(s, dir).select(col("doc_id"), ShingleExpressions.simhash64(col("text")).as("h")),
+      maxBucket)
+
+  /** Hamming-<= `MaxHamming` pairs over ANY (doc_id, h: 64-bit) relation —
+    * the engine behind `simhashPairs`, reused verbatim by the multimodal
+    * perceptual-hash pairing (Multimodal.phashPairs): 3-block pigeonhole
+    * candidates under the shared salted-census policy, XOR-popcount verify
+    * on candidates only. */
+  private[operators] def hammingPairs(hashed: DataFrame,
       maxBucket: Int = MaxBucket): DataFrame = {
-    val blocked = docs(s, dir)
-      .select(col("doc_id"), ShingleExpressions.simhash64(col("text")).as("h"))
+    val blocked = hashed
       .select(col("doc_id"), col("h"), explode(array(
         struct(lit(0).as("bi"), col("h").bitwiseAND(lit(4194303L)).as("bv")),
         struct(lit(1).as("bi"), shiftright(col("h"), 22).bitwiseAND(lit(2097151L)).as("bv")),
@@ -529,6 +539,28 @@ object Dedup {
   private def simhashBlockSql(c: String): String =
     s"CASE bi WHEN 0 THEN CAST($c % 4194304 AS BIGINT) WHEN 1 THEN CAST(($c // 4194304) % 2097152 AS BIGINT) ELSE CAST($c // 8796093022208 AS BIGINT) END"
 
+  /** SQL mirror of `hammingPairs` over a CTE `src` yielding (doc_id,
+    * h BIGINT): CTE chain ending in `hcand(doc_a, ha, doc_b, hb)` — the
+    * 3-block pigeonhole candidates under the shared salt policy. Shared by
+    * the dedup_simhash_pairs and mm_phash_pairs oracles, mirroring the one
+    * engine path both run. */
+  private[operators] def hammingPairsCtes(src: String): String =
+    s"hu AS (SELECT doc_id, h, CAST(h AS HUGEINT) + CASE WHEN h < 0 THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS s FROM $src), " +
+      s"hbl AS (SELECT doc_id, h, bi, ${simhashBlockSql("s")} AS bv " +
+      "FROM hu CROSS JOIN (SELECT unnest([0, 1, 2]) AS bi)), " +
+      "hbls AS (SELECT doc_id, h, bi, bv, " +
+      s"${graft.functions.hash52Sql("doc_id")} % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
+      "FROM (SELECT doc_id, h, bi, bv, count(*) OVER (PARTITION BY bi, bv) AS bn FROM hbl)), " +
+      "hblc AS (SELECT doc_id, h, bi, bv, salt FROM (SELECT doc_id, h, bi, bv, salt, " +
+      s"count(*) OVER (PARTITION BY bi, bv, salt) AS gn FROM hbls) WHERE gn <= ${2 * MaxBucket}), " +
+      "hcand AS (SELECT DISTINCT a.doc_id AS doc_a, a.h AS ha, b.doc_id AS doc_b, b.h AS hb " +
+      "FROM hblc a JOIN hblc b ON a.bi = b.bi AND a.bv = b.bv AND a.salt = b.salt AND a.doc_id < b.doc_id)"
+
+  /** Final select over `hcand`: XOR-popcount verify at `MaxHamming`. */
+  private[operators] def hammingPairsSelect: String =
+    "SELECT doc_a, doc_b, CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS INT) AS hamming " +
+      s"FROM hcand WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= $MaxHamming"
+
   /** CTE chain (requires WITH RECURSIVE) ending in `lab(doc_id,
     * cluster_id)` — the connected-components labeling over LSH pairs ∪
     * exact-hash star edges. Shared by the `dedup_survivors` oracle and the
@@ -591,18 +623,8 @@ object Dedup {
     "dedup_simhash_pairs" ->
       (s"WITH raw AS (SELECT doc_id, $simhashRawSql AS s " +
         "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)), " +
-        s"sh AS (SELECT doc_id, ${simhashSignedSql("s")} AS h, s FROM raw), " +
-        s"bl AS (SELECT doc_id, h, bi, ${simhashBlockSql("s")} AS bv " +
-        "FROM sh CROSS JOIN (SELECT unnest([0, 1, 2]) AS bi)), " +
-        "bls AS (SELECT doc_id, h, bi, bv, " +
-        s"${graft.functions.hash52Sql("doc_id")} % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
-        "FROM (SELECT doc_id, h, bi, bv, count(*) OVER (PARTITION BY bi, bv) AS bn FROM bl)), " +
-        "blc AS (SELECT doc_id, h, bi, bv, salt FROM (SELECT doc_id, h, bi, bv, salt, " +
-        s"count(*) OVER (PARTITION BY bi, bv, salt) AS gn FROM bls) WHERE gn <= ${2 * MaxBucket}), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.h AS ha, b.doc_id AS doc_b, b.h AS hb " +
-        "FROM blc a JOIN blc b ON a.bi = b.bi AND a.bv = b.bv AND a.salt = b.salt AND a.doc_id < b.doc_id) " +
-        "SELECT doc_a, doc_b, CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS INT) AS hamming " +
-        s"FROM cand WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= $MaxHamming"),
+        s"shp AS (SELECT doc_id, ${simhashSignedSql("s")} AS h FROM raw), " +
+        s"${hammingPairsCtes("shp")} $hammingPairsSelect"),
     "dedup_ngram_jaccard" ->
       (s"WITH sh AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +
         "ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh WHERE len(sh) > 0), " +

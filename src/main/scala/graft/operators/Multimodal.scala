@@ -94,6 +94,47 @@ object Multimodal {
     }.toDF("doc_id", "window_idx", "n_samples", "energy")
   }
 
+  /** aHash-style perceptual fingerprint over the payload (the image-dedup
+    * primitive): the payload is cut into 64 equal byte segments and bit j
+    * is set iff segment j's mean byte value exceeds the whole-payload mean
+    * (integer cross-multiplied — exact, no division). Identical assets
+    * collide exactly; re-encoded/lightly-edited assets land within a small
+    * hamming distance, which is what perceptual dedup buckets on. A real
+    * pHash swaps the byte segments for DCT coefficients of decoded pixels —
+    * same 64-bit shape, same downstream pairing (dedup_simhash_pairs'
+    * pigeonhole blocks apply verbatim to this column). */
+  def phashStub(a: Asset): (Long, Int, Long) = {
+    val n = a.payload.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += (a.payload(i) & 0xff); i += 1 }
+    var h = 0L
+    var j = 0
+    while (j < 64) {
+      val lo = (j * n) / 64
+      val hi = ((j + 1) * n) / 64
+      var seg = 0L
+      var k = lo
+      while (k < hi) { seg += (a.payload(k) & 0xff); k += 1 }
+      if (seg * n > total * (hi - lo)) h |= (1L << j)
+      j += 1
+    }
+    (a.doc_id, n, h)
+  }
+
+  /** Perceptual-hash fingerprints, partition-parallel (no shuffle). */
+  def phash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).mapPartitions(_.map(phashStub)).toDF("doc_id", "n_bytes", "phash")
+  }
+
+  /** Perceptual near-dup pairs: assets within hamming <= Dedup.MaxHamming
+    * on the phash column — literally `Dedup.hammingPairs` (the simhash
+    * pigeonhole + salted-census engine) applied to the multimodal
+    * fingerprint; one pairing engine serves both modalities. */
+  def phashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.hammingPairs(phash(s, dir).select(col("doc_id"), col("phash").as("h")))
+
   val MaxSide = 224
   val Patch = 16
 
@@ -123,7 +164,23 @@ object Multimodal {
     "mm_decode" -> (decode _),
     "mm_frame_sample" -> (frameSample _),
     "mm_audio_windows" -> (audioWindows _),
-    "mm_resize" -> (resizePlan _))
+    "mm_resize" -> (resizePlan _),
+    "mm_phash" -> (phash _),
+    "mm_phash_pairs" -> (phashPairs _))
+
+  /** Segment sums replay as ascii() sums over substr slices; the signed
+    * 64-bit assembles as a sum of BIGINT bit values (bit 63 contributes
+    * -2^63 — the two's-complement identity, so no HUGEINT wrap needed). */
+  private val phashCtes =
+    "base AS (SELECT doc_id, text, strlen(text) AS n FROM documents), " +
+      "tot AS (SELECT doc_id, text, n, coalesce(list_sum(list_transform(generate_series(1, n), " +
+      "i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))), 0) AS total FROM base), " +
+      "seg AS (SELECT doc_id, text, n, total, j, (j * n) // 64 AS lo, ((j + 1) * n) // 64 AS hi " +
+      "FROM tot CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)), " +
+      "bits AS (SELECT doc_id, n, CASE WHEN coalesce(list_sum(list_transform(generate_series(lo + 1, hi), " +
+      "i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))), 0) * n > total * (hi - lo) " +
+      "THEN (CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT) ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END) " +
+      "ELSE CAST(0 AS BIGINT) END AS b FROM seg)"
 
   /** The stub codec is pure arithmetic over the payload bytes, and the
     * payload is utf8(text) with ASCII-only test documents — so byte length
@@ -156,6 +213,16 @@ object Multimodal {
         s"WHEN w >= h THEN greatest(1, (h * $MaxSide) // w) ELSE $MaxSide END AS INT) AS out_h FROM d) " +
         "SELECT doc_id, w AS src_w, h AS src_h, out_w, out_h, " +
         s"CAST(((out_w + ${Patch - 1}) // $Patch) * ((out_h + ${Patch - 1}) // $Patch) AS INT) AS n_patches FROM r"),
+    "mm_phash" ->
+      (s"WITH $phashCtes " +
+        "SELECT doc_id, CAST(n AS INT) AS n_bytes, CAST(sum(b) AS BIGINT) AS phash " +
+        "FROM bits GROUP BY doc_id, n"),
+    "mm_phash_pairs" ->
+      // The SAME hamming-pair CTE mirror the dedup_simhash_pairs oracle
+      // uses, over the phash relation — one engine path, one SQL mirror.
+      (s"WITH $phashCtes, " +
+        "ph AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS h FROM bits GROUP BY doc_id), " +
+        s"${Dedup.hammingPairsCtes("ph")} ${Dedup.hammingPairsSelect}"),
     "mm_audio_windows" ->
       // starts = (0 until max(n-255,1) by 128).take(8): inclusive stop is
       // min(max(n-256,0), 896); energy sums (byte-128)^2 over the window.

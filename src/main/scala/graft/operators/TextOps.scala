@@ -132,6 +132,31 @@ object TextOps {
       .withColumn("has_pii", when(col("pii_total") > 0, 1).otherwise(0))
   }
 
+  /** Mask token per PII pattern, keyed by the pattern's count column. */
+  val PiiMasks: Seq[(String, String)] = Seq(
+    "n_email" -> "<EMAIL>",
+    "n_phone" -> "<PHONE>",
+    "n_ipv4" -> "<IP>",
+    "n_id" -> "<ID>")
+
+  /** PII redaction — the scrub `pii` audits for: every pattern match is
+    * replaced by its typed mask token, applied in PiiPatterns order (fixed
+    * order = deterministic output; masks are digit-free so later patterns
+    * can never re-match inside an already-masked span). Same shuffle-free
+    * codegen shape as the audit; on the digit-free shipped corpus the gate
+    * proves byte-identical passthrough, the synthetic-corpus spec pins the
+    * masking itself. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val masks = PiiMasks.toMap
+    val redacted = PiiPatterns.foldLeft(col("text")) { case (c, (name, pat)) =>
+      regexp_replace(c, lit(pat), lit(masks(name)))
+    }
+    docs(s, dir).select(
+      col("doc_id"),
+      redacted.as("text_redacted"),
+      (redacted =!= col("text")).cast("int").as("was_redacted"))
+  }
+
   /** Token counting: whitespace tokens + BPE-ish regex token count
     * (letter runs | digit runs | single punctuation). */
   def tokens(s: SparkSession, dir: String): DataFrame =
@@ -231,6 +256,7 @@ object TextOps {
     "text_quality" -> (quality _),
     "text_tokens" -> (tokens _),
     "text_pii" -> (pii _),
+    "text_pii_redact" -> (piiRedact _),
     "text_repetition" -> (repetition _),
     "text_fingerprint" -> (fingerprint _),
     "text_perplexity" -> (perplexity _))
@@ -289,6 +315,14 @@ object TextOps {
       s"SELECT doc_id, ${names.mkString(", ")}, $tot AS pii_total, " +
         s"CASE WHEN $tot > 0 THEN 1 ELSE 0 END AS has_pii FROM " +
         s"(SELECT doc_id, ${cnt.mkString(", ")} FROM documents)"
+    },
+    "text_pii_redact" -> {
+      val masks = PiiMasks.toMap
+      val red = PiiPatterns.foldLeft("text") { case (c, (name, pat)) =>
+        s"regexp_replace($c, '$pat', '${masks(name)}', 'g')"
+      }
+      s"SELECT doc_id, $red AS text_redacted, " +
+        s"CASE WHEN $red <> text THEN 1 ELSE 0 END AS was_redacted FROM documents"
     },
     "text_repetition" -> {
       val sh3 = "list_transform(generate_series(1, len(string_split(text, ' ')) - 2), " +

@@ -41,6 +41,11 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2L) == (((0, 1, 1, 1), 3, 1)), s"phone+ip+id: ${got(2L)}")
     assert(got(3L) == (((0, 0, 0, 0), 0, 0)), "clean doc must not flag")
     assert(got(4L) == (((0, 0, 0, 0), 0, 0)), "5-digit runs and non-quad dots must not flag")
+    val red = graft.operators.TextOps.piiRedact(ss, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(red(1L) == (("contact me at <EMAIL> or <EMAIL> today", 1)), red(1L))
+    assert(red(2L) == (("call <PHONE> from <IP> with account <ID>", 1)), red(2L))
+    assert(red(3L) == (("nothing sensitive here at all", 0)), "clean doc must pass through byte-identical")
   }
 
   test("wordShingles is empty below n tokens and sliding above") {

@@ -26,6 +26,51 @@ class MultimodalSpec extends SparkSpec {
     assert(df.filter(not(col("frame_md5").rlike("^[0-9a-f]{32}$"))).count() == 0)
   }
 
+  test("mm_phash matches an independent segment-mean computation and collides on identical payloads") {
+    // Independent recomputation (plain byte arithmetic, no Spark) over the
+    // real corpus — the same cross-check style as the simhash bit-vote spec.
+    def ref(payload: Array[Byte]): Long = {
+      val n = payload.length
+      val total = payload.map(b => (b & 0xff).toLong).sum
+      (0 until 64).foldLeft(0L) { (h, j) =>
+        val lo = (j * n) / 64; val hi = ((j + 1) * n) / 64
+        val seg = payload.slice(lo, hi).map(b => (b & 0xff).toLong).sum
+        if (seg * n > total * (hi - lo)) h | (1L << j) else h
+      }
+    }
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Multimodal.phash(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got.keySet == texts.keySet)
+    got.foreach { case (id, (nb, h)) =>
+      val bytes = texts(id).getBytes("UTF-8")
+      assert(nb == bytes.length)
+      assert(h == ref(bytes), s"phash mismatch for doc $id")
+    }
+    // identical payloads collide exactly
+    assert(Multimodal.phashStub(Multimodal.Asset(1L, "same bytes".getBytes)) ._3 ==
+      Multimodal.phashStub(Multimodal.Asset(2L, "same bytes".getBytes))._3)
+  }
+
+  test("mm_phash_pairs pairs identical payloads at hamming 0 and skips disjoint ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_phash").toString
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "src0", "the same asset bytes exactly as shipped by the upstream crawler"),
+      (2L, "src0", "the same asset bytes exactly as shipped by the upstream crawler"),
+      (3L, "src0", "zq zz qz xx completely different content with other byte structure"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.phashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.contains((1L, 2L, 0)), s"identical payloads must pair at hamming 0: $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+      s"disjoint payload must not pair: $got")
+  }
+
   test("mm_resize preserves bounds: long side capped, nothing upscaled, patch grid exact") {
     import org.apache.spark.sql.functions._
     val df = Multimodal.resizePlan(spark, sf)

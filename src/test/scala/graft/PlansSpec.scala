@@ -50,7 +50,8 @@ class PlansSpec extends SparkSpec {
   test("text operators are shuffle-free single-pass pipelines") {
     Seq(TextOps.langid(spark, sf), TextOps.quality(spark, sf),
       TextOps.tokens(spark, sf), TextOps.fingerprint(spark, sf),
-      TextOps.repetition(spark, sf)).foreach { df =>
+      TextOps.repetition(spark, sf), TextOps.pii(spark, sf),
+      TextOps.piiRedact(spark, sf)).foreach { df =>
       val p = plan(df)
       assert(!p.contains("Exchange"), s"unexpected shuffle in text op:\n$p")
     }
@@ -110,6 +111,14 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)") ||
       p.contains("EqualTo(l_returnflag,R)"), s"returnflag filter not pushed:\n$p")
+  }
+
+  test("market share broadcasts every dim chain and plans no window") {
+    val p = plan(Analytics.marketShare(spark, sf))
+    assert(!p.contains("Window"), s"Q8 share is an aggregate ratio, never a window:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"part/nation x2/region must all broadcast:\n$p")
+    assert(p.contains("EqualTo(p_type,PROMO)"), s"part type filter not pushed:\n$p")
   }
 
   test("top-supplier max is a broadcast 1-row aggregate, not a global window") {
