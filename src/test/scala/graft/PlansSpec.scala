@@ -113,6 +113,15 @@ class PlansSpec extends SparkSpec {
       p.contains("EqualTo(l_returnflag,R)"), s"returnflag filter not pushed:\n$p")
   }
 
+  test("substring dedup is pure aggregation over window hashes — no window op, no pair expansion") {
+    val p = plan(Dedup.substringDup(spark, sf))
+    assert(!p.contains("Window"), s"cross-doc occurrence must aggregate, not window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"substring audit must never expand pairs:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"expected map-side partial aggregation:\n$p")
+  }
+
   test("market share broadcasts every dim chain and plans no window") {
     val p = plan(Analytics.marketShare(spark, sf))
     assert(!p.contains("Window"), s"Q8 share is an aggregate ratio, never a window:\n$p")
