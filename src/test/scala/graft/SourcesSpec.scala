@@ -150,6 +150,64 @@ class SourcesSpec extends SparkSpec {
       s"partition pruning read $filesRead of $totalFiles files")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // The 100 TB complement of static pruning: when the partition keys to
+    // read are only known from a JOIN (dim filter), Spark injects a runtime
+    // subquery into the fact scan's PartitionFilters — unread partitions
+    // are skipped entirely. Static pruning (spec above) covers literal
+    // predicates; this proves the join-driven case a star-schema workload
+    // actually hits.
+    val dst = Files.createTempDirectory("graft_dpp").toString
+    Tables.load(spark, sf, "documents")
+      .write.partitionBy("source").mode("overwrite").parquet(s"$dst/fact")
+    val s = spark
+    import s.implicits._
+    // The dim must be a REAL source, not a local Seq: ConvertToLocalRelation
+    // folds a filter over a local relation away, and with no Filter node the
+    // pruning side has no selective predicate for DPP to key off.
+    Seq(("src3", "keep"), ("src7", "keep"), ("src9", "drop"))
+      .toDF("source", "tag").write.mode("overwrite").parquet(s"$dst/dim")
+    val dim = spark.read.parquet(s"$dst/dim")
+    val joined = spark.read.parquet(s"$dst/fact")
+      .join(dim.filter(col("tag") === "keep"), Seq("source"))
+    val rows = joined.collect().length.toLong
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no runtime partition pruning subquery in the fact scan:\n$plan")
+    assert(rows == Tables.load(spark, sf, "documents")
+      .filter(col("source").isin("src3", "src7")).count())
+  }
+
+  test("runtime bloom filter prunes the probe side of a shuffle join") {
+    // Fact-fact joins can't broadcast; Spark's runtime row-level filtering
+    // builds a bloom filter from the selective side and pushes
+    // might_contain onto the probe side's scan — at 100 TB that drops the
+    // shuffled volume to ~the matching keys. Thresholds are sized for real
+    // clusters (probe side >= 10 GB), so lower them to prove the wiring.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(Option(conf.get(k))).toOption.flatten)
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.load(spark, sf, "lineitem")
+      val o = Tables.load(spark, sf, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("might_contain") || plan.contains("bloomfilter"),
+        s"no runtime bloom filter on the probe side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("JDBC source/sink round-trips a DBCountPageView-shaped pipeline through Derby") {
     import org.apache.spark.sql.functions._
     val url = s"jdbc:derby:${Files.createTempDirectory("graft_derby")}/db;create=true"
