@@ -133,6 +133,45 @@ object Extras {
         (floor(lit((KmvK - 1) * Two52) / col("h_k") * 1e6 + 0.5) / 1e6).as("est_distinct"))
   }
 
+  val CmsDepth = 4
+  val CmsWidth = 256
+  val CmsTopK = 20
+
+  /** Count-min-sketch heavy hitters — the third sketch in the family
+    * (KMV cardinality above, HLL++ in streaming): approximate top-k token
+    * frequencies from a d x w counter grid whose size is INDEPENDENT of
+    * corpus size. Each token instance increments d=4 cells (seeded md5
+    * buckets — engine-portable, so the oracle replays the sketch bit for
+    * bit); a token's estimate is the min of its cells (classic CMS
+    * overestimate-only bound, spec-asserted est >= exact).
+    *
+    * Scale shape: the cell increments are one map-side-combined groupBy
+    * over (d, bucket) — at most d*w = 1024 result rows from any corpus —
+    * and the probe side joins the BROADCAST sketch map-side; the exact
+    * counts ride along as the accuracy audit (at 100 TB a deployment
+    * drops that branch and keeps only the O(d*w) sketch). Top-k is
+    * sort-limit (TakeOrderedAndProject), never a global sort. */
+  def sketchTopK(s: SparkSession, dir: String): DataFrame = {
+    val seeds = array((0 until CmsDepth).map(lit): _*)
+    def bucket = pmod(
+      graft.functions.hash52(concat(col("i").cast("string"), lit(":"), col("word"))),
+      lit(CmsWidth.toLong))
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(wsTokens(col("text"))).as("word"))
+    val sketch = toks.select(col("word"), explode(seeds).as("i"))
+      .select(col("i"), bucket.as("b"))
+      .groupBy("i", "b").agg(count(lit(1)).as("c"))
+    val probes = toks.distinct()
+      .select(col("word"), explode(seeds).as("i"))
+      .withColumn("b", bucket)
+    val est = probes.join(broadcast(sketch), Seq("i", "b"))
+      .groupBy("word").agg(min(col("c")).as("est"))
+    val exact = toks.groupBy("word").agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("word"))
+      .orderBy(col("est").desc, col("word").asc)
+      .limit(CmsTopK)
+  }
+
   // --- wiring --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -140,7 +179,8 @@ object Extras {
     "mr_streaming_pipe_reduce" -> (streamingPipeReduce _),
     "mr_quasi_monte_carlo" -> (quasiMonteCarlo _),
     "mr_random_text" -> (randomText _),
-    "mr_sketch_distinct" -> (sketchDistinct _))
+    "mr_sketch_distinct" -> (sketchDistinct _),
+    "mr_sketch_topk" -> (sketchTopK _))
 
   private val vocabSql = Vocab.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -158,6 +198,19 @@ object Extras {
       (s"SELECT i AS id, $vocabSql[CAST(((i * 2654435761 + 7) % 4294967296) % ${Vocab.size} AS INT) + 1] AS word1, " +
         s"$vocabSql[CAST(((i * 2246822519 + 13) % 4294967296) % ${Vocab.size} AS INT) + 1] AS word2 " +
         s"FROM generate_series(1, $RandN) t(i)"),
+    "mr_sketch_topk" -> {
+      val bucketSql = graft.functions.hash52Sql("(CAST(i AS VARCHAR) || ':' || word)") + s" % $CmsWidth"
+      val seedsSql = (0 until CmsDepth).mkString("[", ", ", "]")
+      "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
+        s"cells AS (SELECT i, $bucketSql AS b FROM toks CROSS JOIN (SELECT unnest($seedsSql) AS i)), " +
+        "sk AS (SELECT i, b, count(*) AS c FROM cells GROUP BY i, b), " +
+        "dw AS (SELECT DISTINCT word FROM toks), " +
+        s"pr AS (SELECT word, i, $bucketSql AS b FROM dw CROSS JOIN (SELECT unnest($seedsSql) AS i)), " +
+        "est AS (SELECT word, min(c) AS est FROM pr JOIN sk USING (i, b) GROUP BY word), " +
+        "ex AS (SELECT word, count(*) AS exact FROM toks GROUP BY word) " +
+        "SELECT word, est, exact FROM est JOIN ex USING (word) " +
+        s"ORDER BY est DESC, word ASC LIMIT $CmsTopK"
+    },
     "mr_sketch_distinct" -> {
       // 52-bit hash = first 13 md5 hex digits (single global rank — exact
       // min-k equals the two-phase salted construction by definition).

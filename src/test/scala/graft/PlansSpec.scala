@@ -262,6 +262,25 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("count-min top-k only ever overestimates, is near-exact at this width, and broadcasts the sketch") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Extras.sketchTopK(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == graft.operators.Extras.CmsTopK)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2),
+        s"${r.getString(0)}: CMS must never underestimate (est=${r.getLong(1)} exact=${r.getLong(2)})")
+    }
+    // vocab << d*w, so collisions are rare: the top-k set should be the
+    // exact top-k set at this scale (the sketch's job is the 100 TB case
+    // where the exact branch is dropped).
+    assert(rows.count(r => r.getLong(1) == r.getLong(2)) >= rows.length / 2,
+      "at vocab << width, most heavy hitters should estimate exactly")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"sketch probe must broadcast the 1024-cell sketch:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be sort-limit:\n$p")
+  }
+
   test("salting bucket census is a broadcast aggregate, never a Window over dense buckets") {
     // A `count over Window.partitionBy(bucket)` ships every row of a dense
     // bucket to ONE task before the salt exists — the 100 TB anti-pattern
