@@ -286,6 +286,34 @@ object Analytics {
       .groupBy("event_type")
       .agg(sum(col("pc")).as("n"), sum(col("pv")).cast("double").as("total_value"))
 
+  /** Salt fan-out for the skew-defused join. */
+  val JoinSalt = 8
+
+  /** Skew-defused salted JOIN (the join-side complement of `aggSalted`'s
+    * two-phase aggregation): when one join key dominates a fact-fact
+    * shuffle join — a celebrity user, a default id — every row of that key
+    * lands on ONE task. The standard fix demonstrated here: the probe side
+    * (lineitem) spreads each key over `JoinSalt` sub-keys by a
+    * deterministic row-level hash, the build side (orders) replicates each
+    * row JoinSalt times, and the join runs on (key, salt) — identical
+    * result (the oracle IS the plain join), per-task load bounded by
+    * max-key-rows / JoinSalt at the cost of a JoinSalt-times build-side
+    * shuffle. AQE's skew split handles moderate skew adaptively; explicit
+    * salting is the insurance for the pathological key that exceeds a
+    * single task's memory. Aggregated to priority level so the gate stays
+    * compact. */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(12,2)")
+    val li = t(s, dir, "lineitem")
+      .withColumn("salt", pmod(hash52(col("l_linenumber")), lit(JoinSalt.toLong)))
+    val o = t(s, dir, "orders")
+      .withColumn("salt", explode(array((0 until JoinSalt).map(i => lit(i.toLong)): _*)))
+    li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("revenue"))
+  }
+
   /** Tumbling 1h window aggregation — batch analog of the streaming path. */
   def eventWindow(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -488,6 +516,7 @@ object Analytics {
     "q_rollup" -> (rollupAgg _),
     "q_event_sessionize" -> (eventSessionize _),
     "q_agg_salted" -> (aggSalted _),
+    "q_join_salted" -> (joinSalted _),
     "q_asof_join" -> (asofJoin _),
     "q_percentiles" -> (percentiles _),
     "q_product_profit" -> (productProfit _),
@@ -549,6 +578,11 @@ object Analytics {
         "FROM sessions GROUP BY user_id, session_id"),
     "q_agg_salted" ->
       "SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value FROM events GROUP BY event_type",
+    "q_join_salted" ->
+      // The oracle is the PLAIN join — salting must be invisible in the result.
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"),
     "q_asof_join" ->
       ("SELECT event_id, user_id, ts, prev_view_ts FROM " +
         "(SELECT event_id, user_id, ts, event_type, " +

@@ -281,6 +281,25 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must be sort-limit:\n$p")
   }
 
+  test("salted join is result-identical to the plain join and keys on (orderkey, salt)") {
+    import org.apache.spark.sql.functions._
+    val df = Analytics.joinSalted(spark, sf)
+    val p = plan(df)
+    assert("salt#\\d+".r.findFirstIn(p).isDefined, s"join must key on the salt column:\n$p")
+    val salted = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+    val one = lit(1).cast("decimal(12,2)")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(12,2)") * (one - col("l_discount").cast("decimal(12,2)")))
+          .cast("double").as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain, "salting changed the join result")
+  }
+
   test("salting bucket census is a broadcast aggregate, never a Window over dense buckets") {
     // A `count over Window.partitionBy(bucket)` ships every row of a dense
     // bucket to ONE task before the salt exists — the 100 TB anti-pattern
