@@ -43,6 +43,12 @@ object Tables {
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** ORC — the second columnar container the Hadoop ecosystem ships
+    * alongside parquet (hive/ORC lineage); same pushdown + pruning
+    * machinery applies (spec-asserted). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** distcp analog (hadoop-tools/hadoop-distcp): bulk, partition-parallel
     * copy with end-to-end verification. Copies a table to `dstDir` as
     * parquet and returns (rows, checksum) of both sides; distcp's CRC check

@@ -298,6 +298,20 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("orc round-trip preserves values and pushes filters into the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/orders"
+    val src = Tables.load(spark, sf, "orders")
+    src.write.orc(dir)
+    val back = Tables.orc(spark, dir)
+    assert(back.count() == src.count())
+    val q = back.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey", "o_totalprice")
+    val p = q.queryExecution.executedPlan.toString
+    // Same scan-side machinery as parquet: predicate pushdown + column pruning.
+    assert(p.contains("PushedFilters: [") && p.contains("o_orderpriority"),
+      s"filter not pushed to the ORC scan:\n$p")
+    assert(q.count() == src.filter(col("o_orderpriority") === "1-URGENT").count())
+  }
+
   test("json round-trip preserves values") {
     val dir = Files.createTempDirectory("graft_json").toString + "/region"
     val src = Tables.load(spark, sf, "region")
