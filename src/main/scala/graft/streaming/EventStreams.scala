@@ -330,6 +330,51 @@ object EventStreams {
           col("n_exact").cast("double")).as("est_distinct"))
   }
 
+  /** Heavy hitters per window: top event types per tumbling hour. */
+  val WindowTopK = 3
+
+  /** Per-window top-k (batch analog, gated): hourly counts per event_type
+    * ranked through the custom TopKPerKey operator — bounded heaps per
+    * window, the shuffle carries at most k rows per window per partition
+    * (never a window-wide sort) — then row_number over the <= k survivors
+    * supplies the rank column, exactly the sim_* ranking template applied
+    * to the streaming surface. */
+  def windowTopKBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+    graft.plans.TopKPerKey.topKPerKey(counts, Seq("win_start"),
+        Seq(col("n").desc, col("event_type").asc), WindowTopK)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("win_start")).orderBy(col("n").desc, col("event_type").asc)))
+  }
+
+  /** True-stream path for the per-window top-k: the watermarked hourly
+    * counts run IN the stream (append mode — only watermark-finalized
+    * windows emit); the bounded rank applies over the sink table, the same
+    * post-sink step a dashboard reader runs (StreamingSpec compares it to
+    * the batch analog). */
+  def startWindowTopKStream(s: SparkSession, dir: String, name: String): StreamingQuery = {
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming variant: Spark's native HLL++ approx_count_distinct per
     * watermarked window — the engine-native estimator for the true stream
     * path (the KMV batch analog above is the oracle-replayable one). */
@@ -360,7 +405,8 @@ object EventStreams {
     "stream_sessionize" -> ((s, dir) => sessionize(s, Tables.load(s, dir, "events"))),
     "stream_interval_join" -> ((s, dir) => intervalJoinBatch(Tables.load(s, dir, "events"))),
     "stream_dedup" -> ((s, dir) => dedupBatch(Tables.load(s, dir, "events"))),
-    "stream_sketch_distinct" -> ((s, dir) => windowDistinctSketch(Tables.load(s, dir, "events"))))
+    "stream_sketch_distinct" -> ((s, dir) => windowDistinctSketch(Tables.load(s, dir, "events"))),
+    "stream_topk" -> ((s, dir) => windowTopKBatch(Tables.load(s, dir, "events"))))
 
   def oracles: Map[String, String] = Map(
     "stream_window_agg" ->
@@ -394,5 +440,11 @@ object EventStreams {
         "e AS (SELECT win_start, count(*) AS n_exact FROM du GROUP BY win_start) " +
         s"SELECT e.win_start, n_exact, COALESCE(floor(${(KmvK - 1).toDouble * Two52} / r.h * 1000000 + 0.5) / 1000000, CAST(n_exact AS DOUBLE)) AS est_distinct " +
         s"FROM e LEFT JOIN (SELECT * FROM r WHERE rn = $KmvK) r ON e.win_start = r.win_start"
-    })
+    },
+    "stream_topk" ->
+      ("WITH counts AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type, count(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "ranked AS (SELECT win_start, event_type, n, " +
+        "CAST(row_number() OVER (PARTITION BY win_start ORDER BY n DESC, event_type ASC) AS INT) AS rank FROM counts) " +
+        s"SELECT win_start, event_type, n, rank FROM ranked WHERE rank <= $WindowTopK"))
 }

@@ -20,6 +20,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.subsetOf(batch), "streamed window rows diverge from batch analog")
   }
 
+  test("streaming per-window top-k: ranked sink rows match the batch analog's closed windows") {
+    val q = EventStreams.startWindowTopKStream(spark, sf, "stream_topk_out")
+    try q.processAllAvailable()
+    finally q.stop()
+    import org.apache.spark.sql.functions._
+    // The rank is the post-sink step a dashboard runs — apply the SAME
+    // bounded ranking to the sink table and compare against the batch path.
+    val sunk = spark.table("stream_topk_out")
+    val rankedSink = graft.plans.TopKPerKey.topKPerKey(sunk, Seq("win_start"),
+        Seq(col("n").desc, col("event_type").asc), EventStreams.WindowTopK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("win_start"))
+          .orderBy(col("n").desc, col("event_type").asc)))
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, Int)] =
+      df.select(unix_micros(col("win_start").cast("timestamp")), col("event_type"), col("n"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    val streamed = canon(rankedSink)
+    val batch = canon(EventStreams.windowTopKBatch(Tables.load(spark, sf, "events")))
+    assert(streamed.nonEmpty, "streaming query emitted nothing")
+    // append mode emits only watermark-closed windows — ranking closed
+    // windows gives exactly the batch answer for those windows
+    assert(streamed.subsetOf(batch), "streamed top-k diverges from batch analog")
+    val p = EventStreams.windowTopKBatch(Tables.load(spark, sf, "events"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), s"batch analog must rank through TopKPerKey:\n$p")
+  }
+
   test("flatMapGroupsWithState sessionizer: closed sessions match batch; open ones stay in state") {
     val q = EventStreams.startSessionizeStream(spark, sf, "stream_sessions_out")
     try q.processAllAvailable()
