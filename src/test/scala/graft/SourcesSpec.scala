@@ -287,6 +287,27 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("sharded write: partitioned, sorted, size-bounded output files round-trip") {
+    // The writer-side execution of pipeline_shard's manifest: partitioned
+    // directories, bounded file sizes (maxRecordsPerFile — MultipleOutputs
+    // + mapreduce.output.*.maxsize territory in the reference), rows intact.
+    val dst = Files.createTempDirectory("graft_shardw").toString + "/docs"
+    val src = Tables.load(spark, sf, "documents")
+    src.sortWithinPartitions("doc_id")
+      .write.partitionBy("source")
+      .option("maxRecordsPerFile", "40")
+      .mode("overwrite").parquet(dst)
+    val back = spark.read.parquet(dst)
+    assert(back.count() == src.count())
+    val files = new java.io.File(dst).listFiles().filter(_.getName.startsWith("source="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 40, s"${f.getName}: $n rows exceeds maxRecordsPerFile")
+    }
+  }
+
   test("csv round-trip (TextOutputFormat analog) preserves values") {
     val dir = Files.createTempDirectory("graft_csv").toString + "/nation"
     val src = Tables.load(spark, sf, "nation")
