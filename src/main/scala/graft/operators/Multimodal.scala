@@ -111,8 +111,10 @@ object Multimodal {
     var h = 0L
     var j = 0
     while (j < 64) {
-      val lo = (j * n) / 64
-      val hi = ((j + 1) * n) / 64
+      // Long math: j * n overflows Int beyond ~34 MB payloads (real video
+      // assets exceed that); the oracle's BIGINT arithmetic already agrees.
+      val lo = ((j.toLong * n) / 64).toInt
+      val hi = (((j + 1).toLong * n) / 64).toInt
       var seg = 0L
       var k = lo
       while (k < hi) { seg += (a.payload(k) & 0xff); k += 1 }

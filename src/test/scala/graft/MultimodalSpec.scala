@@ -33,7 +33,7 @@ class MultimodalSpec extends SparkSpec {
       val n = payload.length
       val total = payload.map(b => (b & 0xff).toLong).sum
       (0 until 64).foldLeft(0L) { (h, j) =>
-        val lo = (j * n) / 64; val hi = ((j + 1) * n) / 64
+        val lo = ((j.toLong * n) / 64).toInt; val hi = (((j + 1).toLong * n) / 64).toInt
         val seg = payload.slice(lo, hi).map(b => (b & 0xff).toLong).sum
         if (seg * n > total * (hi - lo)) h | (1L << j) else h
       }
