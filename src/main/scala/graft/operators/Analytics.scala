@@ -304,8 +304,12 @@ object Analytics {
     * compact. */
   def joinSalted(s: SparkSession, dir: String): DataFrame = {
     val one = lit(1).cast("decimal(12,2)")
+    // Row-identity hash (orderkey:linenumber), not a single column: a salt
+    // derived from one low-cardinality column would cap the fan-out at that
+    // column's distinct count instead of JoinSalt.
     val li = t(s, dir, "lineitem")
-      .withColumn("salt", pmod(hash52(col("l_linenumber")), lit(JoinSalt.toLong)))
+      .withColumn("salt", pmod(hash52(concat(col("l_orderkey").cast("string"),
+        lit(":"), col("l_linenumber").cast("string"))), lit(JoinSalt.toLong)))
     val o = t(s, dir, "orders")
       .withColumn("salt", explode(array((0 until JoinSalt).map(i => lit(i.toLong)): _*)))
     li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
