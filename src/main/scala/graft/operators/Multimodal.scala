@@ -103,6 +103,18 @@ object Multimodal {
     * pHash swaps the byte segments for DCT coefficients of decoded pixels —
     * same 64-bit shape, same downstream pairing (dedup_simhash_pairs'
     * pigeonhole blocks apply verbatim to this column). */
+  /** Exact a*b > c*d for non-negative longs via the 128-bit product —
+    * seg*n reaches ~255*n^2/64, which wraps a 64-bit long beyond ~1.5 GB
+    * payloads (real video assets; the JVM byte-array cap is 2 GB). The SQL
+    * mirror's BIGINT products cover the test corpus; past the BIGINT range
+    * DuckDB raises rather than silently diverging. */
+  private def prodGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
+  }
+
   def phashStub(a: Asset): (Long, Int, Long) = {
     val n = a.payload.length
     var total = 0L
@@ -118,7 +130,7 @@ object Multimodal {
       var seg = 0L
       var k = lo
       while (k < hi) { seg += (a.payload(k) & 0xff); k += 1 }
-      if (seg * n > total * (hi - lo)) h |= (1L << j)
+      if (prodGt(seg, n.toLong, total, (hi - lo).toLong)) h |= (1L << j)
       j += 1
     }
     (a.doc_id, n, h)

@@ -148,12 +148,19 @@ object Pipeline {
     *  level 0 — per-(source, n_tok) size histogram, windowed per source over
     *    <= |distinct sizes| rows for the cumulative larger-size offset;
     *  level 1 — row_number only within (source, n_tok, doc_id-block) — <=
-    *    `packBlock` rows per window partition by construction;
-    *  level 2 — per-block subtotals windowed per (source, n_tok) (a
-    *    packBlock-fold smaller relation), offsets BROADCAST back like
-    *    `pack`'s (same driver-size invariant: size packBlock ≈ docs/10^6).
-    * All three window inputs are aggregates or bounded blocks; the raw doc
-    * stream is never window-partitioned by source alone (plan-asserted). */
+    *    `packBlock` rows per window partition by construction (blocks are
+    *    global doc_id ranges, so a subgroup's block can only be smaller);
+    *  level 2 — per-block subtotals windowed per (source, n_tok), a
+    *    relation no larger than the histogram and packBlock-fold smaller
+    *    than any group that actually needs splitting.
+    * The two offset relations combine on (source, n_tok) and join back on
+    * (source, n_tok, blk) — the level-1 window's OWN partitioning, so the
+    * planner reuses that exchange; nothing here is force-broadcast (unlike
+    * pack's corpus/packBlock offsets, these aggregates scale with distinct
+    * sizes and can exceed any driver bound on diverse corpora). All three
+    * window inputs are aggregates or bounded blocks; the raw doc stream is
+    * never window-partitioned by (source) or (source, n_tok) alone
+    * (plan-asserted). */
   def shard(s: SparkSession, dir: String, packBlock: Int = PackBlock): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.wsTokens
@@ -177,11 +184,12 @@ object Pipeline {
       .agg(count(lit(1)).as("bcnt"))
       .withColumn("boff", coalesce(sum(col("bcnt")).over(wBlk), lit(0L)))
       .select(col("source"), col("n_tok"), col("blk"), col("boff"))
+    val offsets = blkOff.join(sizeOff, Seq("source", "n_tok"))
+      .select(col("source"), col("n_tok"), col("blk"), (col("soff") + col("boff")).as("off"))
     base
       .withColumn("lrn", row_number().over(wLocal).cast("long"))
-      .join(broadcast(blkOff), Seq("source", "n_tok", "blk"))
-      .join(broadcast(sizeOff), Seq("source", "n_tok"))
-      .withColumn("shard", pmod(col("soff") + col("boff") + col("lrn") - 1, lit(NumShards.toLong)))
+      .join(offsets, Seq("source", "n_tok", "blk"))
+      .withColumn("shard", pmod(col("off") + col("lrn") - 1, lit(NumShards.toLong)))
       .groupBy(col("source"), col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
         max(col("n_tok")).as("max_tokens"), min(col("n_tok")).as("min_tokens"))

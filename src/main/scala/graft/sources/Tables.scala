@@ -103,20 +103,27 @@ object Tables {
     * listing DistCp itself materializes. The copies then run as a
     * partition-parallel job. Returns (srcFiles, copied). */
   def copyUpdate(spark: SparkSession, srcDir: String, dstDir: String): (Long, Long) = {
-    import org.apache.spark.sql.functions.{col, md5, regexp_extract}
+    import org.apache.spark.sql.functions.{col, lit, md5}
     import scala.jdk.CollectionConverters._
     // a sync tool must see CURRENT file state, not the session's cached
     // listing (stale lengths fail the read of any file modified in place)
     spark.catalog.refreshByPath(srcDir)
     spark.catalog.refreshByPath(dstDir)
-    def manifest(dir: String): DataFrame =
-      spark.read.format("binaryFile").load(dir)
-        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
-          col("length"), md5(col("content")).as("chk"))
     // destination existence goes through the Hadoop FS for the path's OWN
     // scheme (configureStore credentials/impls apply) — a java.io probe
     // would break every non-local destination this tool exists to serve
     val hconf = spark.sparkContext.hadoopConfiguration
+    // Manifests key on the DIR-RELATIVE path, not the basename: binaryFile
+    // recurses into partitioned trees (source=a/part-0...), where basenames
+    // collide across subdirs and a $dir/$basename rebuild points nowhere —
+    // relative keys make nested syncs converge like flat ones.
+    def manifest(dir: String): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val prefix = p.getFileSystem(hconf).makeQualified(p).toString + "/"
+      spark.read.format("binaryFile").load(dir)
+        .select(col("path").substr(lit(prefix.length + 1), lit(Int.MaxValue)).as("name"),
+          col("length"), md5(col("content")).as("chk"))
+    }
     val dstPath = new org.apache.hadoop.fs.Path(dstDir)
     val dstFs = dstPath.getFileSystem(hconf)
     val srcM = manifest(srcDir)

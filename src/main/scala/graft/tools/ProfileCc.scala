@@ -9,7 +9,7 @@ object ProfileCc {
       val n = body
       println(f"[profile] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
     }
-    graft.operators.Dedup.clusterAssign(s, "/root/testdata/sf0.001").count()
+    graft.operators.Dedup.clusterAssign(s, sf).count() // warm JIT on the target corpus
     for (_ <- 1 to 2) {
       time("dedup_clusters")(graft.operators.Dedup.clusterAssign(s, sf).count())
       time("dedup_survivors")(graft.operators.Dedup.survivors(s, sf).count())

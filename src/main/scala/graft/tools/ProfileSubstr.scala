@@ -12,7 +12,7 @@ object ProfileSubstr {
       val n = body
       println(f"[profile] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
     }
-    graft.operators.Dedup.substringDup(s, "/root/testdata/sf0.001").count() // warm JIT
+    graft.operators.Dedup.substringDup(s, sf).count() // warm JIT on the target corpus
     time("substringDup cold")(graft.operators.Dedup.substringDup(s, sf).count())
     time("substringDup warm")(graft.operators.Dedup.substringDup(s, sf).count())
     time("substringDup warm2")(graft.operators.Dedup.substringDup(s, sf).count())

@@ -35,7 +35,8 @@ class MultimodalSpec extends SparkSpec {
       (0 until 64).foldLeft(0L) { (h, j) =>
         val lo = ((j.toLong * n) / 64).toInt; val hi = (((j + 1).toLong * n) / 64).toInt
         val seg = payload.slice(lo, hi).map(b => (b & 0xff).toLong).sum
-        if (seg * n > total * (hi - lo)) h | (1L << j) else h
+        // BigInt: the independent mirror of the engine's 128-bit compare
+        if (BigInt(seg) * n > BigInt(total) * (hi - lo)) h | (1L << j) else h
       }
     }
     val texts = graft.sources.Tables.load(spark, sf, "documents")

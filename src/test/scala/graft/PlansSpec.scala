@@ -161,20 +161,21 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"block offsets must broadcast back:\n$p")
   }
 
-  test("shard's rank is distributed: no raw per-source window, offsets broadcast back") {
-    // A naive `row_number() OVER (PARTITION BY source ORDER BY n_tok ...)`
-    // over the raw doc stream would sort a whole source on one task; the
-    // only window allowed on the raw stream is the block-local rank inside
-    // (source, n_tok, blk), with histogram/block offsets broadcast back.
+  test("shard's rank is distributed: no raw per-source or per-(source,size) doc window") {
+    // A naive `row_number() OVER (PARTITION BY source ...)` — or one inside
+    // (source, n_tok) without the block split — sorts a whole source (or a
+    // whole size class) on one task. The only window allowed over the raw
+    // doc stream is the block-local rank inside (source, n_tok, blk); each
+    // forbidden partition spec is matched EXACTLY (partition keys followed
+    // by the doc_id sort key), so the legitimate blocked window cannot
+    // satisfy the check by prefix.
     val p = plan(graft.operators.Pipeline.shard(spark, sf))
-    assert("windowspecdefinition\\(source#\\d+, n_tok".r.findFirstIn(p).isEmpty ||
-      "windowspecdefinition\\(source#\\d+, n_tok#\\d+L?, blk".r.findFirstIn(p).isDefined,
-      s"shard must not window (source, n_tok) without the block split:\n$p")
     assert("windowspecdefinition\\(source#\\d+, doc_id".r.findFirstIn(p).isEmpty,
       s"shard windows the raw per-source doc stream on one task:\n$p")
+    assert("windowspecdefinition\\(source#\\d+, n_tok#\\d+L?, doc_id".r.findFirstIn(p).isEmpty,
+      s"shard windows a whole (source, n_tok) class on one task:\n$p")
     assert("windowspecdefinition\\(source#\\d+, n_tok#\\d+L?, blk#\\d+L?, doc_id".r.findFirstIn(p).isDefined,
       s"expected the block-local bounded rank window:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"rank offsets must broadcast back:\n$p")
   }
 
   test("shard deals round-robin: per-source doc counts and token totals stay balanced") {

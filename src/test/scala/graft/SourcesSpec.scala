@@ -108,6 +108,25 @@ class SourcesSpec extends SparkSpec {
     assert(m(dstD) == m(srcD), "post-update destination diverges from source")
   }
 
+  test("distcp -update syncs a nested partitioned tree (relative-path manifest keys)") {
+    // Partitioned layouts nest files under key=value dirs where basenames
+    // collide across subdirs; the manifest must key on dir-relative paths
+    // for the sync to land files in place and converge.
+    val srcD = Files.createTempDirectory("graft_upd3_src").toString
+    val dstD = Files.createTempDirectory("graft_upd3_dst").toString
+    Tables.load(spark, sf, "documents")
+      .write.partitionBy("source").mode("overwrite").parquet(srcD)
+    val (n1, c1) = Tables.copyUpdate(spark, srcD, dstD)
+    assert(c1 == n1 && c1 > 0, s"first pass must copy every nested file ($c1 of $n1)")
+    val (_, c2) = Tables.copyUpdate(spark, srcD, dstD)
+    assert(c2 == 0, s"unchanged nested re-run copied $c2 files")
+    // the synced tree reads back as the same partitioned table
+    assert(spark.read.parquet(dstD).count() ==
+      Tables.load(spark, sf, "documents").count())
+    assert(new java.io.File(dstD).listFiles().exists(_.getName.startsWith("source=")),
+      "partition directories were not reproduced at the destination")
+  }
+
   test("distcp -update syncs onto a non-default scheme destination") {
     // the object-store composition: configureStore registers the scheme,
     // copyUpdate resolves existence AND executor-side copies through it
