@@ -103,6 +103,23 @@ object Analytics {
         |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin)
   }
 
+  /** CUBE — the rollup's sibling: all four grouping-set combinations in
+    * one pass (Catalyst expands the sets before the single aggregate, so
+    * the fact table is scanned once, not 2^k times). Same Spark-4.1
+    * workaround as rollupAgg: express via SQL (DataFrame .cube after a
+    * multi-join trips the spurious ambiguous-self-join check). */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("g_orders")
+    t(s, dir, "customer").createOrReplaceTempView("g_customer")
+    t(s, dir, "nation").createOrReplaceTempView("g_nation")
+    s.sql(
+      """SELECT n_name, o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM g_orders JOIN g_customer ON o_custkey = c_custkey
+        |JOIN g_nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, o_orderstatus)""".stripMargin)
+  }
+
   /** Gap-based sessionization (6h gap), fully SQL-expressible:
     * lag + flag + cumulative-sum session ids. Integer-microsecond math. */
   def eventSessionize(s: SparkSession, dir: String): DataFrame = {
@@ -518,6 +535,7 @@ object Analytics {
     "q_local_supplier" -> (localSupplier _),
     "q_window_running" -> (windowRunning _),
     "q_rollup" -> (rollupAgg _),
+    "q_cube" -> (cubeAgg _),
     "q_event_sessionize" -> (eventSessionize _),
     "q_agg_salted" -> (aggSalted _),
     "q_join_salted" -> (joinSalted _),
@@ -574,6 +592,10 @@ object Analytics {
       ("SELECT n_name, o_orderstatus, count(*) AS cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price " +
         "FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
         "GROUP BY ROLLUP (n_name, o_orderstatus)"),
+    "q_cube" ->
+      ("SELECT n_name, o_orderstatus, count(*) AS cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY CUBE (n_name, o_orderstatus)"),
     "q_event_sessionize" ->
       ("WITH flagged AS (SELECT user_id, ts, event_id, value, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_s " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
