@@ -100,6 +100,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.distinct.length == streamed.length, "stream emitted duplicate keys")
   }
 
+  test("stateful streams run on the RocksDB state store (the at-scale state backend)") {
+    // The default HDFS-backed provider holds every key in executor heap —
+    // fine for tests, an OOM at 100 TB key cardinalities. RocksDB (ships in
+    // Spark's jars) spills state to local disk; flipping the provider must
+    // be a pure config change with identical results. The sessionizer is
+    // the heaviest state user (flatMapGroupsWithState + event-time
+    // timeouts), so it is the path proven here.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = scala.util.Try(Option(spark.conf.get(key))).toOption.flatten
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = EventStreams.startSessionizeStream(spark, sf, "stream_rocks_out")
+      try q.processAllAvailable()
+      finally q.stop()
+      val rocks = spark.table("stream_rocks_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSet
+      // identical emission set to the default-provider run (reuses the
+      // sessionizer spec's sink when that ran first; self-contained otherwise)
+      if (!spark.catalog.tableExists("stream_sessions_out")) {
+        spark.conf.unset(key)
+        val qd = EventStreams.startSessionizeStream(spark, sf, "stream_sessions_out")
+        try qd.processAllAvailable()
+        finally qd.stop()
+        spark.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      }
+      val default = spark.table("stream_sessions_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSet
+      assert(rocks.nonEmpty, "RocksDB-backed query emitted nothing")
+      assert(rocks == default, "state backend changed the emitted sessions")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming per-window distinct estimate tracks the exact batch counts") {
     val q = EventStreams.startWindowDistinctStream(spark, sf, "stream_adc_out")
     try q.processAllAvailable()
