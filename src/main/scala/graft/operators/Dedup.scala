@@ -424,6 +424,45 @@ object Dedup {
       .select(col("cluster_id").as("doc_id"), col("n_repr"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding space, then remove near-duplicate pairs only WITHIN each
+    * learned cluster, keeping one canonical vector per semantic-duplicate
+    * group. The clustering is the SAME trained coarse quantizer as
+    * sim_ann_ivf (one model, two consumers — exactly how production
+    * pipelines amortize the k-means); within-cluster pairs run under the
+    * shared salted-census policy (LabelCap groups keyed on hash52, as
+    * dedup_embedding — learned cent_id simply replaces the static label
+    * column); the duplicate groups are connected components over the
+    * thresholded pairs. Output: one row per surviving canonical vector
+    * with its representation count.
+    *
+    * The paper deduplicates at cosine ~0.95 on web embeddings; the test
+    * corpus shares `CosineThreshold` so the synthetic embeddings yield a
+    * non-trivial pair set for the oracle parity check. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val (assign, _) = Similarity.ivfParts(s, dir)
+    val dense = assign.groupBy("cent_id").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > LabelCap)
+    val salted = assign.join(broadcast(dense), Seq("cent_id"), "left")
+      .withColumn("salt", pmod(hash52(col("vec_id")),
+        coalesce(expr(s"(bn + ${LabelCap - 1L}) DIV ${LabelCap.toLong}"), lit(1L))))
+      .select(col("cent_id"), col("salt"), col("vec_id"), col("embedding"))
+    val oversized = salted.groupBy("cent_id", "salt").agg(count(lit(1)).as("gn"))
+      .filter(col("gn") > 2L * LabelCap)
+    val bounded = salted.join(broadcast(oversized), Seq("cent_id", "salt"), "left_anti")
+    val pairs = bounded.as("a")
+      .join(bounded.as("b"), col("a.cent_id") === col("b.cent_id") &&
+        col("a.salt") === col("b.salt") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
+        round(cosineSim(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .filter(col("cos") >= CosineThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    ccLabels(Tables.load(s, dir, "embeddings").select(col("vec_id").as("doc_id")), pairs)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_repr"))
+      .select(col("cluster_id").as("vec_id"), col("n_repr"))
+  }
+
   /** Word-window size for the repeated-passage audit (Lee et al. 2022 use
     * 50-BPE-token windows at corpus scale; 5 words fits the test corpus'
     * 8-100-token documents while keeping the same construction). */
@@ -494,6 +533,7 @@ object Dedup {
     "dedup_survivors" -> (survivors _),
     "dedup_incremental" -> (incremental _),
     "dedup_substring" -> (substringDup _),
+    "dedup_semantic" -> (semanticDedup _),
     "dedup_embedding" -> (embeddingNearDup _))
 
   // Oracle SQL (generated where repetitive, so Spark and SQL share constants)
@@ -641,6 +681,25 @@ object Dedup {
         "FROM exc a JOIN exc b ON a.g = b.g AND a.salt = b.salt AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
         s"SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard FROM pairs " +
         s"WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= $JaccardThreshold"),
+    "dedup_semantic" ->
+      // The learned clustering replays through Similarity.ivfAssignCtes —
+      // the SAME training mirror the sim_ann_ivf oracle runs — then the
+      // dedup_embedding salt/pair mirror keyed on cent_id, then the
+      // dedup_survivors reach CTE over vec ids.
+      (s"WITH RECURSIVE ${Similarity.ivfAssignCtes}, " +
+        "census AS (SELECT cent_id, count(*) AS bn FROM assign GROUP BY cent_id), " +
+        s"saltedv AS (SELECT a.cent_id, a.vec_id, a.embedding, ${graft.functions.hash52Sql("a.vec_id")} % ((c.bn + ${LabelCap - 1}) // $LabelCap) AS salt " +
+        "FROM assign a JOIN census c ON c.cent_id = a.cent_id), " +
+        "grp AS (SELECT cent_id, salt, count(*) AS gn FROM saltedv GROUP BY 1, 2), " +
+        s"boundedv AS (SELECT s.* FROM saltedv s JOIN grp g ON g.cent_id = s.cent_id AND g.salt = s.salt WHERE g.gn <= ${2 * LabelCap}), " +
+        s"vp AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM boundedv a JOIN boundedv b " +
+        "ON a.cent_id = b.cent_id AND a.salt = b.salt AND a.vec_id < b.vec_id " +
+        s"WHERE ${Similarity.cosBetween("a.embedding", "b.embedding")} >= $CosineThreshold), " +
+        "edges AS (SELECT va AS src, vb AS dst FROM vp UNION ALL SELECT vb AS src, va AS dst FROM vp), " +
+        "reach(src, dst) AS (SELECT vec_id, vec_id FROM embeddings " +
+        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+        "lab AS (SELECT src AS vid, min(dst) AS sem_id FROM reach GROUP BY src) " +
+        "SELECT sem_id AS vec_id, count(*) AS n_repr FROM lab GROUP BY sem_id"),
     "dedup_substring" -> {
       val sh5 = s"list_transform(generate_series(1, len(string_split(text, ' ')) - ${SubstrGram - 1}), " +
         s"i -> array_to_string((string_split(text, ' '))[i:i+${SubstrGram - 1}], ' '))"

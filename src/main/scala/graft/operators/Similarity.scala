@@ -152,8 +152,9 @@ object Similarity {
     * rerank inside probed lists) and `annIvfPq` (ADC inside probed lists):
     * `assign` = (vec_id, embedding, cent_id) corpus→list assignment;
     * `probes` = (query_id, q_emb, cent_id), each query's nprobe lists. */
-  private def ivfParts(s: SparkSession, dir: String, iters: Int,
-      nprobe: Int, trainMod: Int, numCentroids: Int): (DataFrame, DataFrame) = {
+  private[operators] def ivfParts(s: SparkSession, dir: String, iters: Int = KMeansIters,
+      nprobe: Int = NumProbes, trainMod: Int = TrainMod,
+      numCentroids: Int = NumCentroids): (DataFrame, DataFrame) = {
     val e = emb(s, dir)
     val qemb = transform(col("embedding"),
       v => floor(v.cast("double") * 1024 + 0.5).cast("long"))
@@ -425,7 +426,7 @@ object Similarity {
       "(sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) * " +
       "sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))), 4)"
 
-  private def cosBetween(x: String, y: String): String =
+  private[operators] def cosBetween(x: String, y: String): String =
     s"round(list_sum(list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))) / " +
       s"(sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE)))) * " +
       s"sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST($y[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))))), 4)"
@@ -453,6 +454,24 @@ object Similarity {
       s"(CAST($q[$m * $PqSubDims + j] AS DOUBLE) / 1024.0 - $c[j]) * " +
       s"(CAST($q[$m * $PqSubDims + j] AS DOUBLE) / 1024.0 - $c[j])))"
 
+  /** CTE chain ending in `assign(vec_id, embedding, cent_id)` — the trained
+    * coarse quantizer's corpus assignment, the exact training replay the
+    * sim_ann_ivf oracle runs. Shared with the dedup_semantic oracle so the
+    * learned clustering cannot drift between the ANN and dedup mirrors. */
+  private[operators] val ivfAssignCtes: String =
+    s"qv AS (SELECT vec_id, embedding, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qemb FROM embeddings), " +
+      s"train AS (SELECT * FROM qv WHERE vec_id % $TrainMod = 0), " +
+      s"cent0 AS (SELECT CAST(vec_id // $TrainMod AS INT) AS cent_id, list_transform(qemb, q -> CAST(q AS DOUBLE) / 1024.0) AS cent_emb FROM train WHERE vec_id < ${TrainMod * NumCentroids}), " +
+      (1 to KMeansIters).map { k =>
+        s"s$k AS (SELECT t.vec_id, t.qemb, c.cent_id, ${cosBetween("t.embedding", "c.cent_emb")} AS ccos FROM train t CROSS JOIN cent${k - 1} c), " +
+          s"a$k AS (SELECT vec_id, qemb, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM s$k) WHERE rn = 1), " +
+          s"u$k AS (SELECT cent_id, i AS pos, CAST(sum(qemb[i]) AS BIGINT) AS qs, count(*) AS n FROM a$k CROSS JOIN generate_series(1, 64) g(i) GROUP BY 1, 2), " +
+          s"cent$k AS (SELECT cent_id, list(CAST(qs AS DOUBLE) / n / 1024.0 ORDER BY pos) AS cent_emb FROM u$k GROUP BY cent_id)"
+      }.mkString(", ") + ", " +
+      s"cent AS (SELECT * FROM cent$KMeansIters), " +
+      s"sa AS (SELECT e.vec_id, e.embedding, c.cent_id, ${cosBetween("e.embedding", "c.cent_emb")} AS ccos FROM embeddings e CROSS JOIN cent c), " +
+      "assign AS (SELECT vec_id, embedding, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM sa) WHERE rn = 1)"
+
   def oracles: Map[String, String] = Map(
     "sim_ann_lsh" ->
       (s"WITH sigd AS (SELECT vec_id, embedding, CAST($lshSigSql AS BIGINT) AS sig FROM embeddings), " +
@@ -466,18 +485,7 @@ object Similarity {
         "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank FROM scored) " +
         s"WHERE rank <= $TopK"),
     "sim_ann_ivf" ->
-      (s"WITH qv AS (SELECT vec_id, embedding, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qemb FROM embeddings), " +
-        s"train AS (SELECT * FROM qv WHERE vec_id % $TrainMod = 0), " +
-        s"cent0 AS (SELECT CAST(vec_id // $TrainMod AS INT) AS cent_id, list_transform(qemb, q -> CAST(q AS DOUBLE) / 1024.0) AS cent_emb FROM train WHERE vec_id < ${TrainMod * NumCentroids}), " +
-        (1 to KMeansIters).map { k =>
-          s"s$k AS (SELECT t.vec_id, t.qemb, c.cent_id, ${cosBetween("t.embedding", "c.cent_emb")} AS ccos FROM train t CROSS JOIN cent${k - 1} c), " +
-            s"a$k AS (SELECT vec_id, qemb, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM s$k) WHERE rn = 1), " +
-            s"u$k AS (SELECT cent_id, i AS pos, CAST(sum(qemb[i]) AS BIGINT) AS qs, count(*) AS n FROM a$k CROSS JOIN generate_series(1, 64) g(i) GROUP BY 1, 2), " +
-            s"cent$k AS (SELECT cent_id, list(CAST(qs AS DOUBLE) / n / 1024.0 ORDER BY pos) AS cent_emb FROM u$k GROUP BY cent_id)"
-        }.mkString(", ") + ", " +
-        s"cent AS (SELECT * FROM cent$KMeansIters), " +
-        s"sa AS (SELECT e.vec_id, e.embedding, c.cent_id, ${cosBetween("e.embedding", "c.cent_emb")} AS ccos FROM embeddings e CROSS JOIN cent c), " +
-        "assign AS (SELECT vec_id, embedding, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM sa) WHERE rn = 1), " +
+      (s"WITH $ivfAssignCtes, " +
         s"sp AS (SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cent_id, ${cosBetween("e.embedding", "c.cent_emb")} AS ccos FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < $NumQueries), " +
         s"probes AS (SELECT query_id, q_emb, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM sp) WHERE rn <= $NumProbes), " +
         s"cands AS (SELECT p.query_id, a.vec_id AS neighbor_id, ${cosBetween("p.q_emb", "a.embedding")} AS cos " +

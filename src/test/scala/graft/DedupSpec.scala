@@ -75,6 +75,19 @@ class DedupSpec extends SparkSpec {
       s"strided ids must keep within-salt-group pairs (got ${salted.size}, want ${expected.size})")
   }
 
+  test("semantic dedup conserves vectors and only ever merges within a learned cluster") {
+    val survivors = Dedup.semanticDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = graft.sources.Tables.load(spark, sf, "embeddings")
+    val total = e.count()
+    assert(survivors.values.sum == total, "every vector must be represented exactly once")
+    assert(survivors.values.forall(_ >= 1L))
+    assert(survivors.size <= total)
+    // canonical = min id of its group, so every survivor id is a real vector
+    val ids = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.keySet.subsetOf(ids))
+  }
+
   test("substring dedup flags exactly the cross-doc repeated windows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_substr").toString
     val s = spark
