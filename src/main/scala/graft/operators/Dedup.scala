@@ -65,8 +65,15 @@ object Dedup {
     * no-op cost-wise; on skewed/small-file inputs it is the difference
     * between 1 and all cores). */
   private def bandedSignatures(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .repartition(col("doc_id"))
+    lshIndexOf(docs(s, dir))
+
+  /** Banded MinHash signatures (doc_id, band, h) of ANY (doc_id, text)
+    * relation — the persistable LSH INDEX of a corpus: write these three
+    * columns to parquet and incremental ingestion (`incrementalLshMatch`)
+    * matches each new batch against the index WITHOUT touching corpus
+    * text again. */
+  def lshIndexOf(d: DataFrame): DataFrame =
+    d.repartition(col("doc_id"))
       .select(col("doc_id"),
         posexplode(ShingleExpressions.minhashSig(col("text"), MinhashPerms, ShingleN))
           .as(Seq("band", "h")))
@@ -440,7 +447,16 @@ object Dedup {
     * The paper deduplicates at cosine ~0.95 on web embeddings; the test
     * corpus shares `CosineThreshold` so the synthetic embeddings yield a
     * non-trivial pair set for the oracle parity check. */
-  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    semanticLab(s, dir)._1
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_repr"))
+      .select(col("cluster_id").as("vec_id"), col("n_repr"))
+
+  /** The shared SemDeDup core: (CC labels over within-cluster near-dup
+    * pairs, the quantizer's corpus assignment incl. `ccos`). `semanticDedup`
+    * reads the labels; `semanticDedupKeep` additionally ranks members by
+    * centroid proximity. */
+  private def semanticLab(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (assign, _) = Similarity.ivfParts(s, dir)
     val dense = assign.groupBy("cent_id").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > LabelCap)
@@ -458,9 +474,31 @@ object Dedup {
         round(cosineSim(col("a.embedding"), col("b.embedding")), 4).as("cos"))
       .filter(col("cos") >= CosineThreshold)
       .select(col("doc_a"), col("doc_b"))
-    ccLabels(Tables.load(s, dir, "embeddings").select(col("vec_id").as("doc_id")), pairs)
-      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_repr"))
-      .select(col("cluster_id").as("vec_id"), col("n_repr"))
+    val lab = ccLabels(
+      Tables.load(s, dir, "embeddings").select(col("vec_id").as("doc_id")), pairs)
+    (lab, assign)
+  }
+
+  /** SemDeDup with the PAPER'S keep rule (Abbas et al. 2023 §2 keep the
+    * point "with the highest cosine similarity to the cluster centroid"):
+    * within each semantic-duplicate group the survivor is the member
+    * NEAREST its assigned centroid (not `semanticDedup`'s min-id canonical
+    * — that variant is the CC-canonical view; this one is citation-exact).
+    * Proximity reuses the `ccos` the quantizer's assignment pass already
+    * computed (one model, one assignment, three consumers). The argmax is
+    * a hash-aggregate `max(struct(...))` — no per-cluster window sort —
+    * on an INTEGER key (ccos is round(cos,4); x1e4 half-up makes the
+    * ordering engine-portable, no -0.0/double-comparator edge), ties to
+    * the smallest vec_id via the negated id. */
+  def semanticDedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val (lab, assign) = semanticLab(s, dir)
+    lab.join(
+      assign.select(col("vec_id").as("doc_id"),
+        floor(col("ccos") * 1e4 + 0.5).cast("long").as("cc4")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_repr"),
+        max(struct(col("cc4"), (-col("doc_id")).as("nv"))).as("k"))
+      .select((-col("k.nv")).as("vec_id"), col("n_repr"))
   }
 
   /** Word-window size for the repeated-passage audit (Lee et al. 2022 use
@@ -505,6 +543,48 @@ object Dedup {
         floor(col("n_dup_windows").cast("double") / col("n_windows") * 1e6 + 0.5) / 1e6)
   }
 
+  /** Exact-substring REMOVAL — the operator the `substringDup` audit
+    * prepares for (Lee et al. 2022 §4.1 ExactSubstr: "we remove from the
+    * dataset" every duplicated span): emit each document's text with every
+    * token covered by a cross-document duplicated window excised.
+    * Overlapping duplicated windows merge naturally — a token survives iff
+    * NO duplicated window covers it — so abutting boilerplate spans excise
+    * as one contiguous cut. Output: per-doc token counts and the cleaned
+    * text itself.
+    *
+    * Scale: the census side is `substringDup`'s shape — windows shuffle as
+    * (doc_id, position, md5), a corpus-wide boilerplate window is ONE
+    * census row. The only extra state is the per-doc duplicated-POSITION
+    * set (bounded by the doc's own window count, never corpus-sized),
+    * which joins back on doc_id; the rebuild is then a per-row
+    * codegen'd filter over the token array — text never shuffles. */
+  def substringRemove(s: SparkSession, dir: String): DataFrame = {
+    val w = SubstrGram
+    val toks = wsTokens(col("text"))
+    val g = docs(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(wordShingles(toks, w)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), md5Hex(col("g")).as("gh"))
+      .localCheckpoint() // census + position join-back both consume it
+    // perDoc-distinct then count(*) == docs-per-window (substringDup's rule)
+    val dupG = g.select(col("doc_id"), col("gh")).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("gh")
+    val dps = g.join(dupG, Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(sort_array(collect_set(col("pos"))).as("dps"))
+    // token j (1-based) survives iff no duplicated window start i covers it
+    val dcol = coalesce(col("dps"), array().cast("array<int>"))
+    val kept = filter(sequence(lit(1), size(toks)),
+      j => !exists(dcol, i => i <= j && j <= i + lit(w - 1)))
+    docs(s, dir).join(dps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        (size(toks) - size(kept)).as("n_removed"),
+        array_join(transform(kept, j => element_at(toks, j)), " ").as("text_clean"))
+  }
+
   /** Incremental ingestion dedup: which docs in the new batch (source
     * 'src0') are NOT already in the corpus (all other sources)? Anti-join
     * on content hash — the nightly-ingest shape: the corpus side reduces
@@ -517,6 +597,60 @@ object Dedup {
       .withColumn("h", md5Hex(col("text")))
       .join(corpusHashes, Seq("h"), "left_anti")
       .select(col("doc_id"), col("source"))
+  }
+
+  /** Incremental NEAR-dup ingestion: match a new batch against a PERSISTED
+    * corpus LSH index (`lshIndexOf` written to parquet) — the nightly
+    * reality `incremental` (exact-hash) cannot cover. The corpus side is
+    * scan-only: its signatures were computed once at index-build time, so
+    * a nightly batch costs |batch| signature passes + one join against the
+    * index, never a corpus recompute (plan-asserted in DedupSpec).
+    *
+    * Skew policy is the shared salted census, adapted to a two-relation
+    * join: INDEX rows of an oversized (band, h) bucket salt into
+    * ceil(bn/cap) hash52 groups (2x-cap net as everywhere), and each BATCH
+    * row probes EVERY salt group of its bucket — replication lands on the
+    * small batch side only and only for dense buckets, so per-task join
+    * work stays ~cap x |batch bucket| while recall within the bounded
+    * groups is total (a batch doc can never miss an index partner because
+    * of the salt). Output: per batch doc, the distinct-corpus-match count
+    * and a novelty flag. */
+  def incrementalLshMatch(batch: DataFrame, index: DataFrame,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val nGroups = coalesce(
+      expr(s"(bn + ${maxBucket - 1L}) DIV ${maxBucket.toLong}"), lit(1L))
+    val dense = index.groupBy("band", "h").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket)
+    val idxSalted = index.join(broadcast(dense), Seq("band", "h"), "left")
+      .withColumn("salt", pmod(hash52(col("doc_id")), nGroups))
+    val oversized = idxSalted.groupBy("band", "h", "salt")
+      .agg(count(lit(1)).as("gn")).filter(col("gn") > 2L * maxBucket)
+    val idxBounded = idxSalted
+      .join(broadcast(oversized), Seq("band", "h", "salt"), "left_anti")
+      .select(col("band"), col("h"), col("salt"), col("doc_id").as("corpus_id"))
+    val probes = lshIndexOf(batch)
+      .join(broadcast(dense), Seq("band", "h"), "left")
+      .withColumn("salt", explode(sequence(lit(0L), nGroups - 1)))
+      .select(col("band"), col("h"), col("salt"), col("doc_id"))
+    val matches = probes.join(idxBounded, Seq("band", "h", "salt"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .select(col("doc_id"), col("corpus_id")).distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("nm"))
+    batch.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nm"), lit(0L)).as("n_matches"),
+        when(col("nm").isNull, 1).otherwise(0).as("is_novel"))
+  }
+
+  /** Gated view of `incrementalLshMatch`: batch = source 'src0', index =
+    * signatures of everything else (built in-query here; a deployment
+    * reads it from the persisted parquet index). */
+  def incrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    incrementalLshMatch(
+      d.filter(col("source") === "src0"),
+      lshIndexOf(d.filter(col("source") =!= "src0")))
   }
 
   // --- wiring --------------------------------------------------------------
@@ -532,8 +666,11 @@ object Dedup {
     "dedup_minhash_verified" -> (minhashVerified _),
     "dedup_survivors" -> (survivors _),
     "dedup_incremental" -> (incremental _),
+    "dedup_incremental_lsh" -> (incrementalLsh _),
     "dedup_substring" -> (substringDup _),
+    "dedup_substring_rm" -> (substringRemove _),
     "dedup_semantic" -> (semanticDedup _),
+    "dedup_semantic_keep" -> (semanticDedupKeep _),
     "dedup_embedding" -> (embeddingNearDup _))
 
   // Oracle SQL (generated where repetitive, so Spark and SQL share constants)
@@ -627,6 +764,28 @@ object Dedup {
       "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
       "lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)"
 
+  /** CTE chain (requires WITH RECURSIVE) ending in `lab(vid, sem_id)` +
+    * `assign(vec_id, embedding, cent_id, ccos)` — the SemDeDup labeling:
+    * the learned clustering replays through Similarity.ivfAssignCtes (the
+    * SAME training mirror the sim_ann_ivf oracle runs), then the
+    * dedup_embedding salt/pair mirror keyed on cent_id, then the
+    * dedup_survivors reach CTE over vec ids. Shared by the dedup_semantic
+    * and dedup_semantic_keep oracles. */
+  private val semanticLabCtes: String =
+    s"${Similarity.ivfAssignCtes}, " +
+      "census AS (SELECT cent_id, count(*) AS bn FROM assign GROUP BY cent_id), " +
+      s"saltedv AS (SELECT a.cent_id, a.vec_id, a.embedding, ${graft.functions.hash52Sql("a.vec_id")} % ((c.bn + ${LabelCap - 1}) // $LabelCap) AS salt " +
+      "FROM assign a JOIN census c ON c.cent_id = a.cent_id), " +
+      "grp AS (SELECT cent_id, salt, count(*) AS gn FROM saltedv GROUP BY 1, 2), " +
+      s"boundedv AS (SELECT s.* FROM saltedv s JOIN grp g ON g.cent_id = s.cent_id AND g.salt = s.salt WHERE g.gn <= ${2 * LabelCap}), " +
+      s"vp AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM boundedv a JOIN boundedv b " +
+      "ON a.cent_id = b.cent_id AND a.salt = b.salt AND a.vec_id < b.vec_id " +
+      s"WHERE ${Similarity.cosBetween("a.embedding", "b.embedding")} >= $CosineThreshold), " +
+      "edges AS (SELECT va AS src, vb AS dst FROM vp UNION ALL SELECT vb AS src, va AS dst FROM vp), " +
+      "reach(src, dst) AS (SELECT vec_id, vec_id FROM embeddings " +
+      "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+      "lab AS (SELECT src AS vid, min(dst) AS sem_id FROM reach GROUP BY src)"
+
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
@@ -682,24 +841,42 @@ object Dedup {
         s"SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard FROM pairs " +
         s"WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= $JaccardThreshold"),
     "dedup_semantic" ->
-      // The learned clustering replays through Similarity.ivfAssignCtes —
-      // the SAME training mirror the sim_ann_ivf oracle runs — then the
-      // dedup_embedding salt/pair mirror keyed on cent_id, then the
-      // dedup_survivors reach CTE over vec ids.
-      (s"WITH RECURSIVE ${Similarity.ivfAssignCtes}, " +
-        "census AS (SELECT cent_id, count(*) AS bn FROM assign GROUP BY cent_id), " +
-        s"saltedv AS (SELECT a.cent_id, a.vec_id, a.embedding, ${graft.functions.hash52Sql("a.vec_id")} % ((c.bn + ${LabelCap - 1}) // $LabelCap) AS salt " +
-        "FROM assign a JOIN census c ON c.cent_id = a.cent_id), " +
-        "grp AS (SELECT cent_id, salt, count(*) AS gn FROM saltedv GROUP BY 1, 2), " +
-        s"boundedv AS (SELECT s.* FROM saltedv s JOIN grp g ON g.cent_id = s.cent_id AND g.salt = s.salt WHERE g.gn <= ${2 * LabelCap}), " +
-        s"vp AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM boundedv a JOIN boundedv b " +
-        "ON a.cent_id = b.cent_id AND a.salt = b.salt AND a.vec_id < b.vec_id " +
-        s"WHERE ${Similarity.cosBetween("a.embedding", "b.embedding")} >= $CosineThreshold), " +
-        "edges AS (SELECT va AS src, vb AS dst FROM vp UNION ALL SELECT vb AS src, va AS dst FROM vp), " +
-        "reach(src, dst) AS (SELECT vec_id, vec_id FROM embeddings " +
-        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
-        "lab AS (SELECT src AS vid, min(dst) AS sem_id FROM reach GROUP BY src) " +
+      (s"WITH RECURSIVE $semanticLabCtes " +
         "SELECT sem_id AS vec_id, count(*) AS n_repr FROM lab GROUP BY sem_id"),
+    "dedup_semantic_keep" ->
+      // Same labeling chain; the survivor per group is then the
+      // centroid-nearest member (ccos from the assignment replay, x1e4
+      // integer key, vec_id tie-break) — the paper's keep rule.
+      (s"WITH RECURSIVE $semanticLabCtes, " +
+        "cnt AS (SELECT sem_id, count(*) AS n_repr FROM lab GROUP BY sem_id), " +
+        "kk AS (SELECT sem_id, vec_id FROM (SELECT l.sem_id, a.vec_id, " +
+        "row_number() OVER (PARTITION BY l.sem_id ORDER BY CAST(floor(a.ccos * 10000 + 0.5) AS BIGINT) DESC, a.vec_id ASC) AS rn " +
+        "FROM lab l JOIN assign a ON a.vec_id = l.vid) WHERE rn = 1) " +
+        "SELECT kk.vec_id AS vec_id, cnt.n_repr FROM kk JOIN cnt USING (sem_id)"),
+    "dedup_incremental_lsh" ->
+      // Source-aware replay of the banded-signature chain, split into
+      // index (corpus) and batch sides, then the salt/probe join mirror.
+      (s"WITH bsh AS (SELECT doc_id, source, $shinglesSql AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +
+        "bex AS (SELECT doc_id, source, unnest(sh) AS x FROM bsh WHERE len(sh) > 0), " +
+        s"bhm AS (SELECT doc_id, source, ${hexHalf("m", 1)} AS h1, ${hexHalf("m", 17)} AS h2 " +
+        "FROM (SELECT doc_id, source, md5(x) AS m FROM bex)), " +
+        s"bnd AS (SELECT doc_id, source, p AS band, min((h1 + p * h2) % 18446744073709551616) AS h " +
+        s"FROM bhm CROSS JOIN generate_series(0, ${MinhashPerms - 1}) g(p) GROUP BY doc_id, source, p), " +
+        "idx AS (SELECT doc_id, band, h FROM bnd WHERE source <> 'src0'), " +
+        "bsig AS (SELECT doc_id, band, h FROM bnd WHERE source = 'src0'), " +
+        "census AS (SELECT band, h, count(*) AS bn FROM idx GROUP BY 1, 2), " +
+        s"idxs AS (SELECT i.doc_id AS corpus_id, i.band, i.h, ${graft.functions.hash52Sql("i.doc_id")} % ((c.bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
+        "FROM idx i JOIN census c ON c.band = i.band AND c.h = i.h), " +
+        "grp AS (SELECT band, h, salt, count(*) AS gn FROM idxs GROUP BY 1, 2, 3), " +
+        s"idxb AS (SELECT i.* FROM idxs i JOIN grp g ON g.band = i.band AND g.h = i.h AND g.salt = i.salt WHERE g.gn <= ${2 * MaxBucket}), " +
+        s"probes AS (SELECT b.doc_id, b.band, b.h, unnest(generate_series(0, ((coalesce(c.bn, 1) + ${MaxBucket - 1}) // $MaxBucket) - 1)) AS salt " +
+        "FROM bsig b LEFT JOIN census c ON c.band = b.band AND c.h = b.h), " +
+        "m AS (SELECT DISTINCT p.doc_id, i.corpus_id FROM probes p JOIN idxb i " +
+        "ON i.band = p.band AND i.h = p.h AND i.salt = p.salt WHERE p.doc_id <> i.corpus_id), " +
+        "mc AS (SELECT doc_id, count(*) AS n_matches FROM m GROUP BY doc_id) " +
+        "SELECT b.doc_id, coalesce(mc.n_matches, 0) AS n_matches, " +
+        "CASE WHEN mc.doc_id IS NULL THEN 1 ELSE 0 END AS is_novel " +
+        "FROM (SELECT doc_id FROM documents WHERE source = 'src0') b LEFT JOIN mc USING (doc_id)"),
     "dedup_substring" -> {
       val sh5 = s"list_transform(generate_series(1, len(string_split(text, ' ')) - ${SubstrGram - 1}), " +
         s"i -> array_to_string((string_split(text, ' '))[i:i+${SubstrGram - 1}], ' '))"
@@ -710,6 +887,22 @@ object Dedup {
         "CAST(sum(CASE WHEN ndocs >= 2 THEN occ ELSE 0 END) AS BIGINT) AS n_dup_windows, " +
         "floor(CAST(sum(CASE WHEN ndocs >= 2 THEN occ ELSE 0 END) AS DOUBLE) / sum(occ) * 1000000 + 0.5) / 1000000 AS dup_ratio " +
         "FROM pd JOIN dg USING (gh) GROUP BY doc_id"
+    },
+    "dedup_substring_rm" -> {
+      val w = SubstrGram
+      s"WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        // windows WITH positions: (pos, md5) structs so the per-token keep
+        // flags can replay the coverage rule
+        s"gp AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - ${w - 1}), " +
+        s"i -> {'pos': i, 'gh': md5(array_to_string(toks[i:i+${w - 1}], ' '))})) AS wn FROM t), " +
+        "g AS (SELECT doc_id, wn.pos AS pos, wn.gh AS gh FROM gp), " +
+        "dup AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh) WHERE nd >= 2), " +
+        "dps AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS dps FROM g JOIN dup USING (gh) GROUP BY doc_id), " +
+        "r AS (SELECT t.doc_id, t.toks, coalesce(d.dps, []) AS dps FROM t LEFT JOIN dps d ON d.doc_id = t.doc_id), " +
+        s"k AS (SELECT doc_id, toks, list_filter(generate_series(1, len(toks)), j -> len(list_filter(dps, i -> i <= j AND j <= i + ${w - 1})) = 0) AS kp FROM r) " +
+        "SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, CAST(len(toks) - len(kp) AS INT) AS n_removed, " +
+        // array_to_string([]) is NULL in DuckDB but '' in Spark's array_join
+        "coalesce(array_to_string(list_transform(kp, j -> toks[j]), ' '), '') AS text_clean FROM k"
     },
     "dedup_embedding" ->
       // Salt mirror: ceil(bn/cap) computed for ALL labels (== 1 below the

@@ -187,12 +187,16 @@ object Similarity {
     cent = cent.localCheckpoint()
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id").asc)
+    // `ccos` (similarity to the OWN assigned centroid) rides along: the
+    // SemDeDup keep rule (Dedup.semanticDedupKeep) ranks cluster members by
+    // centroid proximity, and recomputing it there would re-broadcast the
+    // model for a value this pass already produced.
     val assign = e.join(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         round(cosineSim(col("embedding"), col("cent_emb")), 4).as("ccos"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+      .select(col("vec_id"), col("embedding"), col("cent_id"), col("ccos"))
     val probes = e.filter(col("vec_id") < NumQueries).join(broadcast(cent))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cent_id"),
         round(cosineSim(col("embedding"), col("cent_emb")), 4).as("ccos"))
@@ -470,7 +474,7 @@ object Similarity {
       }.mkString(", ") + ", " +
       s"cent AS (SELECT * FROM cent$KMeansIters), " +
       s"sa AS (SELECT e.vec_id, e.embedding, c.cent_id, ${cosBetween("e.embedding", "c.cent_emb")} AS ccos FROM embeddings e CROSS JOIN cent c), " +
-      "assign AS (SELECT vec_id, embedding, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM sa) WHERE rn = 1)"
+      "assign AS (SELECT vec_id, embedding, cent_id, ccos FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM sa) WHERE rn = 1)"
 
   def oracles: Map[String, String] = Map(
     "sim_ann_lsh" ->
