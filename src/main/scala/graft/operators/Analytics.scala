@@ -306,31 +306,59 @@ object Analytics {
   /** Salt fan-out for the skew-defused join. */
   val JoinSalt = 8
 
+  /** Census threshold for the targeted salting below: keys whose probe-side
+    * row count exceeds this are "heavy". Production sizes it so the heavy
+    * set is a handful of pathological keys (≫ a task's row budget, e.g.
+    * 1e6) and therefore trivially broadcastable; the test corpus value sits
+    * inside lineitem's 1..7 rows-per-order spread so BOTH paths (salted
+    * heavy, plain rest) carry rows through the correctness gate. */
+  val HeavyKeyRows = 6
+
   /** Skew-defused salted JOIN (the join-side complement of `aggSalted`'s
     * two-phase aggregation): when one join key dominates a fact-fact
     * shuffle join — a celebrity user, a default id — every row of that key
-    * lands on ONE task. The standard fix demonstrated here: the probe side
-    * (lineitem) spreads each key over `JoinSalt` sub-keys by a
-    * deterministic row-level hash, the build side (orders) replicates each
-    * row JoinSalt times, and the join runs on (key, salt) — identical
-    * result (the oracle IS the plain join), per-task load bounded by
-    * max-key-rows / JoinSalt at the cost of a JoinSalt-times build-side
-    * shuffle. AQE's skew split handles moderate skew adaptively; explicit
-    * salting is the insurance for the pathological key that exceeds a
-    * single task's memory. Aggregated to priority level so the gate stays
-    * compact. */
+    * lands on ONE task. TARGETED salting: a broadcast census first detects
+    * the heavy probe-side keys (count > HeavyKeyRows — map-side partial
+    * agg, tiny survivor set); ONLY rows of those keys take the salted
+    * path, where the probe side (lineitem) spreads each key over
+    * `JoinSalt` sub-keys by a deterministic row-level hash and the build
+    * side (orders) replicates its MATCHING rows JoinSalt times. Everything
+    * else runs the plain join, and the two branches union before the final
+    * aggregate — identical result (the oracle IS the plain join). Per-task
+    * load for a heavy key is bounded by max-key-rows / JoinSalt, and the
+    * build-side replication bill is |heavy keys| x JoinSalt rather than
+    * |build| x JoinSalt (the round-5 full-replication layout — 8x the
+    * build shuffle for skew that touches a handful of keys). AQE's skew
+    * split handles moderate skew adaptively; explicit salting is the
+    * insurance for the pathological key that exceeds a single task's
+    * memory. Aggregated to priority level so the gate stays compact. */
   def joinSalted(s: SparkSession, dir: String): DataFrame = {
     val one = lit(1).cast("decimal(12,2)")
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val heavy = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("kn"))
+      .filter(col("kn") > HeavyKeyRows)
+      .select(col("l_orderkey").as("hk"))
     // Row-identity hash (orderkey:linenumber), not a single column: a salt
     // derived from one low-cardinality column would cap the fan-out at that
     // column's distinct count instead of JoinSalt.
-    val li = t(s, dir, "lineitem")
+    val liHeavy = li.join(broadcast(heavy), li("l_orderkey") === col("hk"), "left_semi")
       .withColumn("salt", pmod(hash52(concat(col("l_orderkey").cast("string"),
         lit(":"), col("l_linenumber").cast("string"))), lit(JoinSalt.toLong)))
-    val o = t(s, dir, "orders")
+    val oHeavy = o.join(broadcast(heavy), o("o_orderkey") === col("hk"), "left_semi")
       .withColumn("salt", explode(array((0 until JoinSalt).map(i => lit(i.toLong)): _*)))
-    li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
-      .groupBy(col("o_orderpriority"))
+    val liRest = li.join(broadcast(heavy), li("l_orderkey") === col("hk"), "left_anti")
+    val oRest = o.join(broadcast(heavy), o("o_orderkey") === col("hk"), "left_anti")
+    // A (lineitem, orders) pair routes to exactly one branch: both sides
+    // share the key, so heavy-ness agrees on both.
+    val joined = liHeavy
+      .join(oHeavy, liHeavy("l_orderkey") === oHeavy("o_orderkey") &&
+        liHeavy("salt") === oHeavy("salt"))
+      .select(col("o_orderpriority"), col("l_extendedprice"), col("l_discount"))
+      .unionAll(liRest
+        .join(oRest, liRest("l_orderkey") === oRest("o_orderkey"))
+        .select(col("o_orderpriority"), col("l_extendedprice"), col("l_discount")))
+    joined.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         dsum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("revenue"))
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Section C capstone: the end-to-end training-set curation query —
@@ -99,11 +99,19 @@ object Pipeline {
     * packBlock^2 docs. */
   val PackBlock = 64
 
-  def pack(s: SparkSession, dir: String, packBlock: Int = PackBlock): DataFrame = {
+  /** Default token-budget column: whitespace tokens. `pack` and `shard`
+    * parameterize on it so a pipeline that budgets in REAL subword tokens
+    * passes `TextOps.bpeCount(col("text"))` instead (packBpe below) —
+    * the counter is a per-row expression either way, so the distributed
+    * prefix-sum shape is untouched. */
+  private def wsTokenCount: Column =
+    size(graft.functions.wsTokens(col("text"))).cast("long")
+
+  def pack(s: SparkSession, dir: String, packBlock: Int = PackBlock,
+      tokenCount: Column = wsTokenCount): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.wsTokens
     val base = graft.sources.Tables.load(s, dir, "documents")
-      .select(col("source"), col("doc_id"), size(wsTokens(col("text"))).cast("long").as("n_tok"))
+      .select(col("source"), col("doc_id"), tokenCount.as("n_tok"))
       .withColumn("blk", expr(s"doc_id DIV $packBlock"))
     // Level 1: running sum inside each (source, block) — bounded partitions.
     val wLocal = Window.partitionBy(col("source"), col("blk")).orderBy(col("doc_id"))
@@ -130,6 +138,13 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
         (floor(sum(col("n_tok")) / lit(CtxTokens.toDouble) * 1e6 + 0.5) / 1e6).as("fill_ratio"))
   }
+
+  /** `pack` with the REAL greedy-merge BPE token budget (TextOps.bpeCount)
+    * instead of the whitespace proxy — chunk boundaries then reflect what
+    * a sequence-packing writer would actually fit into a context window.
+    * Same two-level prefix-sum plan; only the per-row counter changes. */
+  def packBpe(s: SparkSession, dir: String): DataFrame =
+    pack(s, dir, PackBlock, TextOps.bpeCount(col("text")))
 
   /** Output shard fan-out for the balanced-shard writer. */
   val NumShards = 16
@@ -216,8 +231,20 @@ object Pipeline {
     "pipeline_split" -> (split _),
     "pipeline_decontaminate" -> (decontaminate _),
     "pipeline_pack" -> ((s: SparkSession, dir: String) => pack(s, dir)),
+    "pipeline_pack_bpe" -> (packBpe _),
     "pipeline_shard" -> ((s: SparkSession, dir: String) => shard(s, dir)),
     "pipeline_sample_weighted" -> (sampleWeighted _))
+
+  /** The pack oracle, parameterized on the per-doc token-count SQL (the
+    * oracle's single-window cumsum replays the two-level decomposition for
+    * ANY per-row counter, so the ws and BPE variants share it verbatim). */
+  private def packOracleSql(nTokSql: String): String =
+    "SELECT source, chunk_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+      s"floor(CAST(sum(n_tok) AS DOUBLE) / $CtxTokens * 1000000 + 0.5) / 1000000 AS fill_ratio FROM " +
+      s"(SELECT source, (cum - n_tok) // $CtxTokens AS chunk_id, n_tok FROM " +
+      s"(SELECT source, doc_id, $nTokSql AS n_tok, " +
+      s"CAST(sum($nTokSql) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum " +
+      "FROM documents)) GROUP BY source, chunk_id"
 
   private val shingles5Sql =
     "list_transform(generate_series(1, len(string_split(text, ' ')) - 4), i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))"
@@ -236,12 +263,9 @@ object Pipeline {
         "SELECT c.doc_id, count(DISTINCT c.g) AS n_shared_grams, count(DISTINCT b.bench_id) AS n_bench_docs " +
         "FROM corpus c JOIN bench b ON c.g = b.g GROUP BY c.doc_id"),
     "pipeline_pack" ->
-      ("SELECT source, chunk_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
-        s"floor(CAST(sum(n_tok) AS DOUBLE) / $CtxTokens * 1000000 + 0.5) / 1000000 AS fill_ratio FROM " +
-        s"(SELECT source, (cum - n_tok) // $CtxTokens AS chunk_id, n_tok FROM " +
-        "(SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
-        "CAST(sum(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum " +
-        "FROM documents)) GROUP BY source, chunk_id"),
+      packOracleSql("CAST(len(string_split(text, ' ')) AS BIGINT)"),
+    "pipeline_pack_bpe" ->
+      packOracleSql(TextOps.bpeCountSql("text")),
     "pipeline_shard" ->
       (s"SELECT source, shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens, " +
         "CAST(max(n_tok) AS BIGINT) AS max_tokens, CAST(min(n_tok) AS BIGINT) AS min_tokens FROM " +

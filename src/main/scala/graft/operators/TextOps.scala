@@ -111,8 +111,11 @@ object TextOps {
     * identically. */
   val PiiPatterns: Seq[(String, String)] = Seq(
     "n_email" -> "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
-    "n_phone" -> "\\d{3}[-. ]\\d{3}[-. ]\\d{4}",
+    // IPv4 precedes phone: the masking fold applies patterns in THIS order,
+    // and a dotted quad must scrub as <IP> before the 3-3-4 phone pattern
+    // can consume a dotted digit run that overlaps it.
     "n_ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "n_phone" -> "\\d{3}[-. ]\\d{3}[-. ]\\d{4}",
     "n_id" -> "\\b\\d{6,}\\b")
 
   /** PII audit (the scrub gate every training pipeline runs before release —
@@ -135,8 +138,8 @@ object TextOps {
   /** Mask token per PII pattern, keyed by the pattern's count column. */
   val PiiMasks: Seq[(String, String)] = Seq(
     "n_email" -> "<EMAIL>",
-    "n_phone" -> "<PHONE>",
     "n_ipv4" -> "<IP>",
+    "n_phone" -> "<PHONE>",
     "n_id" -> "<ID>")
 
   /** PII redaction — the scrub `pii` audits for: every pattern match is
@@ -157,13 +160,69 @@ object TextOps {
       (redacted =!= col("text")).cast("int").as("was_redacted"))
   }
 
-  /** Token counting: whitespace tokens + BPE-ish regex token count
-    * (letter runs | digit runs | single punctuation). */
+  /** BPE merge table, rank-ordered (Sennrich et al. 2016 construction): a
+    * rule's operands exist before it fires — either raw characters or the
+    * product of an EARLIER rule — which is exactly the invariant real
+    * trained merge lists satisfy. Under that invariant, applying the rules
+    * once each IN RANK ORDER, greedily left-to-right within a word, is
+    * equivalent to the lowest-rank-first priority-queue encoder (a later
+    * rule's product can only ever participate in later rules), so a
+    * single static fold replays BPE exactly. A deployment swaps this
+    * constant for its trained table; nothing else changes. */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "i" -> "n", "a" -> "n", "e" -> "r", "o" -> "n",
+    "r" -> "e", "a" -> "t", "e" -> "n", "o" -> "r", "s" -> "t",
+    "l" -> "e", "th" -> "e", "an" -> "d", "in" -> "g", "er" -> "s",
+    "a" -> "b")
+
+  /** Symbol separator for the fold's string representation — any character
+    * outside the corpus alphabet works ('|' — text is [a-z ] only; a
+    * deployment with richer text picks an unused control char). */
+  val BpeSep = "|"
+
+  /** BPE symbol count of one word, as a codegen'd builtin composition —
+    * no UDF, no custom expression: the word seeds as "|c|h|a|r|s|", and
+    * each merge (a, b) is ONE string `replace("|a|b" -> "|ab")` — built-in
+    * replace substitutes non-overlapping matches left-to-right, which IS
+    * BPE's within-rank greedy scan, and the leading separator makes a
+    * symbol boundary unambiguous (no match can start mid-symbol).
+    * Symbols = separators - 1. */
+  private def bpeSymbolCount(word: Column): Column = {
+    val seeded = concat(regexp_replace(word, "(.)", s"\\$BpeSep$$1"), lit(BpeSep))
+    val merged = BpeMerges.foldLeft(seeded) { case (c, (a, b)) =>
+      call_function("replace", c, lit(s"$BpeSep$a$BpeSep$b"), lit(s"$BpeSep$a$b"))
+    }
+    (length(merged) -
+      length(call_function("replace", merged, lit(BpeSep), lit(""))) - 1).cast("long")
+  }
+
+  /** Per-document BPE token count: sum of per-word symbol counts. One
+    * shuffle-free codegen pass — the real-token-budget upgrade pack/shard
+    * parameterize on (Pipeline.packBpe). */
+  def bpeCount(text: Column): Column =
+    aggregate(transform(wsTokens(text), w => bpeSymbolCount(w)), lit(0L), (a, v) => a + v)
+
+  /** SQL mirror of [[bpeCount]] over a text column expression — the same
+    * merge table unrolled into the same replace chain, so token counts are
+    * oracle-replayable bit for bit. */
+  def bpeCountSql(textCol: String): String = {
+    val seeded = s"regexp_replace(w, '(.)', '$BpeSep\\1', 'g') || '$BpeSep'"
+    val merged = BpeMerges.foldLeft(seeded) { case (c, (a, b)) =>
+      s"replace($c, '$BpeSep$a$BpeSep$b', '$BpeSep$a$b')"
+    }
+    s"CAST(list_sum(list_transform(string_split($textCol, ' '), " +
+      s"w -> length($merged) - length(replace($merged, '$BpeSep', '')) - 1)) AS BIGINT)"
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex token count
+    * (letter runs | digit runs | single punctuation), and the REAL
+    * greedy-merge BPE count over [[BpeMerges]]. */
   def tokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
       size(wsTokens(col("text"))).as("n_ws"),
-      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe"))
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe"),
+      bpeCount(col("text")).as("n_bpe_real"))
 
   /** Document fingerprinting: content hash + min-shingle-hash (winnowing's
     * selection rule over the whole doc window). */
@@ -306,7 +365,8 @@ object TextOps {
         "FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)"),
     "text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws, " +
-        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe FROM documents"),
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe, " +
+        s"${bpeCountSql("text")} AS n_bpe_real FROM documents"),
     "text_pii" -> {
       // Built from the SAME PiiPatterns constants the Spark plan compiles.
       val cnt = PiiPatterns.map { case (n, p) => s"CAST(len(regexp_extract_all(text, '$p')) AS INT) AS $n" }
