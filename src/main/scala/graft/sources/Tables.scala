@@ -92,19 +92,48 @@ object Tables {
   def configureStore(spark: SparkSession, conf: Map[String, String]): Unit =
     conf.foreach { case (k, v) => spark.sparkContext.hadoopConfiguration.set(k, v) }
 
+  /** Dir-relative manifest key of a file path, computed STRUCTURALLY: both
+    * sides go through Hadoop Path -> URI so percent-escaping and
+    * trailing-slash/symlink qualification differences cannot desync the
+    * key the way prefix-length string arithmetic could. `base` must be the
+    * makeQualified'd directory URI. */
+  private def relName(base: java.net.URI, pathStr: String): String = {
+    val baseSlash = if (base.getPath.endsWith("/")) base
+      else new java.net.URI(base.getScheme, base.getAuthority, base.getPath + "/", null, null)
+    val rel = baseSlash.relativize(new org.apache.hadoop.fs.Path(pathStr).toUri)
+    require(!rel.isAbsolute, s"$pathStr is not under $base")
+    rel.getPath
+  }
+
   /** DistCp `-update` analog (hadoop-tools/hadoop-distcp/.../DistCpOptionSwitch.java:65
     * SYNC_FOLDERS): copy only files MISSING from or CHANGED in the
     * destination — the mode real operators run nightly, where a full
     * re-copy of an unchanged 100 TB corpus is the difference between
-    * minutes and a day. A file is unchanged iff (name, size, content-md5)
-    * match; both manifests are computed DISTRIBUTED by the binaryFile
-    * source (one task per file group, no driver-side streaming), and only
-    * the changed-file LIST lands on the driver — the same bounded copy
-    * listing DistCp itself materializes. The copies then run as a
-    * partition-parallel job. Returns (srcFiles, copied). */
-  def copyUpdate(spark: SparkSession, srcDir: String, dstDir: String): (Long, Long) = {
-    import org.apache.spark.sql.functions.{col, lit, md5}
+    * minutes and a day.
+    *
+    * Change detection (default, `verify = false`) mirrors DistCp's cheap
+    * rule: a file is unchanged if (relative name, size) match AND the
+    * destination copy is not older than the source (mtime from the same
+    * distributed listing — no content read). Same-size files with a STALE
+    * destination mtime are the ambiguous case — only those few have both
+    * sides checksummed (a bounded per-file executor job, DistCp's
+    * on-demand checksum), so an unchanged nightly re-sync reads ZERO
+    * destination bytes (spec-asserted via a counting FileSystem) instead
+    * of re-reading the whole corpus. `verify = true` keeps the strict
+    * mode: full content-md5 manifests on both sides.
+    *
+    * Manifests are computed DISTRIBUTED by the binaryFile source (one task
+    * per file group; cheap mode projects ONLY path/length/mtime, so the
+    * scan never opens file contents), keyed on the DIR-RELATIVE path
+    * (binaryFile recurses into partitioned trees where basenames collide
+    * across subdirs); only the changed-file LIST lands on the driver — the
+    * same bounded copy listing DistCp itself materializes. The copies then
+    * run as a partition-parallel job. Returns (srcFiles, copied). */
+  def copyUpdate(spark: SparkSession, srcDir: String, dstDir: String,
+      verify: Boolean = false): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, md5}
     import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
     // a sync tool must see CURRENT file state, not the session's cached
     // listing (stale lengths fail the read of any file modified in place)
     spark.catalog.refreshByPath(srcDir)
@@ -113,39 +142,87 @@ object Tables {
     // scheme (configureStore credentials/impls apply) — a java.io probe
     // would break every non-local destination this tool exists to serve
     val hconf = spark.sparkContext.hadoopConfiguration
-    // Manifests key on the DIR-RELATIVE path, not the basename: binaryFile
-    // recurses into partitioned trees (source=a/part-0...), where basenames
-    // collide across subdirs and a $dir/$basename rebuild points nowhere —
-    // relative keys make nested syncs converge like flat ones.
-    def manifest(dir: String): DataFrame = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val prefix = p.getFileSystem(hconf).makeQualified(p).toString + "/"
-      spark.read.format("binaryFile").load(dir)
-        .select(col("path").substr(lit(prefix.length + 1), lit(Int.MaxValue)).as("name"),
-          col("length"), md5(col("content")).as("chk"))
+    // Configuration is not serializable; ship the session's entries as a
+    // plain (eager — a lazy here would drag hconf into the closure) seq so
+    // executor-side FileSystems resolve the same schemes, committers and
+    // credentials the driver configured.
+    val confEntries: Seq[(String, String)] = hconf.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toSeq
+    val execConf: () => org.apache.hadoop.conf.Configuration = () => {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      confEntries.foreach { case (k, v) => conf.set(k, v) }
+      conf
     }
-    val dstPath = new org.apache.hadoop.fs.Path(dstDir)
+    def baseUri(dir: String): java.net.URI = {
+      val p = new Path(dir)
+      p.getFileSystem(hconf).makeQualified(p).toUri
+    }
+    def manifest(dir: String): DataFrame = {
+      val base = baseUri(dir)
+      val m = spark.read.format("binaryFile").load(dir)
+      val named = (if (verify)
+        m.select(col("path"), col("length"), md5(col("content")).as("chk"))
+      else
+        // content column NOT projected -> the scan lists, never opens
+        // millisecond mtime (a bare long cast truncates to seconds and
+        // would blur a modify-right-after-copy into "not older")
+        m.select(col("path"), col("length"),
+          (col("modificationTime").cast("double") * 1000).cast("long").as("mt")))
+      val rel = org.apache.spark.sql.functions.udf((p: String) => relName(base, p))
+      named.withColumn("name", rel(col("path"))).drop("path")
+    }
+    val dstPath = new Path(dstDir)
     val dstFs = dstPath.getFileSystem(hconf)
     val srcM = manifest(srcDir)
     val dstM =
       if (dstFs.exists(dstPath) && dstFs.listStatus(dstPath).nonEmpty) manifest(dstDir)
       else srcM.limit(0)
-    val toCopy = srcM.join(dstM, Seq("name", "length", "chk"), "left_anti")
-      .select("name").collect().map(_.getString(0)).toSeq
+    val toCopy: Seq[String] =
+      if (verify) {
+        srcM.join(dstM, Seq("name", "length", "chk"), "left_anti")
+          .select("name").collect().map(_.getString(0)).toSeq
+      } else {
+        // classification stays distributed; only the (bounded) changed and
+        // ambiguous LISTS land on the driver, as in verify mode
+        val joined = srcM.as("s")
+          .join(dstM.select(col("name"), col("length").as("dlen"), col("mt").as("dmt")),
+            Seq("name"), "left")
+        val changed = joined
+          .filter(col("dlen").isNull || col("dlen") =!= col("length"))
+          .select("name").collect().map(_.getString(0))
+        // same size, stale destination mtime: checksum ON DEMAND, only these
+        val ambiguous = joined
+          .filter(col("dlen") === col("length") && col("dmt") < col("mt"))
+          .select("name").collect().map(_.getString(0))
+        val confirmed: Seq[String] = if (ambiguous.isEmpty) Seq.empty else {
+          val (srcD, dstD) = (srcDir, dstDir)
+          spark.sparkContext
+            .parallelize(ambiguous.toSeq, math.min(ambiguous.length, 32))
+            .flatMap { n =>
+              val conf = execConf()
+              def sum(p: Path): Seq[Byte] = {
+                val md = java.security.MessageDigest.getInstance("MD5")
+                val in = p.getFileSystem(conf).open(p)
+                try {
+                  val buf = new Array[Byte](65536)
+                  var r = in.read(buf)
+                  while (r > 0) { md.update(buf, 0, r); r = in.read(buf) }
+                } finally in.close()
+                md.digest().toSeq
+              }
+              if (sum(new Path(s"$srcD/$n")) == sum(new Path(s"$dstD/$n"))) None else Some(n)
+            }.collect().toSeq
+        }
+        changed.toSeq ++ confirmed
+      }
     val nSrc = srcM.count()
     if (toCopy.nonEmpty) {
-      // Configuration is not serializable; ship the session's entries as a
-      // plain seq so executor-side FileSystems resolve the same schemes,
-      // committers and credentials the driver configured.
-      val confEntries = hconf.iterator().asScala
-        .map(e => e.getKey -> e.getValue).toSeq
       spark.sparkContext
         .parallelize(toCopy, math.min(toCopy.length, 32))
         .foreach { n =>
-          val conf = new org.apache.hadoop.conf.Configuration()
-          confEntries.foreach { case (k, v) => conf.set(k, v) }
-          val sp = new org.apache.hadoop.fs.Path(s"$srcDir/$n")
-          val dp = new org.apache.hadoop.fs.Path(s"$dstDir/$n")
+          val conf = execConf()
+          val sp = new Path(s"$srcDir/$n")
+          val dp = new Path(s"$dstDir/$n")
           org.apache.hadoop.fs.FileUtil.copy(
             sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp,
             false, true, conf)

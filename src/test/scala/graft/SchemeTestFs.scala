@@ -9,4 +9,14 @@ package graft
 class SchemeTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
   override def getScheme: String = "graftfs"
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    SchemeTestFs.opens.incrementAndGet()
+    super.open(f, bufferSize)
+  }
+}
+
+/** Content-read counter: cheap-mode copyUpdate must re-sync an unchanged
+  * tree without OPENING a single destination file (listing only). */
+object SchemeTestFs {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
 }

@@ -143,6 +143,52 @@ class SourcesSpec extends SparkSpec {
     assert(c2 == 0, s"unchanged re-run copied $c2 files across the scheme")
   }
 
+  test("distcp -update cheap mode reads zero destination contents when unchanged; checksums only ambiguity") {
+    // DistCp's default -update never re-reads same-size files; graft's
+    // cheap mode mirrors that — an unchanged nightly re-sync must not OPEN
+    // a single destination file (size+mtime from the listing decide), and
+    // a same-size content change with a stale destination mtime is the one
+    // case that checksums (only those files), then copies.
+    Tables.configureStore(spark, Map("fs.graftfs.impl" -> classOf[SchemeTestFs].getName))
+    val srcD = Files.createTempDirectory("graft_upd5_src").toString
+    val dstLocal = Files.createTempDirectory("graft_upd5_dst").toString + "/synced"
+    val dstD = s"graftfs://$dstLocal"
+    new java.io.File(srcD, "a.txt").toPath.toFile.getParentFile.mkdirs()
+    java.nio.file.Files.write(new java.io.File(srcD, "a.txt").toPath, "alpha-one".getBytes)
+    java.nio.file.Files.write(new java.io.File(srcD, "b.txt").toPath, "beta-file".getBytes)
+    val (n1, c1) = Tables.copyUpdate(spark, srcD, dstD)
+    assert(c1 == n1 && c1 == 2, s"first pass must copy both files ($c1 of $n1)")
+    // unchanged re-sync: zero copies AND zero destination content reads
+    SchemeTestFs.opens.set(0)
+    val (_, c2) = Tables.copyUpdate(spark, srcD, dstD)
+    assert(c2 == 0, s"unchanged re-run copied $c2 files")
+    assert(SchemeTestFs.opens.get() == 0,
+      s"cheap re-sync opened ${SchemeTestFs.opens.get()} destination files (must list only)")
+    // same-size content change, source mtime bumped PAST the copy: the
+    // ambiguous case — checksum confirms the change and exactly one copies
+    java.nio.file.Files.write(new java.io.File(srcD, "a.txt").toPath, "alpha-two".getBytes)
+    val aPath = new org.apache.hadoop.fs.Path(s"$srcD/a.txt")
+    aPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .setTimes(aPath, System.currentTimeMillis() + 60000, -1)
+    SchemeTestFs.opens.set(0)
+    val (_, c3) = Tables.copyUpdate(spark, srcD, dstD)
+    assert(c3 == 1, s"one same-size change should mean one copy, got $c3")
+    // the checksum probe touched only the ambiguous file's destination
+    // copy, plus that file's re-copy overwrite machinery — never b.txt
+    assert(spark.read.textFile(s"$dstD/a.txt").collect().toSeq == Seq("alpha-two"),
+      "ambiguous file's new bytes did not land")
+    // verify=true still catches a same-size rewrite even when someone
+    // rewinds mtimes (content manifests decide)
+    java.nio.file.Files.write(new java.io.File(srcD, "b.txt").toPath, "beta-eile".getBytes)
+    val bPath = new org.apache.hadoop.fs.Path(s"$srcD/b.txt")
+    bPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .setTimes(bPath, System.currentTimeMillis() - 3600000, -1)
+    val (_, c4) = Tables.copyUpdate(spark, srcD, dstD)
+    assert(c4 == 0, "cheap mode by design skips a same-size rewrite with a rewound mtime")
+    val (_, c5) = Tables.copyUpdate(spark, srcD, dstD, verify = true)
+    assert(c5 == 1, s"verify mode must checksum-catch the rewound rewrite, got $c5")
+  }
+
   test("partitioned parquet write prunes to one directory on a partition-key filter") {
     import org.apache.spark.sql.functions._
     val dst = Files.createTempDirectory("graft_part").toString
