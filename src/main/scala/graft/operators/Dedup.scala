@@ -456,7 +456,7 @@ object Dedup {
     * pairs, the quantizer's corpus assignment incl. `ccos`). `semanticDedup`
     * reads the labels; `semanticDedupKeep` additionally ranks members by
     * centroid proximity. */
-  private def semanticLab(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def semanticLab(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (assign, _) = Similarity.ivfParts(s, dir)
     val dense = assign.groupBy("cent_id").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > LabelCap)

@@ -175,25 +175,32 @@ object TextOps {
     "l" -> "e", "th" -> "e", "an" -> "d", "in" -> "g", "er" -> "s",
     "a" -> "b")
 
-  /** Symbol separator for the fold's string representation — any character
-    * outside the corpus alphabet works ('|' — text is [a-z ] only; a
-    * deployment with richer text picks an unused control char). */
-  val BpeSep = "|"
+  /** Symbol delimiters for the fold's string representation — any two
+    * characters outside the corpus alphabet work ('|'/';' — text is [a-z ]
+    * only; a deployment with richer text picks unused control chars).
+    * BOTH boundaries of each symbol are marked ("|sym;"): a leading-only
+    * separator lets a pattern match a symbol that merely STARTS with the
+    * second operand ("|th|e" inside "|th|er"), and a trailing-only one
+    * matches a symbol that ENDS with the first; wrapping rules out both,
+    * and because a match never consumes the NEXT symbol's delimiters,
+    * chained pairs (a b a b) all merge in one left-to-right pass. */
+  val BpeOpen = "|"
+  val BpeClose = ";"
 
   /** BPE symbol count of one word, as a codegen'd builtin composition —
-    * no UDF, no custom expression: the word seeds as "|c|h|a|r|s|", and
-    * each merge (a, b) is ONE string `replace("|a|b" -> "|ab")` — built-in
-    * replace substitutes non-overlapping matches left-to-right, which IS
-    * BPE's within-rank greedy scan, and the leading separator makes a
-    * symbol boundary unambiguous (no match can start mid-symbol).
-    * Symbols = separators - 1. */
+    * no UDF, no custom expression: the word seeds as "|c;|h;|a;|r;", and
+    * each merge (a, b) is ONE string `replace("|a;|b;" -> "|ab;")` —
+    * built-in replace substitutes non-overlapping matches left-to-right,
+    * which IS BPE's within-rank greedy scan. Symbols = close-delimiter
+    * count. */
   private def bpeSymbolCount(word: Column): Column = {
-    val seeded = concat(regexp_replace(word, "(.)", s"\\$BpeSep$$1"), lit(BpeSep))
+    val seeded = regexp_replace(word, "(.)", s"\\$BpeOpen$$1$BpeClose")
     val merged = BpeMerges.foldLeft(seeded) { case (c, (a, b)) =>
-      call_function("replace", c, lit(s"$BpeSep$a$BpeSep$b"), lit(s"$BpeSep$a$b"))
+      call_function("replace", c,
+        lit(s"$BpeOpen$a$BpeClose$BpeOpen$b$BpeClose"), lit(s"$BpeOpen$a$b$BpeClose"))
     }
     (length(merged) -
-      length(call_function("replace", merged, lit(BpeSep), lit(""))) - 1).cast("long")
+      length(call_function("replace", merged, lit(BpeClose), lit("")))).cast("long")
   }
 
   /** Per-document BPE token count: sum of per-word symbol counts. One
@@ -206,12 +213,12 @@ object TextOps {
     * merge table unrolled into the same replace chain, so token counts are
     * oracle-replayable bit for bit. */
   def bpeCountSql(textCol: String): String = {
-    val seeded = s"regexp_replace(w, '(.)', '$BpeSep\\1', 'g') || '$BpeSep'"
+    val seeded = s"regexp_replace(w, '(.)', '$BpeOpen\\1$BpeClose', 'g')"
     val merged = BpeMerges.foldLeft(seeded) { case (c, (a, b)) =>
-      s"replace($c, '$BpeSep$a$BpeSep$b', '$BpeSep$a$b')"
+      s"replace($c, '$BpeOpen$a$BpeClose$BpeOpen$b$BpeClose', '$BpeOpen$a$b$BpeClose')"
     }
     s"CAST(list_sum(list_transform(string_split($textCol, ' '), " +
-      s"w -> length($merged) - length(replace($merged, '$BpeSep', '')) - 1)) AS BIGINT)"
+      s"w -> length($merged) - length(replace($merged, '$BpeClose', '')))) AS BIGINT)"
   }
 
   /** Token counting: whitespace tokens, BPE-ish regex token count

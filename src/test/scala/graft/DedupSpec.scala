@@ -216,4 +216,80 @@ class DedupSpec extends SparkSpec {
       assert(members.map(_._1).min == cid, s"cluster $cid min is not the label")
     }
   }
+
+  test("substring removal excises exactly the duplicated windows, merging overlaps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_substr_rm").toString
+    val s = spark
+    import s.implicits._
+    // docs 1/2/4 share "aa bb cc dd ee"; docs 1/4 ALSO share the
+    // overlapping "bb cc dd ee ff" -> their two cuts must merge into one
+    // contiguous 6-token excision; doc 3 is disjoint and passes through.
+    Seq(
+      (1L, "src0", "aa bb cc dd ee ff gg hh"),
+      (2L, "src0", "xx yy aa bb cc dd ee zz"),
+      (3L, "src0", "mm nn oo pp qq rr"),
+      (4L, "src0", "aa bb cc dd ee ff qq ww"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.substringRemove(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got(1L) == ((8, 6, "gg hh")), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((8, 5, "xx yy zz")), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((6, 0, "mm nn oo pp qq rr")), "disjoint doc must pass through untouched")
+    assert(got(4L) == ((8, 6, "qq ww")), s"doc4 overlapping cuts must merge: ${got(4L)}")
+  }
+
+  test("incremental LSH matches a batch against a PERSISTED index: corpus side is scan-only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_lsh").toString
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "a completely different corpus document about tables"),
+      (12L, "yet another unrelated line of corpus text here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // near-dup of 10
+      (101L, "totally novel words nobody wrote before today"))
+      .toDF("doc_id", "text")
+    // build the index ONCE, persist it, and match against the parquet copy
+    Dedup.lshIndexOf(corpus).write.mode("overwrite").parquet(s"$dir/index")
+    val out = Dedup.incrementalLshMatch(batch, spark.read.parquet(s"$dir/index"))
+    // scan-only contract: EXACTLY ONE MinHash signature expression in the
+    // whole optimized plan (the batch side) — the corpus text is never
+    // re-hashed, its signatures stream off the parquet index
+    var sigs = 0
+    out.queryExecution.optimizedPlan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case _: graft.functions.MinHashSigExpr => sigs += 1
+        case _ => ()
+      })
+    }
+    assert(sigs == 1, s"expected ONE signature pass (batch only), found $sigs")
+    val got = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got(100L)._1 >= 1L && got(100L)._2 == 0, s"duplicate batch doc must match: ${got(100L)}")
+    assert(got(101L) == ((0L, 1)), s"novel batch doc must flag novel: ${got(101L)}")
+  }
+
+  test("semantic keep rule: the survivor is its cluster's centroid-nearest member") {
+    // Independent JVM-side replay: from the labeling and the assignment's
+    // own ccos, the expected keeper per cluster is argmax on
+    // (floor(ccos*1e4+0.5), then min vec_id) — exactly the paper's rule.
+    val (lab, assign) = Dedup.semanticLab(spark, sf)
+    val ccos = assign.select("vec_id", "ccos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = lab.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).map { case (_, members) =>
+        val ids = members.map(_._1)
+        val keeper = ids.maxBy(v => (math.floor(ccos(v) * 1e4 + 0.5).toLong, -v))
+        keeper -> ids.length.toLong
+      }
+    val got = Dedup.semanticDedupKeep(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"keep rule diverged on ${got.size} clusters")
+    // and the grouping itself matches the min-id variant's sizes
+    val sizesA = got.values.toSeq.sorted
+    val sizesB = Dedup.semanticDedup(spark, sf).collect().map(_.getLong(1)).toSeq.sorted
+    assert(sizesA == sizesB, "keep variant changed the duplicate-group structure")
+  }
 }

@@ -48,6 +48,29 @@ class FunctionsSpec extends SparkSpec {
     assert(red(3L) == (("nothing sensitive here at all", 0)), "clean doc must pass through byte-identical")
   }
 
+  test("BPE count replays rank-ordered greedy merges exactly") {
+    // Hand-derived against TextOps.BpeMerges: (t,h) then (th,e) collapse
+    // "the" to ONE symbol; (i,n)+(in,g) collapse "ing"; within-rank merges
+    // scan left-to-right ("ththth" -> th|th|th, never a mid-symbol match);
+    // multi-word text sums per-word counts.
+    val cases = Seq(
+      "the" -> 1L,       // t,h -> th; th,e -> the
+      "and" -> 1L,       // a,n -> an; an,d -> and
+      "ing" -> 1L,       // i,n -> in; in,g -> ing
+      "there" -> 3L,     // th | er | e
+      "sort" -> 3L,      // s | or | t ((s,t) never adjacent)
+      "ththth" -> 3L,    // greedy left-to-right, symbol-boundary safe
+      "inin" -> 2L,      // in | in
+      "x" -> 1L,
+      "the and ing" -> 3L)
+    val df = cases.map(_._1).toDF("text")
+      .select(col("text"), graft.operators.TextOps.bpeCount(col("text")).as("n"))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cases.foreach { case (t, want) =>
+      assert(got(t) == want, s"'$t': got ${got(t)}, want $want")
+    }
+  }
+
   test("wordShingles is empty below n tokens and sliding above") {
     val df = Seq("a b", "a b c d").toDF("text")
       .select(wordShingles(wsTokens(col("text")), 3).as("sh"))

@@ -146,36 +146,87 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  /** Window shapes of the optimized logical plan, STRUCTURALLY: for every
+    * Window operator, (partition-key column names, first order-key column
+    * name). Immune to the attribute-id / type-suffix formatting of plan
+    * strings (which a Spark version bump reshuffles silently). */
+  private def windowShapes(df: org.apache.spark.sql.DataFrame): Seq[(Seq[String], String)] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        (w.partitionSpec.map(_.references.map(_.name).mkString("+")),
+          w.orderSpec.headOption.map(_.child.references.map(_.name).mkString("+")).getOrElse(""))
+    }
+
   test("pack's cumulative sum is a two-level prefix sum, never a per-source window over raw docs") {
     // `sum over Window.partitionBy(source).orderBy(doc_id)` on the raw doc
     // stream ships an ENTIRE source to one task (~5 TB per partition at
     // 100 TB) — the windows allowed here are the block-local cumsum
     // (partition key (source, blk), bounded by PackBlock doc_ids) and the
     // per-source prefix over block SUBTOTALS (a PackBlock-fold smaller
-    // relation); the offsets then broadcast back.
+    // relation, ordered by blk, not doc_id); the offsets then broadcast.
+    val shapes = windowShapes(graft.operators.Pipeline.pack(spark, sf))
+    assert(!shapes.contains((Seq("source"), "doc_id")),
+      s"pack windows the raw per-source doc stream on one task: $shapes")
+    assert(shapes.contains((Seq("source", "blk"), "doc_id")),
+      s"expected the block-local bounded cumsum window: $shapes")
     val p = plan(graft.operators.Pipeline.pack(spark, sf))
-    assert("windowspecdefinition\\(source#\\d+, doc_id".r.findFirstIn(p).isEmpty,
-      s"pack windows the raw per-source doc stream on one task:\n$p")
-    assert("windowspecdefinition\\(source#\\d+, blk#\\d+L?, doc_id".r.findFirstIn(p).isDefined,
-      s"expected the block-local bounded cumsum window:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"block offsets must broadcast back:\n$p")
+  }
+
+  test("BPE-budgeted pack equals the single-window reference bit for bit") {
+    // The two-level prefix sum must be invisible for ANY per-row counter:
+    // replay the chunk manifest with the naive one-window cumsum (fine at
+    // spec scale, the 100 TB hazard pack exists to avoid) over the SAME
+    // BPE counts and compare exactly.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val ctx = graft.operators.Pipeline.CtxTokens
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ref = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("doc_id"),
+        graft.operators.TextOps.bpeCount(col("text")).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("chunk_id", expr(s"(cum - n_tok) DIV $ctx"))
+      .groupBy("source", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        (floor(sum(col("n_tok")) / lit(ctx.toDouble) * 1e6 + 0.5) / 1e6).as("fill_ratio"))
+      .collect().map(_.toSeq).toSet
+    val got = graft.operators.Pipeline.packBpe(spark, sf).collect().map(_.toSeq).toSet
+    assert(got == ref, "BPE pack diverged from the single-window reference")
   }
 
   test("shard's rank is distributed: no raw per-source or per-(source,size) doc window") {
     // A naive `row_number() OVER (PARTITION BY source ...)` — or one inside
     // (source, n_tok) without the block split — sorts a whole source (or a
     // whole size class) on one task. The only window allowed over the raw
-    // doc stream is the block-local rank inside (source, n_tok, blk); each
-    // forbidden partition spec is matched EXACTLY (partition keys followed
-    // by the doc_id sort key), so the legitimate blocked window cannot
-    // satisfy the check by prefix.
-    val p = plan(graft.operators.Pipeline.shard(spark, sf))
-    assert("windowspecdefinition\\(source#\\d+, doc_id".r.findFirstIn(p).isEmpty,
-      s"shard windows the raw per-source doc stream on one task:\n$p")
-    assert("windowspecdefinition\\(source#\\d+, n_tok#\\d+L?, doc_id".r.findFirstIn(p).isEmpty,
-      s"shard windows a whole (source, n_tok) class on one task:\n$p")
-    assert("windowspecdefinition\\(source#\\d+, n_tok#\\d+L?, blk#\\d+L?, doc_id".r.findFirstIn(p).isDefined,
-      s"expected the block-local bounded rank window:\n$p")
+    // doc stream is the block-local rank inside (source, n_tok, blk); the
+    // forbidden shapes pair the partition keys with the doc_id sort key,
+    // so the aggregate-sized histogram/subtotal windows (ordered by n_tok
+    // or blk) stay legitimate.
+    val shapes = windowShapes(graft.operators.Pipeline.shard(spark, sf))
+    assert(!shapes.contains((Seq("source"), "doc_id")),
+      s"shard windows the raw per-source doc stream on one task: $shapes")
+    assert(!shapes.contains((Seq("source", "n_tok"), "doc_id")),
+      s"shard windows a whole (source, n_tok) class on one task: $shapes")
+    assert(shapes.contains((Seq("source", "n_tok", "blk"), "doc_id")),
+      s"expected the block-local bounded rank window: $shapes")
+  }
+
+  test("targeted join salting replicates ONLY census-detected heavy keys on the build side") {
+    // The round-5 layout exploded EVERY build row x JoinSalt — 8x the
+    // build shuffle for skew that touches a handful of keys. Targeted
+    // salting must keep every explode (salt replication) behind a
+    // heavy-key semi join, so the plain-rest branch ships unreplicated.
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val lp = Analytics.joinSalted(spark, sf).queryExecution.optimizedPlan
+    val gens = lp.collect { case g: Generate => g }
+    assert(gens.nonEmpty, s"salted branch must explode build-side salts:\n$lp")
+    gens.foreach { g =>
+      assert(g.collectFirst { case j: Join if j.joinType == LeftSemi => j }.isDefined,
+        s"an explode replicates an UNRESTRICTED build side:\n$g")
+    }
   }
 
   test("shard deals round-robin: per-source doc counts and token totals stay balanced") {

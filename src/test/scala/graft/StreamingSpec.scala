@@ -118,17 +118,14 @@ class StreamingSpec extends SparkSpec {
       val rocks = spark.table("stream_rocks_out").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
         .toSet
-      // identical emission set to the default-provider run (reuses the
-      // sessionizer spec's sink when that ran first; self-contained otherwise)
-      if (!spark.catalog.tableExists("stream_sessions_out")) {
-        spark.conf.unset(key)
-        val qd = EventStreams.startSessionizeStream(spark, sf, "stream_sessions_out")
-        try qd.processAllAvailable()
-        finally qd.stop()
-        spark.conf.set(key,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      }
-      val default = spark.table("stream_sessions_out").collect()
+      // identical emission set to a default-provider baseline run into a
+      // TEST-LOCAL sink — never another test's, so suite ordering (or
+      // future parallelism) cannot couple into this assertion
+      spark.conf.unset(key)
+      val qd = EventStreams.startSessionizeStream(spark, sf, "stream_rocks_default_out")
+      try qd.processAllAvailable()
+      finally qd.stop()
+      val default = spark.table("stream_rocks_default_out").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
         .toSet
       assert(rocks.nonEmpty, "RocksDB-backed query emitted nothing")
