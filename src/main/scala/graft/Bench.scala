@@ -14,6 +14,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Bench hygiene: timings taken on a busy box are not evidence (the
+    // round-5 driver artifact was contention-polluted). Stamp the start
+    // load average into the artifact so a polluted run is self-identifying,
+    // and say so loudly up front.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    if (loadAvg > 2.0)
+      System.err.println(f"[bench] WARNING: load average $loadAvg%.2f at start — " +
+        "timings will be contention-polluted; re-run on an idle box")
     // Warmup pass at the smallest SF: JIT + codegen + shuffle machinery,
     // so timed numbers reflect steady-state throughput, not JVM startup.
     SparkEntry.queries.foreach { case (_, fn) =>
@@ -46,7 +55,7 @@ object Bench {
     // artifact goes out first on stdout AND to a file, and the LAST line is
     // a compact, complete JSON — headline totals plus the 25 slowest warm
     // queries — guaranteed to fit the archived tail and parse.
-    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","cold_total":${r3(coldTotal)},"queries_cold":${obj(_._1)},"queries":${obj(_._2)},"value":${r3(warmTotal)}}"""
+    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","load_avg_start":${r3(loadAvg)},"cold_total":${r3(coldTotal)},"queries_cold":${obj(_._1)},"queries":${obj(_._2)},"value":${r3(warmTotal)}}"""
     println(full)
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
@@ -54,7 +63,7 @@ object Bench {
     catch { case _: Throwable => () }
     val slow = results.sortBy(-_._2._2).take(25)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v._2) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","value":${r3(warmTotal)},"cold_total":${r3(coldTotal)},"n_queries":${results.size},"full_artifact":"$fullPath","queries":$slow}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","value":${r3(warmTotal)},"cold_total":${r3(coldTotal)},"load_avg_start":${r3(loadAvg)},"n_queries":${results.size},"full_artifact":"$fullPath","queries":$slow}""")
     spark.stop()
   }
 }

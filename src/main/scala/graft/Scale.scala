@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.hash52
+import graft.operators.{Dedup, Pipeline, Similarity}
+
+/** Scale-stress harness: generate synthetic corpora at 1x/10x/100x the
+  * shipped sf0.1 size with the library's own deterministic generators, run
+  * the heavy dedup/ANN/pipeline operators at each size, and record the
+  * per-operator scaling trend — the falsifiable form of the "designed for
+  * 100 TB" claim. The salted-census candidate paths are all designed to be
+  * ~linear in corpus size (candidate pairs ≤ corpus x cap, never corpus²);
+  * this harness is what catches a regression that quietly re-introduces a
+  * quadratic expansion.
+  *
+  * Generation is expression-only and fully deterministic (md5-derived, no
+  * RNG, no wall clock), mirroring the shipped corpus' shape:
+  *  - documents: 8-100 token docs over a small vocab, ~5% exact duplicate
+  *    pairs (seed reuse), ~9% sharing a fixed boilerplate prefix (cross-doc
+  *    duplicated windows for the substring family), 20 sources, 4 langs;
+  *  - embeddings: 16 planted centers + per-vector noise (cluster structure
+  *    for IVF/SemDeDup), ~4% identical-vector pairs.
+  *
+  * Usage: runMain graft.Scale [outBase] [maxScale]
+  * Writes one JSON line per (scale, op) and SCALE_RESULTS.json at the end.
+  */
+object Scale {
+
+  private val Words = Seq(
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+    "hash", "merge", "batch", "line", "sort", "window", "spark", "order",
+    "data", "column", "join", "small", "customer", "query", "big", "group",
+    "stream", "filter", "vector", "the", "a")
+
+  def genDocuments(s: SparkSession, n: Long, dir: String): Unit = {
+    val vocab = array(Words.map(lit): _*)
+    val base = s.range(0, n).toDF("doc_id")
+      // ~5% exact duplicates: every 19th doc reuses the previous doc's seed
+      .withColumn("seed",
+        when(col("doc_id") % 19 === 18, col("doc_id") - 1).otherwise(col("doc_id")))
+    val nTok = (pmod(hash52(concat(lit("len:"), col("seed").cast("string"))), lit(93L)) + 8).cast("int")
+    val words = transform(sequence(lit(1), nTok),
+      i => element_at(vocab,
+        pmod(hash52(concat(col("seed").cast("string"), lit(":"), i.cast("string"))),
+          lit(Words.size.toLong)).cast("int") + 1))
+    val body = array_join(words, " ")
+    val boiler = lit("shared boilerplate header for license and attribution text")
+    val text = when(col("seed") % 11 === 0, concat(boiler, lit(" "), body)).otherwise(body)
+    base.select(
+      col("doc_id"),
+      text.as("text"),
+      element_at(array(lit("en"), lit("de"), lit("fr"), lit("es")),
+        pmod(hash52(concat(lit("lang:"), col("seed").cast("string"))), lit(4L)).cast("int") + 1).as("lang"),
+      concat(lit("src"), pmod(col("doc_id"), lit(20L)).cast("string")).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  def genEmbeddings(s: SparkSession, n: Long, dir: String): Unit = {
+    val base = s.range(0, n).toDF("vec_id")
+      // ~4% identical-vector pairs: every 23rd reuses the previous seed
+      .withColumn("vseed",
+        when(col("vec_id") % 23 === 22, col("vec_id") - 1).otherwise(col("vec_id")))
+      .withColumn("label", pmod(col("vseed"), lit(16L)).cast("int"))
+    val emb = transform(sequence(lit(0), lit(63)), d => {
+      val c = (pmod(hash52(concat(lit("c:"), col("label").cast("string"), lit(":"),
+        d.cast("string"))), lit(2049L)) - 1024).cast("double") / 1024.0
+      val g = (pmod(hash52(concat(lit("g:"), col("vseed").cast("string"), lit(":"),
+        d.cast("string"))), lit(513L)) - 256).cast("double") / 1024.0
+      (c + g).cast("float")
+    })
+    base.select(col("vec_id"), emb.as("embedding"), col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** The operators whose scaling the harness certifies: every candidate-
+    * pair path family (minhash+verify, CC survivors, substring windows,
+    * LSH index match, knn buckets, IVF-PQ, SemDeDup) plus the composed
+    * curation capstone. */
+  val Ops: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dedup_substring" -> (Dedup.substringDup _),
+    "dedup_substring_rm" -> (Dedup.substringRemove _),
+    "dedup_minhash_verified" -> (Dedup.minhashVerified _),
+    "dedup_survivors" -> (Dedup.survivors _),
+    "dedup_incremental_lsh" -> (Dedup.incrementalLsh _),
+    "pipeline_curate_neardup" -> (Pipeline.curateNearDup _),
+    "dedup_semantic" -> (Dedup.semanticDedup _),
+    "sim_ann_ivfpq" -> (Similarity.annIvfPq _),
+    "sim_knn_graph" -> (Similarity.knnGraph _))
+
+  def main(args: Array[String]): Unit = {
+    val outBase = args.headOption.getOrElse("/tmp/graft_scale")
+    val maxScale = args.lift(1).map(_.toInt).getOrElse(100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.driver.memory", "48g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val load0 = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // sf0.1 ships 5k docs / 2k vectors — that is scale x1
+    val scales = Seq(1, 10, 100).filter(_ <= maxScale)
+      .map(m => (s"x$m", m, 5000L * m, 2000L * m))
+    val results = scala.collection.mutable.ArrayBuffer[String]()
+    def r3(d: Double): Double = math.round(d * 1000) / 1000.0
+    for ((tag, mult, nDocs, nVecs) <- scales) {
+      val dir = s"$outBase/$tag"
+      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        genDocuments(spark, nDocs, dir)
+        genEmbeddings(spark, nVecs, dir)
+      }
+      if (mult == 1) {
+        // JIT/codegen warmup pass on the smallest corpus only
+        Ops.foreach { case (_, fn) => fn(spark, dir).count() }
+      }
+      for ((name, fn) <- Ops) {
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val line = s"""{"scale":"$tag","mult":$mult,"op":"$name","rows":$rows,"sec":${r3(secs)}}"""
+        println(line)
+        results += line
+      }
+    }
+    val out = s"""{"load_avg_start":${r3(load0)},"docs_per_x":5000,"vecs_per_x":2000,""" +
+      s""""cpus":$cpus,"runs":[${results.mkString(",")}]}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outBase/SCALE_RESULTS.json"),
+      (out + "\n").getBytes("UTF-8"))
+    println(out)
+    spark.stop()
+  }
+}
