@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.hash52
-import graft.operators.{Dedup, Pipeline, Similarity}
+import graft.operators.{Dedup, Pipeline, Similarity, Tera}
 
 /** Scale-stress harness: generate synthetic corpora at 1x/10x/100x the
   * shipped sf0.1 size with the library's own deterministic generators, run
@@ -33,17 +33,31 @@ object Scale {
     "data", "column", "join", "small", "customer", "query", "big", "group",
     "stream", "filter", "vector", "the", "a")
 
+  /** Word draw: 30% from the 30 shipped-corpus words (keeps langid/quality
+    * gates non-trivial), 70% from a 970-word derived tail. A SATURATED
+    * 30-word vocab makes every document an LSH candidate of every other —
+    * the cap keeps pair growth linear, but with a pathological constant
+    * (at x100 the shingle-array verification join spilled ~100 GB; the
+    * first harness run measured exactly that). Real web-scale corpora have
+    * open vocabularies: candidate density must come from the PLANTED
+    * structure (exact-dup pairs + shared boilerplate), which scales
+    * linearly by construction, not from alphabet exhaustion. */
+  private def pickWord(seed: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) = {
+    val h = hash52(concat(seed.cast("string"), lit(":"), i.cast("string")))
+    val common = element_at(array(Words.map(lit): _*),
+      pmod(h, lit(Words.size.toLong)).cast("int") + 1)
+    val rare = concat(lit("w"), pmod(hash52(concat(lit("r:"), seed.cast("string"),
+      lit(":"), i.cast("string"))), lit(970L)).cast("string"))
+    when(pmod(h, lit(10L)) < 3, common).otherwise(rare)
+  }
+
   def genDocuments(s: SparkSession, n: Long, dir: String): Unit = {
-    val vocab = array(Words.map(lit): _*)
     val base = s.range(0, n).toDF("doc_id")
       // ~5% exact duplicates: every 19th doc reuses the previous doc's seed
       .withColumn("seed",
         when(col("doc_id") % 19 === 18, col("doc_id") - 1).otherwise(col("doc_id")))
     val nTok = (pmod(hash52(concat(lit("len:"), col("seed").cast("string"))), lit(93L)) + 8).cast("int")
-    val words = transform(sequence(lit(1), nTok),
-      i => element_at(vocab,
-        pmod(hash52(concat(col("seed").cast("string"), lit(":"), i.cast("string"))),
-          lit(Words.size.toLong)).cast("int") + 1))
+    val words = transform(sequence(lit(1), nTok), i => pickWord(col("seed"), i))
     val body = array_join(words, " ")
     val boiler = lit("shared boilerplate header for license and attribution text")
     val text = when(col("seed") % 11 === 0, concat(boiler, lit(" "), body)).otherwise(body)
@@ -64,11 +78,16 @@ object Scale {
       .withColumn("vseed",
         when(col("vec_id") % 23 === 22, col("vec_id") - 1).otherwise(col("vec_id")))
       .withColumn("label", pmod(col("vseed"), lit(16L)).cast("int"))
+    // noise ~1.5x the center amplitude: same-center cosines average BELOW
+    // the 0.4 dedup threshold (organic pairs are a sparse tail, planted
+    // identical pairs are certain) — a ±0.25 noise saturated every
+    // cluster into one duplicate group, the embedding analog of the
+    // exhausted-vocab pathology above
     val emb = transform(sequence(lit(0), lit(63)), d => {
       val c = (pmod(hash52(concat(lit("c:"), col("label").cast("string"), lit(":"),
         d.cast("string"))), lit(2049L)) - 1024).cast("double") / 1024.0
       val g = (pmod(hash52(concat(lit("g:"), col("vseed").cast("string"), lit(":"),
-        d.cast("string"))), lit(513L)) - 256).cast("double") / 1024.0
+        d.cast("string"))), lit(3073L)) - 1536).cast("double") / 1024.0
       (c + g).cast("float")
     })
     base.select(col("vec_id"), emb.as("embedding"), col("label"))
@@ -102,7 +121,6 @@ object Scale {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.driver.memory", "48g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -123,11 +141,31 @@ object Scale {
         // JIT/codegen warmup pass on the smallest corpus only
         Ops.foreach { case (_, fn) => fn(spark, dir).count() }
       }
-      for ((name, fn) <- Ops) {
+      val opFilter = args.lift(2).getOrElse("")
+      for ((name, fn) <- Ops if name.contains(opFilter)) {
+        // Measurement isolation: localCheckpoint blocks from the PREVIOUS
+        // operator otherwise stay persisted and squeeze this one's
+        // execution memory — at x100 that turned an 8 s pipeline into a
+        // 210 s spill storm and read as fake superlinearity.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         val t0 = System.nanoTime()
         val rows = fn(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
         val line = s"""{"scale":"$tag","mult":$mult,"op":"$name","rows":$rows,"sec":${r3(secs)}}"""
+        println(line)
+        results += line
+      }
+      if ("terasort".contains(opFilter)) {
+        // TeraSort end to end (generate -> range-partitioned total-order
+        // sort -> write): 100k x mult 100-byte records, the classic MR
+        // scale benchmark — a count() would let the optimizer drop the
+        // Sort, so the measurement includes the parquet write it feeds.
+        val tn = 100000L * mult
+        val t0 = System.nanoTime()
+        Tera.teragenN(spark, tn).orderBy(col("key"))
+          .write.mode("overwrite").parquet(s"$dir/terasort_out")
+        val secs = (System.nanoTime() - t0) / 1e9
+        val line = s"""{"scale":"$tag","mult":$mult,"op":"terasort_write","rows":$tn,"sec":${r3(secs)}}"""
         println(line)
         results += line
       }

@@ -35,9 +35,13 @@ object Tera {
 
   /** Deterministic TeraGen-shaped records: (row_id, 10-byte key, 90-byte
     * value), generated partition-parallel from the row id alone. */
-  def teragen(s: SparkSession, dir: String): DataFrame = {
+  def teragen(s: SparkSession, dir: String): DataFrame = teragenN(s, TeraN)
+
+  /** Size-parameterized variant — the scale-stress harness (graft.Scale)
+    * generates 10x/100x record sets through the same derivation. */
+  def teragenN(s: SparkSession, n: Long): DataFrame = {
     val idStr = col("id").cast("string")
-    s.range(0, TeraN).select(
+    s.range(0, n).select(
       col("id").as("row_id"),
       substring(md5Hex(idStr), 1, 20).as("key"),
       concat(
