@@ -98,17 +98,28 @@ object Scale {
   /** The operators whose scaling the harness certifies: every candidate-
     * pair path family (minhash+verify, CC survivors, substring windows,
     * LSH index match, knn buckets, IVF-PQ, SemDeDup) plus the composed
-    * curation capstone. */
-  val Ops: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "dedup_substring" -> (Dedup.substringDup _),
-    "dedup_substring_rm" -> (Dedup.substringRemove _),
-    "dedup_minhash_verified" -> (Dedup.minhashVerified _),
-    "dedup_survivors" -> (Dedup.survivors _),
-    "dedup_incremental_lsh" -> (Dedup.incrementalLsh _),
-    "pipeline_curate_neardup" -> (Pipeline.curateNearDup _),
-    "dedup_semantic" -> (Dedup.semanticDedup _),
-    "sim_ann_ivfpq" -> (Similarity.annIvfPq _),
-    "sim_knn_graph" -> (Similarity.knnGraph _))
+    * curation capstone. `sim_knn_graph` applies its documented deployment
+    * sizing rule — planesPerTable ~ log2(N / targetBucketSize), tables
+    * trimmed to the 64-bit signature budget — because at a FIXED 32
+    * buckets a 100x corpus saturates every bucket to the salt cap
+    * (bounded, but the candidate constant is exactly what the rule
+    * avoids; the first harness run measured it at 32x wall-clock). */
+  def ops(mult: Int): Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val planes = Similarity.GraphPlanesPerTable +
+      (math.log(mult.toDouble) / math.log(2)).ceil.toInt
+    val tables = math.min(Similarity.NumTables, 64 / planes)
+    Seq(
+      "dedup_substring" -> (Dedup.substringDup _),
+      "dedup_substring_rm" -> (Dedup.substringRemove _),
+      "dedup_minhash_verified" -> (Dedup.minhashVerified _),
+      "dedup_survivors" -> (Dedup.survivors _),
+      "dedup_incremental_lsh" -> (Dedup.incrementalLsh _),
+      "pipeline_curate_neardup" -> (Pipeline.curateNearDup _),
+      "dedup_semantic" -> (Dedup.semanticDedup _),
+      "sim_ann_ivfpq" -> (Similarity.annIvfPq _),
+      "sim_knn_graph" -> ((s: SparkSession, d: String) =>
+        Similarity.knnGraphTuned(s, d, tables, planes, Similarity.GraphBucketCap)))
+  }
 
   def main(args: Array[String]): Unit = {
     val outBase = args.headOption.getOrElse("/tmp/graft_scale")
@@ -139,10 +150,10 @@ object Scale {
       }
       if (mult == 1) {
         // JIT/codegen warmup pass on the smallest corpus only
-        Ops.foreach { case (_, fn) => fn(spark, dir).count() }
+        ops(1).foreach { case (_, fn) => fn(spark, dir).count() }
       }
       val opFilter = args.lift(2).getOrElse("")
-      for ((name, fn) <- Ops if name.contains(opFilter)) {
+      for ((name, fn) <- ops(mult) if name.contains(opFilter)) {
         // Measurement isolation: localCheckpoint blocks from the PREVIOUS
         // operator otherwise stay persisted and squeeze this one's
         // execution memory — at x100 that turned an 8 s pipeline into a

@@ -391,11 +391,18 @@ object Dedup {
     // Semi-join reduction BEFORE the pair joins: only candidate documents'
     // shingle sets are materialized, so the arrays that shuffle are
     // candidate-sized, not corpus-sized — the difference between verifying
-    // 0.1% near-dups and re-shuffling 100 TB twice.
+    // 0.1% near-dups and re-shuffling 100 TB twice. The sets ship as
+    // 52-bit HASHES, not shingle strings: distinct-set sizes (and hence
+    // the exact Jaccard) are preserved, while the joined arrays shrink
+    // ~3x and the per-pair intersection compares longs instead of strings
+    // — at the x100 scale-stress size this is the difference between a
+    // linear verify and a wide-row sort spill (oracle applies the same
+    // per-element hash, so the gate stays exact).
     val shd = docs(s, dir)
       .select(col("doc_id"),
-        array_distinct(ShingleExpressions.shingles(col("text"), ShingleN)).as("dsh"))
-      .filter(size(col("dsh")) > 0)
+        array_distinct(ShingleExpressions.shingles(col("text"), ShingleN)).as("dshRaw"))
+      .filter(size(col("dshRaw")) > 0)
+      .select(col("doc_id"), transform(col("dshRaw"), x => hash52(x)).as("dsh"))
       .join(candIds, Seq("doc_id"), "left_semi")
       .localCheckpoint()
     val inter = size(array_intersect(col("dsha"), col("dshb")))
@@ -747,9 +754,15 @@ object Dedup {
     * cluster_id)` — the connected-components labeling over LSH pairs ∪
     * exact-hash star edges. Shared by the `dedup_survivors` oracle and the
     * composed curation oracle in Pipeline. */
+  /** Hashed distinct-shingle set (mirror of minhashVerified's `shd`): the
+    * per-element hash is graft's hash52, so set sizes and intersections
+    * replay exactly on BIGINT lists. */
+  private val shdCte: String =
+    "shd AS (SELECT doc_id, list_transform(list_distinct(sh), x -> " +
+      s"${graft.functions.hash52Sql("x")}) AS dsh FROM sh WHERE len(sh) > 0)"
+
   private[operators] def survivorLabCtes: String =
-    s"$lshCtes, pairs AS ($lshPairsSelect), " +
-      "shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh WHERE len(sh) > 0), " +
+    s"$lshCtes, pairs AS ($lshPairsSelect), $shdCte, " +
       "vp AS (SELECT doc_a, doc_b FROM (SELECT c.doc_a, c.doc_b, " +
       "round(CAST(len(list_intersect(a.dsh, b.dsh)) AS DOUBLE) / " +
       "(len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh))), 4) AS jaccard " +
@@ -810,8 +823,7 @@ object Dedup {
         "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) " +
         "SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src"),
     "dedup_minhash_verified" ->
-      (s"WITH $lshCtes, cand AS ($lshPairsSelect), " +
-        "shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh WHERE len(sh) > 0) " +
+      (s"WITH $lshCtes, cand AS ($lshPairsSelect), $shdCte " +
         "SELECT doc_a, doc_b, jaccard FROM (SELECT c.doc_a, c.doc_b, " +
         "round(CAST(len(list_intersect(a.dsh, b.dsh)) AS DOUBLE) / " +
         "(len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh))), 4) AS jaccard " +

@@ -357,15 +357,29 @@ object Similarity {
     * carries at most k rows per (vector, partition) instead of every
     * scored edge (the window+filter plan would shuffle and fully sort all
     * of them). */
-  def knnGraph(s: SparkSession, dir: String): DataFrame = {
-    val mask = (1 << GraphPlanesPerTable) - 1
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphTuned(s, dir, NumTables, GraphPlanesPerTable, GraphBucketCap)
+
+  /** `knnGraph` with the table/plane/cap knobs exposed — the gated query
+    * uses the test-corpus constants above; a deployment (and the
+    * scale-stress harness, measurably) applies the documented sizing rule
+    * planesPerTable ~ log2(N / targetBucketSize) as the corpus grows,
+    * trading table count down when tables x planes hits the 64-bit
+    * signature budget. At a FIXED bucket count a 100x corpus saturates
+    * every bucket to the salt cap and candidate volume per vector grows
+    * toward cap x tables — still bounded, but the constant is the
+    * pathology the sizing rule exists to avoid. */
+  def knnGraphTuned(s: SparkSession, dir: String, numTables: Int,
+      planesPerTable: Int, bucketCap: Int): DataFrame = {
+    require(numTables * planesPerTable <= 64, "signature exceeds 64 bits")
+    val mask = (1 << planesPerTable) - 1
     val e = emb(s, dir)
     val sigd = e
-      .withColumn("sig", PairExpressions.lshSign(col("embedding"), GraphNumPlanes, 64))
+      .withColumn("sig", PairExpressions.lshSign(col("embedding"), numTables * planesPerTable, 64))
       .select(col("vec_id"), explode(array(
-        (0 until NumTables).map(t => struct(
+        (0 until numTables).map(t => struct(
           lit(t).as("t"),
-          shiftright(col("sig"), t * GraphPlanesPerTable).bitwiseAND(lit(mask)).as("bucket"))): _*)).as("tb"))
+          shiftright(col("sig"), t * planesPerTable).bitwiseAND(lit(mask)).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     // Bucket census as a groupBy(...).count() broadcast back — map-side
     // partial aggregation means vector rows never move to be counted, and
@@ -376,14 +390,14 @@ object Similarity {
     // the skew this salting defuses. Census recomputes the signature scan
     // (parallel CPU) — strictly cheaper at scale than a windowed buffer.
     val dense = sigd.groupBy("t", "bucket").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > GraphBucketCap)
+      .filter(col("bn") > bucketCap)
     val pairs = sigd.join(broadcast(dense), Seq("t", "bucket"), "left")
       .withColumn("salt", pmod(hash52(col("vec_id")),
-        coalesce(expr(s"(bn + ${GraphBucketCap - 1}) DIV $GraphBucketCap"), lit(1L))))
+        coalesce(expr(s"(bn + ${bucketCap - 1}) DIV $bucketCap"), lit(1L))))
       .groupBy("t", "bucket", "salt")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       // hash splits can still fluctuate; 2x cap is the safety net
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= 2 * GraphBucketCap)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= 2 * bucketCap)
       .select(explode(PairExpressions.orderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("va"), col("p.b").as("vb"))
       .distinct()
