@@ -171,12 +171,18 @@ object Dedup {
     * the loss is exactly the near-zero-signal stopword shingles — jaccard
     * degrades toward a df-cut, never an OOM. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // Posting lists key on hash52(shingle), not the shingle string: the
+    // inverted index shuffles 8-byte longs (set sizes — hence the exact
+    // Jaccard — are preserved; the oracle hashes identically), the same
+    // ship-hashes-not-payloads rule the scale harness forced on
+    // minhashVerified (SCALE.md §what-the-harness-caught).
     val sh = docs(s, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         array_distinct(ShingleExpressions.shingles(col("text"), ShingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("gRaw"))
+      .select(col("doc_id"), col("n"), hash52(col("gRaw")).as("g"))
     val dense = sh.groupBy("g").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > MaxBucket)
     // Inverted index: one shuffle of (shingle -> [docs]); pairs expand
@@ -843,7 +849,8 @@ object Dedup {
         s"${hammingPairsCtes("shp")} $hammingPairsSelect"),
     "dedup_ngram_jaccard" ->
       (s"WITH sh AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +
-        "ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh WHERE len(sh) > 0), " +
+        s"ex AS (SELECT doc_id, n, ${graft.functions.hash52Sql("g")} AS g FROM " +
+        "(SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh WHERE len(sh) > 0)), " +
         s"exs AS (SELECT doc_id, n, g, ${graft.functions.hash52Sql("doc_id")} % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
         "FROM (SELECT doc_id, n, g, count(*) OVER (PARTITION BY g) AS bn FROM ex)), " +
         "exc AS (SELECT doc_id, n, g, salt FROM (SELECT doc_id, n, g, salt, " +
