@@ -203,11 +203,24 @@ object TextOps {
       length(call_function("replace", merged, lit(BpeClose), lit("")))).cast("long")
   }
 
-  /** Per-document BPE token count: sum of per-word symbol counts. One
-    * shuffle-free codegen pass — the real-token-budget upgrade pack/shard
-    * parameterize on (Pipeline.packBpe). */
-  def bpeCount(text: Column): Column =
+  /** Per-document BPE token count via the builtin replace-chain fold: sum
+    * of per-word symbol counts. Exact, but the expression tree grows one
+    * nested call per merge rule — it stops planning around O(100) rules, so
+    * this is the REFERENCE formulation the native expression is
+    * spec-asserted against (BpeSpec), not the production path. */
+  def bpeCountFold(text: Column): Column =
     aggregate(transform(wsTokens(text), w => bpeSymbolCount(w)), lit(0L), (a, v) => a + v)
+
+  /** Per-document BPE token count — the production path: ONE native
+    * Catalyst expression (graft.functions.BpeCountExpr) holding the whole
+    * merge table as a rank map, so a real ~50k-rule trained tokenizer plans
+    * as a single node instead of a 50k-deep replace chain. Same greedy
+    * rank-ordered semantics as the fold (spec-asserted equal on [[BpeMerges]]
+    * and on a 1k-rule synthetic table the fold cannot plan); shuffle-free
+    * whole-stage-codegen pass either way — this is the real-token-budget
+    * expression pack/shard parameterize on (Pipeline.packBpe). */
+  def bpeCount(text: Column): Column =
+    BpeExpressions.bpeCount(text, BpeMerges)
 
   /** SQL mirror of [[bpeCount]] over a text column expression — the same
     * merge table unrolled into the same replace chain, so token counts are

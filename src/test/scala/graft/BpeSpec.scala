@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{BpeCoder, BpeExpressions}
+import graft.operators.TextOps
+
+/** The native BPE expression vs the builtin replace-chain fold.
+  *
+  * The fold is exact but caps at O(100) merge rules (one nested call per
+  * rule); the native expression holds the table as a rank map in one plan
+  * node. These specs pin (1) equality with the Catalyst fold on the shipped
+  * toy table over the real corpus, (2) equality with a plain-Scala replay of
+  * the fold on a 1,076-rule synthetic table the Catalyst fold cannot plan,
+  * and (3) that the DataFrame path (whole-stage codegen calls the same coder
+  * through a reference object) matches driver-side interpreted eval.
+  */
+class BpeSpec extends SparkSpec {
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  test("native BPE count equals the Catalyst fold on the corpus (toy table)") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        TextOps.bpeCount(col("text")).as("native"),
+        TextOps.bpeCountFold(col("text")).as("fold"))
+    assert(d.count() > 0)
+    assert(d.filter(col("native") =!= col("fold")).count() == 0,
+      "native greedy-merge encoder must replay the rank-ordered fold exactly")
+  }
+
+  /** Plain-Scala replay of the fold's semantics (apply each rule once, in
+    * rank order, via non-overlapping left-to-right string replace on the
+    * "|sym;" delimiter representation) — an independent implementation the
+    * expression is checked against at table sizes Catalyst cannot fold. */
+  private def foldReference(word: String, merges: Seq[(String, String)]): Long = {
+    var s = word.map(c => s"|$c;").mkString
+    merges.foreach { case (a, b) => s = s.replace(s"|$a;|$b;", s"|$a$b;") }
+    s.count(_ == ';').toLong
+  }
+
+  /** 1,076 rules satisfying the operand invariant (operands are raw chars
+    * or products of EARLIER rules — the structure real trained tables have):
+    * all 676 letter pairs, then 400 pairings of the first twenty 2-char
+    * products. */
+  private val bigTable: Seq[(String, String)] = {
+    val letters = ('a' to 'z').map(_.toString)
+    val pairs2 = for (a <- letters; b <- letters) yield (a, b)
+    val sym2 = pairs2.map { case (a, b) => a + b }.take(20)
+    pairs2 ++ (for (x <- sym2; y <- sym2) yield (x, y))
+  }
+
+  test("native BPE encodes a 1k-rule table the fold cannot plan") {
+    assert(bigTable.size >= 1000)
+    val rnd = new scala.util.Random(7)
+    val words = Seq("abab", "ababab", "aaaa", "abcde", "zzz", "q", "") ++
+      (0 until 200).map(_ => (0 until (1 + rnd.nextInt(12)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val coder = new BpeCoder(bigTable)
+    // interpreted eval parity with the independent fold replay
+    words.foreach { w =>
+      assert(coder.countWord(w) == foldReference(w, bigTable),
+        s"'$w': native ${coder.countWord(w)} vs fold-reference ${foldReference(w, bigTable)}")
+    }
+    // (ab,ab) is a level-2 rule: "abab" collapses to ONE symbol
+    assert(coder.encode("abab").toSeq == Seq("abab"))
+    // (ab,cd) is NOT a rule (cd is outside the first-20 products)
+    assert(coder.encode("abcde").toSeq == Seq("ab", "cd", "e"))
+    // codegen path (DataFrame) against the same reference
+    val texts = words.filter(_.nonEmpty)
+    val got = texts.toDF("text")
+      .select(col("text"), BpeExpressions.bpeCount(col("text"), bigTable).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    texts.foreach { w =>
+      assert(got(w) == foldReference(w, bigTable),
+        s"codegen path diverged from fold reference on '$w'")
+    }
+  }
+
+  test("native BPE splits like split(text, ' ') — empty tokens count zero") {
+    val got = Seq("the  and", " the", "the ", "")
+      .toDF("text").select(TextOps.bpeCount(col("text")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    // "the" and "and" are single symbols under the toy table; empty words 0
+    assert(got == Seq(2L, 1L, 1L, 0L))
+  }
+}
