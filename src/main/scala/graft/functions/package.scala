@@ -52,6 +52,31 @@ package object functions {
   def hash52Sql(c: String): String =
     s"CAST(${hexIntSql(s"md5(CAST($c AS VARCHAR))", 1, 13)} AS BIGINT)"
 
+  /** Full 64-bit portable hash — the first md5 digest half as a SIGNED
+    * long (two's complement of hex digits 1-16, the same h1 read
+    * MinHashSigExpr derives). Used where hashed values stand in for SET
+    * ELEMENTS (dedup verification shingle sets, posting-list keys): at
+    * web scale, billions of distinct shingles make 52-bit collisions —
+    * which would merge distinct elements and inflate intersections —
+    * expected; 2^-64 per pair keeps them negligible. Spark assembles
+    * hi<<32 | lo from two 8-digit conv() parses (a single 16-digit conv
+    * overflows the signed-long cast); the wrapping shift IS the
+    * two's-complement reinterpretation the SQL mirror replays. */
+  def hash64(c: Column): Column = {
+    val m = md5(c.cast("string").cast("binary"))
+    shiftleft(conv(substring(m, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast("long"))
+  }
+
+  /** Oracle-SQL mirror of [[hash64]]: unsigned 64-bit value as HUGEINT,
+    * then the signed two's-complement fold-down to BIGINT. */
+  def hash64Sql(c: String): String = {
+    val m = s"md5(CAST($c AS VARCHAR))"
+    val u = s"(CAST(${hexIntSql(m, 1, 8)} AS HUGEINT) * 4294967296 + ${hexIntSql(m, 9, 8)})"
+    s"CAST(CASE WHEN $u >= CAST('9223372036854775808' AS HUGEINT) " +
+      s"THEN $u - CAST('18446744073709551616' AS HUGEINT) ELSE $u END AS BIGINT)"
+  }
+
   /** n-word shingles of a token array, empty when fewer than n tokens.
     * Mirror: list_transform(generate_series(1, len(toks)-(n-1)),
     *                        i -> array_to_string(toks[i:i+n-1], ' '))

@@ -171,18 +171,22 @@ object Dedup {
     * the loss is exactly the near-zero-signal stopword shingles — jaccard
     * degrades toward a df-cut, never an OOM. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // Posting lists key on hash52(shingle), not the shingle string: the
-    // inverted index shuffles 8-byte longs (set sizes — hence the exact
-    // Jaccard — are preserved; the oracle hashes identically), the same
-    // ship-hashes-not-payloads rule the scale harness forced on
-    // minhashVerified (SCALE.md §what-the-harness-caught).
+    // Posting lists key on hash64(shingle), not the shingle string: the
+    // inverted index shuffles 8-byte longs — the ship-hashes-not-payloads
+    // rule the scale harness forced on minhashVerified (SCALE.md). The
+    // hash is the FULL 64-bit md5 half (not the 52-bit salting hash):
+    // these longs stand in for set elements, where a collision merges two
+    // distinct shingles and inflates the intersection — at web scale a
+    // 52-bit space collides routinely (and an intra-doc collision could
+    // even self-pair a document); 2^-64 per pair keeps the Jaccard exact
+    // modulo vanishing probability. The oracle hashes identically.
     val sh = docs(s, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         array_distinct(ShingleExpressions.shingles(col("text"), ShingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("gRaw"))
-      .select(col("doc_id"), col("n"), hash52(col("gRaw")).as("g"))
+      .select(col("doc_id"), col("n"), hash64(col("gRaw")).as("g"))
     val dense = sh.groupBy("g").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > MaxBucket)
     // Inverted index: one shuffle of (shingle -> [docs]); pairs expand
@@ -398,17 +402,19 @@ object Dedup {
     // shingle sets are materialized, so the arrays that shuffle are
     // candidate-sized, not corpus-sized — the difference between verifying
     // 0.1% near-dups and re-shuffling 100 TB twice. The sets ship as
-    // 52-bit HASHES, not shingle strings: distinct-set sizes (and hence
-    // the exact Jaccard) are preserved, while the joined arrays shrink
-    // ~3x and the per-pair intersection compares longs instead of strings
-    // — at the x100 scale-stress size this is the difference between a
-    // linear verify and a wide-row sort spill (oracle applies the same
-    // per-element hash, so the gate stays exact).
+    // 64-bit HASHES (the full md5 half — set elements need the full-width
+    // hash; a 52-bit collision would merge distinct shingles and inflate
+    // the intersection, expected at web-scale shingle counts), not shingle
+    // strings: the joined arrays shrink ~3x and the per-pair intersection
+    // compares longs instead of strings — at the x100 scale-stress size
+    // this is the difference between a linear verify and a wide-row sort
+    // spill. The Jaccard is exact modulo 2^-64 collisions, and the oracle
+    // applies the same per-element hash.
     val shd = docs(s, dir)
       .select(col("doc_id"),
         array_distinct(ShingleExpressions.shingles(col("text"), ShingleN)).as("dshRaw"))
       .filter(size(col("dshRaw")) > 0)
-      .select(col("doc_id"), transform(col("dshRaw"), x => hash52(x)).as("dsh"))
+      .select(col("doc_id"), transform(col("dshRaw"), x => hash64(x)).as("dsh"))
       .join(candIds, Seq("doc_id"), "left_semi")
       .localCheckpoint()
     val inter = size(array_intersect(col("dsha"), col("dshb")))
@@ -761,11 +767,11 @@ object Dedup {
     * exact-hash star edges. Shared by the `dedup_survivors` oracle and the
     * composed curation oracle in Pipeline. */
   /** Hashed distinct-shingle set (mirror of minhashVerified's `shd`): the
-    * per-element hash is graft's hash52, so set sizes and intersections
-    * replay exactly on BIGINT lists. */
+    * per-element hash is graft's full-width hash64, so set sizes and
+    * intersections replay exactly on BIGINT lists. */
   private val shdCte: String =
     "shd AS (SELECT doc_id, list_transform(list_distinct(sh), x -> " +
-      s"${graft.functions.hash52Sql("x")}) AS dsh FROM sh WHERE len(sh) > 0)"
+      s"${graft.functions.hash64Sql("x")}) AS dsh FROM sh WHERE len(sh) > 0)"
 
   private[operators] def survivorLabCtes: String =
     s"$lshCtes, pairs AS ($lshPairsSelect), $shdCte, " +
@@ -849,7 +855,7 @@ object Dedup {
         s"${hammingPairsCtes("shp")} $hammingPairsSelect"),
     "dedup_ngram_jaccard" ->
       (s"WITH sh AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +
-        s"ex AS (SELECT doc_id, n, ${graft.functions.hash52Sql("g")} AS g FROM " +
+        s"ex AS (SELECT doc_id, n, ${graft.functions.hash64Sql("g")} AS g FROM " +
         "(SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh WHERE len(sh) > 0)), " +
         s"exs AS (SELECT doc_id, n, g, ${graft.functions.hash52Sql("doc_id")} % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
         "FROM (SELECT doc_id, n, g, count(*) OVER (PARTITION BY g) AS bn FROM ex)), " +

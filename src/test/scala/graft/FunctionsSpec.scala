@@ -71,6 +71,19 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("hash64 equals the signed big-endian first md5 digest half") {
+    def reference(s: String): Long = {
+      val dg = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((v, i) => (v << 8) | (dg(i) & 0xffL))
+    }
+    val vals = Seq("", "a", "the quick fox", "spark graft", "0", "ffffffff")
+    val got = vals.toDF("v").select(col("v"), hash64(col("v")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    vals.foreach(v => assert(got(v) == reference(v), s"hash64('$v')"))
+    // at least one test value must exercise the negative (top-bit-set) range
+    assert(vals.exists(v => reference(v) < 0), "need a negative-case witness")
+  }
+
   test("wordShingles is empty below n tokens and sliding above") {
     val df = Seq("a b", "a b c d").toDF("text")
       .select(wordShingles(wsTokens(col("text")), 3).as("sh"))
