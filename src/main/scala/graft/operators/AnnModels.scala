@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Train-once registry for the ANN model relations (the IVF coarse
+  * centroids and the PQ codebook): Lloyd's runs at most once per
+  * (dataset, training constants) and the result persists as a parquet
+  * artifact; every later consumer — `sim_ann_ivf`, `sim_ann_pq`,
+  * `sim_ann_ivfpq`, `dedup_semantic`, `dedup_semantic_keep` — reads the
+  * artifact instead of re-training inside its own query. This is the
+  * deployment shape (a production pipeline trains a quantizer once and
+  * serves it for months), and it mirrors the persisted-index template
+  * `dedup_incremental_lsh` established for LSH signatures.
+  *
+  * Correctness is unchanged: training is deterministic on the 1/1024
+  * integer grid (see `Similarity.ivfParts`'s determinism note) and
+  * parquet round-trips IEEE doubles bit-exactly, so an artifact-served
+  * query is bit-identical to an inline-trained one (spec-asserted) and
+  * the DuckDB oracle — which replays training from scratch — still
+  * matches.
+  *
+  * Artifact root: `$SPARK_GRAFT_MODEL_DIR` when set (the cross-run
+  * deployment store), else a per-application temp directory (hermetic
+  * for tests/verify runs). Artifacts key on the dataset dir AND the
+  * training constants, so a constant bump can never serve a stale model
+  * out of a long-lived store. All path probes go through the Hadoop
+  * FileSystem for the path's scheme — an object-store root works the
+  * same as a local one.
+  */
+object AnnModels {
+
+  /** Training-run counters (spec-asserted: an existing artifact means
+    * ZERO additional training passes across all five consumers). */
+  @volatile private[graft] var ivfTrains = 0
+  @volatile private[graft] var pqTrains = 0
+
+  private var rootOverride: Option[String] = None
+
+  /** Test hook: run `f` against a fresh artifact root (and restore). */
+  private[graft] def withRoot[T](dir: String)(f: => T): T = synchronized {
+    val prev = rootOverride
+    rootOverride = Some(dir)
+    try f finally rootOverride = prev
+  }
+
+  private def root(s: SparkSession): String =
+    rootOverride.orElse(sys.env.get("SPARK_GRAFT_MODEL_DIR")).getOrElse(
+      new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-models-${s.sparkContext.applicationId}").toString)
+
+  /** The trained IVF coarse quantizer (cent_id, cent_emb) for `dir`. */
+  def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    ensure(s, key(dir, "ivf",
+        s"i=${Similarity.KMeansIters},m=${Similarity.TrainMod},k=${Similarity.NumCentroids}")) {
+      ivfTrains += 1
+      Similarity.trainIvfCentroids(s, dir,
+        Similarity.KMeansIters, Similarity.TrainMod, Similarity.NumCentroids)
+    }
+
+  /** The trained PQ codebook (m, cent_id, cent) for `dir`. */
+  def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    ensure(s, key(dir, "pq",
+        s"i=${Similarity.PqIters},m=${Similarity.TrainMod},k=${Similarity.PqCentroids},s=${Similarity.PqSubspaces}x${Similarity.PqSubDims}")) {
+      pqTrains += 1
+      Similarity.trainPqCodebook(s, dir)
+    }
+
+  private def key(dir: String, kind: String, params: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$dir|$params".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    s"$kind-$h"
+  }
+
+  /** Serve `name` from the artifact store, training (and persisting)
+    * only when the artifact does not exist. The existence probe requires
+    * the committer's _SUCCESS marker, so a torn write never serves. */
+  private def ensure(s: SparkSession, name: String)(train: => DataFrame): DataFrame =
+    synchronized {
+      val p = new Path(root(s), name)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(p, "_SUCCESS"))) {
+        // The model is a handful of rows; one file keeps the artifact tidy.
+        train.coalesce(1).write.mode("overwrite").parquet(p.toString)
+      }
+      s.read.parquet(p.toString)
+    }
+}

@@ -156,9 +156,48 @@ object Similarity {
       nprobe: Int = NumProbes, trainMod: Int = TrainMod,
       numCentroids: Int = NumCentroids): (DataFrame, DataFrame) = {
     val e = emb(s, dir)
+    // Default training constants → the persisted model artifact (train at
+    // most once per dataset, across ALL consumers and queries — AnnModels);
+    // non-default (the recall specs' untrained/deep variants) trains
+    // inline, localCheckpoint'd so Lloyd's lineage doesn't re-run per
+    // consumer. Either way `cent` is a materialized <= numCentroids rows.
+    val cent =
+      if (iters == KMeansIters && trainMod == TrainMod && numCentroids == NumCentroids)
+        AnnModels.ivfCentroids(s, dir)
+      else trainIvfCentroids(s, dir, iters, trainMod, numCentroids).localCheckpoint()
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    // `ccos` (similarity to the OWN assigned centroid) rides along: the
+    // SemDeDup keep rule (Dedup.semanticDedupKeep) ranks cluster members by
+    // centroid proximity, and recomputing it there would re-broadcast the
+    // model for a value this pass already produced.
+    val assign = e.join(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        round(cosineSim(col("embedding"), col("cent_emb")), 4).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"), col("ccos"))
+    val probes = e.filter(col("vec_id") < NumQueries).join(broadcast(cent))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cent_id"),
+        round(cosineSim(col("embedding"), col("cent_emb")), 4).as("ccos"))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cent_id").asc)))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cent_id"))
+    (assign, probes)
+  }
+
+  /** The IVF coarse-quantizer training loop (`KMeansIters` deterministic
+    * Lloyd's rounds over the `vec_id % trainMod` sample — see `annIvf`'s
+    * determinism note): extracted so `AnnModels` can run it ONCE per
+    * dataset and persist the <= numCentroids-row result, while the
+    * non-default spec variants still train inline. Returns
+    * (cent_id, cent_emb); lazily planned — callers materialize. */
+  private[graft] def trainIvfCentroids(s: SparkSession, dir: String,
+      iters: Int, trainMod: Int, numCentroids: Int): DataFrame = {
     val qemb = transform(col("embedding"),
       v => floor(v.cast("double") * 1024 + 0.5).cast("long"))
-    val train = e.filter(col("vec_id") % trainMod === 0)
+    val train = emb(s, dir).filter(col("vec_id") % trainMod === 0)
       .select(col("vec_id"), col("embedding"), qemb.as("qemb"))
     var cent = train.filter(col("vec_id") < trainMod.toLong * numCentroids)
       .select((col("vec_id") / trainMod).cast("int").as("cent_id"),
@@ -181,30 +220,7 @@ object Similarity {
             (col("qs") / col("n") / 1024.0).as("m")))),
           x => x.getField("m")).as("cent_emb"))
     }
-    // The trained model is <= numCentroids rows consumed by BOTH the corpus
-    // assignment and the query probes (and twice more in annIvfPq) —
-    // materialize it once so Lloyd's lineage doesn't re-run per consumer.
-    cent = cent.localCheckpoint()
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id").asc)
-    // `ccos` (similarity to the OWN assigned centroid) rides along: the
-    // SemDeDup keep rule (Dedup.semanticDedupKeep) ranks cluster members by
-    // centroid proximity, and recomputing it there would re-broadcast the
-    // model for a value this pass already produced.
-    val assign = e.join(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        round(cosineSim(col("embedding"), col("cent_emb")), 4).as("ccos"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"), col("ccos"))
-    val probes = e.filter(col("vec_id") < NumQueries).join(broadcast(cent))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cent_id"),
-        round(cosineSim(col("embedding"), col("cent_emb")), 4).as("ccos"))
-      .withColumn("prn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cent_id").asc)))
-      .filter(col("prn") <= nprobe)
-      .select(col("query_id"), col("q_emb"), col("cent_id"))
-    (assign, probes)
+    cent
   }
 
   /** Product quantization: 64 dims = 16 subspaces x 4 dims, 32 centroids
@@ -258,30 +274,56 @@ object Similarity {
     * `codes` = (vec_id, m, cent_id), each corpus vector's 16 subspace
     * codes; `lut` = (query_id, m, cent_id, pd6), each query's broadcastable
     * integer ADC table. */
-  private def pqParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = emb(s, dir)
-    val base = e.select(col("vec_id"),
+  private def pqBase(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
       transform(col("embedding"), v => floor(v.cast("double") * 1024 + 0.5).cast("long")).as("qemb"))
-    def subs(df: DataFrame): DataFrame = df.select(col("vec_id"), explode(array(
-        (0 until PqSubspaces).map(m => struct(lit(m).as("m"),
-          slice(col("qemb"), m * PqSubDims + 1, PqSubDims).as("sub"))): _*)).as("t"))
-      .select(col("vec_id"), col("t.m").as("m"), col("t.sub").as("sub"))
-    // The sample and the (tiny) model relation are each consumed several
-    // times (every Lloyd's round, encoding, and the query tables) —
-    // materialize them so lineage doesn't re-run training per consumer.
-    val trainSub = subs(base.filter(col("vec_id") % TrainMod === 0)).localCheckpoint()
+
+  private def pqSubs(df: DataFrame): DataFrame = df.select(col("vec_id"), explode(array(
+      (0 until PqSubspaces).map(m => struct(lit(m).as("m"),
+        slice(col("qemb"), m * PqSubDims + 1, PqSubDims).as("sub"))): _*)).as("t"))
+    .select(col("vec_id"), col("t.m").as("m"), col("t.sub").as("sub"))
+
+  /** Left-to-right subspace L2^2 on the grid — the fused codegen kernel;
+    * bit-identical to the oracle's ordered list_sum. */
+  private def pqSubDist: Column = VectorExpressions.gridL2(col("sub"), col("cent"))
+
+  private def pqParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = pqBase(s, dir)
+    // Codebook from the persisted model artifact — subquantizers train at
+    // most once per dataset (AnnModels), then encoding and the query
+    // tables are broadcast passes over the tiny (m, cent_id, cent) relation.
+    val cent = AnnModels.pqCodebook(s, dir)
+    val codes = pqSubs(base).join(broadcast(cent), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cent_id"), round(pqSubDist, 4).as("d"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("cent_id"))).as("mc"))
+      .select(col("vec_id"), col("m"), col("mc.cent_id").as("cent_id"))
+    val lut = pqSubs(base.filter(col("vec_id") < NumQueries))
+      .join(broadcast(cent), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("cent_id"),
+        floor(pqSubDist * 1e6 + 0.5).cast("long").as("pd6"))
+    (codes, lut)
+  }
+
+  /** The PQ subquantizer training loop (`PqIters` deterministic Lloyd's
+    * rounds per subspace over the `vec_id % TrainMod` sample — see
+    * `annPq`'s determinism note): extracted so `AnnModels` runs it once
+    * per dataset and persists the result. The sample is materialized
+    * (localCheckpoint) because every Lloyd's round consumes it; the
+    * returned (m, cent_id, cent) relation is lazily planned — the
+    * registry materializes it into the artifact. min(struct(d, cent_id))
+    * = deterministic argmin as a hash aggregate — no per-(vector,
+    * subspace) window sort. */
+  private[graft] def trainPqCodebook(s: SparkSession, dir: String): DataFrame = {
+    val trainSub = pqSubs(pqBase(s, dir).filter(col("vec_id") % TrainMod === 0))
+      .localCheckpoint()
     var cent = trainSub.filter(col("vec_id") < TrainMod.toLong * PqCentroids)
       .select(col("m"), (col("vec_id") / TrainMod).cast("int").as("cent_id"),
         transform(col("sub"), q => q.cast("double") / 1024.0).as("cent"))
-    // Left-to-right subspace L2^2 on the grid — the fused codegen kernel;
-    // bit-identical to the oracle's ordered list_sum.
-    val subDist = VectorExpressions.gridL2(col("sub"), col("cent"))
-    // min(struct(d, cent_id)) = deterministic argmin as a hash aggregate —
-    // no per-(vector, subspace) window sort.
     for (_ <- 1 to PqIters) {
       val assigned = trainSub.join(broadcast(cent), Seq("m"))
         .select(col("vec_id"), col("m"), col("sub"), col("cent_id"),
-          round(subDist, 4).as("d"))
+          round(pqSubDist, 4).as("d"))
         .groupBy("vec_id", "m", "sub")
         .agg(min(struct(col("d"), col("cent_id"))).as("mc"))
         .select(col("m"), col("mc.cent_id").as("cent_id"), col("sub"))
@@ -293,16 +335,7 @@ object Similarity {
           (col("qs") / col("n") / 1024.0).as("c")))), x => x.getField("c")).as("cent"))
         .localCheckpoint()
     }
-    val codes = subs(base).join(broadcast(cent), Seq("m"))
-      .select(col("vec_id"), col("m"), col("cent_id"), round(subDist, 4).as("d"))
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("d"), col("cent_id"))).as("mc"))
-      .select(col("vec_id"), col("m"), col("mc.cent_id").as("cent_id"))
-    val lut = subs(base.filter(col("vec_id") < NumQueries))
-      .join(broadcast(cent), Seq("m"))
-      .select(col("vec_id").as("query_id"), col("m"), col("cent_id"),
-        floor(subDist * 1e6 + 0.5).cast("long").as("pd6"))
-    (codes, lut)
+    cent
   }
 
   /** IVF-PQ (the composition `annPq`'s scale note promises): the trained

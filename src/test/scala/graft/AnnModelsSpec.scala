@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.{AnnModels, Dedup, Similarity}
+
+/** The persisted-model contract (VERDICT r6 #2): Lloyd's runs at most ONCE
+  * per (dataset, constants) across every consumer, later consumers read the
+  * parquet artifact, and artifact-served queries are bit-identical to
+  * inline training (the oracle replays training from scratch, so parity
+  * here is what keeps the correctness gate meaningful).
+  */
+class AnnModelsSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def freshRoot(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-annmodels-$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("IVF centroids train exactly once per dataset; the artifact serves all later reads") {
+    AnnModels.withRoot(freshRoot("ivf")) {
+      val t0 = AnnModels.ivfTrains
+      val first = rows(AnnModels.ivfCentroids(spark, sf))
+      assert(AnnModels.ivfTrains == t0 + 1, "first access must train")
+      val second = AnnModels.ivfCentroids(spark, sf)
+      assert(AnnModels.ivfTrains == t0 + 1, "second access must serve the artifact, not retrain")
+      assert(second.inputFiles.nonEmpty &&
+        second.inputFiles.forall(_.contains("graft-annmodels-ivf")),
+        s"artifact read must scan the model store, got ${second.inputFiles.mkString(",")}")
+      assert(rows(second) == first, "artifact round-trip changed the model")
+    }
+  }
+
+  test("artifact-served centroids are bit-identical to inline training") {
+    AnnModels.withRoot(freshRoot("parity")) {
+      val ivfArtifact = rows(AnnModels.ivfCentroids(spark, sf))
+      val ivfInline = rows(Similarity.trainIvfCentroids(spark, sf,
+        Similarity.KMeansIters, Similarity.TrainMod, Similarity.NumCentroids))
+      assert(ivfArtifact == ivfInline, "IVF artifact diverges from inline training")
+      val pqArtifact = rows(AnnModels.pqCodebook(spark, sf))
+      val pqInline = rows(Similarity.trainPqCodebook(spark, sf))
+      assert(pqArtifact == pqInline, "PQ artifact diverges from inline training")
+    }
+  }
+
+  test("all five model consumers share one IVF training pass and one PQ training pass") {
+    AnnModels.withRoot(freshRoot("share")) {
+      val (i0, p0) = (AnnModels.ivfTrains, AnnModels.pqTrains)
+      Similarity.annIvf(spark, sf).collect()
+      Similarity.annPq(spark, sf).collect()
+      Similarity.annIvfPq(spark, sf).collect()
+      Dedup.semanticDedup(spark, sf).collect()
+      Dedup.semanticDedupKeep(spark, sf).collect()
+      assert(AnnModels.ivfTrains == i0 + 1,
+        s"expected ONE IVF training pass across consumers, got ${AnnModels.ivfTrains - i0}")
+      assert(AnnModels.pqTrains == p0 + 1,
+        s"expected ONE PQ training pass across consumers, got ${AnnModels.pqTrains - p0}")
+    }
+  }
+
+  test("non-default training parameters bypass the artifact store") {
+    AnnModels.withRoot(freshRoot("bypass")) {
+      val t0 = AnnModels.ivfTrains
+      // iters=0 (the untrained-init recall baseline) must not read or
+      // write the default-keyed artifact
+      Similarity.annIvfIters(spark, sf, 0).collect()
+      assert(AnnModels.ivfTrains == t0, "non-default variant touched the registry")
+    }
+  }
+}
