@@ -18,15 +18,31 @@ object Pipeline {
 
   val QualityThreshold = 0.35
 
-  def curate(s: SparkSession, dir: String): DataFrame = {
-    val lang = TextOps.langid(s, dir).filter(col("pred_lang") === "en")
-    val qual = TextOps.quality(s, dir)
+  def curate(s: SparkSession, dir: String): DataFrame =
+    curateGated(s, dir, TextOps.quality(s, dir)
       .filter(col("quality_score") >= QualityThreshold)
-      .select(col("doc_id"), col("quality_score"))
+      .select(col("doc_id"), col("quality_score")))
+
+  /** `curate` with the LEARNED quality gate (TextOps.qualityModel) in
+    * place of the heuristic threshold — the DCLM/FineWeb-Edu shape, where
+    * a trained classifier decides what passes. Same fused plan; only the
+    * gate relation changes. */
+  def curateModel(s: SparkSession, dir: String): DataFrame =
+    curateGated(s, dir, TextOps.qualityModel(s, dir)
+      .filter(col("model_keep") === 1)
+      .select(col("doc_id"), col("logit")))
+
+  /** The curation chain parameterized on its quality gate: `gate` is any
+    * (doc_id, score...) relation of survivors — heuristic threshold,
+    * learned model, or whatever a deployment trains next. The gate's
+    * score columns ride through to the output. */
+  def curateGated(s: SparkSession, dir: String, gate: DataFrame): DataFrame = {
+    val lang = TextOps.langid(s, dir).filter(col("pred_lang") === "en")
     val keep = Dedup.exact(s, dir).select(col("keep_id").as("doc_id"))
-    lang.join(qual, Seq("doc_id"))
+    val scoreCols = gate.columns.filterNot(_ == "doc_id").map(col).toSeq
+    lang.join(gate, Seq("doc_id"))
       .join(keep, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("pred_lang"), col("quality_score"))
+      .select(col("doc_id") +: col("pred_lang") +: scoreCols: _*)
   }
 
   /** The full curation capstone: `curate`'s language/quality/exact-dedup
@@ -227,6 +243,7 @@ object Pipeline {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> (curate _),
+    "pipeline_curate_model" -> (curateModel _),
     "pipeline_curate_neardup" -> (curateNearDup _),
     "pipeline_split" -> (split _),
     "pipeline_decontaminate" -> (decontaminate _),
@@ -280,6 +297,13 @@ object Pipeline {
         s"CASE WHEN $bucket < 20 + 3 * (CAST(substr(source, 4) AS INT) % 7) THEN 1 ELSE 0 END AS kept " +
         "FROM documents) GROUP BY source, rate"
     },
+    "pipeline_curate_model" ->
+      (s"WITH lang AS (${TextOps.oracles("text_langid")}), " +
+        s"qm AS (${TextOps.qualityModelSql}), " +
+        "keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)) " +
+        "SELECT l.doc_id, l.pred_lang, q.logit FROM lang l JOIN qm q ON l.doc_id = q.doc_id " +
+        "WHERE l.pred_lang = 'en' AND q.model_keep = 1 " +
+        "AND l.doc_id IN (SELECT keep_id FROM keep)"),
     "pipeline_curate" ->
       (s"WITH lang AS (${TextOps.oracles("text_langid")}), " +
         s"qual AS (${TextOps.oracles("text_quality")}), " +

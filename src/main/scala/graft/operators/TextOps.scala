@@ -61,7 +61,9 @@ object TextOps {
 
   /** Quality scoring: token stats + punctuation + stopword + repetition
     * ratios, equal-weight composite. All ratios of exact ints → bit-stable. */
-  def quality(s: SparkSession, dir: String): DataFrame = {
+  def quality(s: SparkSession, dir: String): DataFrame = qualityOf(docs(s, dir))
+
+  private[graft] def qualityOf(d: DataFrame): DataFrame = {
     val toks = wsTokens(col("text"))
     val nTok = size(toks).cast("double")
     val avgLen = aggregate(transform(toks, t => length(t)), lit(0), (a, v) => a + v)
@@ -77,7 +79,7 @@ object TextOps {
     val score = (d4(stop) * lit(BigDecimal("0.5")) +
       (lit(BigDecimal("1")) - d4(rep)) * lit(BigDecimal("0.3")) -
       d4(punct) * lit(BigDecimal("0.2")) + lit(BigDecimal("0.2"))).cast("double")
-    docs(s, dir).select(
+    d.select(
       col("doc_id"),
       size(toks).as("n_tokens"),
       round(avgLen, 4).as("avg_token_len"),
@@ -95,9 +97,11 @@ object TextOps {
     * templated spam and degenerate generations repeat whole phrases while
     * keeping unigram diversity, which only the n-gram form catches.
     * Shuffle-free: one codegen'd pass per document row. */
-  def repetition(s: SparkSession, dir: String): DataFrame = {
+  def repetition(s: SparkSession, dir: String): DataFrame = repetitionOf(docs(s, dir))
+
+  private[graft] def repetitionOf(d: DataFrame): DataFrame = {
     val sh = wordShingles(wsTokens(col("text")), 3)
-    docs(s, dir).select(
+    d.select(
       col("doc_id"),
       size(sh).as("n_grams"),
       (size(sh) - size(array_distinct(sh))).as("n_repeated"))
@@ -293,8 +297,9 @@ object TextOps {
     * (shuffles on bigram/prefix — the standard LM-count shape); scoring is
     * one join of the stream against the model. Nothing is driver-side; the
     * vocab size rides along as a broadcast 1-row aggregate. */
-  def perplexity(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+  def perplexity(s: SparkSession, dir: String): DataFrame = perplexityOf(docs(s, dir))
+
+  private[graft] def perplexityOf(d: DataFrame): DataFrame = {
     val toks = wsTokens(col("text"))
     // Pre-aggregate to per-doc bigram multiplicities: the model counts are
     // occurrence sums over this compact relation, the model joins touch one
@@ -326,9 +331,67 @@ object TextOps {
           .as("avg_nll"))
   }
 
+  // --- learned quality gate ------------------------------------------------
+
+  /** Integer-quantized coefficients of the LEARNED quality gate (the
+    * model-based filter family of DCLM / FineWeb-Edu, where a small
+    * classifier over pipeline features replaces the hand-tuned composite):
+    * a logistic regression trained offline ships as fixed-point integers —
+    * 1e4 logit units per unit feature — so scoring is pure integer
+    * arithmetic, order-independent, and replayable bit for bit by any
+    * engine (exp() never runs: the keep decision thresholds the LOGIT,
+    * which is monotone in the probability). Coefficients are calibrated on
+    * the corpus feature distributions (stopword density up, repetition and
+    * bigram surprise down); a deployment swaps in its trained values. */
+  val QmBias = 31500L // +3.15 — centers the corpus logit near zero
+  val QmStop = 60000L // +6.0 per unit stopword ratio
+  val QmRepUni = -25000L // -2.5 per unit repeated-unigram ratio
+  val QmRep3 = -40000L // -4.0 per unit duplicate-3-gram ratio
+  val QmPunct = -50000L // -5.0 per unit punctuation ratio
+  val QmNll = -8000L // -0.8 per nat of bigram surprise
+  val QmLenPerTok = 100L // +0.01 per token, capped
+  val QmLenCap = 100
+
+  /** Learned quality scoring over the EXISTING feature pipelines: the
+    * heuristic `quality` ratios, `repetition`'s duplicate-3-gram ratio and
+    * `perplexity`'s bigram surprise join on doc_id and feed the quantized
+    * linear model. Features quantize to the 1e4 grid (exact — every input
+    * is already a rounded double), the logit accumulates in 1e8 fixed
+    * point as a long, and keep = logit8 >= 0. Docs too short for bigrams
+    * score with a zero surprise term (left join + coalesce).
+    *
+    * Scale: the ratio features are one shuffle-free codegen pass; the only
+    * shuffles are perplexity's LM aggregates and the doc_id feature joins
+    * — at 100 TB the join keys are (doc_id, three longs), never text. */
+  def qualityModel(s: SparkSession, dir: String): DataFrame =
+    qualityModelOf(docs(s, dir))
+
+  private[graft] def qualityModelOf(d: DataFrame): DataFrame = {
+    def q4(c: Column): Column = floor(c * 1e4 + 0.5).cast("long")
+    val logit8 =
+      lit(QmBias) * lit(10000L) +
+        lit(QmStop) * q4(col("stopword_ratio")) +
+        lit(QmRepUni) * q4(col("repetition_ratio")) +
+        lit(QmPunct) * q4(col("punct_ratio")) +
+        lit(QmRep3) * q4(col("rep_ratio")) +
+        lit(QmNll) * coalesce(q4(col("avg_nll")), lit(0L)) +
+        lit(QmLenPerTok) * least(col("n_tokens"), lit(QmLenCap)).cast("long") * lit(10000L)
+    qualityOf(d)
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
+        col("repetition_ratio"), col("punct_ratio"))
+      .join(repetitionOf(d).select(col("doc_id"), col("rep_ratio")), Seq("doc_id"))
+      .join(perplexityOf(d).select(col("doc_id"), col("avg_nll")), Seq("doc_id"), "left")
+      .select(col("doc_id"), logit8.as("logit8"),
+        // logit8 < 2^53, so the double is exact; /1e8 rounds identically
+        // in any IEEE engine
+        (logit8.cast("double") / 1e8).as("logit"),
+        when(logit8 >= 0, 1).otherwise(0).as("model_keep"))
+  }
+
   // --- wiring --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_model" -> (qualityModel _),
     "text_langid" -> (langid _),
     "text_langid_confusion" -> (langidConfusion _),
     "text_tfidf" -> (tfidf _),
@@ -373,16 +436,8 @@ object TextOps {
         "cells AS (SELECT d.lang, p.pred_lang, count(*) AS n_docs FROM pred p JOIN documents d ON p.doc_id = d.doc_id GROUP BY 1, 2) " +
         "SELECT lang, pred_lang, n_docs, " +
         "floor(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang) * 1000000 + 0.5) / 1000000 AS label_share FROM cells"),
-    "text_quality" ->
-      ("SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, " +
-        "round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS avg_token_len, " +
-        "round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio, " +
-        s"round(CAST(${scoreSql(AllStopwords)} AS DOUBLE) / len(toks), 4) AS stopword_ratio, " +
-        "round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS repetition_ratio, " +
-        s"CAST(CAST(round(CAST(${scoreSql(AllStopwords)} AS DOUBLE) / len(toks), 4) AS DECIMAL(8,4)) * 0.5 + " +
-        "(1 - CAST(round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS DECIMAL(8,4))) * 0.3 - " +
-        "CAST(round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS DECIMAL(8,4)) * 0.2 + 0.2 AS DOUBLE) AS quality_score " +
-        "FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)"),
+    "text_quality" -> qualitySql,
+    "text_quality_model" -> qualityModelSql,
     "text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe, " +
@@ -404,27 +459,59 @@ object TextOps {
       s"SELECT doc_id, $red AS text_redacted, " +
         s"CASE WHEN $red <> text THEN 1 ELSE 0 END AS was_redacted FROM documents"
     },
-    "text_repetition" -> {
-      val sh3 = "list_transform(generate_series(1, len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))"
-      "SELECT doc_id, n_grams, n_repeated, CASE WHEN n_grams > 0 THEN " +
-        "floor(CAST(n_repeated AS DOUBLE) / n_grams * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS rep_ratio FROM " +
-        "(SELECT doc_id, CAST(len(sh) AS INT) AS n_grams, " +
-        "CAST(len(sh) - len(list_distinct(sh)) AS INT) AS n_repeated FROM " +
-        s"(SELECT doc_id, $sh3 AS sh FROM documents))"
-    },
+    "text_repetition" -> repetitionSql,
     "text_fingerprint" ->
       (s"SELECT doc_id, md5(text) AS content_md5, " +
         s"coalesce(list_min(list_transform($shinglesSql, x -> md5(x))), md5(text)) AS shingle_fp FROM documents"),
-    "text_perplexity" ->
-      ("WITH grams AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1), " +
-        "i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS g FROM documents), " +
-        "g2 AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM grams), " +
-        "cb AS (SELECT g, count(*) AS c2 FROM g2 GROUP BY g), " +
-        "cp AS (SELECT w1, count(*) AS c1 FROM g2 GROUP BY w1), " +
-        "vo AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)), " +
-        "scored AS (SELECT doc_id, CAST(round(ln(CAST(c1 + v AS DOUBLE) / (c2 + 1)), 6) AS DECIMAL(18,6)) AS nll " +
-        "FROM g2 JOIN cb USING (g) JOIN cp USING (w1) CROSS JOIN vo) " +
-        "SELECT doc_id, count(*) AS n_bigrams, floor(CAST(sum(nll) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS avg_nll " +
-        "FROM scored GROUP BY doc_id"))
+    "text_perplexity" -> perplexitySql)
+
+  private val qualitySql: String =
+    "SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, " +
+      "round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS avg_token_len, " +
+      "round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio, " +
+      s"round(CAST(${scoreSql(AllStopwords)} AS DOUBLE) / len(toks), 4) AS stopword_ratio, " +
+      "round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS repetition_ratio, " +
+      s"CAST(CAST(round(CAST(${scoreSql(AllStopwords)} AS DOUBLE) / len(toks), 4) AS DECIMAL(8,4)) * 0.5 + " +
+      "(1 - CAST(round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS DECIMAL(8,4))) * 0.3 - " +
+      "CAST(round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS DECIMAL(8,4)) * 0.2 + 0.2 AS DOUBLE) AS quality_score " +
+      "FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)"
+
+  private val repetitionSql: String = {
+    val sh3 = "list_transform(generate_series(1, len(string_split(text, ' ')) - 2), " +
+      "i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))"
+    "SELECT doc_id, n_grams, n_repeated, CASE WHEN n_grams > 0 THEN " +
+      "floor(CAST(n_repeated AS DOUBLE) / n_grams * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS rep_ratio FROM " +
+      "(SELECT doc_id, CAST(len(sh) AS INT) AS n_grams, " +
+      "CAST(len(sh) - len(list_distinct(sh)) AS INT) AS n_repeated FROM " +
+      s"(SELECT doc_id, $sh3 AS sh FROM documents))"
+  }
+
+  private val perplexitySql: String =
+    "WITH grams AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1), " +
+      "i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS g FROM documents), " +
+      "g2 AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM grams), " +
+      "cb AS (SELECT g, count(*) AS c2 FROM g2 GROUP BY g), " +
+      "cp AS (SELECT w1, count(*) AS c1 FROM g2 GROUP BY w1), " +
+      "vo AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)), " +
+      "scored AS (SELECT doc_id, CAST(round(ln(CAST(c1 + v AS DOUBLE) / (c2 + 1)), 6) AS DECIMAL(18,6)) AS nll " +
+      "FROM g2 JOIN cb USING (g) JOIN cp USING (w1) CROSS JOIN vo) " +
+      "SELECT doc_id, count(*) AS n_bigrams, floor(CAST(sum(nll) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS avg_nll " +
+      "FROM scored GROUP BY doc_id"
+
+  /** SQL mirror of [[qualityModelOf]]: the SAME coefficient constants
+    * interpolated over the composed feature CTEs, so the weights can never
+    * drift between engines. The perplexity CTE nests its own WITH — DuckDB
+    * scopes it inside the parenthesized subquery. */
+  private[operators] val qualityModelSql: String =
+    s"WITH qual AS ($qualitySql), rep AS ($repetitionSql), ppl AS ($perplexitySql) " +
+      "SELECT doc_id, logit8, CAST(logit8 AS DOUBLE) / 100000000 AS logit, " +
+      "CASE WHEN logit8 >= 0 THEN 1 ELSE 0 END AS model_keep FROM " +
+      s"(SELECT q.doc_id, CAST($QmBias * 10000 " +
+      s"+ ($QmStop) * CAST(floor(q.stopword_ratio * 10000 + 0.5) AS BIGINT) " +
+      s"+ ($QmRepUni) * CAST(floor(q.repetition_ratio * 10000 + 0.5) AS BIGINT) " +
+      s"+ ($QmPunct) * CAST(floor(q.punct_ratio * 10000 + 0.5) AS BIGINT) " +
+      s"+ ($QmRep3) * CAST(floor(r.rep_ratio * 10000 + 0.5) AS BIGINT) " +
+      s"+ ($QmNll) * coalesce(CAST(floor(p.avg_nll * 10000 + 0.5) AS BIGINT), 0) " +
+      s"+ ($QmLenPerTok) * least(q.n_tokens, $QmLenCap) * CAST(10000 AS BIGINT) AS BIGINT) AS logit8 " +
+      "FROM qual q JOIN rep r ON q.doc_id = r.doc_id LEFT JOIN ppl p ON q.doc_id = p.doc_id)"
 }

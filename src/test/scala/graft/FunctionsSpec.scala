@@ -22,6 +22,27 @@ class FunctionsSpec extends SparkSpec {
     assert(got(3L) == ((0, 0, 0.0)), "sub-n docs have no grams and ratio 0")
   }
 
+  test("text_quality_model separates clean prose from spam and punctuation garbage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qm").toString
+    Seq(
+      (1L, "src0", "the cat sat of the mat and in the park a dog ran with the ball in a bright day of sun and fun"),
+      (2L, "src0", "buy now buy now buy now buy now buy now buy now buy now buy now"),
+      (3L, "src0", "!!! ??? *** $$$ %%% ### @@@ &&& ^^^ +++"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.qualityModel(ss, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    val (goodL8, goodLogit, goodKeep) = got(1L)
+    val (spamL8, _, spamKeep) = got(2L)
+    val (punctL8, _, punctKeep) = got(3L)
+    assert(goodKeep == 1, s"clean prose must pass the gate: ${got(1L)}")
+    assert(spamKeep == 0, s"repetition spam must fail the gate: ${got(2L)}")
+    assert(punctKeep == 0, s"punctuation garbage must fail the gate: ${got(3L)}")
+    assert(goodL8 > spamL8 && goodL8 > punctL8, s"ordering violated: $got")
+    // the double logit is the exact fixed-point value scaled down
+    assert(goodLogit == goodL8.toDouble / 1e8)
+  }
+
   test("text_pii detects emails, phones, IPs and long ids on a synthetic corpus") {
     // The shipped corpus is digit-free (the gated oracle run proves parity
     // at zero counts); detection itself is pinned here.
