@@ -702,7 +702,9 @@ object Dedup {
   private def hexHalf(m: String, from: Int): String =
     hexIntSql(m, from, 16, huge = true)
 
-  private val lshCtes =
+  /** The signature chain alone (ending in `banded(doc_id, band, h)`) —
+    * shared with the streaming first-claim oracle (EventStreams). */
+  private[graft] val lshBandCtes =
     s"sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +
       "ex AS (SELECT doc_id, unnest(sh) AS x FROM sh WHERE len(sh) > 0), " +
       // Derived-hash MinHash (mirrors MinHashSigExpr): one md5 per shingle,
@@ -711,7 +713,10 @@ object Dedup {
       s"hm AS (SELECT doc_id, ${hexHalf("m", 1)} AS h1, ${hexHalf("m", 17)} AS h2 " +
       "FROM (SELECT doc_id, md5(x) AS m FROM ex)), " +
       s"banded AS (SELECT doc_id, p AS band, min((h1 + p * h2) % 18446744073709551616) AS h " +
-      s"FROM hm CROSS JOIN generate_series(0, ${MinhashPerms - 1}) g(p) GROUP BY doc_id, p), " +
+      s"FROM hm CROSS JOIN generate_series(0, ${MinhashPerms - 1}) g(p) GROUP BY doc_id, p)"
+
+  private val lshCtes =
+    s"$lshBandCtes, " +
       // Mirror of the gated path's bucket salting (Dedup.MaxBucket).
       s"bandeds AS (SELECT doc_id, band, h, ${graft.functions.hash52Sql("doc_id")} % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
       "FROM (SELECT doc_id, band, h, count(*) OVER (PARTITION BY band, h) AS bn FROM banded)), " +

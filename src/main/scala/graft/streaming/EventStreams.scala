@@ -397,6 +397,71 @@ object EventStreams {
       .start()
   }
 
+  /** First-claim banded-LSH NEAR-dup novelty over an ordered document
+    * stream (arrival order = doc_id — the ingest contract the synthetic
+    * event time below encodes): the earliest doc to touch a (band, minhash)
+    * bucket OWNS it, and a document is novel iff it owns EVERY one of its
+    * bands — i.e. no band collides with any earlier document (the same
+    * any-band-match candidate rule as dedup_incremental_lsh, restated for
+    * continuous arrival). This batch core is the oracle-gated analog AND
+    * the rollup the true-stream spec applies over its sink.
+    *
+    * Scale shape: bucket ownership is ONE hash aggregate (map-side partial
+    * min — a dense bucket never concentrates rows on a task, so no salt is
+    * needed: this formulation never expands pairs at all), one join of the
+    * signature relation against the <= |buckets| owner rows, one per-doc
+    * rollup. Docs too short to shingle have no bands and are trivially
+    * novel (left join keeps them). */
+  def dedupLshNovelty(docs: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val sig = Dedup.lshIndexOf(docs)
+    val owners = sig.groupBy("band", "h").agg(min(col("doc_id")).as("owner"))
+    val perDoc = sig.join(owners, Seq("band", "h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bands"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("n_owned"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_owned"), lit(0L)).as("n_owned"),
+        when(coalesce(col("n_bands"), lit(0L)) === coalesce(col("n_owned"), lit(0L)), 1)
+          .otherwise(0).as("is_novel"))
+  }
+
+  /** True-stream near-dup dedup: the document stream explodes to banded
+    * MinHash signatures and each (band, h) bucket's FIRST claimant wins via
+    * `dropDuplicatesWithinWatermark` — the watermark bounds the seen-bucket
+    * state exactly as it bounds `startDedupStream`'s exact-key state, so an
+    * unbounded corpus stream cannot grow the store without limit (buckets
+    * older than the horizon age out; a near-dup arriving later than the
+    * horizon re-claims, the explicit trade watermarked dedup makes).
+    * Event time derives from doc_id (one doc per second — the ingest-order
+    * contract `dedupLshNovelty` states); the sink holds bucket OWNERSHIPS
+    * (doc_id, band, h) and the per-doc novelty rollup applies over the sink
+    * table — the stream_topk post-sink pattern, spec-compared to the batch
+    * analog (StreamingSpec). */
+  def startDedupLshStream(s: SparkSession, dir: String, name: String,
+      glob: String = "documents.parquet", maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    val rawSchema = s.read.option("pathGlobFilter", glob).parquet(dir).schema
+    var reader = s.readStream.schema(rawSchema).option("pathGlobFilter", glob)
+    if (maxFilesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    reader.parquet(dir)
+      .withColumn("ets", expr("timestamp_micros(doc_id * 1000000)"))
+      .withWatermark("ets", "1 hour")
+      .select(col("doc_id"), col("ets"),
+        posexplode(ShingleExpressions.minhashSig(col("text"),
+          graft.operators.Dedup.MinhashPerms, graft.operators.Dedup.ShingleN))
+          .as(Seq("band", "h")))
+      .dropDuplicatesWithinWatermark("band", "h")
+      .select(col("doc_id"), col("band"), col("h"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // --- wiring (batch analogs, oracle-checked) ------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -405,6 +470,7 @@ object EventStreams {
     "stream_sessionize" -> ((s, dir) => sessionize(s, Tables.load(s, dir, "events"))),
     "stream_interval_join" -> ((s, dir) => intervalJoinBatch(Tables.load(s, dir, "events"))),
     "stream_dedup" -> ((s, dir) => dedupBatch(Tables.load(s, dir, "events"))),
+    "stream_dedup_lsh" -> ((s, dir) => dedupLshNovelty(Tables.load(s, dir, "documents"))),
     "stream_sketch_distinct" -> ((s, dir) => windowDistinctSketch(Tables.load(s, dir, "events"))),
     "stream_topk" -> ((s, dir) => windowTopKBatch(Tables.load(s, dir, "events"))))
 
@@ -431,6 +497,15 @@ object EventStreams {
         "AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts"),
     "stream_dedup" ->
       "SELECT user_id, event_type, min(ts) AS first_ts FROM events GROUP BY user_id, event_type",
+    "stream_dedup_lsh" ->
+      (s"WITH ${graft.operators.Dedup.lshBandCtes}, " +
+        "owners AS (SELECT band, h, min(doc_id) AS owner FROM banded GROUP BY band, h), " +
+        "pd AS (SELECT b.doc_id, count(*) AS n_bands, " +
+        "CAST(sum(CASE WHEN o.owner = b.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_owned " +
+        "FROM banded b JOIN owners o ON b.band = o.band AND b.h = o.h GROUP BY b.doc_id) " +
+        "SELECT d.doc_id, coalesce(pd.n_owned, 0) AS n_owned, " +
+        "CASE WHEN coalesce(pd.n_bands, 0) = coalesce(pd.n_owned, 0) THEN 1 ELSE 0 END AS is_novel " +
+        "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"),
     "stream_sketch_distinct" -> {
       import graft.operators.Extras.{KmvK, Two52}
       val hex13 = graft.functions.hexIntSql("md5(CAST(user_id AS VARCHAR))", 1, 13)

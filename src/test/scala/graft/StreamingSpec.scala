@@ -100,6 +100,59 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.distinct.length == streamed.length, "stream emitted duplicate keys")
   }
 
+  test("streaming LSH dedup: bucket first-claims and novelty match the batch analog") {
+    val sp = spark
+    import sp.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_slsh").toString
+    val rows = Seq(
+      (1L, "src0", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "src0", "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact copy of 1
+      (3L, "src0", "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 1
+      (4L, "src0", "one two three four five six seven eight nine ten")) // unrelated
+    // one file per doc with strictly increasing mtimes: the file source
+    // ingests them in doc order, so stream arrival order == doc_id order ==
+    // the batch analog's first-claim ordering
+    val base = System.currentTimeMillis() - 60000
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val tmp = s"${in}_tmp_$i"
+      Seq(r).toDF("doc_id", "source", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val dst = java.nio.file.Paths.get(in, f"d$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(base + i * 1000)
+    }
+    val q = EventStreams.startDedupLshStream(spark, in, "stream_lsh_out", "*.parquet", 1)
+    try q.processAllAvailable()
+    finally q.stop()
+    val batchDocs = rows.toDF("doc_id", "source", "text")
+    // 1) the sink's bucket owners ARE the batch first-claim owners
+    val streamOwners = spark.table("stream_lsh_out").collect()
+      .map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(0)).toMap
+    import org.apache.spark.sql.functions.{col, min}
+    val batchOwners = graft.operators.Dedup.lshIndexOf(batchDocs)
+      .groupBy("band", "h").agg(min(col("doc_id")).as("owner"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamOwners == batchOwners,
+      s"bucket ownership diverged: stream=${streamOwners.size} batch=${batchOwners.size}")
+    // 2) the post-sink novelty rollup equals the gated batch analog
+    val nBands = graft.operators.Dedup.lshIndexOf(batchDocs)
+      .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val owned = streamOwners.values.groupBy(identity).map { case (d, v) => d -> v.size.toLong }
+    val streamNovelty = rows.map(_._1).map { d =>
+      val o = owned.getOrElse(d, 0L)
+      (d, o, if (nBands.getOrElse(d, 0L) == o) 1 else 0)
+    }.toSet
+    val batch = EventStreams.dedupLshNovelty(batchDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamNovelty == batch, s"novelty diverged: $streamNovelty vs $batch")
+    // 3) semantics pinned: the exact copy owns nothing, the unrelated doc owns all
+    val byDoc = batch.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byDoc(2L) == ((0L, 0)), s"exact copy must be fully claimed: ${byDoc(2L)}")
+    assert(byDoc(4L)._2 == 1, s"unrelated doc must be novel: ${byDoc(4L)}")
+    assert(byDoc(1L)._2 == 1, "first arrival must be novel")
+  }
+
   test("stateful streams run on the RocksDB state store (the at-scale state backend)") {
     // The default HDFS-backed provider holds every key in executor heap —
     // fine for tests, an OOM at 100 TB key cardinalities. RocksDB (ships in
