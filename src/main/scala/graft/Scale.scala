@@ -98,16 +98,15 @@ object Scale {
   /** The operators whose scaling the harness certifies: every candidate-
     * pair path family (minhash+verify, CC survivors, substring windows,
     * LSH index match, knn buckets, IVF-PQ, SemDeDup) plus the composed
-    * curation capstone. `sim_knn_graph` applies its documented deployment
-    * sizing rule — planesPerTable ~ log2(N / targetBucketSize), tables
-    * trimmed to the 64-bit signature budget — because at a FIXED 32
-    * buckets a 100x corpus saturates every bucket to the salt cap
-    * (bounded, but the candidate constant is exactly what the rule
-    * avoids; the first harness run measured it at 32x wall-clock). */
-  def ops(mult: Int): Seq[(String, (SparkSession, String) => DataFrame)] = {
-    val planes = Similarity.GraphPlanesPerTable +
-      (math.log(mult.toDouble) / math.log(2)).ceil.toInt
-    val tables = math.min(Similarity.NumTables, 64 / planes)
+    * curation capstone. `sim_knn_graph` is the GATED entry point itself:
+    * since round 7 it auto-sizes its table geometry from the corpus count
+    * (Similarity.graphSizing — planesPerTable ~ log2(N / bucket cap),
+    * tables trimmed to the 64-bit signature budget), so the harness
+    * measures exactly what a deployment runs. At a FIXED 32 buckets a
+    * 100x corpus saturates every bucket to the salt cap — bounded, but
+    * with the candidate constant the rule avoids (the first harness run
+    * measured it at 32x wall-clock). */
+  def ops(mult: Int): Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "dedup_substring" -> (Dedup.substringDup _),
       "dedup_substring_rm" -> (Dedup.substringRemove _),
@@ -117,9 +116,7 @@ object Scale {
       "pipeline_curate_neardup" -> (Pipeline.curateNearDup _),
       "dedup_semantic" -> (Dedup.semanticDedup _),
       "sim_ann_ivfpq" -> (Similarity.annIvfPq _),
-      "sim_knn_graph" -> ((s: SparkSession, d: String) =>
-        Similarity.knnGraphTuned(s, d, tables, planes, Similarity.GraphBucketCap)))
-  }
+      "sim_knn_graph" -> (Similarity.knnGraph _))
 
   def main(args: Array[String]): Unit = {
     val outBase = args.headOption.getOrElse("/tmp/graft_scale")
@@ -144,7 +141,17 @@ object Scale {
     def r3(d: Double): Double = math.round(d * 1000) / 1000.0
     for ((tag, mult, nDocs, nVecs) <- scales) {
       val dir = s"$outBase/$tag"
-      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      // Resume probe through the Hadoop FileSystem for the path's scheme
+      // (outBase is caller-supplied and may be an object store), requiring
+      // BOTH datasets' committer _SUCCESS markers — a crash between the
+      // two generators, or a torn write, regenerates instead of silently
+      // reusing missing or partial embeddings.
+      val hconf = spark.sparkContext.hadoopConfiguration
+      def complete(table: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$table/_SUCCESS")
+        p.getFileSystem(hconf).exists(p)
+      }
+      if (!complete("documents.parquet") || !complete("embeddings.parquet")) {
         genDocuments(spark, nDocs, dir)
         genEmbeddings(spark, nVecs, dir)
       }

@@ -379,6 +379,21 @@ object Similarity {
   val GraphNumPlanes = NumTables * GraphPlanesPerTable
   val GraphBucketCap = 192
 
+  /** The LSH-table geometry for a corpus of `n` vectors — the documented
+    * sizing rule, APPLIED IN CODE (not left to the caller): planesPerTable
+    * = ceil(log2(n / GraphBucketCap)) so expected bucket population tracks
+    * the salt cap as the corpus grows, floored at the test-corpus constant
+    * (every shipped scale lands exactly on the old (8, 5) geometry, so
+    * gated results are unchanged); tables trade down when tables x planes
+    * would exceed the 64-bit signature budget. */
+  def graphSizing(n: Long): (Int, Int) = {
+    val raw = math.ceil(
+      math.log(math.max(n, 1).toDouble / GraphBucketCap) / math.log(2.0)).toInt
+    val planes = math.min(math.max(GraphPlanesPerTable, raw), 64)
+    val tables = math.max(1, math.min(NumTables, 64 / planes))
+    (tables, planes)
+  }
+
   /** Corpus-wide k-NN graph — every vector's top-k approximate neighbors,
     * the precursor to embedding-dedup clustering and diversity sampling at
     * scale (the 20-query ANN paths answer lookups; this builds the whole
@@ -389,9 +404,17 @@ object Similarity {
     * physical operator — per-partition bounded heaps, so the shuffle
     * carries at most k rows per (vector, partition) instead of every
     * scored edge (the window+filter plan would shuffle and fully sort all
-    * of them). */
-  def knnGraph(s: SparkSession, dir: String): DataFrame =
-    knnGraphTuned(s, dir, NumTables, GraphPlanesPerTable, GraphBucketCap)
+    * of them).
+    *
+    * The table geometry is AUTO-SIZED from the corpus count (`graphSizing`)
+    * — one column-pruned count job (parquet footer statistics) before the
+    * plan is built, the same pre-flight statistic AQE-style planning pays —
+    * so the gated path is scale-correct by default instead of only when a
+    * caller hand-applies the rule. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val (tables, planes) = graphSizing(emb(s, dir).count())
+    knnGraphTuned(s, dir, tables, planes, GraphBucketCap)
+  }
 
   /** `knnGraph` with the table/plane/cap knobs exposed — the gated query
     * uses the test-corpus constants above; a deployment (and the
