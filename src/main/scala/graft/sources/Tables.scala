@@ -111,16 +111,24 @@ object Tables {
     * re-copy of an unchanged 100 TB corpus is the difference between
     * minutes and a day.
     *
-    * Change detection (default, `verify = false`) mirrors DistCp's cheap
-    * rule: a file is unchanged if (relative name, size) match AND the
-    * destination copy is not older than the source (mtime from the same
-    * distributed listing — no content read). Same-size files with a STALE
-    * destination mtime are the ambiguous case — only those few have both
-    * sides checksummed (a bounded per-file executor job, DistCp's
-    * on-demand checksum), so an unchanged nightly re-sync reads ZERO
-    * destination bytes (spec-asserted via a counting FileSystem) instead
-    * of re-reading the whole corpus. `verify = true` keeps the strict
-    * mode: full content-md5 manifests on both sides.
+    * The DEFAULT (`verify = true`) matches DistCp's default semantics:
+    * same-length files are content-checked before being skipped (DistCp's
+    * CopyMapper.canSkip checksums same-length pairs; here: full
+    * content-md5 manifests on both sides). `verify = false` is the
+    * explicit opt-in degradation — DistCp's `-skipcrccheck` analog: a
+    * file is unchanged if (relative name, size) match AND the destination
+    * copy is not older than the source (mtime from the same distributed
+    * listing — no content read). Same-size files whose destination mtime
+    * trails the source's by more than `-mtimeSlackMs` are the ambiguous
+    * case — only those few have both sides checksummed (a bounded
+    * per-file executor job), so an unchanged nightly re-sync reads ZERO
+    * destination bytes (spec-asserted via a counting FileSystem).
+    * CALL-SITE HAZARD of the opt-in: a same-size rewrite whose source
+    * mtime never advances past the destination copy's silently never
+    * syncs, and the mtimes compared come from the two stores' OWN clocks
+    * — cheap mode assumes they are roughly synchronized; `mtimeSlackMs`
+    * widens the checksummed band to absorb known skew (destination clock
+    * ahead by up to the slack no longer masks newer same-size sources).
     *
     * Manifests are computed DISTRIBUTED by the binaryFile source (one task
     * per file group; cheap mode projects ONLY path/length/mtime, so the
@@ -130,7 +138,7 @@ object Tables {
     * same bounded copy listing DistCp itself materializes. The copies then
     * run as a partition-parallel job. Returns (srcFiles, copied). */
   def copyUpdate(spark: SparkSession, srcDir: String, dstDir: String,
-      verify: Boolean = false): (Long, Long) = {
+      verify: Boolean = true, mtimeSlackMs: Long = 0L): (Long, Long) = {
     import org.apache.spark.sql.functions.{col, md5}
     import scala.jdk.CollectionConverters._
     import org.apache.hadoop.fs.Path
@@ -182,18 +190,20 @@ object Tables {
         srcM.join(dstM, Seq("name", "length", "chk"), "left_anti")
           .select("name").collect().map(_.getString(0)).toSeq
       } else {
-        // classification stays distributed; only the (bounded) changed and
-        // ambiguous LISTS land on the driver, as in verify mode
-        val joined = srcM.as("s")
+        // ONE distributed classification pass over the manifest join (no
+        // second scan); only the (bounded) copy-candidate list — definite
+        // changes plus the ambiguous few — lands on the driver
+        val definite = col("dlen").isNull || col("dlen") =!= col("length")
+        val stale = col("dmt") < col("mt") + org.apache.spark.sql.functions.lit(mtimeSlackMs)
+        val candidates = srcM.as("s")
           .join(dstM.select(col("name"), col("length").as("dlen"), col("mt").as("dmt")),
             Seq("name"), "left")
-        val changed = joined
-          .filter(col("dlen").isNull || col("dlen") =!= col("length"))
-          .select("name").collect().map(_.getString(0))
+          .filter(definite || stale)
+          .select(col("name"), definite.as("def"))
+          .collect()
+        val changed = candidates.filter(_.getBoolean(1)).map(_.getString(0))
         // same size, stale destination mtime: checksum ON DEMAND, only these
-        val ambiguous = joined
-          .filter(col("dlen") === col("length") && col("dmt") < col("mt"))
-          .select("name").collect().map(_.getString(0))
+        val ambiguous = candidates.filterNot(_.getBoolean(1)).map(_.getString(0))
         val confirmed: Seq[String] = if (ambiguous.isEmpty) Seq.empty else {
           val (srcD, dstD) = (srcDir, dstDir)
           spark.sparkContext

@@ -144,11 +144,11 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("distcp -update cheap mode reads zero destination contents when unchanged; checksums only ambiguity") {
-    // DistCp's default -update never re-reads same-size files; graft's
-    // cheap mode mirrors that — an unchanged nightly re-sync must not OPEN
-    // a single destination file (size+mtime from the listing decide), and
-    // a same-size content change with a stale destination mtime is the one
-    // case that checksums (only those files), then copies.
+    // verify=false is the EXPLICIT opt-in (DistCp -skipcrccheck analog) —
+    // an unchanged nightly re-sync must not OPEN a single destination file
+    // (size+mtime from the listing decide), and a same-size content change
+    // with a stale destination mtime is the one case that checksums (only
+    // those files), then copies.
     Tables.configureStore(spark, Map("fs.graftfs.impl" -> classOf[SchemeTestFs].getName))
     val srcD = Files.createTempDirectory("graft_upd5_src").toString
     val dstLocal = Files.createTempDirectory("graft_upd5_dst").toString + "/synced"
@@ -156,11 +156,11 @@ class SourcesSpec extends SparkSpec {
     new java.io.File(srcD, "a.txt").toPath.toFile.getParentFile.mkdirs()
     java.nio.file.Files.write(new java.io.File(srcD, "a.txt").toPath, "alpha-one".getBytes)
     java.nio.file.Files.write(new java.io.File(srcD, "b.txt").toPath, "beta-file".getBytes)
-    val (n1, c1) = Tables.copyUpdate(spark, srcD, dstD)
+    val (n1, c1) = Tables.copyUpdate(spark, srcD, dstD, verify = false)
     assert(c1 == n1 && c1 == 2, s"first pass must copy both files ($c1 of $n1)")
     // unchanged re-sync: zero copies AND zero destination content reads
     SchemeTestFs.opens.set(0)
-    val (_, c2) = Tables.copyUpdate(spark, srcD, dstD)
+    val (_, c2) = Tables.copyUpdate(spark, srcD, dstD, verify = false)
     assert(c2 == 0, s"unchanged re-run copied $c2 files")
     assert(SchemeTestFs.opens.get() == 0,
       s"cheap re-sync opened ${SchemeTestFs.opens.get()} destination files (must list only)")
@@ -171,22 +171,46 @@ class SourcesSpec extends SparkSpec {
     aPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .setTimes(aPath, System.currentTimeMillis() + 60000, -1)
     SchemeTestFs.opens.set(0)
-    val (_, c3) = Tables.copyUpdate(spark, srcD, dstD)
+    val (_, c3) = Tables.copyUpdate(spark, srcD, dstD, verify = false)
     assert(c3 == 1, s"one same-size change should mean one copy, got $c3")
     // the checksum probe touched only the ambiguous file's destination
     // copy, plus that file's re-copy overwrite machinery — never b.txt
     assert(spark.read.textFile(s"$dstD/a.txt").collect().toSeq == Seq("alpha-two"),
       "ambiguous file's new bytes did not land")
-    // verify=true still catches a same-size rewrite even when someone
-    // rewinds mtimes (content manifests decide)
+    // the documented opt-in hazard: cheap mode skips a same-size rewrite
+    // with a rewound mtime; the DEFAULT (verify=true, DistCp-parity
+    // content manifests) catches it
     java.nio.file.Files.write(new java.io.File(srcD, "b.txt").toPath, "beta-eile".getBytes)
     val bPath = new org.apache.hadoop.fs.Path(s"$srcD/b.txt")
     bPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .setTimes(bPath, System.currentTimeMillis() - 3600000, -1)
-    val (_, c4) = Tables.copyUpdate(spark, srcD, dstD)
+    val (_, c4) = Tables.copyUpdate(spark, srcD, dstD, verify = false)
     assert(c4 == 0, "cheap mode by design skips a same-size rewrite with a rewound mtime")
-    val (_, c5) = Tables.copyUpdate(spark, srcD, dstD, verify = true)
-    assert(c5 == 1, s"verify mode must checksum-catch the rewound rewrite, got $c5")
+    val (_, c5) = Tables.copyUpdate(spark, srcD, dstD)
+    assert(c5 == 1, s"the default must checksum-catch the rewound rewrite, got $c5")
+  }
+
+  test("distcp -update cheap-mode mtime slack absorbs store clock skew") {
+    // Destination clock ahead of the source's: a genuinely newer same-size
+    // source file carries an mtime BEHIND its destination copy, which bare
+    // cheap mode must miss (dmt >= mt) and a slack window must checksum.
+    val srcD = Files.createTempDirectory("graft_upd6_src").toString
+    val dstD = Files.createTempDirectory("graft_upd6_dst").toString + "/synced"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcD))
+    java.nio.file.Files.write(new java.io.File(srcD, "c.txt").toPath, "clock-one".getBytes)
+    val (_, c1) = Tables.copyUpdate(spark, srcD, dstD, verify = false)
+    assert(c1 == 1)
+    // same-size rewrite whose mtime lands BEFORE the destination copy's
+    // (the skewed-source-clock shape)
+    java.nio.file.Files.write(new java.io.File(srcD, "c.txt").toPath, "clock-two".getBytes)
+    val cPath = new org.apache.hadoop.fs.Path(s"$srcD/c.txt")
+    cPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .setTimes(cPath, System.currentTimeMillis() - 30000, -1)
+    val (_, c2) = Tables.copyUpdate(spark, srcD, dstD, verify = false)
+    assert(c2 == 0, "without slack the skewed rewrite is invisible (documented trade)")
+    val (_, c3) = Tables.copyUpdate(spark, srcD, dstD, verify = false, mtimeSlackMs = 3600000)
+    assert(c3 == 1, s"a one-hour slack must checksum-catch the skewed rewrite, got $c3")
+    assert(spark.read.textFile(s"$dstD/c.txt").collect().toSeq == Seq("clock-two"))
   }
 
   test("partitioned parquet write prunes to one directory on a partition-key filter") {
