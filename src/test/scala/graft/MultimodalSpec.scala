@@ -18,6 +18,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode(spark, sf).count() == n)
   }
 
+  test("mm_decode real-codec branch parses an actual PNG through javax.imageio") {
+    // A REAL container decode with zero new dependencies: render a tiny
+    // deterministic image, encode it as PNG with the JDK's own writer, and
+    // push it through the same partition-parallel decode path the gated
+    // query runs. Non-PNG payloads must keep taking the arithmetic stub.
+    val img = new java.awt.image.BufferedImage(37, 21,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (x <- 0 until 37; y <- 0 until 21)
+      img.setRGB(x, y, (x * 31 + y * 7) % 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos), "JDK PNG writer unavailable")
+    val png = bos.toByteArray
+    val textPayload = "plain text payload".getBytes("UTF-8")
+    val sp = spark
+    import sp.implicits._
+    val ds = Seq(Multimodal.Asset(1L, png), Multimodal.Asset(2L, textPayload)).toDS()
+    val got = Multimodal.decodeAssets(ds).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    // the PNG decodes to its REAL pixel geometry, not stub arithmetic
+    assert(got(1L) == ((png.length, 37, 21, 3, 1)), s"real decode wrong: ${got(1L)}")
+    // the text payload still routes through the stub branch
+    val stub = Multimodal.decodeStub(Multimodal.Asset(2L, textPayload))
+    assert(got(2L) == ((stub.n_bytes, stub.width, stub.height, stub.channels, stub.n_frames)),
+      s"stub branch diverged: ${got(2L)}")
+  }
+
   test("mm_frame_sample emits at most 4 frames per asset with 32-hex fingerprints") {
     val df = Multimodal.frameSample(spark, sf)
     import org.apache.spark.sql.functions._
