@@ -31,9 +31,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object AnnModels {
 
   /** Training-run counters (spec-asserted: an existing artifact means
-    * ZERO additional training passes across all five consumers). */
+    * ZERO additional training passes across all consumers). */
   @volatile private[graft] var ivfTrains = 0
   @volatile private[graft] var pqTrains = 0
+  @volatile private[graft] var lmTrains = 0
 
   private var rootOverride: Option[String] = None
 
@@ -64,6 +65,33 @@ object AnnModels {
         s"i=${Similarity.PqIters},m=${Similarity.TrainMod},k=${Similarity.PqCentroids},s=${Similarity.PqSubspaces}x${Similarity.PqSubDims}")) {
       pqTrains += 1
       Similarity.trainPqCodebook(s, dir)
+    }
+
+  /** The add-one-smoothed bigram LM of `dir`'s documents as THREE
+    * persisted relations (bigram counts, prefix counts, vocab size) —
+    * trained at most once per dataset; `text_perplexity`,
+    * `text_quality_model` and `pipeline_curate_model` all read the
+    * artifact instead of re-counting the corpus (CCNet's deployment shape:
+    * the LM trains once and serves the filter for months). Counts are
+    * exact integers, so artifact-served scores are bit-identical. */
+  def bigramLm(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    synchronized {
+      val names = Seq("c2", "c1", "vocab").map(k => key(dir, s"lm-$k", "n=2"))
+      val hconf = s.sparkContext.hadoopConfiguration
+      def ok(name: String): Boolean = {
+        val p = new Path(new Path(root(s), name), "_SUCCESS")
+        p.getFileSystem(hconf).exists(p)
+      }
+      if (!names.forall(ok)) {
+        lmTrains += 1
+        val (c2, c1, vocab) = TextOps.trainBigramLmOf(
+          graft.sources.Tables.load(s, dir, "documents"))
+        Seq(c2, c1, vocab).zip(names).foreach { case (df, name) =>
+          df.write.mode("overwrite").parquet(new Path(root(s), name).toString)
+        }
+      }
+      val dfs = names.map(n => s.read.parquet(new Path(root(s), n).toString))
+      (dfs(0), dfs(1), dfs(2))
     }
 
   private def key(dir: String, kind: String, params: String): String = {

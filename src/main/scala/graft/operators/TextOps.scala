@@ -297,25 +297,48 @@ object TextOps {
     * (shuffles on bigram/prefix — the standard LM-count shape); scoring is
     * one join of the stream against the model. Nothing is driver-side; the
     * vocab size rides along as a broadcast 1-row aggregate. */
-  def perplexity(s: SparkSession, dir: String): DataFrame = perplexityOf(docs(s, dir))
+  /** Gated path: the bigram model comes from the PERSISTED artifact
+    * (AnnModels.bigramLm — trained at most once per dataset, the same
+    * registry pattern the ANN quantizers use; CCNet likewise trains its
+    * LM once and serves it). Counts are exact integers, so the artifact
+    * is bit-identical to inline training. */
+  def perplexity(s: SparkSession, dir: String): DataFrame = {
+    val (c2, c1, vocab) = AnnModels.bigramLm(s, dir)
+    perplexityScore(docs(s, dir), c2, c1, vocab)
+  }
 
   private[graft] def perplexityOf(d: DataFrame): DataFrame = {
-    val toks = wsTokens(col("text"))
-    // Pre-aggregate to per-doc bigram multiplicities: the model counts are
-    // occurrence sums over this compact relation, the model joins touch one
-    // row per distinct (doc, bigram) instead of one per occurrence, and the
-    // per-doc score weights each bigram's nll by its count (occ * DECIMAL
-    // is exact, so the total is identical to summing per occurrence —
-    // measured ~1/3 faster than the per-occurrence formulation).
-    val occ = d.select(col("doc_id"), explode(wordShingles(toks, 2)).as("g"))
+    val (c2, c1, vocab) = trainBigramLmOf(d)
+    perplexityScore(d, c2, c1, vocab)
+  }
+
+  /** Per-doc bigram multiplicities — the compact relation BOTH the model
+    * counts and the scoring pass aggregate over: the model joins touch one
+    * row per distinct (doc, bigram) instead of one per occurrence, and the
+    * per-doc score weights each bigram's nll by its count (occ * DECIMAL
+    * is exact, so the total is identical to summing per occurrence —
+    * measured ~1/3 faster than the per-occurrence formulation). */
+  private def bigramOcc(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(wordShingles(wsTokens(col("text")), 2)).as("g"))
       .withColumn("w1", split(col("g"), " ").getItem(0))
       .groupBy("doc_id", "g", "w1").agg(count(lit(1)).as("occ"))
+
+  /** The add-one-smoothed bigram model of a corpus: (bigram counts c2,
+    * prefix counts c1, vocabulary size) — extracted so AnnModels can train
+    * once per dataset and persist the three relations. */
+  private[graft] def trainBigramLmOf(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val occ = bigramOcc(d)
     val c2 = occ.groupBy("g").agg(sum(col("occ")).as("c2"))
     val c1 = occ.groupBy("w1").agg(sum(col("occ")).as("c1"))
-    val vocab = d.select(explode(array_distinct(toks)).as("w"))
+    val vocab = d.select(explode(array_distinct(wsTokens(col("text")))).as("w"))
       .agg(countDistinct(col("w")).as("v"))
+    (c2, c1, vocab)
+  }
+
+  private def perplexityScore(d: DataFrame, c2: DataFrame, c1: DataFrame,
+      vocab: DataFrame): DataFrame = {
     val nll = round(log((col("c1") + col("v")).cast("double") / (col("c2") + 1)), 6)
-    occ
+    bigramOcc(d)
       .join(c2, Seq("g"))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
@@ -364,9 +387,13 @@ object TextOps {
     * shuffles are perplexity's LM aggregates and the doc_id feature joins
     * — at 100 TB the join keys are (doc_id, three longs), never text. */
   def qualityModel(s: SparkSession, dir: String): DataFrame =
-    qualityModelOf(docs(s, dir))
+    // gated path: surprise features come from the artifact-backed LM
+    qualityModelWith(docs(s, dir), perplexity(s, dir))
 
-  private[graft] def qualityModelOf(d: DataFrame): DataFrame = {
+  private[graft] def qualityModelOf(d: DataFrame): DataFrame =
+    qualityModelWith(d, perplexityOf(d))
+
+  private def qualityModelWith(d: DataFrame, ppl: DataFrame): DataFrame = {
     def q4(c: Column): Column = floor(c * 1e4 + 0.5).cast("long")
     val logit8 =
       lit(QmBias) * lit(10000L) +
@@ -380,7 +407,7 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
         col("repetition_ratio"), col("punct_ratio"))
       .join(repetitionOf(d).select(col("doc_id"), col("rep_ratio")), Seq("doc_id"))
-      .join(perplexityOf(d).select(col("doc_id"), col("avg_nll")), Seq("doc_id"), "left")
+      .join(ppl.select(col("doc_id"), col("avg_nll")), Seq("doc_id"), "left")
       .select(col("doc_id"), logit8.as("logit8"),
         // logit8 < 2^53, so the double is exact; /1e8 rounds identically
         // in any IEEE engine

@@ -61,6 +61,27 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("bigram LM trains once per dataset and artifact scores are bit-identical") {
+    AnnModels.withRoot(freshRoot("lm")) {
+      val t0 = AnnModels.lmTrains
+      val first = rows(graft.operators.TextOps.perplexity(spark, sf))
+      assert(AnnModels.lmTrains == t0 + 1, "first access must train the LM")
+      // artifact-served run: no retraining, identical scores
+      val second = rows(graft.operators.TextOps.perplexity(spark, sf))
+      assert(AnnModels.lmTrains == t0 + 1, "second access must serve the artifact")
+      assert(second == first, "artifact round-trip changed perplexity scores")
+      // inline training (the df-based spec path) agrees exactly
+      val inline = rows(graft.operators.TextOps.perplexityOf(
+        graft.sources.Tables.load(spark, sf, "documents")))
+      assert(first == inline, "artifact diverges from inline LM training")
+      // the downstream model consumers share the one trained LM
+      graft.operators.TextOps.qualityModel(spark, sf).collect()
+      graft.operators.Pipeline.curateModel(spark, sf).collect()
+      assert(AnnModels.lmTrains == t0 + 1,
+        s"LM consumers retrained: ${AnnModels.lmTrains - t0} passes")
+    }
+  }
+
   test("non-default training parameters bypass the artifact store") {
     AnnModels.withRoot(freshRoot("bypass")) {
       val t0 = AnnModels.ivfTrains
