@@ -467,6 +467,48 @@ object Similarity {
       Seq(col("cos").desc, col("dst").asc), GraphK)
   }
 
+  /** Fraction of each cluster RETAINED by prototype pruning: Sorscher et
+    * al. find keeping ~70-80% of abundant data (pruning the easiest) loses
+    * nothing; 0.7 keeps the gated output non-trivial at every test scale. */
+  val PruneKeepFrac7of10 = 7 // numerator over 10 — integer math only
+
+  /** Self-supervised prototype pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws: beating power law scaling via data pruning"):
+    * rank every vector by similarity to its assigned cluster centroid and
+    * PRUNE the most prototypical (easiest) fraction per cluster, keeping
+    * the hard examples — the paper's abundant-data regime rule and the
+    * standard embedding-space curation step after SemDeDup. The centroid
+    * assignment (and its `ccos`) comes from the SAME persisted quantizer
+    * every other embedding consumer reads (AnnModels).
+    *
+    * Scale shape — NO per-cluster sort of the corpus: `ccos` is already on
+    * the 1e4 integer grid, so the per-cluster rank threshold comes from a
+    * (cluster, cc4) HISTOGRAM — a map-side-combined aggregate of <= 10001
+    * rows per cluster — with one window pass over the histogram (never the
+    * raw vectors) locating the smallest cc4 whose cumulative count meets
+    * the integer quota ceil(7n/10). Vectors then keep/drop by a broadcast
+    * join against the <= |clusters| threshold rows. Ties AT the threshold
+    * are all kept (deterministic, bounded overshoot = the threshold bin's
+    * tie count); quota arithmetic is pure integer, so any engine replays
+    * it bit for bit. */
+  def prototypePrune(s: SparkSession, dir: String): DataFrame = {
+    val (assign, _) = ivfParts(s, dir)
+    val a = assign.select(col("vec_id"), col("cent_id"),
+      floor(col("ccos") * 1e4 + 0.5).cast("long").as("cc4"))
+    val hist = a.groupBy("cent_id", "cc4").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("cent_id")).orderBy(col("cc4").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("cent_id"))))
+    val thr = cum
+      .filter(col("cum") >= expr(s"($PruneKeepFrac7of10 * n + 9) DIV 10"))
+      .groupBy("cent_id").agg(min(col("cc4")).as("thr"))
+    a.join(broadcast(thr), Seq("cent_id"))
+      .filter(col("cc4") <= col("thr"))
+      .select(col("vec_id"), col("cent_id"), col("cc4"))
+  }
+
   /** Int8 symmetric quantization summary per vector — the compression step
     * a 100 TB embedding store applies before ANN. Quantized value is
     * floor(v/scale + 0.5) (explicit, so any engine reproduces the exact
@@ -493,7 +535,8 @@ object Similarity {
     "sim_ann_pq" -> (annPq _),
     "sim_ann_ivfpq" -> (annIvfPq _),
     "sim_ann_lsh" -> (annLsh _),
-    "sim_knn_graph" -> (knnGraph _))
+    "sim_knn_graph" -> (knnGraph _),
+    "sim_prototype_prune" -> (prototypePrune _))
 
   private val cosSql =
     "round(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / " +
@@ -654,6 +697,16 @@ object Similarity {
         "SELECT src, dst, cos FROM (SELECT *, row_number() OVER " +
         "(PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn FROM scored) " +
         s"WHERE rn <= $GraphK"),
+    "sim_prototype_prune" ->
+      (s"WITH $ivfAssignCtes, " +
+        "qa AS (SELECT vec_id, cent_id, CAST(floor(ccos * 10000 + 0.5) AS BIGINT) AS cc4 FROM assign), " +
+        "hist AS (SELECT cent_id, cc4, count(*) AS cnt FROM qa GROUP BY 1, 2), " +
+        "cum AS (SELECT cent_id, cc4, " +
+        "sum(cnt) OVER (PARTITION BY cent_id ORDER BY cc4 ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "sum(cnt) OVER (PARTITION BY cent_id) AS n FROM hist), " +
+        s"thr AS (SELECT cent_id, min(cc4) AS thr FROM cum WHERE cum >= ($PruneKeepFrac7of10 * n + 9) // 10 GROUP BY cent_id) " +
+        "SELECT qa.vec_id, qa.cent_id, qa.cc4 FROM qa JOIN thr ON qa.cent_id = thr.cent_id " +
+        "WHERE qa.cc4 <= thr.thr"),
     "sim_quantize_int8" ->
       ("SELECT vec_id, scale, " +
         "CAST(list_sum(list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT))) AS BIGINT) AS qsum FROM " +

@@ -142,6 +142,35 @@ class SimilaritySpec extends SparkSpec {
       "auto path produced the fixed-constant graph — sizing did not kick in")
   }
 
+  test("prototype pruning keeps the hard (low-ccos) fraction per cluster, quota met exactly") {
+    import org.apache.spark.sql.functions._
+    val kept = Similarity.prototypePrune(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(kept.nonEmpty)
+    // recompute every member's assignment independently of the pruning path
+    val all = graft.operators.Dedup.semanticLab(spark, sf)._2
+      .select(col("vec_id"), col("cent_id"), floor(col("ccos") * 1e4 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val keptByC = kept.groupBy(_._2)
+    all.groupBy(_._2).foreach { case (c, members) =>
+      val k = keptByC.getOrElse(c, Array.empty[(Long, Int, Long)])
+      val n = members.length
+      val quota = (7 * n + 9) / 10
+      assert(k.length >= quota, s"cluster $c kept ${k.length} < quota $quota of $n")
+      // kept set = everything at-or-below the threshold bin: every kept
+      // cc4 must be <= every dropped cc4 (the hard examples survive)
+      val keptIds = k.map(_._1).toSet
+      val dropped = members.filterNot(m => keptIds.contains(m._1))
+      if (dropped.nonEmpty && k.nonEmpty)
+        assert(k.map(_._3).max <= dropped.map(_._3).min,
+          s"cluster $c kept a more prototypical member than one it dropped")
+      // bounded overshoot: only threshold-bin ties may exceed the quota
+      val thr = k.map(_._3).max
+      val belowThr = members.count(_._3 < thr)
+      assert(belowThr < quota, s"cluster $c threshold bin sits above the quota point")
+    }
+  }
+
   test("trained IVF centroids do not lose recall vs the untrained init") {
     val untrained = recallOf(Similarity.annIvfIters(spark, sf, 0))
     val trained = recallOf(Similarity.annIvf(spark, sf))
