@@ -702,6 +702,34 @@ object Dedup {
   private def hexHalf(m: String, from: Int): String =
     hexIntSql(m, from, 16, huge = true)
 
+  /** Replay of `incrementalLshMatch` for ANY index/batch split of the
+    * documents table (predicates over doc_id/source): the banded-signature
+    * chain computed once, split into index and batch sides, then the
+    * salt/probe join mirror. Shared by dedup_incremental_lsh (source
+    * split) and pipeline_decontaminate_fuzzy (benchmark split). */
+  private[graft] def lshMatchOracle(idxPred: String, batchPred: String): String =
+    s"WITH bsh AS (SELECT doc_id, source, $shinglesSql AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +
+      "bex AS (SELECT doc_id, source, unnest(sh) AS x FROM bsh WHERE len(sh) > 0), " +
+      s"bhm AS (SELECT doc_id, source, ${hexHalf("m", 1)} AS h1, ${hexHalf("m", 17)} AS h2 " +
+      "FROM (SELECT doc_id, source, md5(x) AS m FROM bex)), " +
+      s"bnd AS (SELECT doc_id, source, p AS band, min((h1 + p * h2) % 18446744073709551616) AS h " +
+      s"FROM bhm CROSS JOIN generate_series(0, ${MinhashPerms - 1}) g(p) GROUP BY doc_id, source, p), " +
+      s"idx AS (SELECT doc_id, band, h FROM bnd WHERE $idxPred), " +
+      s"bsig AS (SELECT doc_id, band, h FROM bnd WHERE $batchPred), " +
+      "census AS (SELECT band, h, count(*) AS bn FROM idx GROUP BY 1, 2), " +
+      s"idxs AS (SELECT i.doc_id AS corpus_id, i.band, i.h, ${graft.functions.hash52Sql("i.doc_id")} % ((c.bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
+      "FROM idx i JOIN census c ON c.band = i.band AND c.h = i.h), " +
+      "grp AS (SELECT band, h, salt, count(*) AS gn FROM idxs GROUP BY 1, 2, 3), " +
+      s"idxb AS (SELECT i.* FROM idxs i JOIN grp g ON g.band = i.band AND g.h = i.h AND g.salt = i.salt WHERE g.gn <= ${2 * MaxBucket}), " +
+      s"probes AS (SELECT b.doc_id, b.band, b.h, unnest(generate_series(0, ((coalesce(c.bn, 1) + ${MaxBucket - 1}) // $MaxBucket) - 1)) AS salt " +
+      "FROM bsig b LEFT JOIN census c ON c.band = b.band AND c.h = b.h), " +
+      "m AS (SELECT DISTINCT p.doc_id, i.corpus_id FROM probes p JOIN idxb i " +
+      "ON i.band = p.band AND i.h = p.h AND i.salt = p.salt WHERE p.doc_id <> i.corpus_id), " +
+      "mc AS (SELECT doc_id, count(*) AS n_matches FROM m GROUP BY doc_id) " +
+      "SELECT b.doc_id, coalesce(mc.n_matches, 0) AS n_matches, " +
+      "CASE WHEN mc.doc_id IS NULL THEN 1 ELSE 0 END AS is_novel " +
+      s"FROM (SELECT doc_id FROM documents WHERE $batchPred) b LEFT JOIN mc USING (doc_id)"
+
   /** The signature chain alone (ending in `banded(doc_id, band, h)`) —
     * shared with the streaming first-claim oracle (EventStreams). */
   private[graft] val lshBandCtes =
@@ -884,29 +912,7 @@ object Dedup {
         "FROM lab l JOIN assign a ON a.vec_id = l.vid) WHERE rn = 1) " +
         "SELECT kk.vec_id AS vec_id, cnt.n_repr FROM kk JOIN cnt USING (sem_id)"),
     "dedup_incremental_lsh" ->
-      // Source-aware replay of the banded-signature chain, split into
-      // index (corpus) and batch sides, then the salt/probe join mirror.
-      (s"WITH bsh AS (SELECT doc_id, source, $shinglesSql AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +
-        "bex AS (SELECT doc_id, source, unnest(sh) AS x FROM bsh WHERE len(sh) > 0), " +
-        s"bhm AS (SELECT doc_id, source, ${hexHalf("m", 1)} AS h1, ${hexHalf("m", 17)} AS h2 " +
-        "FROM (SELECT doc_id, source, md5(x) AS m FROM bex)), " +
-        s"bnd AS (SELECT doc_id, source, p AS band, min((h1 + p * h2) % 18446744073709551616) AS h " +
-        s"FROM bhm CROSS JOIN generate_series(0, ${MinhashPerms - 1}) g(p) GROUP BY doc_id, source, p), " +
-        "idx AS (SELECT doc_id, band, h FROM bnd WHERE source <> 'src0'), " +
-        "bsig AS (SELECT doc_id, band, h FROM bnd WHERE source = 'src0'), " +
-        "census AS (SELECT band, h, count(*) AS bn FROM idx GROUP BY 1, 2), " +
-        s"idxs AS (SELECT i.doc_id AS corpus_id, i.band, i.h, ${graft.functions.hash52Sql("i.doc_id")} % ((c.bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
-        "FROM idx i JOIN census c ON c.band = i.band AND c.h = i.h), " +
-        "grp AS (SELECT band, h, salt, count(*) AS gn FROM idxs GROUP BY 1, 2, 3), " +
-        s"idxb AS (SELECT i.* FROM idxs i JOIN grp g ON g.band = i.band AND g.h = i.h AND g.salt = i.salt WHERE g.gn <= ${2 * MaxBucket}), " +
-        s"probes AS (SELECT b.doc_id, b.band, b.h, unnest(generate_series(0, ((coalesce(c.bn, 1) + ${MaxBucket - 1}) // $MaxBucket) - 1)) AS salt " +
-        "FROM bsig b LEFT JOIN census c ON c.band = b.band AND c.h = b.h), " +
-        "m AS (SELECT DISTINCT p.doc_id, i.corpus_id FROM probes p JOIN idxb i " +
-        "ON i.band = p.band AND i.h = p.h AND i.salt = p.salt WHERE p.doc_id <> i.corpus_id), " +
-        "mc AS (SELECT doc_id, count(*) AS n_matches FROM m GROUP BY doc_id) " +
-        "SELECT b.doc_id, coalesce(mc.n_matches, 0) AS n_matches, " +
-        "CASE WHEN mc.doc_id IS NULL THEN 1 ELSE 0 END AS is_novel " +
-        "FROM (SELECT doc_id FROM documents WHERE source = 'src0') b LEFT JOIN mc USING (doc_id)"),
+      lshMatchOracle(idxPred = "source <> 'src0'", batchPred = "source = 'src0'"),
     "dedup_substring" -> {
       val sh5 = s"list_transform(generate_series(1, len(string_split(text, ' ')) - ${SubstrGram - 1}), " +
         s"i -> array_to_string((string_split(text, ' '))[i:i+${SubstrGram - 1}], ' '))"

@@ -88,6 +88,23 @@ object Pipeline {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** FUZZY benchmark decontamination — the near-dup form `decontaminate`'s
+    * exact 5-gram overlap cannot see (a paraphrased or lightly-edited
+    * benchmark item shares few exact 5-grams but collides in MinHash
+    * bands): the corpus matches against the benchmark set's banded LSH
+    * index via the SAME engine incremental ingestion uses
+    * (Dedup.incrementalLshMatch — the benchmark is just another persisted
+    * index). The index side is the tiny benchmark (always broadcastable
+    * at any corpus scale; census salting is a no-op on it), the corpus
+    * side is scanned once. Output: per corpus doc, the count of benchmark
+    * near-matches and a clean flag (is_novel = 1 means uncontaminated). */
+  def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.Tables.load(s, dir, "documents")
+    Dedup.incrementalLshMatch(
+      d.filter(col("doc_id") >= 10),
+      Dedup.lshIndexOf(d.filter(col("doc_id") < 10)))
+  }
+
   /** Context-window packing planner (concat-and-chunk): documents are laid
     * end-to-end per source in doc_id order and cut into `CtxTokens`-token
     * context windows; the output is the chunk manifest (docs, tokens, fill
@@ -247,6 +264,7 @@ object Pipeline {
     "pipeline_curate_neardup" -> (curateNearDup _),
     "pipeline_split" -> (split _),
     "pipeline_decontaminate" -> (decontaminate _),
+    "pipeline_decontaminate_fuzzy" -> (decontaminateFuzzy _),
     "pipeline_pack" -> ((s: SparkSession, dir: String) => pack(s, dir)),
     "pipeline_pack_bpe" -> (packBpe _),
     "pipeline_shard" -> ((s: SparkSession, dir: String) => shard(s, dir)),
@@ -279,6 +297,8 @@ object Pipeline {
         "corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= 10) " +
         "SELECT c.doc_id, count(DISTINCT c.g) AS n_shared_grams, count(DISTINCT b.bench_id) AS n_bench_docs " +
         "FROM corpus c JOIN bench b ON c.g = b.g GROUP BY c.doc_id"),
+    "pipeline_decontaminate_fuzzy" ->
+      Dedup.lshMatchOracle(idxPred = "doc_id < 10", batchPred = "doc_id >= 10"),
     "pipeline_pack" ->
       packOracleSql("CAST(len(string_split(text, ' ')) AS BIGINT)"),
     "pipeline_pack_bpe" ->
