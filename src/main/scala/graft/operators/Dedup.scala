@@ -562,6 +562,42 @@ object Dedup {
         floor(col("n_dup_windows").cast("double") / col("n_windows") * 1e6 + 0.5) / 1e6)
   }
 
+  /** Report size of the boilerplate census. */
+  val BoilerplateK = 20
+
+  /** Corpus boilerplate census — the TOP-K most cross-document-duplicated
+    * W-word windows, with document/occurrence counts resolved back to the
+    * window TEXT: the report a data engineer reads to learn WHAT the
+    * duplicated passages are (license headers, navigation chrome,
+    * syndicated text) before `substringRemove` excises them.
+    *
+    * Scale: the census is `substringDup`'s hash-keyed aggregate (windows
+    * shuffle as md5 with map-side pre-aggregation; a corpus-wide window is
+    * ONE census row); the global top-k plans as TakeOrderedAndProject —
+    * bounded per-partition heaps merged on the driver, never a full sort
+    * of the census; and only the K winning hashes resolve to text, via a
+    * broadcast semi-join that filters the window stream map-side before a
+    * distinct that can ship at most K rows per partition. Ranking ties
+    * break on the hash, so the report is deterministic. */
+  def boilerplateTopK(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(wordShingles(wsTokens(col("text")), SubstrGram)).as("g"))
+    val perDoc = g.select(col("doc_id"), md5Hex(col("g")).as("gh"))
+      .groupBy("doc_id", "gh").agg(count(lit(1)).as("occ"))
+    val top = perDoc.groupBy("gh")
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gh").asc)
+      .limit(BoilerplateK)
+    val winText = g.select(md5Hex(col("g")).as("gh"), col("g").as("win_text"))
+      .join(broadcast(top.select("gh")), Seq("gh"), "left_semi")
+      .distinct()
+    top.join(winText, Seq("gh"))
+      .select(col("win_text"), col("n_docs"), col("n_occurrences"))
+  }
+
   /** Exact-substring REMOVAL — the operator the `substringDup` audit
     * prepares for (Lee et al. 2022 §4.1 ExactSubstr: "we remove from the
     * dataset" every duplicated span): emit each document's text with every
@@ -687,6 +723,7 @@ object Dedup {
     "dedup_incremental" -> (incremental _),
     "dedup_incremental_lsh" -> (incrementalLsh _),
     "dedup_substring" -> (substringDup _),
+    "dedup_boilerplate" -> (boilerplateTopK _),
     "dedup_substring_rm" -> (substringRemove _),
     "dedup_semantic" -> (semanticDedup _),
     "dedup_semantic_keep" -> (semanticDedupKeep _),
@@ -913,6 +950,17 @@ object Dedup {
         "SELECT kk.vec_id AS vec_id, cnt.n_repr FROM kk JOIN cnt USING (sem_id)"),
     "dedup_incremental_lsh" ->
       lshMatchOracle(idxPred = "source <> 'src0'", batchPred = "source = 'src0'"),
+    "dedup_boilerplate" -> {
+      val sh5 = s"list_transform(generate_series(1, len(string_split(text, ' ')) - ${SubstrGram - 1}), " +
+        s"i -> array_to_string((string_split(text, ' '))[i:i+${SubstrGram - 1}], ' '))"
+      s"WITH gw AS (SELECT doc_id, unnest(sh) AS g FROM (SELECT doc_id, $sh5 AS sh FROM documents)), " +
+        "pd AS (SELECT doc_id, md5(g) AS gh, count(*) AS occ FROM gw GROUP BY 1, 2), " +
+        "census AS (SELECT gh, count(*) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occurrences " +
+        "FROM pd GROUP BY gh HAVING count(*) >= 2), " +
+        s"top AS (SELECT * FROM census ORDER BY n_docs DESC, n_occurrences DESC, gh LIMIT $BoilerplateK), " +
+        "wt AS (SELECT DISTINCT md5(g) AS gh, g AS win_text FROM gw) " +
+        "SELECT wt.win_text, top.n_docs, top.n_occurrences FROM top JOIN wt USING (gh)"
+    },
     "dedup_substring" -> {
       val sh5 = s"list_transform(generate_series(1, len(string_split(text, ' ')) - ${SubstrGram - 1}), " +
         s"i -> array_to_string((string_split(text, ' '))[i:i+${SubstrGram - 1}], ' '))"

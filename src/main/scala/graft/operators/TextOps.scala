@@ -354,6 +354,25 @@ object TextOps {
           .as("avg_nll"))
   }
 
+  /** Deterministic text normalization — the cleaning pass every corpus
+    * pipeline runs before hashing and tokenization (dedup keys computed on
+    * un-normalized text silently miss case/whitespace variants): non-
+    * printable-ASCII bytes become spaces, text lowercases, whitespace runs
+    * collapse, ends trim. Pure codegen'd builtins in a fixed order —
+    * shuffle-free, engine-exact (`[^ -~]` and `' +'` are RE2 ∩ Java, the
+    * PII-pattern portability rule). The shipped corpus is already
+    * normalized, so the gate proves byte-identical passthrough (the
+    * text_pii pattern); behavior is spec-pinned on messy synthetic docs. */
+  def normalize(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      lower(regexp_replace(col("text"), "[^ -~]", " ")), " +", " "))
+    docs(s, dir).select(
+      col("doc_id"),
+      cleaned.as("text_norm"),
+      (cleaned =!= col("text")).cast("int").as("was_changed"),
+      length(cleaned).as("n_chars_norm"))
+  }
+
   // --- learned quality gate ------------------------------------------------
 
   /** Integer-quantized coefficients of the LEARNED quality gate (the
@@ -419,6 +438,7 @@ object TextOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_model" -> (qualityModel _),
+    "text_normalize" -> (normalize _),
     "text_langid" -> (langid _),
     "text_langid_confusion" -> (langidConfusion _),
     "text_tfidf" -> (tfidf _),
@@ -465,6 +485,12 @@ object TextOps {
         "floor(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang) * 1000000 + 0.5) / 1000000 AS label_share FROM cells"),
     "text_quality" -> qualitySql,
     "text_quality_model" -> qualityModelSql,
+    "text_normalize" ->
+      ("SELECT doc_id, cleaned AS text_norm, " +
+        "CASE WHEN cleaned <> text THEN 1 ELSE 0 END AS was_changed, " +
+        "CAST(length(cleaned) AS INT) AS n_chars_norm FROM " +
+        "(SELECT doc_id, text, trim(regexp_replace(lower(regexp_replace(text, '[^ -~]', ' ', 'g')), ' +', ' ', 'g')) AS cleaned " +
+        "FROM documents)"),
     "text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe, " +
