@@ -73,6 +73,39 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("graft_cosine"), p)
   }
 
+  test("boilerplate census: top-k is a bounded-heap take, text resolves via broadcast") {
+    val p = plan(Dedup.boilerplateTopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"census top-k must plan as bounded heaps, not a global sort:\n$p")
+    // the K winning hashes broadcast back against the window stream — the
+    // census relation itself must never sort-merge against raw windows
+    assert(p.contains("BroadcastHashJoin"), s"text resolution must broadcast:\n$p")
+  }
+
+  test("prototype pruning ranks via the histogram — no cluster-keyed window over raw rows") {
+    val p = plan(Similarity.prototypePrune(spark, sf))
+    // Every Window PARTITIONED BY THE CLUSTER KEY must sit above a
+    // HashAggregate (the (cluster, cc4) histogram) — a cent_id window over
+    // raw assignment rows would buffer whole clusters on single tasks,
+    // exactly the per-cluster sort this operator exists to avoid. (The
+    // quantizer's own argmax windows partition by vec_id — <= numCentroids
+    // rows per key, bounded by construction — and are exempt.)
+    val planLines = p.linesIterator.toVector
+    val clusterWins = planLines.zipWithIndex
+      .filter { case (l, _) => l.contains("Window ") && l.contains("], [cent_id") }
+      .map(_._2)
+    assert(clusterWins.nonEmpty, s"expected histogram windows keyed on cent_id:\n$p")
+    clusterWins.foreach { wi =>
+      val below = planLines.drop(wi + 1)
+      val aggAt = below.indexWhere(_.contains("HashAggregate"))
+      val scanAt = below.indexWhere(_.contains("Scan parquet"))
+      assert(aggAt >= 0 && (scanAt < 0 || aggAt < scanAt),
+        s"a cluster-keyed Window sits on raw rows (no histogram aggregate between):\n$p")
+    }
+    // keep/drop is a broadcast join against the tiny threshold relation
+    assert(p.contains("BroadcastHashJoin"), s"threshold join must broadcast:\n$p")
+  }
+
   test("forecast revenue pushes every filter into the parquet scan") {
     // plain toString truncates PushedFilters; formatted mode prints all
     val p = Analytics.forecastRevenue(spark, sf).queryExecution
