@@ -866,7 +866,7 @@ object Dedup {
     * dedup_embedding salt/pair mirror keyed on cent_id, then the
     * dedup_survivors reach CTE over vec ids. Shared by the dedup_semantic
     * and dedup_semantic_keep oracles. */
-  private val semanticLabCtes: String =
+  private[operators] val semanticLabCtes: String =
     s"${Similarity.ivfAssignCtes}, " +
       "census AS (SELECT cent_id, count(*) AS bn FROM assign GROUP BY cent_id), " +
       s"saltedv AS (SELECT a.cent_id, a.vec_id, a.embedding, ${graft.functions.hash52Sql("a.vec_id")} % ((c.bn + ${LabelCap - 1}) // $LabelCap) AS salt " +
@@ -880,6 +880,15 @@ object Dedup {
       "reach(src, dst) AS (SELECT vec_id, vec_id FROM embeddings " +
       "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
       "lab AS (SELECT src AS vid, min(dst) AS sem_id FROM reach GROUP BY src)"
+
+  /** The paper-exact SemDeDup keep rule as a CTE over `lab` + `assign`
+    * (kk(sem_id, vec_id) = each duplicate group's centroid-nearest
+    * survivor) — shared by the dedup_semantic_keep and
+    * pipeline_curate_semantic oracles. */
+  private[operators] val semanticKeepCte: String =
+    "kk AS (SELECT sem_id, vec_id FROM (SELECT l.sem_id, a.vec_id, " +
+      "row_number() OVER (PARTITION BY l.sem_id ORDER BY CAST(floor(a.ccos * 10000 + 0.5) AS BIGINT) DESC, a.vec_id ASC) AS rn " +
+      "FROM lab l JOIN assign a ON a.vec_id = l.vid) WHERE rn = 1)"
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -944,9 +953,7 @@ object Dedup {
       // integer key, vec_id tie-break) — the paper's keep rule.
       (s"WITH RECURSIVE $semanticLabCtes, " +
         "cnt AS (SELECT sem_id, count(*) AS n_repr FROM lab GROUP BY sem_id), " +
-        "kk AS (SELECT sem_id, vec_id FROM (SELECT l.sem_id, a.vec_id, " +
-        "row_number() OVER (PARTITION BY l.sem_id ORDER BY CAST(floor(a.ccos * 10000 + 0.5) AS BIGINT) DESC, a.vec_id ASC) AS rn " +
-        "FROM lab l JOIN assign a ON a.vec_id = l.vid) WHERE rn = 1) " +
+        s"$semanticKeepCte " +
         "SELECT kk.vec_id AS vec_id, cnt.n_repr FROM kk JOIN cnt USING (sem_id)"),
     "dedup_incremental_lsh" ->
       lshMatchOracle(idxPred = "source <> 'src0'", batchPred = "source = 'src0'"),

@@ -88,6 +88,20 @@ object Pipeline {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** The cross-modal curation capstone: `curate`'s text gates PLUS
+    * embedding-space semantic dedup — only documents whose embedding is
+    * its semantic-duplicate group's SURVIVOR (SemDeDup with the paper's
+    * centroid-nearest keep rule, Dedup.semanticDedupKeep) pass. This is
+    * the text+embedding composition production pipelines run (heuristic
+    * gates cut noise, SemDeDup cuts semantic redundancy the text gates
+    * cannot see); documents without an embedding are excluded by the
+    * semi-join's inner semantics. The survivor side ships bare ids; the
+    * quantizer comes from the shared persisted model. */
+  def curateSemantic(s: SparkSession, dir: String): DataFrame =
+    curate(s, dir).join(
+      Dedup.semanticDedupKeep(s, dir).select(col("vec_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+
   /** FUZZY benchmark decontamination — the near-dup form `decontaminate`'s
     * exact 5-gram overlap cannot see (a paraphrased or lightly-edited
     * benchmark item shares few exact 5-grams but collides in MinHash
@@ -262,6 +276,7 @@ object Pipeline {
     "pipeline_curate" -> (curate _),
     "pipeline_curate_model" -> (curateModel _),
     "pipeline_curate_neardup" -> (curateNearDup _),
+    "pipeline_curate_semantic" -> (curateSemantic _),
     "pipeline_split" -> (split _),
     "pipeline_decontaminate" -> (decontaminate _),
     "pipeline_decontaminate_fuzzy" -> (decontaminateFuzzy _),
@@ -317,6 +332,16 @@ object Pipeline {
         s"CASE WHEN $bucket < 20 + 3 * (CAST(substr(source, 4) AS INT) % 7) THEN 1 ELSE 0 END AS kept " +
         "FROM documents) GROUP BY source, rate"
     },
+    "pipeline_curate_semantic" ->
+      (s"WITH RECURSIVE ${Dedup.semanticLabCtes}, " +
+        s"${Dedup.semanticKeepCte}, " +
+        s"lang AS (${TextOps.oracles("text_langid")}), " +
+        s"qual AS (${TextOps.oracles("text_quality")}), " +
+        "keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)) " +
+        "SELECT l.doc_id, l.pred_lang, q.quality_score FROM lang l JOIN qual q ON l.doc_id = q.doc_id " +
+        s"WHERE l.pred_lang = 'en' AND q.quality_score >= $QualityThreshold " +
+        "AND l.doc_id IN (SELECT keep_id FROM keep) " +
+        "AND l.doc_id IN (SELECT vec_id FROM kk)"),
     "pipeline_curate_model" ->
       (s"WITH lang AS (${TextOps.oracles("text_langid")}), " +
         s"qm AS (${TextOps.qualityModelSql}), " +
