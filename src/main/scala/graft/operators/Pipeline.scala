@@ -257,6 +257,44 @@ object Pipeline {
         max(col("n_tok")).as("max_tokens"), min(col("n_tok")).as("min_tokens"))
   }
 
+  /** Temperature-scaled mixture planning (the multilingual/domain
+    * re-balancing rule of mC4 / XLM-R: sampling probability p_s ∝ n_s^α
+    * with α = 1/2, flattening the head so low-resource sources are not
+    * drowned), composed with The-Pile-style integer EPOCH factors: each
+    * source's target document count under the tempered distribution, and
+    * the repeat factor ceil(target/n) a mixture writer would apply.
+    *
+    * Float discipline: the ONLY non-integer step is one IEEE-754 sqrt per
+    * source (correctly rounded by spec, so every engine produces the
+    * identical double), immediately quantized to the 1e6 grid; shares,
+    * targets and epochs are pure integer arithmetic from there —
+    * half-rounding included — so any engine replays them bit for bit.
+    * Long-overflow-safe by construction to 10^12 total docs (w <= 1e12 →
+    * w*1e6 <= 1e18; share6 <= 1e6 → tn*share6 <= 1e18 — both < 2^63).
+    *
+    * Scale: one map-side-combined groupBy over the corpus; everything after
+    * runs on the |sources|-row relation with the two totals broadcast as a
+    * 1-row aggregate (the tfidf pattern) — nothing driver-side. */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame =
+    mixTemperatureOf(graft.sources.Tables.load(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs")))
+
+  /** The planner over any (source, n_docs) census — extracted so the spec
+    * can assert the flattening/epoch properties on a SKEWED synthetic
+    * census (the shipped corpus has uniform sources, where tempering is
+    * correctly a no-op). */
+  private[graft] def mixTemperatureOf(counts: DataFrame): DataFrame = {
+    val ww = counts.withColumn("w",
+      floor(sqrt(col("n_docs").cast("double")) * 1e6 + 0.5).cast("long"))
+    val tot = ww.agg(sum(col("w")).as("tw"), sum(col("n_docs")).as("tn"))
+    ww.crossJoin(broadcast(tot))
+      .withColumn("share6", expr("(w * 1000000 + tw DIV 2) DIV tw"))
+      .withColumn("target_docs", expr("(tn * share6 + 500000) DIV 1000000"))
+      .withColumn("epochs", expr("(target_docs + n_docs - 1) DIV n_docs"))
+      .select(col("source"), col("n_docs"), col("share6"),
+        col("target_docs"), col("epochs"))
+  }
+
   /** Domain-mixture sampling: each source gets a deterministic keep-rate
     * (derived from its numeric suffix — standing in for the tuned domain
     * weights a real mixture config supplies) and each doc keeps or drops by
@@ -283,7 +321,8 @@ object Pipeline {
     "pipeline_pack" -> ((s: SparkSession, dir: String) => pack(s, dir)),
     "pipeline_pack_bpe" -> (packBpe _),
     "pipeline_shard" -> ((s: SparkSession, dir: String) => shard(s, dir)),
-    "pipeline_sample_weighted" -> (sampleWeighted _))
+    "pipeline_sample_weighted" -> (sampleWeighted _),
+    "pipeline_mix_temperature" -> (mixTemperature _))
 
   /** The pack oracle, parameterized on the per-doc token-count SQL (the
     * oracle's single-window cumsum replays the two-level decomposition for
@@ -356,6 +395,14 @@ object Pipeline {
         "SELECT l.doc_id, l.pred_lang, q.quality_score FROM lang l JOIN qual q ON l.doc_id = q.doc_id " +
         s"WHERE l.pred_lang = 'en' AND q.quality_score >= $QualityThreshold " +
         "AND l.doc_id IN (SELECT keep_id FROM keep)"),
+    "pipeline_mix_temperature" ->
+      ("WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), " +
+        "ww AS (SELECT source, n_docs, CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w FROM counts), " +
+        "tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(sum(n_docs) AS BIGINT) AS tn FROM ww), " +
+        "sh AS (SELECT source, n_docs, (w * 1000000 + tw // 2) // tw AS share6, tn FROM ww CROSS JOIN tot), " +
+        "tg AS (SELECT source, n_docs, share6, (tn * share6 + 500000) // 1000000 AS target_docs FROM sh) " +
+        "SELECT source, n_docs, share6, target_docs, " +
+        "(target_docs + n_docs - 1) // n_docs AS epochs FROM tg"),
     "pipeline_curate_neardup" ->
       (s"WITH RECURSIVE ${Dedup.survivorLabCtes}, " +
         s"lang AS (${TextOps.oracles("text_langid")}), " +

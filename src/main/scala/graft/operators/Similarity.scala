@@ -348,12 +348,18 @@ object Similarity {
     * applied BEFORE the ADC join so unprobed codes are never scored. The
     * only corpus-sized shuffle co-locates codes with their list ids; the
     * probe set and the ADC table both broadcast. */
-  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+  def annIvfPq(s: SparkSession, dir: String): DataFrame =
+    rankTopK(ivfPqScored(s, dir), col("dist2_pq").asc)
+
+  /** The IVFADC approximate scores (query_id, neighbor_id, dist2_pq) —
+    * shared by `annIvfPq` (ranks on the ADC distance directly) and
+    * `annIvfPqRerank` (exact-rescores the ADC shortlist). */
+  private[graft] def ivfPqScored(s: SparkSession, dir: String): DataFrame = {
     val (assign, probes) = ivfParts(s, dir, KMeansIters, NumProbes, TrainMod, NumCentroids)
     val (codes, lut) = pqParts(s, dir)
     val lists = assign.select(col("vec_id"), col("cent_id").as("list_id"))
     val plists = probes.select(col("query_id"), col("cent_id").as("list_id"))
-    val scored = codes
+    codes
       .join(lists, Seq("vec_id"))
       .join(broadcast(plists), Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -361,7 +367,35 @@ object Similarity {
       .groupBy("query_id", "vec_id")
       .agg((sum(col("pd6")).cast("double") / 1e6).as("dist2_pq"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("dist2_pq"))
-    rankTopK(scored, col("dist2_pq").asc)
+  }
+
+  /** ADC shortlist size the exact rerank rescores — the accuracy/IO knob of
+    * the rerank stage (Jegou et al.'s IVFADC+R): R = 4k here; deployments
+    * tune R up for recall, and the exact-read cost stays R vectors/query. */
+  val RerankR = 4 * TopK
+
+  /** IVF-PQ with EXACT re-ranking (IVFADC+R — the standard serving tail):
+    * the compressed ADC scan shortlists `RerankR` candidates per query,
+    * then ONLY those R full vectors are read back and exact-rescored by
+    * cosine, fixing the quantization-induced rank inversions near the top.
+    * This is the deployment shape at 100 TB: the code store prunes, the
+    * expensive full-vector reads are bounded at R per query (a
+    * TopKPerKey-bounded shuffle, never the probed lists), and the final
+    * ranking is exact over the shortlist. Recall@k vs bruteforce can only
+    * improve on `sim_ann_ivfpq` (spec-asserted >=). */
+  def annIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // dist2_pq = d6/1e6 with d6 integer < 2^53 — exact doubles, so this
+    // ordering is identical to the oracle's integer-d6 ordering.
+    val shortlist = graft.plans.TopKPerKey.topKPerKey(ivfPqScored(s, dir),
+      Seq("query_id"), Seq(col("dist2_pq").asc, col("neighbor_id").asc), RerankR)
+    val exact = shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")), Seq("neighbor_id"))
+      .join(broadcast(e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineSim(col("q_emb"), col("n_emb")), 4).as("cos"))
+    rankTopK(exact, col("cos").desc)
   }
 
   val GraphK = 3
@@ -534,6 +568,7 @@ object Similarity {
     "sim_ann_ivf" -> (annIvf _),
     "sim_ann_pq" -> (annPq _),
     "sim_ann_ivfpq" -> (annIvfPq _),
+    "sim_ann_ivfpq_rerank" -> (annIvfPqRerank _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_knn_graph" -> (knnGraph _),
     "sim_prototype_prune" -> (prototypePrune _))
@@ -589,6 +624,53 @@ object Similarity {
       s"sa AS (SELECT e.vec_id, e.embedding, c.cent_id, ${cosBetween("e.embedding", "c.cent_emb")} AS ccos FROM embeddings e CROSS JOIN cent c), " +
       "assign AS (SELECT vec_id, embedding, cent_id, ccos FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM sa) WHERE rn = 1)"
 
+  /** CTE chain ending in `scored(query_id, vec_id, d6)` — the IVFADC
+    * approximate scores, the exact mirror of [[ivfPqScored]]. The IVF chain
+    * (i-prefixed) and PQ chain (p-prefixed) are the same recipes as the
+    * standalone oracles, composed: scored pairs are only (query, vector)
+    * where the vector's coarse list is probed. Shared by the sim_ann_ivfpq
+    * oracle (ranks on d6 directly) and the rerank oracle (rescores the
+    * d6-shortlist exactly), so the ADC formulation cannot drift. */
+  private val ivfpqScoredCtes: String = {
+    val ivfIter = (1 to KMeansIters).map { k =>
+      s"is$k AS (SELECT t.vec_id, t.qemb, c.cent_id, ${cosBetween("t.embedding", "c.cent_emb")} AS ccos FROM train t CROSS JOIN icent${k - 1} c), " +
+        s"ia$k AS (SELECT vec_id, qemb, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM is$k) WHERE rn = 1), " +
+        s"iu$k AS (SELECT cent_id, i AS pos, CAST(sum(qemb[i]) AS BIGINT) AS qs, count(*) AS n FROM ia$k CROSS JOIN generate_series(1, 64) g(i) GROUP BY 1, 2), " +
+        s"icent$k AS (SELECT cent_id, list(CAST(qs AS DOUBLE) / n / 1024.0 ORDER BY pos) AS cent_emb FROM iu$k GROUP BY cent_id)"
+    }.mkString(", ")
+    val pqIter = (1 to PqIters).map { k =>
+      s"ps$k AS (SELECT t.vec_id, t.m, t.qemb, c.cent_id, round(${dSql("t.qemb", "c.cent", "t.m")}, 4) AS d FROM tv t JOIN pcent${k - 1} c ON c.m = t.m), " +
+        s"pa$k AS (SELECT vec_id, m, qemb, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn FROM ps$k) WHERE rn = 1), " +
+        s"pu$k AS (SELECT m, cent_id, j AS pos, CAST(sum(qemb[m * $PqSubDims + j]) AS BIGINT) AS qs, count(*) AS n FROM pa$k CROSS JOIN generate_series(1, $PqSubDims) g(j) GROUP BY 1, 2, 3), " +
+        s"pcent$k AS (SELECT m, cent_id, list(CAST(qs AS DOUBLE) / n / 1024.0 ORDER BY pos) AS cent FROM pu$k GROUP BY m, cent_id)"
+    }.mkString(", ")
+    s"qv AS (SELECT vec_id, embedding, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qemb FROM embeddings), " +
+      s"train AS (SELECT * FROM qv WHERE vec_id % $TrainMod = 0), " +
+      s"icent0 AS (SELECT CAST(vec_id // $TrainMod AS INT) AS cent_id, list_transform(qemb, q -> CAST(q AS DOUBLE) / 1024.0) AS cent_emb FROM train WHERE vec_id < ${TrainMod * NumCentroids}), " +
+      ivfIter + ", " +
+      s"icent AS (SELECT * FROM icent$KMeansIters), " +
+      s"isa AS (SELECT e.vec_id, c.cent_id, ${cosBetween("e.embedding", "c.cent_emb")} AS ccos FROM embeddings e CROSS JOIN icent c), " +
+      "iassign AS (SELECT vec_id, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM isa) WHERE rn = 1), " +
+      s"isp AS (SELECT e.vec_id AS query_id, c.cent_id, ${cosBetween("e.embedding", "c.cent_emb")} AS ccos FROM embeddings e CROSS JOIN icent c WHERE e.vec_id < $NumQueries), " +
+      s"iprobes AS (SELECT query_id, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM isp) WHERE rn <= $NumProbes), " +
+      s"tv AS (SELECT vec_id, qemb, m FROM qv CROSS JOIN generate_series(0, ${PqSubspaces - 1}) g(m) WHERE vec_id % $TrainMod = 0), " +
+      s"pcent0 AS (SELECT m, CAST(vec_id // $TrainMod AS INT) AS cent_id, " +
+      s"list_transform(generate_series(1, $PqSubDims), j -> CAST(qemb[m * $PqSubDims + j] AS DOUBLE) / 1024.0) AS cent " +
+      s"FROM tv WHERE vec_id < ${TrainMod * PqCentroids}), " +
+      pqIter + ", " +
+      s"pcent AS (SELECT * FROM pcent$PqIters), " +
+      s"av AS (SELECT vec_id, qemb, m FROM qv CROSS JOIN generate_series(0, ${PqSubspaces - 1}) g(m)), " +
+      s"pse AS (SELECT a.vec_id, a.m, c.cent_id, round(${dSql("a.qemb", "c.cent", "a.m")}, 4) AS d FROM av a JOIN pcent c ON c.m = a.m), " +
+      "codes AS (SELECT vec_id, m, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn FROM pse) WHERE rn = 1), " +
+      s"lut AS (SELECT q.vec_id AS query_id, c.m, c.cent_id, CAST(floor(${dSql("q.qemb", "c.cent", "c.m")} * 1000000 + 0.5) AS BIGINT) AS pd6 " +
+      s"FROM qv q CROSS JOIN pcent c WHERE q.vec_id < $NumQueries), " +
+      "scored AS (SELECT l.query_id, co.vec_id, CAST(sum(l.pd6) AS BIGINT) AS d6 " +
+      "FROM codes co JOIN iassign a ON a.vec_id = co.vec_id " +
+      "JOIN iprobes p ON p.cent_id = a.cent_id " +
+      "JOIN lut l ON l.query_id = p.query_id AND l.m = co.m AND l.cent_id = co.cent_id " +
+      "WHERE co.vec_id <> l.query_id GROUP BY 1, 2)"
+  }
+
   def oracles: Map[String, String] = Map(
     "sim_ann_lsh" ->
       (s"WITH sigd AS (SELECT vec_id, embedding, CAST($lshSigSql AS BIGINT) AS sig FROM embeddings), " +
@@ -635,51 +717,20 @@ object Similarity {
         "(SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY d6, vec_id) AS INT) AS rank FROM scored) " +
         s"WHERE rank <= $TopK"
     },
-    "sim_ann_ivfpq" -> {
-      // The IVF chain (i-prefixed) and PQ chain (p-prefixed) are the same
-      // recipes as the standalone oracles, composed: scored pairs are only
-      // (query, vector) where the vector's coarse list is probed.
-      val ivfIter = (1 to KMeansIters).map { k =>
-        s"is$k AS (SELECT t.vec_id, t.qemb, c.cent_id, ${cosBetween("t.embedding", "c.cent_emb")} AS ccos FROM train t CROSS JOIN icent${k - 1} c), " +
-          s"ia$k AS (SELECT vec_id, qemb, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM is$k) WHERE rn = 1), " +
-          s"iu$k AS (SELECT cent_id, i AS pos, CAST(sum(qemb[i]) AS BIGINT) AS qs, count(*) AS n FROM ia$k CROSS JOIN generate_series(1, 64) g(i) GROUP BY 1, 2), " +
-          s"icent$k AS (SELECT cent_id, list(CAST(qs AS DOUBLE) / n / 1024.0 ORDER BY pos) AS cent_emb FROM iu$k GROUP BY cent_id)"
-      }.mkString(", ")
-      val pqIter = (1 to PqIters).map { k =>
-        s"ps$k AS (SELECT t.vec_id, t.m, t.qemb, c.cent_id, round(${dSql("t.qemb", "c.cent", "t.m")}, 4) AS d FROM tv t JOIN pcent${k - 1} c ON c.m = t.m), " +
-          s"pa$k AS (SELECT vec_id, m, qemb, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn FROM ps$k) WHERE rn = 1), " +
-          s"pu$k AS (SELECT m, cent_id, j AS pos, CAST(sum(qemb[m * $PqSubDims + j]) AS BIGINT) AS qs, count(*) AS n FROM pa$k CROSS JOIN generate_series(1, $PqSubDims) g(j) GROUP BY 1, 2, 3), " +
-          s"pcent$k AS (SELECT m, cent_id, list(CAST(qs AS DOUBLE) / n / 1024.0 ORDER BY pos) AS cent FROM pu$k GROUP BY m, cent_id)"
-      }.mkString(", ")
-      s"WITH qv AS (SELECT vec_id, embedding, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qemb FROM embeddings), " +
-        s"train AS (SELECT * FROM qv WHERE vec_id % $TrainMod = 0), " +
-        s"icent0 AS (SELECT CAST(vec_id // $TrainMod AS INT) AS cent_id, list_transform(qemb, q -> CAST(q AS DOUBLE) / 1024.0) AS cent_emb FROM train WHERE vec_id < ${TrainMod * NumCentroids}), " +
-        ivfIter + ", " +
-        s"icent AS (SELECT * FROM icent$KMeansIters), " +
-        s"isa AS (SELECT e.vec_id, c.cent_id, ${cosBetween("e.embedding", "c.cent_emb")} AS ccos FROM embeddings e CROSS JOIN icent c), " +
-        "iassign AS (SELECT vec_id, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM isa) WHERE rn = 1), " +
-        s"isp AS (SELECT e.vec_id AS query_id, c.cent_id, ${cosBetween("e.embedding", "c.cent_emb")} AS ccos FROM embeddings e CROSS JOIN icent c WHERE e.vec_id < $NumQueries), " +
-        s"iprobes AS (SELECT query_id, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM isp) WHERE rn <= $NumProbes), " +
-        s"tv AS (SELECT vec_id, qemb, m FROM qv CROSS JOIN generate_series(0, ${PqSubspaces - 1}) g(m) WHERE vec_id % $TrainMod = 0), " +
-        s"pcent0 AS (SELECT m, CAST(vec_id // $TrainMod AS INT) AS cent_id, " +
-        s"list_transform(generate_series(1, $PqSubDims), j -> CAST(qemb[m * $PqSubDims + j] AS DOUBLE) / 1024.0) AS cent " +
-        s"FROM tv WHERE vec_id < ${TrainMod * PqCentroids}), " +
-        pqIter + ", " +
-        s"pcent AS (SELECT * FROM pcent$PqIters), " +
-        s"av AS (SELECT vec_id, qemb, m FROM qv CROSS JOIN generate_series(0, ${PqSubspaces - 1}) g(m)), " +
-        s"pse AS (SELECT a.vec_id, a.m, c.cent_id, round(${dSql("a.qemb", "c.cent", "a.m")}, 4) AS d FROM av a JOIN pcent c ON c.m = a.m), " +
-        "codes AS (SELECT vec_id, m, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn FROM pse) WHERE rn = 1), " +
-        s"lut AS (SELECT q.vec_id AS query_id, c.m, c.cent_id, CAST(floor(${dSql("q.qemb", "c.cent", "c.m")} * 1000000 + 0.5) AS BIGINT) AS pd6 " +
-        s"FROM qv q CROSS JOIN pcent c WHERE q.vec_id < $NumQueries), " +
-        "scored AS (SELECT l.query_id, co.vec_id, CAST(sum(l.pd6) AS BIGINT) AS d6 " +
-        "FROM codes co JOIN iassign a ON a.vec_id = co.vec_id " +
-        "JOIN iprobes p ON p.cent_id = a.cent_id " +
-        "JOIN lut l ON l.query_id = p.query_id AND l.m = co.m AND l.cent_id = co.cent_id " +
-        "WHERE co.vec_id <> l.query_id GROUP BY 1, 2) " +
+    "sim_ann_ivfpq" ->
+      (s"WITH $ivfpqScoredCtes " +
         "SELECT query_id, vec_id AS neighbor_id, CAST(d6 AS DOUBLE) / 1000000 AS dist2_pq, rank FROM " +
         "(SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY d6, vec_id) AS INT) AS rank FROM scored) " +
-        s"WHERE rank <= $TopK"
-    },
+        s"WHERE rank <= $TopK"),
+    "sim_ann_ivfpq_rerank" ->
+      (s"WITH $ivfpqScoredCtes, " +
+        s"cand AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER " +
+        s"(PARTITION BY query_id ORDER BY d6, vec_id) AS rr FROM scored) WHERE rr <= $RerankR), " +
+        s"ex AS (SELECT cand.query_id, cand.vec_id AS neighbor_id, $cosSql AS cos " +
+        "FROM cand JOIN embeddings q ON q.vec_id = cand.query_id JOIN embeddings c ON c.vec_id = cand.vec_id) " +
+        "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank FROM ex) " +
+        s"WHERE rank <= $TopK"),
     "sim_knn_graph" ->
       (s"WITH sigd AS (SELECT vec_id, embedding, CAST(${lshSigSqlFor(GraphNumPlanes)} AS BIGINT) AS sig FROM embeddings), " +
         s"tb AS (SELECT vec_id, (sig >> (t * $GraphPlanesPerTable)) & ${(1 << GraphPlanesPerTable) - 1} AS bucket, t " +

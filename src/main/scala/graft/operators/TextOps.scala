@@ -354,6 +354,46 @@ object TextOps {
           .as("avg_nll"))
   }
 
+  /** CCNet's perplexity bucketing (Wenzek et al. 2020): per LANGUAGE,
+    * documents split into head / middle / tail tertiles by LM perplexity —
+    * the corpus partitioning CCNet releases and downstream pipelines sample
+    * from (head = most fluent under the LM; tail = candidates for
+    * discard). Languages bucket independently because perplexity scales are
+    * not comparable across LMs/languages.
+    *
+    * Scale shape — NO per-language sort of the corpus (the prototypePrune
+    * recipe): `avg_nll` is already on the 1e6 integer grid, so the two
+    * tertile thresholds come from a (lang, n6) HISTOGRAM — map-side
+    * combined, bounded by distinct grid values — with one window pass over
+    * the histogram (never the raw docs) and a conditional-min aggregate
+    * locating the smallest n6 meeting each integer quota ceil(n/3),
+    * ceil(2n/3). Docs then bucket by a broadcast join against the
+    * |langs|-row threshold relation. Ties AT a threshold all take the
+    * lower bucket (deterministic); docs too short for bigrams have no
+    * perplexity and are excluded by construction (the `perplexity`
+    * contract). Quota arithmetic is pure integer — any engine replays it
+    * bit for bit. */
+  def perplexityBucket(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"), col("lang"))
+    val a = perplexity(s, dir).join(d, Seq("doc_id"))
+      .withColumn("n6", floor(col("avg_nll") * 1e6 + 0.5).cast("long"))
+    val hist = a.groupBy("lang", "n6").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("n6").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+    val thr = cum.groupBy("lang").agg(
+      min(when(col("cum") >= expr("(n + 2) DIV 3"), col("n6"))).as("t1"),
+      min(when(col("cum") >= expr("(2 * n + 2) DIV 3"), col("n6"))).as("t2"))
+    a.join(broadcast(thr), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("avg_nll"),
+        when(col("n6") <= col("t1"), "head")
+          .when(col("n6") <= col("t2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** Deterministic text normalization — the cleaning pass every corpus
     * pipeline runs before hashing and tokenization (dedup keys computed on
     * un-normalized text silently miss case/whitespace variants): non-
@@ -448,7 +488,8 @@ object TextOps {
     "text_pii_redact" -> (piiRedact _),
     "text_repetition" -> (repetition _),
     "text_fingerprint" -> (fingerprint _),
-    "text_perplexity" -> (perplexity _))
+    "text_perplexity" -> (perplexity _),
+    "text_perplexity_bucket" -> (perplexityBucket _))
 
   private def sqlIn(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ", ", ")")
   private def scoreSql(words: Seq[String]) =
@@ -516,7 +557,20 @@ object TextOps {
     "text_fingerprint" ->
       (s"SELECT doc_id, md5(text) AS content_md5, " +
         s"coalesce(list_min(list_transform($shinglesSql, x -> md5(x))), md5(text)) AS shingle_fp FROM documents"),
-    "text_perplexity" -> perplexitySql)
+    "text_perplexity" -> perplexitySql,
+    "text_perplexity_bucket" ->
+      (s"WITH ppl AS ($perplexitySql), " +
+        "a AS (SELECT p.doc_id, d.lang, p.avg_nll, CAST(floor(p.avg_nll * 1000000 + 0.5) AS BIGINT) AS n6 " +
+        "FROM ppl p JOIN documents d ON p.doc_id = d.doc_id), " +
+        "hist AS (SELECT lang, n6, count(*) AS cnt FROM a GROUP BY 1, 2), " +
+        "cum AS (SELECT lang, n6, " +
+        "sum(cnt) OVER (PARTITION BY lang ORDER BY n6 ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "sum(cnt) OVER (PARTITION BY lang) AS n FROM hist), " +
+        "thr AS (SELECT lang, min(CASE WHEN cum >= (n + 2) // 3 THEN n6 END) AS t1, " +
+        "min(CASE WHEN cum >= (2 * n + 2) // 3 THEN n6 END) AS t2 FROM cum GROUP BY lang) " +
+        "SELECT a.doc_id, a.lang, a.avg_nll, " +
+        "CASE WHEN a.n6 <= t.t1 THEN 'head' WHEN a.n6 <= t.t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket " +
+        "FROM a JOIN thr t ON a.lang = t.lang"))
 
   private val qualitySql: String =
     "SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, " +

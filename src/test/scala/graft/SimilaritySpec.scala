@@ -85,6 +85,39 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 0.3, s"IVF-PQ overlap $overlap below floor")
   }
 
+  test("sim_ann_ivfpq_rerank rescoring draws only from the ADC shortlist and never loses recall") {
+    import org.apache.spark.sql.functions._
+    val rr = Similarity.annIvfPqRerank(spark, sf)
+    val rrRows = rr.collect()
+    // full top-k per query, ranks dense 1..k ordered by exact cosine
+    assert(rrRows.length == Similarity.NumQueries * Similarity.TopK,
+      s"expected a full top-k per query, got ${rrRows.length}")
+    rrRows.groupBy(_.getLong(0)).values.foreach { qs =>
+      val byRank = qs.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == (1 to Similarity.TopK),
+        "ranks must be dense 1..k")
+      val coss = byRank.map(_.getDouble(2))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b },
+        "rerank order must be exact-cosine descending")
+    }
+    // candidates come ONLY from the ADC top-R shortlist
+    val shortlist = graft.plans.TopKPerKey.topKPerKey(
+      Similarity.ivfPqScored(spark, sf), Seq("query_id"),
+      Seq(col("dist2_pq").asc, col("neighbor_id").asc), Similarity.RerankR)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rrPairs = pairs(rr)
+    assert(rrPairs.subsetOf(shortlist),
+      "rerank may only rescore the ADC shortlist, never read other vectors")
+    // exact rescoring can only surface MORE of the true top-k than ranking
+    // on the compressed distance did (truth members in the shortlist always
+    // win an exact-cosine ranking)
+    val rAdc = recallOf(Similarity.annIvfPq(spark, sf))
+    val rRr = recallOf(rr)
+    info(f"IVF-PQ recall@${Similarity.TopK} = $rAdc%.3f, +rerank = $rRr%.3f")
+    assert(rRr >= rAdc, s"rerank recall $rRr fell below the ADC ranking's $rAdc")
+  }
+
   test("knn graph plans the custom TopKPerKey operator, bounds degree, and overlaps exact top-3") {
     import org.apache.spark.sql.functions._
     val g = Similarity.knnGraph(spark, sf)
