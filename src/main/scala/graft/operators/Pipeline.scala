@@ -295,6 +295,38 @@ object Pipeline {
         col("target_docs"), col("epochs"))
   }
 
+  /** The writer-side execution of [[mixTemperature]]'s plan: every document
+    * emits `target DIV n` full copies plus one extra copy for a
+    * deterministically-hash-selected ~(target MOD n)/n fraction — the
+    * fractional-epoch layout mixture writers actually materialize (a
+    * 2.3-epoch source is 2 full passes plus a fixed 30% subset, not a
+    * per-epoch re-roll). Selection is RNG-free: a doc takes the extra copy
+    * iff bucket·n < rem·65536 with bucket = 16 md5 bits — pure integer
+    * cross-multiplication, no division, replayable by any engine; the
+    * SAME subset is selected at every re-run/repartition. Output is the
+    * per-source emission audit (docs, target, full epochs, emitted).
+    *
+    * Scale: the |sources|-row plan broadcasts; the corpus is touched in
+    * one map-side pass and the audit is one map-side-combined aggregate.
+    * Overflow-safe with the plan's own bound: bucket·n <= 65535·1e12 < 2^63. */
+  def mixManifest(s: SparkSession, dir: String): DataFrame = {
+    val plan = mixTemperature(s, dir)
+      .select(col("source"), col("n_docs"), col("target_docs"),
+        expr("target_docs DIV n_docs").as("full_epochs"),
+        expr("target_docs % n_docs").as("rem"))
+    val bucket = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), col("source"), lit(":mix")).cast("binary")), 1, 4), 16, 10).cast("long")
+    graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("copies", col("full_epochs") +
+        when(bucket * col("n_docs") < col("rem") * 65536L, 1L).otherwise(0L))
+      .groupBy("source", "n_docs", "target_docs", "full_epochs")
+      .agg(sum(col("copies")).as("n_emitted"))
+      .select(col("source"), col("n_docs"), col("target_docs"),
+        col("full_epochs"), col("n_emitted"))
+  }
+
   /** Domain-mixture sampling: each source gets a deterministic keep-rate
     * (derived from its numeric suffix — standing in for the tuned domain
     * weights a real mixture config supplies) and each doc keeps or drops by
@@ -322,7 +354,8 @@ object Pipeline {
     "pipeline_pack_bpe" -> (packBpe _),
     "pipeline_shard" -> ((s: SparkSession, dir: String) => shard(s, dir)),
     "pipeline_sample_weighted" -> (sampleWeighted _),
-    "pipeline_mix_temperature" -> (mixTemperature _))
+    "pipeline_mix_temperature" -> (mixTemperature _),
+    "pipeline_mix_manifest" -> (mixManifest _))
 
   /** The pack oracle, parameterized on the per-doc token-count SQL (the
     * oracle's single-window cumsum replays the two-level decomposition for
@@ -334,6 +367,17 @@ object Pipeline {
       s"(SELECT source, doc_id, $nTokSql AS n_tok, " +
       s"CAST(sum($nTokSql) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum " +
       "FROM documents)) GROUP BY source, chunk_id"
+
+  /** CTE chain ending in `tg(source, n_docs, share6, target_docs)` — the
+    * tempered-mixture plan, the exact mirror of [[mixTemperatureOf]];
+    * shared by the plan oracle and the manifest oracle so the tempering
+    * arithmetic cannot drift. */
+  private val mixCtes: String =
+    "counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), " +
+      "ww AS (SELECT source, n_docs, CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w FROM counts), " +
+      "tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(sum(n_docs) AS BIGINT) AS tn FROM ww), " +
+      "sh AS (SELECT source, n_docs, (w * 1000000 + tw // 2) // tw AS share6, tn FROM ww CROSS JOIN tot), " +
+      "tg AS (SELECT source, n_docs, share6, (tn * share6 + 500000) // 1000000 AS target_docs FROM sh)"
 
   private val shingles5Sql =
     "list_transform(generate_series(1, len(string_split(text, ' ')) - 4), i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))"
@@ -396,13 +440,20 @@ object Pipeline {
         s"WHERE l.pred_lang = 'en' AND q.quality_score >= $QualityThreshold " +
         "AND l.doc_id IN (SELECT keep_id FROM keep)"),
     "pipeline_mix_temperature" ->
-      ("WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), " +
-        "ww AS (SELECT source, n_docs, CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w FROM counts), " +
-        "tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(sum(n_docs) AS BIGINT) AS tn FROM ww), " +
-        "sh AS (SELECT source, n_docs, (w * 1000000 + tw // 2) // tw AS share6, tn FROM ww CROSS JOIN tot), " +
-        "tg AS (SELECT source, n_docs, share6, (tn * share6 + 500000) // 1000000 AS target_docs FROM sh) " +
+      (s"WITH $mixCtes " +
         "SELECT source, n_docs, share6, target_docs, " +
         "(target_docs + n_docs - 1) // n_docs AS epochs FROM tg"),
+    "pipeline_mix_manifest" -> {
+      val bucket = graft.functions
+        .hexIntSql("md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source || ':mix')", 1, 4)
+      s"WITH $mixCtes, " +
+        "plan AS (SELECT source, n_docs, target_docs, target_docs // n_docs AS full_epochs, " +
+        "target_docs % n_docs AS rem FROM tg) " +
+        "SELECT d.source AS source, p.n_docs, p.target_docs, p.full_epochs, " +
+        s"CAST(sum(p.full_epochs + CASE WHEN $bucket * p.n_docs < p.rem * 65536 THEN 1 ELSE 0 END) AS BIGINT) AS n_emitted " +
+        "FROM documents d JOIN plan p ON d.source = p.source " +
+        "GROUP BY d.source, p.n_docs, p.target_docs, p.full_epochs"
+    },
     "pipeline_curate_neardup" ->
       (s"WITH RECURSIVE ${Dedup.survivorLabCtes}, " +
         s"lang AS (${TextOps.oracles("text_langid")}), " +

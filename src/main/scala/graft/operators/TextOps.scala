@@ -394,6 +394,49 @@ object TextOps {
           .otherwise("tail").as("ppl_bucket"))
   }
 
+  /** Character-level entropy audit — the degenerate-text signal of the
+    * Gopher/C4 filter family that token-level ratios miss: binary spew,
+    * single-character runs and keyboard mashing have near-zero or
+    * pathological char entropy while still tokenizing "normally". Per doc:
+    * distinct-char count, the modal char's frequency share, and Shannon
+    * entropy in nats, H = ln(n) - (Σ_c k_c·ln(k_c))/n over the char
+    * histogram.
+    *
+    * Float discipline (the perplexity recipe): counts are exact integers;
+    * each k·ln(k) term quantizes once to integer micro-nats
+    * (floor(x·1e6+0.5)) and the per-doc sum is a LONG — order-independent —
+    * so the only engine-sensitive steps are single ln() calls rounded six
+    * places below the output grid. Shuffle-free: one codegen pass per row;
+    * per-row cost is O(|alphabet|·n) via the filter-count form, bounded by
+    * the corpus alphabet. */
+  def entropy(s: SparkSession, dir: String): DataFrame = entropyOf(docs(s, dir))
+
+  private[graft] def entropyOf(d: DataFrame): DataFrame = {
+    // guarded: sequence(1, 0) DESCENDS in Spark, so an empty doc must map
+    // to an empty char list explicitly (DuckDB's generate_series(1, 0) is
+    // already empty)
+    val chars = expr("CASE WHEN length(text) = 0 THEN CAST(array() AS ARRAY<STRING>) " +
+      "ELSE transform(sequence(1, length(text)), i -> substring(text, i, 1)) END")
+    def kOf(c: Column) = size(filter(col("cl"), x => x === c))
+    val term6 = (c: Column) =>
+      floor(kOf(c).cast("double") * log(kOf(c).cast("double")) * 1e6 + 0.5).cast("long")
+    d.select(col("doc_id"), chars.as("cl"))
+      .withColumn("n", size(col("cl")))
+      .withColumn("dist", array_distinct(col("cl")))
+      .select(
+        col("doc_id"),
+        col("n").as("n_chars"),
+        size(col("dist")).as("n_distinct_chars"),
+        when(col("n") > 0,
+          floor(array_max(transform(col("dist"), c => kOf(c))).cast("double")
+            / col("n") * 1e6 + 0.5) / 1e6).otherwise(lit(0.0)).as("max_char_ratio"),
+        when(col("n") > 0,
+          floor((log(col("n").cast("double")) -
+            aggregate(transform(col("dist"), term6), lit(0L), (a, v) => a + v)
+              .cast("double") / 1e6 / col("n")) * 1e6 + 0.5) / 1e6)
+          .otherwise(lit(0.0)).as("entropy_nats"))
+  }
+
   /** Deterministic text normalization — the cleaning pass every corpus
     * pipeline runs before hashing and tokenization (dedup keys computed on
     * un-normalized text silently miss case/whitespace variants): non-
@@ -489,7 +532,8 @@ object TextOps {
     "text_repetition" -> (repetition _),
     "text_fingerprint" -> (fingerprint _),
     "text_perplexity" -> (perplexity _),
-    "text_perplexity_bucket" -> (perplexityBucket _))
+    "text_perplexity_bucket" -> (perplexityBucket _),
+    "text_entropy" -> (entropy _))
 
   private def sqlIn(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ", ", ")")
   private def scoreSql(words: Seq[String]) =
@@ -558,6 +602,13 @@ object TextOps {
       (s"SELECT doc_id, md5(text) AS content_md5, " +
         s"coalesce(list_min(list_transform($shinglesSql, x -> md5(x))), md5(text)) AS shingle_fp FROM documents"),
     "text_perplexity" -> perplexitySql,
+    "text_entropy" ->
+      ("SELECT doc_id, n AS n_chars, CAST(len(dist) AS INT) AS n_distinct_chars, " +
+        "CASE WHEN n > 0 THEN floor(CAST(list_max(list_transform(dist, c -> len(list_filter(cl, x -> x = c)))) AS DOUBLE) / n * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS max_char_ratio, " +
+        "CASE WHEN n > 0 THEN floor((ln(CAST(n AS DOUBLE)) - CAST(list_sum(list_transform(dist, " +
+        "c -> CAST(floor(len(list_filter(cl, x -> x = c)) * ln(CAST(len(list_filter(cl, x -> x = c)) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))) AS DOUBLE) / 1000000 / n) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS entropy_nats FROM " +
+        "(SELECT doc_id, CAST(len(cl) AS INT) AS n, list_distinct(cl) AS dist, cl FROM " +
+        "(SELECT doc_id, list_transform(generate_series(1, length(text)), i -> substr(text, i, 1)) AS cl FROM documents))"),
     "text_perplexity_bucket" ->
       (s"WITH ppl AS ($perplexitySql), " +
         "a AS (SELECT p.doc_id, d.lang, p.avg_nll, CAST(floor(p.avg_nll * 1000000 + 0.5) AS BIGINT) AS n6 " +
