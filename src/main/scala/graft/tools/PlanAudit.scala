@@ -23,6 +23,11 @@ object PlanAudit {
       "dedup_embedding" -> Dedup.embeddingNearDup(s, sf),
       "dedup_minhash_lsh" -> Dedup.minhashLsh(s, sf),
       "sim_ann_ivf" -> Similarity.annIvf(s, sf),
+      "sim_ann_ivfpq_rerank" -> Similarity.annIvfPqRerank(s, sf),
+      "text_perplexity_bucket" -> TextOps.perplexityBucket(s, sf),
+      "text_entropy" -> TextOps.entropy(s, sf),
+      "pipeline_mix_temperature" -> Pipeline.mixTemperature(s, sf),
+      "pipeline_mix_manifest" -> Pipeline.mixManifest(s, sf),
       "pipeline_decontaminate" -> Pipeline.decontaminate(s, sf))
     targets.foreach { case (name, df) =>
       println(s"\n========== $name")
