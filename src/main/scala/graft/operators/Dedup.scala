@@ -170,16 +170,44 @@ object Dedup {
     * the test corpora) that is every shared shingle, and for dense lists
     * the loss is exactly the near-zero-signal stopword shingles — jaccard
     * degrades toward a df-cut, never an OOM. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // Posting lists key on hash64(shingle), not the shingle string: the
-    // inverted index shuffles 8-byte longs — the ship-hashes-not-payloads
-    // rule the scale harness forced on minhashVerified (SCALE.md). The
-    // hash is the FULL 64-bit md5 half (not the 52-bit salting hash):
-    // these longs stand in for set elements, where a collision merges two
-    // distinct shingles and inflates the intersection — at web scale a
-    // 52-bit space collides routinely (and an intra-doc collision could
-    // even self-pair a document); 2^-64 per pair keeps the Jaccard exact
-    // modulo vanishing probability. The oracle hashes identically.
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    shingleInterPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+
+  /** Containment floor for [[containment]] — deliberately high: the rule
+    * exists for pairs where most of the SMALLER doc is shared. */
+  val ContainmentThreshold = 0.5
+
+  /** Containment-verified near-dup audit — the ASYMMETRIC companion to
+    * `dedup_ngram_jaccard` (the MassiveText/Gopher dedup family applies
+    * both): c = |A∩B| / min(|A|,|B|), so a short document quoted whole
+    * inside a much longer one scores c = 1 while its Jaccard vanishes as
+    * the long side grows (the subset-duplication case the symmetric ratio
+    * is structurally blind to; spec plants exactly that pair). Same
+    * verified-intersection engine, candidates, and salting — only the
+    * final ratio differs. */
+  def containment(s: SparkSession, dir: String): DataFrame =
+    shingleInterPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / least(col("na"), col("nb")), 4).as("containment"))
+      .filter(col("containment") >= ContainmentThreshold)
+
+  /** The shared verified-intersection engine behind `ngramJaccard` and
+    * `containment`: (doc_a, doc_b, na, nb, inter) for every candidate pair
+    * sharing >= 1 shingle (never all pairs).
+    *
+    * Posting lists key on hash64(shingle), not the shingle string: the
+    * inverted index shuffles 8-byte longs — the ship-hashes-not-payloads
+    * rule the scale harness forced on minhashVerified (SCALE.md). The
+    * hash is the FULL 64-bit md5 half (not the 52-bit salting hash):
+    * these longs stand in for set elements, where a collision merges two
+    * distinct shingles and inflates the intersection — at web scale a
+    * 52-bit space collides routinely (and an intra-doc collision could
+    * even self-pair a document); 2^-64 per pair keeps the ratios exact
+    * modulo vanishing probability. The oracle hashes identically. */
+  private def shingleInterPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = docs(s, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"),
@@ -192,7 +220,7 @@ object Dedup {
     // Inverted index: one shuffle of (shingle -> [docs]); pairs expand
     // within each (posting list, salt) group (sorted, so doc_a < doc_b by
     // construction), then one aggregation counts shared shingles per pair.
-    val pairs = sh.join(broadcast(dense), Seq("g"), "left")
+    sh.join(broadcast(dense), Seq("g"), "left")
       .withColumn("salt", pmod(hash52(col("doc_id")),
         coalesce(expr(s"(bn + ${MaxBucket - 1L}) DIV ${MaxBucket.toLong}"), lit(1L))))
       .groupBy("g", "salt")
@@ -202,10 +230,6 @@ object Dedup {
       .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         col("p.a.n").as("na"), col("p.b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
   }
 
   /** Near-dup cluster assignment: connected components over the MinHash-LSH
@@ -717,6 +741,7 @@ object Dedup {
     "dedup_simhash" -> (simhash _),
     "dedup_simhash_pairs" -> ((s: SparkSession, dir: String) => simhashPairs(s, dir)),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_containment" -> (containment _),
     "dedup_clusters" -> (clusterAssign _),
     "dedup_minhash_verified" -> (minhashVerified _),
     "dedup_survivors" -> (survivors _),
@@ -733,6 +758,20 @@ object Dedup {
 
   private val shinglesSql =
     "list_transform(generate_series(1, len(string_split(text, ' ')) - 2), i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))"
+
+  /** CTE chain ending in `pairs(doc_a, doc_b, inter, na, nb)` — the exact
+    * mirror of [[shingleInterPairs]], shared by the ngram_jaccard and
+    * containment oracles so the candidate/salting recipe cannot drift. */
+  private val shingleInterCtes: String =
+    s"sh AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +
+      s"ex AS (SELECT doc_id, n, ${graft.functions.hash64Sql("g")} AS g FROM " +
+      "(SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh WHERE len(sh) > 0)), " +
+      s"exs AS (SELECT doc_id, n, g, ${graft.functions.hash52Sql("doc_id")} % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
+      "FROM (SELECT doc_id, n, g, count(*) OVER (PARTITION BY g) AS bn FROM ex)), " +
+      "exc AS (SELECT doc_id, n, g, salt FROM (SELECT doc_id, n, g, salt, " +
+      s"count(*) OVER (PARTITION BY g, salt) AS gn FROM exs) WHERE gn <= ${2 * MaxBucket}), " +
+      "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb " +
+      "FROM exc a JOIN exc b ON a.g = b.g AND a.salt = b.salt AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)"
 
   /** Hex digits [from, from+16) of md5 expression `m` as a HUGEINT — the
     * big-endian 64-bit half MinHashSigExpr reads from the raw digest. */
@@ -933,17 +972,13 @@ object Dedup {
         s"shp AS (SELECT doc_id, ${simhashSignedSql("s")} AS h FROM raw), " +
         s"${hammingPairsCtes("shp")} $hammingPairsSelect"),
     "dedup_ngram_jaccard" ->
-      (s"WITH sh AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM documents WHERE len(string_split(text, ' ')) >= $ShingleN), " +
-        s"ex AS (SELECT doc_id, n, ${graft.functions.hash64Sql("g")} AS g FROM " +
-        "(SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh WHERE len(sh) > 0)), " +
-        s"exs AS (SELECT doc_id, n, g, ${graft.functions.hash52Sql("doc_id")} % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
-        "FROM (SELECT doc_id, n, g, count(*) OVER (PARTITION BY g) AS bn FROM ex)), " +
-        "exc AS (SELECT doc_id, n, g, salt FROM (SELECT doc_id, n, g, salt, " +
-        s"count(*) OVER (PARTITION BY g, salt) AS gn FROM exs) WHERE gn <= ${2 * MaxBucket}), " +
-        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb " +
-        "FROM exc a JOIN exc b ON a.g = b.g AND a.salt = b.salt AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
+      (s"WITH $shingleInterCtes " +
         s"SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard FROM pairs " +
         s"WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= $JaccardThreshold"),
+    "dedup_containment" ->
+      (s"WITH $shingleInterCtes " +
+        s"SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / least(na, nb), 4) AS containment FROM pairs " +
+        s"WHERE round(CAST(inter AS DOUBLE) / least(na, nb), 4) >= $ContainmentThreshold"),
     "dedup_semantic" ->
       (s"WITH RECURSIVE $semanticLabCtes " +
         "SELECT sem_id AS vec_id, count(*) AS n_repr FROM lab GROUP BY sem_id"),

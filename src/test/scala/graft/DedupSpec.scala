@@ -159,6 +159,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment flags the subset-duplication pair that Jaccard is blind to") {
+    // doc 2 is doc 1's 10-word span quoted whole inside 72 extra words:
+    // containment = 1.0 (every shingle of the small doc is shared) while
+    // jaccard = 8/78 ≈ 0.10 sits under the 0.2 gate. doc 3 is unrelated.
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    val s = spark
+    import s.implicits._
+    val span = (0 until 10).map(i => s"quoted$i").mkString(" ")
+    val long = ((0 until 36).map(i => s"pre$i") ++ Seq(span) ++
+      (0 until 36).map(i => s"post$i")).mkString(" ")
+    Seq((1L, "src0", span), (2L, "src0", long),
+        (3L, "src0", (0 until 20).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cont = Dedup.containment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont == Map((1L, 2L) -> 1.0),
+      s"containment must flag exactly the planted subset pair: $cont")
+    val jac = pairs(Dedup.ngramJaccard(spark, dir))
+    assert(!jac.contains((1L, 2L)),
+      "the planted pair must sit BELOW the symmetric jaccard gate — " +
+        "otherwise this spec no longer demonstrates the asymmetric rule")
+  }
+
   test("degenerate embedding corpus: a dense label salts into bounded md5-hash groups") {
     // 600 identical vectors under ONE label: unsalted, that block is a
     // 600*599/2-pair quadratic wherever the label lands. The gated path
