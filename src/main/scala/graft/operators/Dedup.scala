@@ -451,6 +451,42 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** Signature-agreement Jaccard ESTIMATE per LSH candidate pair — the
+    * component-match estimator deployments run when even candidate-bounded
+    * exact verification is too expensive: with k independent min-wise
+    * hashes, P[sig_a[i] = sig_b[i]] = J(a,b), so matches/k is an unbiased
+    * estimate of the true Jaccard (Broder 1997, "On the resemblance and
+    * containment of documents") whose error is the binomial
+    * sqrt(J(1-J)/k). Where `minhashVerified` ships each candidate's full
+    * distinct-shingle hash set, this ships only the k-long signature the
+    * LSH pass already computed — per-candidate cost is O(k), independent
+    * of document length, which at 100 TB is the difference between
+    * re-touching document content and never reading it again (the same
+    * signatures could be served from the persisted `lshIndexOf` parquet).
+    * The spec asserts the binomial error band against the exact verified
+    * Jaccard on the shared candidate set. */
+  def minhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    val p = minhashLsh(s, dir).localCheckpoint()
+    val candIds = p.select(col("doc_a").as("doc_id"))
+      .unionAll(p.select(col("doc_b").as("doc_id"))).distinct()
+    // Semi-join reduction first, as in minhashVerified: only candidate
+    // documents' signatures materialize and shuffle.
+    val sigs = docs(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        ShingleExpressions.minhashSig(col("text"), MinhashPerms, ShingleN).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .join(candIds, Seq("doc_id"), "left_semi")
+    val matches = aggregate(
+      zip_with(col("siga"), col("sigb"), (x, y) => (x === y).cast("int")),
+      lit(0), (a, v) => a + v)
+    p.join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), matches.as("m"))
+      .select(col("doc_a"), col("doc_b"), col("m").cast("int").as("n_match"),
+        round(col("m").cast("double") / MinhashPerms, 4).as("est_jaccard"))
+  }
+
   /** End-to-end dedup: the surviving corpus after exact AND near-dup
     * removal — one row per kept (canonical) document with the number of
     * documents it represents. Edges = VERIFIED near-dup pairs (exact
@@ -744,6 +780,7 @@ object Dedup {
     "dedup_containment" -> (containment _),
     "dedup_clusters" -> (clusterAssign _),
     "dedup_minhash_verified" -> (minhashVerified _),
+    "dedup_minhash_estimate" -> (minhashEstimate _),
     "dedup_survivors" -> (survivors _),
     "dedup_incremental" -> (incremental _),
     "dedup_incremental_lsh" -> (incrementalLsh _),
@@ -959,6 +996,13 @@ object Dedup {
         "(len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh))), 4) AS jaccard " +
         "FROM cand c JOIN shd a ON a.doc_id = c.doc_a JOIN shd b ON b.doc_id = c.doc_b) " +
         s"WHERE jaccard >= $JaccardThreshold"),
+    "dedup_minhash_estimate" ->
+      (s"WITH $lshCtes, cand AS ($lshPairsSelect), " +
+        "m AS (SELECT c.doc_a, c.doc_b, sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS nm " +
+        "FROM cand c JOIN banded a ON a.doc_id = c.doc_a " +
+        "JOIN banded b ON b.doc_id = c.doc_b AND b.band = a.band GROUP BY 1, 2) " +
+        s"SELECT doc_a, doc_b, CAST(nm AS INT) AS n_match, " +
+        s"round(CAST(nm AS DOUBLE) / $MinhashPerms, 4) AS est_jaccard FROM m"),
     "dedup_survivors" ->
       (s"WITH RECURSIVE $survivorLabCtes " +
         "SELECT cluster_id AS doc_id, count(*) AS n_repr FROM lab GROUP BY cluster_id"),

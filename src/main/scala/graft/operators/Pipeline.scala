@@ -342,6 +342,33 @@ object Pipeline {
       .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
   }
 
+  /** Per-semantic-cluster sample cap. 500 test vectors over 8 clusters
+    * average ~62 members, so 20 genuinely discriminates; a deployment
+    * sizes this as target_corpus / n_clusters. */
+  val StratifiedCap = 20
+
+  /** Cluster-stratified diversity sample: at most [[StratifiedCap]]
+    * embeddings per learned semantic cluster, members chosen by
+    * deterministic md5 rank — the cluster-balanced selection step of
+    * pruning pipelines (Sorscher et al. 2022 prune within clusters;
+    * DeepCore-style coreset builds stratify across them): dense clusters
+    * stop dominating the training mix while every cluster keeps
+    * representation, and the md5 order makes the draw uniform-at-random
+    * yet reproducible. Clusters come from the persisted ANN model
+    * (AnnModels — no retraining here), and the per-cluster selection runs
+    * through the TopKPerKey bounded-heap plan: each task keeps at most
+    * `cap` rows per cluster and the shuffle carries only those survivors —
+    * never a `row_number() OVER (PARTITION BY cent_id)` window, whose
+    * sort would buffer the densest cluster on one task at corpus scale. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val (assign, _) = Similarity.ivfParts(s, dir)
+    val ranked = assign.select(col("vec_id"), col("cent_id"),
+      graft.functions.hash52(col("vec_id")).as("rk"))
+    graft.plans.TopKPerKey.topKPerKey(
+        ranked, Seq("cent_id"), Seq(col("rk").asc, col("vec_id").asc), StratifiedCap)
+      .select(col("cent_id"), col("vec_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> (curate _),
     "pipeline_curate_model" -> (curateModel _),
@@ -354,6 +381,7 @@ object Pipeline {
     "pipeline_pack_bpe" -> (packBpe _),
     "pipeline_shard" -> ((s: SparkSession, dir: String) => shard(s, dir)),
     "pipeline_sample_weighted" -> (sampleWeighted _),
+    "pipeline_sample_stratified" -> (sampleStratified _),
     "pipeline_mix_temperature" -> (mixTemperature _),
     "pipeline_mix_manifest" -> (mixManifest _))
 
@@ -415,6 +443,12 @@ object Pipeline {
         s"CASE WHEN $bucket < 20 + 3 * (CAST(substr(source, 4) AS INT) % 7) THEN 1 ELSE 0 END AS kept " +
         "FROM documents) GROUP BY source, rate"
     },
+    "pipeline_sample_stratified" ->
+      (s"WITH ${Similarity.ivfAssignCtes}, " +
+        s"r AS (SELECT vec_id, cent_id, ${graft.functions.hash52Sql("vec_id")} AS rk FROM assign), " +
+        "rn AS (SELECT vec_id, cent_id, row_number() OVER " +
+        "(PARTITION BY cent_id ORDER BY rk, vec_id) AS rn FROM r) " +
+        s"SELECT cent_id, vec_id FROM rn WHERE rn <= $StratifiedCap"),
     "pipeline_curate_semantic" ->
       (s"WITH RECURSIVE ${Dedup.semanticLabCtes}, " +
         s"${Dedup.semanticKeepCte}, " +

@@ -110,6 +110,67 @@ object TextOps {
         .otherwise(lit(0.0)))
   }
 
+  /** Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Appendix A1.1) —
+    * the canonical heuristic document-quality battery production corpora
+    * (MassiveText, Dolma, FineWeb) gate on. Thresholds are the paper's. */
+  val GopherStop: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinStopHits = 2
+
+  /** The Gopher quality-rule battery: every rule evaluated per document in
+    * ONE shuffle-free codegen pass, each as a 0/1 flag plus the composite
+    * keep — pipelines gate on `keep` but audit per-rule pass rates, so the
+    * flags are first-class columns. Every threshold comparison is EXACT
+    * integer arithmetic (3*totlen <= 10*n, never totlen/n <= 10.0): ratio
+    * rules hold bit-identically in any engine, no rounding boundary to
+    * drift on. On this corpus ([a-z ] single-line text) the symbol, alpha,
+    * bullet and ellipsis rules pass trivially — they are computed
+    * faithfully, not stubbed, and discriminate on any richer corpus; the
+    * word-count, mean-word-length and stopword rules do the discriminating
+    * here. Rules, per the paper: word count in [50, 100k]; mean word
+    * length in [3, 10]; symbol-to-word ratio ('#' or '...') <= 0.1; >= 80%
+    * of words contain an alphabetic char; >= 2 distinct stopword hits;
+    * < 90% of lines bullet-started; <= 30% of lines ellipsis-ended. */
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(docs(s, dir))
+
+  private[graft] def gopherRulesOf(d: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val lines = split(col("text"), "\n", -1)
+    def b(c: Column): Column = c.cast("int")
+    val noHash = call_function("replace", col("text"), lit("#"), lit(""))
+    val noEll = call_function("replace", col("text"), lit("..."), lit(""))
+    d
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n"),
+        aggregate(transform(toks, t => length(t)), lit(0L), (a, v) => a + v).as("totlen"),
+        (length(col("text")) - length(noHash) +
+          (length(col("text")) - length(noEll)) / 3).cast("long").as("nsym"),
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("nalpha"),
+        size(array_intersect(array_distinct(toks),
+          array(GopherStop.map(lit): _*))).as("nstop"),
+        size(lines).cast("long").as("nlines"),
+        size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ")))
+          .cast("long").as("nbullet"),
+        size(filter(lines, l => l.endsWith("..."))).cast("long").as("nelline"))
+      .select(col("doc_id"),
+        col("n").cast("int").as("n_words"),
+        (floor(col("totlen").cast("double") / col("n") * 1e4 + 0.5) / 1e4).as("mean_word_len"),
+        col("nstop").cast("int").as("n_stop_hits"),
+        b(col("n") >= GopherMinWords && col("n") <= GopherMaxWords).as("r_word_count"),
+        b(lit(3) * col("n") <= col("totlen") && col("totlen") <= lit(10) * col("n")).as("r_mean_len"),
+        b(lit(10) * col("nsym") <= col("n")).as("r_symbol"),
+        b(lit(5) * col("nalpha") >= lit(4) * col("n")).as("r_alpha"),
+        b(col("nstop") >= GopherMinStopHits).as("r_stop"),
+        b(lit(10) * col("nbullet") < lit(9) * col("nlines")).as("r_bullet"),
+        b(lit(10) * col("nelline") <= lit(3) * col("nlines")).as("r_ellipsis"))
+      .withColumn("keep",
+        b(Seq("r_word_count", "r_mean_len", "r_symbol", "r_alpha", "r_stop",
+          "r_bullet", "r_ellipsis").map(col(_) === 1).reduce(_ && _)))
+  }
+
   /** PII patterns shared verbatim with the SQL oracle — RE2 ∩ Java syntax
     * only (char classes, bounded repeats, \b), so both engines compile them
     * identically. */
@@ -229,14 +290,127 @@ object TextOps {
   /** SQL mirror of [[bpeCount]] over a text column expression — the same
     * merge table unrolled into the same replace chain, so token counts are
     * oracle-replayable bit for bit. */
-  def bpeCountSql(textCol: String): String = {
+  /** The fold's merged boundary-wrapped symbol string of one word `w` —
+    * shared by the count and encode oracles. */
+  private def bpeMergedSql: String = {
     val seeded = s"regexp_replace(w, '(.)', '$BpeOpen\\1$BpeClose', 'g')"
-    val merged = BpeMerges.foldLeft(seeded) { case (c, (a, b)) =>
+    BpeMerges.foldLeft(seeded) { case (c, (a, b)) =>
       s"replace($c, '$BpeOpen$a$BpeClose$BpeOpen$b$BpeClose', '$BpeOpen$a$b$BpeClose')"
     }
-    s"CAST(list_sum(list_transform(string_split($textCol, ' '), " +
-      s"w -> length($merged) - length(replace($merged, '$BpeClose', '')))) AS BIGINT)"
   }
+
+  def bpeCountSql(textCol: String): String =
+    s"CAST(list_sum(list_transform(string_split($textCol, ' '), " +
+      s"w -> length($bpeMergedSql) - length(replace($bpeMergedSql, '$BpeClose', '')))) AS BIGINT)"
+
+  /** SQL mirror of [[bpeTrain]]: the k-iteration training loop UNROLLED
+    * into CTE chains (vocab_i → pair-counts_i → argmax_i → vocab_{i+1}),
+    * each step the same count/argmax/replace the Spark loop runs. DuckDB's
+    * generate_series(1, 0) is empty, so single-symbol words contribute no
+    * pairs without an explicit guard; the 1-row argmax CTE cross-joins
+    * into the next vocab, and an exhausted pair space (empty argmax)
+    * empties every later CTE — exactly the Spark loop's early break. */
+  // lazy: references BpeTrainMerges, declared further down the object
+  private lazy val bpeTrainSql: String = {
+    val seed = "v0 AS (SELECT count(*) AS f, " +
+      s"regexp_replace(w, '(.)', '$BpeOpen\\1$BpeClose', 'g') AS s " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w)"
+    val steps = (1 to BpeTrainMerges).map { i =>
+      s"sy$i AS (SELECT f, regexp_extract_all(s, '\\|([^;]*);', 1) AS syms FROM v${i - 1}), " +
+        s"pe$i AS (SELECT unnest(list_transform(generate_series(1, len(syms) - 1), " +
+        s"j -> {'a': syms[j], 'b': syms[j + 1], 'f': f})) AS pr FROM sy$i), " +
+        s"pc$i AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(pr.f) AS BIGINT) AS cnt FROM pe$i GROUP BY 1, 2), " +
+        s"b$i AS (SELECT a, b, cnt FROM pc$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1), " +
+        s"v$i AS (SELECT f, replace(s, '$BpeOpen' || a || '$BpeClose$BpeOpen' || b || '$BpeClose', " +
+        s"'$BpeOpen' || a || b || '$BpeClose') AS s FROM v${i - 1} CROSS JOIN b$i)"
+    }
+    val out = (1 to BpeTrainMerges).map { i =>
+      s"SELECT CAST($i AS INT) AS rank, a AS lhs, b AS rhs, cnt AS pair_count FROM b$i"
+    }.mkString(" UNION ALL ")
+    s"WITH $seed, ${steps.mkString(", ")} $out"
+  }
+
+  /** Number of merge rules `text_bpe_train` learns. 8 keeps the unrolled
+    * SQL oracle tractable; the algorithm is iteration-count-agnostic (a
+    * deployment runs ~50k, each iteration VOCAB-sized, not corpus-sized). */
+  val BpeTrainMerges = 8
+
+  /** BPE merge-table TRAINING (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units", learn_bpe): starting
+    * from character symbols, repeatedly count adjacent-symbol pairs across
+    * the corpus and merge the most frequent pair — the loop that PRODUCES
+    * the rank-ordered tables [[bpeCount]] encodes with (training emits
+    * rules in rank order, so its output satisfies the operands-exist-first
+    * invariant the encoder relies on by construction; spec-asserted, and
+    * the trained table feeds BpeExpressions.bpeCount directly).
+    *
+    * 100 TB shape: the corpus is touched ONCE (word-frequency aggregate);
+    * every iteration then runs on the VOCAB relation (distinct words ×
+    * symbol strings, millions of rows at web scale, never corpus-sized) —
+    * pair counts are a vocab-sized aggregate, the argmax is a sort-limit-1
+    * on the even smaller pair-count relation, and the driver sees exactly
+    * ONE row per iteration (the winning pair — the same scalar-only
+    * driver-interaction rule as ccLabels' convergence probe). The merge
+    * apply is one builtin `replace` over the boundary-wrapped symbol
+    * string ([[BpeOpen]]/[[BpeClose]] delimiters, exactly the encoder's
+    * representation); `localCheckpoint` truncates the k-iteration lineage.
+    * No word-end marker, matching this repo's encoder formulation.
+    * Overlapping pair occurrences all count ("aaa" contributes (a,a)
+    * twice), as in the reference implementation; the merge APPLY is
+    * greedy left-to-right non-overlapping — both mirrored by the oracle. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrainOn(docs(s, dir), BpeTrainMerges)
+
+  private[graft] def bpeTrainOn(d: DataFrame, k: Int): DataFrame = {
+    val spark = d.sparkSession
+    var vocab = d
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(col("f"), regexp_replace(col("w"), "(.)", s"\\$BpeOpen$$1$BpeClose").as("s"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    var rank = 1
+    while (rank <= k && !done) {
+      val syms = regexp_extract_all(col("s"), lit("\\|([^;]*);"), lit(1))
+      val prs = when(size(syms) > 1,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val best = vocab
+        .select(col("f"), explode(prs).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, a, b, cnt))
+        vocab = vocab.select(col("f"),
+          call_function("replace", col("s"),
+            lit(s"$BpeOpen$a$BpeClose$BpeOpen$b$BpeClose"),
+            lit(s"$BpeOpen$a$b$BpeClose")).as("s"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** BPE ENCODING — the materialized tokenizer output (the flat
+    * space-joined symbol stream a training pipeline actually writes, not
+    * just its length): one native expression pass
+    * (graft.functions.BpeEncodeExpr — same coder, rank map and codegen
+    * shape as the count expression), shuffle-free at any scale. The count
+    * column is the count expression over the same text, so
+    * n_bpe = len(tokens(bpe_text)) by construction (spec-asserted). */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      BpeExpressions.bpeEncode(col("text"), BpeMerges).as("bpe_text"),
+      bpeCount(col("text")).as("n_bpe"))
 
   /** Token counting: whitespace tokens, BPE-ish regex token count
     * (letter runs | digit runs | single punctuation), and the REAL
@@ -526,7 +700,10 @@ object TextOps {
     "text_langid_confusion" -> (langidConfusion _),
     "text_tfidf" -> (tfidf _),
     "text_quality" -> (quality _),
+    "text_gopher_rules" -> (gopherRules _),
     "text_tokens" -> (tokens _),
+    "text_bpe_train" -> (bpeTrain _),
+    "text_bpe_encode" -> (bpeEncode _),
     "text_pii" -> (pii _),
     "text_pii_redact" -> (piiRedact _),
     "text_repetition" -> (repetition _),
@@ -569,6 +746,7 @@ object TextOps {
         "SELECT lang, pred_lang, n_docs, " +
         "floor(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang) * 1000000 + 0.5) / 1000000 AS label_share FROM cells"),
     "text_quality" -> qualitySql,
+    "text_gopher_rules" -> gopherSql,
     "text_quality_model" -> qualityModelSql,
     "text_normalize" ->
       ("SELECT doc_id, cleaned AS text_norm, " +
@@ -580,6 +758,15 @@ object TextOps {
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe, " +
         s"${bpeCountSql("text")} AS n_bpe_real FROM documents"),
+    "text_bpe_train" -> bpeTrainSql,
+    "text_bpe_encode" ->
+      // Per word: fold-merge, strip the open delimiter, close -> space,
+      // trim — "|th;|e;" becomes "th e"; empty words (absent here, but
+      // split can produce them) are dropped on both sides.
+      ("SELECT doc_id, array_to_string(list_transform(" +
+        "list_filter(string_split(text, ' '), w -> length(w) > 0), " +
+        s"w -> trim(replace(replace($bpeMergedSql, '$BpeOpen', ''), '$BpeClose', ' '))), ' ') AS bpe_text, " +
+        s"${bpeCountSql("text")} AS n_bpe FROM documents"),
     "text_pii" -> {
       // Built from the SAME PiiPatterns constants the Spark plan compiles.
       val cnt = PiiPatterns.map { case (n, p) => s"CAST(len(regexp_extract_all(text, '$p')) AS INT) AS $n" }
@@ -622,6 +809,38 @@ object TextOps {
         "SELECT a.doc_id, a.lang, a.avg_nll, " +
         "CASE WHEN a.n6 <= t.t1 THEN 'head' WHEN a.n6 <= t.t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket " +
         "FROM a JOIN thr t ON a.lang = t.lang"))
+
+  /** SQL mirror of [[gopherRules]]: the same integer-arithmetic rule
+    * conditions over the same raw counts, built from one shared condition
+    * list so Spark flags and oracle flags can never drift. */
+  private val gopherSql: String = {
+    val rules = Seq(
+      "r_word_count" -> s"n >= $GopherMinWords AND n <= $GopherMaxWords",
+      "r_mean_len" -> "3 * n <= totlen AND totlen <= 10 * n",
+      "r_symbol" -> "10 * nsym <= n",
+      "r_alpha" -> "5 * nalpha >= 4 * n",
+      "r_stop" -> s"nstop >= $GopherMinStopHits",
+      "r_bullet" -> "10 * nbullet < 9 * nlines",
+      "r_ellipsis" -> "10 * nelline <= 3 * nlines")
+    val flags = rules.map { case (nm, c) => s"CASE WHEN $c THEN 1 ELSE 0 END AS $nm" }
+    val keep = rules.map { case (_, c) => s"($c)" }.mkString(" AND ")
+    "SELECT doc_id, CAST(n AS INT) AS n_words, " +
+      "floor(CAST(totlen AS DOUBLE) / n * 10000 + 0.5) / 10000 AS mean_word_len, " +
+      "CAST(nstop AS INT) AS n_stop_hits, " +
+      flags.mkString(", ") + ", " +
+      s"CASE WHEN $keep THEN 1 ELSE 0 END AS keep FROM " +
+      "(SELECT doc_id, len(toks) AS n, " +
+      "list_sum(list_transform(toks, t -> length(t))) AS totlen, " +
+      "length(text) - length(replace(text, '#', '')) + " +
+      "(length(text) - length(replace(text, '...', ''))) // 3 AS nsym, " +
+      "len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS nalpha, " +
+      s"len(list_filter(list_distinct(toks), t -> t IN ${sqlIn(GopherStop)})) AS nstop, " +
+      "len(lines) AS nlines, " +
+      "len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS nbullet, " +
+      "len(list_filter(lines, l -> ends_with(l, '...'))) AS nelline FROM " +
+      "(SELECT doc_id, text, string_split(text, ' ') AS toks, " +
+      "string_split(text, chr(10)) AS lines FROM documents))"
+  }
 
   private val qualitySql: String =
     "SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, " +

@@ -76,6 +76,53 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrain reproduces hand-computed Sennrich merges on a toy corpus") {
+    // vocab: aaab f=2, ab f=1.
+    //  iter1 pairs: (a,a)=4 [two per aaab], (a,b)=3       -> merge (a,a)
+    //  iter2: aaab=|aa;|a;|b; -> (aa,a)=2, (a,b)=2+1=3    -> merge (a,b)
+    //  iter3: aaab=|aa;|ab;   -> (aa,ab)=2                -> merge (aa,ab)
+    //  iter4: no adjacent pairs left -> early stop at 3 of 8 rules
+    val toy = Seq((0L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrainOn(toy, 8).orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
+  }
+
+  test("trained merges satisfy the operand invariant and drive the native encoder") {
+    val merges = TextOps.bpeTrain(spark, sf).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size == TextOps.BpeTrainMerges)
+    // Training emits rules in rank order, so every operand is a raw char
+    // or the product of an EARLIER rule — the exact invariant the
+    // rank-ordered encoder relies on (see BpeCoder's scaladoc).
+    val products = scala.collection.mutable.Set.empty[String]
+    merges.foreach { case (a, b) =>
+      assert(a.length == 1 || products.contains(a), s"left operand $a unseen")
+      assert(b.length == 1 || products.contains(b), s"right operand $b unseen")
+      products += (a + b)
+    }
+    // The trained table slots straight into the native encoder and matches
+    // the independent fold replay — train and encode are one ecosystem.
+    Seq("the", "lower", "window", "scan", "partition").foreach { w =>
+      assert(new BpeCoder(merges).countWord(w) == foldReference(w, merges))
+    }
+  }
+
+  test("bpe encode emits the token stream whose length is the count") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select(TextOps.bpeCount(col("text")).as("n"),
+        BpeExpressions.bpeEncode(col("text"), TextOps.BpeMerges).as("t"))
+    assert(d.count() > 0)
+    assert(d.filter(size(split(col("t"), " ")) =!= col("n")).count() == 0,
+      "token stream length must equal the count expression")
+    // hand case under the toy table: t+h, th+e make "the" one symbol;
+    // t+h, i+n, in+g leave "thing" as [th, ing]
+    val one = Seq("the thing").toDF("text")
+      .select(BpeExpressions.bpeEncode(col("text"), TextOps.BpeMerges))
+      .head().getString(0)
+    assert(one == "the th ing")
+  }
+
   test("native BPE splits like split(text, ' ') — empty tokens count zero") {
     val got = Seq("the  and", " the", "the ", "")
       .toDF("text").select(TextOps.bpeCount(col("text")).as("n"))

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.ShingleExpressions
+import graft.operators.{AnnModels, Dedup, Pipeline, TextOps}
+
+/** Round-7 curation operators: the Gopher rule battery's rule-level
+  * separation on crafted documents, the MinHash signature-agreement
+  * estimator's binomial error band against exact Jaccard, and stratified
+  * sampling's equivalence to the window formulation it replaces (the
+  * TopKPerKey bounded-heap plan must select EXACTLY the rows a
+  * row_number-over-cluster window would, without that window's
+  * one-task-per-dense-cluster sort). */
+class CurationOpsSpec extends SparkSpec {
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  test("gopher battery separates crafted good and bad documents rule by rule") {
+    val good = ("the of and that be to have with " * 8).trim
+    val docs = Seq(
+      (0L, good),                                                  // passes all rules
+      (1L, "the of and"),                                          // too few words
+      (2L, ("a b c d " * 20).trim),                                // mean word length < 3
+      (3L, good + " " + ("# " * 30).trim),                         // symbol-heavy
+      (4L, ("table scan row " * 20).trim),                         // no Gopher stopwords
+      (5L, "- one thing here\n- two thing here\n- three thing"),   // bullet lines
+      (6L, "it goes on...\nand on...\nalso on..."))                // ellipsis lines
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRulesOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getAs[Int]("keep") == 1, "the crafted good doc must pass")
+    val expectFail = Seq(1L -> "r_word_count", 2L -> "r_mean_len", 3L -> "r_symbol",
+      4L -> "r_stop", 5L -> "r_bullet", 6L -> "r_ellipsis")
+    expectFail.foreach { case (id, rule) =>
+      assert(got(id).getAs[Int](rule) == 0, s"doc $id must fail $rule")
+      assert(got(id).getAs[Int]("keep") == 0, s"doc $id must not pass the composite")
+    }
+  }
+
+  test("minhash estimate: 1.0 on identical docs, binomial band vs exact Jaccard") {
+    val est = Dedup.minhashEstimate(spark, sf)
+    val shd = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        array_distinct(ShingleExpressions.shingles(col("text"), Dedup.ShingleN)).as("sh"))
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    val rows = est
+      .join(shd.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(shd.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .select(col("est_jaccard"),
+        (inter / (size(col("sha")) + size(col("shb")) - inter)).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (e, x) = (r.getDouble(0), r.getDouble(1))
+      assert(e >= 1.0 / Dedup.MinhashPerms && e <= 1.0, s"estimate $e out of range")
+      if (x == 1.0) assert(e == 1.0, "identical shingle sets must estimate 1.0")
+    }
+    val meanErr = rows.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).sum / rows.length
+    // k=8 binomial sd is <= 0.177; candidate selection biases low-J pairs
+    // upward, so the band is generous — but a broken estimator (shifted
+    // hashing, off-by-one band join) lands far outside it.
+    assert(meanErr <= 0.25, s"mean |estimate - exact| = $meanErr")
+  }
+
+  test("stratified sample equals the window formulation, capped per cluster") {
+    // Reference: the row_number window over the SAME assignment the
+    // operator reads (persisted centroids; ivfParts' exact tie-breaks).
+    val cent = AnnModels.ivfCentroids(spark, sf)
+    val assign = graft.sources.Tables.load(spark, sf, "embeddings")
+      .join(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        round(graft.functions.cosineSim(col("embedding"), col("cent_emb")), 4).as("ccos"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)))
+      .filter(col("arn") === 1)
+    val expected = assign
+      .withColumn("rk", graft.functions.hash52(col("vec_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cent_id")).orderBy(col("rk").asc, col("vec_id").asc)))
+      .filter(col("rn") <= Pipeline.StratifiedCap)
+      .select(col("cent_id"), col("vec_id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val got = Pipeline.sampleStratified(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == expected, "bounded-heap selection must match the window selection")
+    val perCluster = got.groupBy(_._1).view.mapValues(_.size)
+    assert(perCluster.values.forall(_ <= Pipeline.StratifiedCap))
+    assert(perCluster.values.exists(_ > 1), "sample should retain multiple members somewhere")
+  }
+}
