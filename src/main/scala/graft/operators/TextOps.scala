@@ -412,6 +412,64 @@ object TextOps {
       BpeExpressions.bpeEncode(col("text"), BpeMerges).as("bpe_text"),
       bpeCount(col("text")).as("n_bpe"))
 
+  /** The BPE VOCABULARY under [[BpeMerges]]: every base character the
+    * corpus contains plus every merge product, each with a deterministic
+    * integer id — the token→id table that makes the encoder a complete
+    * tokenizer (ids are what a training run consumes). Ids: characters
+    * sorted ascending get 0..n-1; merge products take n + rank - 1 in
+    * table order (first rank wins on duplicate products; products already
+    * present as characters are skipped) — STABLE under corpus growth of
+    * known characters, gap-tolerant rather than dense, so an id never
+    * silently changes meaning when a rule is edited. The char side is one
+    * distinct over the corpus alphabet (bounded by the charset, so the
+    * global rank window orders a handful of rows); the merge side is the
+    * table constant itself. */
+  def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chars = docs(s, dir)
+      .select(explode(split(regexp_replace(col("text"), " ", ""), "")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    val wChar = org.apache.spark.sql.expressions.Window.orderBy(col("token"))
+    val charIds = chars
+      .withColumn("token_id", (row_number().over(wChar) - 1).cast("int"))
+      .withColumn("kind", lit("char"))
+      .select(col("token_id"), col("token"), col("kind"))
+    val nc = chars.agg(count(lit(1)).as("nc"))
+    val prodIds = BpeMerges.zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a + b) }.toDF("rank", "token")
+      .groupBy(col("token")).agg(min(col("rank")).as("rank"))
+      .join(chars, Seq("token"), "left_anti")
+      .crossJoin(broadcast(nc))
+      .select((col("nc") + col("rank") - 1).cast("int").as("token_id"),
+        col("token"), lit("merge").as("kind"))
+    charIds.unionAll(prodIds)
+  }
+
+  /** Documents encoded to TOKEN IDS — the tensor-ready form a training
+    * run actually reads: the [[bpeEncode]] stream with each symbol mapped
+    * through [[bpeVocab]], emitted as a space-joined id sequence. The
+    * vocab is MODEL-sized (corpus alphabet + merge table — bounded by the
+    * charset, not the corpus), so it is materialized once on the driver
+    * and compiled into a literal map expression: the encode+lookup runs as
+    * ONE shuffle-free codegen pass over the scan, the same
+    * load-the-model-then-stream shape as the broadcast PQ lookup tables —
+    * never an explode-tokens-join-regroup, which would shuffle every token
+    * of a 100 TB corpus just to rebuild document order. Every token the
+    * encoder can emit is a corpus character or a merge product, so the
+    * lookup is total by construction (spec-asserted). */
+  def bpeIds(s: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeVocab(s, dir).select(col("token"), col("token_id")).collect()
+    val idMap = map(vocab.flatMap(r =>
+      Seq(lit(r.getString(0)), lit(r.getInt(1)))).toIndexedSeq: _*)
+    val toks = split(BpeExpressions.bpeEncode(col("text"), BpeMerges), " ")
+    docs(s, dir).select(
+      col("doc_id"),
+      array_join(transform(toks, t => element_at(idMap, t).cast("string")), " ")
+        .as("token_ids"),
+      size(toks).as("n_tokens"))
+  }
+
   /** Token counting: whitespace tokens, BPE-ish regex token count
     * (letter runs | digit runs | single punctuation), and the REAL
     * greedy-merge BPE count over [[BpeMerges]]. */
@@ -704,6 +762,8 @@ object TextOps {
     "text_tokens" -> (tokens _),
     "text_bpe_train" -> (bpeTrain _),
     "text_bpe_encode" -> (bpeEncode _),
+    "text_bpe_vocab" -> (bpeVocab _),
+    "text_bpe_ids" -> (bpeIds _),
     "text_pii" -> (pii _),
     "text_pii_redact" -> (piiRedact _),
     "text_repetition" -> (repetition _),
@@ -767,6 +827,20 @@ object TextOps {
         "list_filter(string_split(text, ' '), w -> length(w) > 0), " +
         s"w -> trim(replace(replace($bpeMergedSql, '$BpeOpen', ''), '$BpeClose', ' '))), ' ') AS bpe_text, " +
         s"${bpeCountSql("text")} AS n_bpe FROM documents"),
+    "text_bpe_vocab" -> bpeVocabSql,
+    "text_bpe_ids" ->
+      // Replay: encode (the fold chain), explode with positions, map each
+      // token through the vocab relation, reassemble in position order.
+      (s"WITH $bpeVocabCtes, " +
+        "enc AS (SELECT doc_id, string_split(array_to_string(list_transform(" +
+        "list_filter(string_split(text, ' '), w -> length(w) > 0), " +
+        s"w -> trim(replace(replace($bpeMergedSql, '$BpeOpen', ''), '$BpeClose', ' '))), ' '), ' ') AS toks FROM documents), " +
+        "tk AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), " +
+        "i -> {'pos': i, 't': toks[i]})) AS p FROM enc), " +
+        "j AS (SELECT tk.doc_id, tk.p.pos AS pos, v.token_id AS id FROM tk " +
+        "JOIN (SELECT token, token_id FROM cr UNION ALL SELECT token, token_id FROM pr) v ON v.token = tk.p.t) " +
+        "SELECT doc_id, array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ' ') AS token_ids, " +
+        "CAST(count(*) AS INT) AS n_tokens FROM j GROUP BY doc_id"),
     "text_pii" -> {
       // Built from the SAME PiiPatterns constants the Spark plan compiles.
       val cnt = PiiPatterns.map { case (n, p) => s"CAST(len(regexp_extract_all(text, '$p')) AS INT) AS $n" }
@@ -809,6 +883,26 @@ object TextOps {
         "SELECT a.doc_id, a.lang, a.avg_nll, " +
         "CASE WHEN a.n6 <= t.t1 THEN 'head' WHEN a.n6 <= t.t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket " +
         "FROM a JOIN thr t ON a.lang = t.lang"))
+
+  /** Shared CTEs of the vocab replay: corpus characters ranked ascending
+    * (cr), merge products id'd n + rank - 1 with duplicate/char products
+    * dropped (pr) — built from the same [[BpeMerges]] constant. */
+  private lazy val bpeVocabCtes: String = {
+    val values = BpeMerges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1}, '$a$b')" }.mkString(", ")
+    "c AS (SELECT DISTINCT unnest(list_transform(generate_series(1, length(ns)), " +
+      "i -> substr(ns, i, 1))) AS token FROM (SELECT replace(text, ' ', '') AS ns FROM documents)), " +
+      "cr AS (SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS INT) AS token_id, " +
+      "token, 'char' AS kind FROM c), " +
+      "nc AS (SELECT count(*) AS n FROM c), " +
+      s"m AS (SELECT * FROM (VALUES $values) AS t(rank, token)), " +
+      "prod AS (SELECT token, min(rank) AS rank FROM m GROUP BY token), " +
+      "pr AS (SELECT CAST(n + p.rank - 1 AS INT) AS token_id, p.token, 'merge' AS kind " +
+      "FROM prod p CROSS JOIN nc WHERE p.token NOT IN (SELECT token FROM c))"
+  }
+
+  private lazy val bpeVocabSql: String =
+    s"WITH $bpeVocabCtes SELECT * FROM cr UNION ALL SELECT * FROM pr"
 
   /** SQL mirror of [[gopherRules]]: the same integer-arithmetic rule
     * conditions over the same raw counts, built from one shared condition

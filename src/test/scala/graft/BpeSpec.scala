@@ -123,6 +123,25 @@ class BpeSpec extends SparkSpec {
     assert(one == "the th ing")
   }
 
+  test("vocab ids are unique and the id encoding round-trips the token stream") {
+    val vocab = TextOps.bpeVocab(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(vocab.map(_._1).distinct.length == vocab.length, "token ids must be unique")
+    assert(vocab.map(_._2).distinct.length == vocab.length, "tokens must be unique")
+    assert(vocab.exists(_._3 == "char") && vocab.exists(_._3 == "merge"))
+    val byId = vocab.map(t => t._1 -> t._2).toMap
+    val enc = TextOps.bpeEncode(spark, sf).select("doc_id", "bpe_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    TextOps.bpeIds(spark, sf).collect().foreach { r =>
+      val ids = r.getString(1).split(" ")
+      // totality: a missing vocab entry would null out and array_join
+      // would silently shorten the sequence
+      assert(ids.length == r.getInt(2), s"doc ${r.getLong(0)} dropped tokens")
+      assert(ids.map(s => byId(s.toInt)).mkString(" ") == enc(r.getLong(0)),
+        s"doc ${r.getLong(0)} id sequence must decode back to the token stream")
+    }
+  }
+
   test("native BPE splits like split(text, ' ') — empty tokens count zero") {
     val got = Seq("the  and", " the", "the ", "")
       .toDF("text").select(TextOps.bpeCount(col("text")).as("n"))
