@@ -369,6 +369,46 @@ object Pipeline {
       .select(col("cent_id"), col("vec_id"))
   }
 
+  /** Hash block width for the shuffle rank: top 24 bits of the 64-bit key
+    * (2^40 per block) — ~16M ordered blocks, so the offset histogram stays
+    * far smaller than the corpus while each block holds a bounded,
+    * uniform slice (md5 uniformity: no planner samples, no skew). */
+  val ShuffleBlock: Long = 1L << 40
+
+  /** Reproducible global SHUFFLE — the training-order permutation every
+    * pipeline applies before sharding/packing (sequential corpus order
+    * correlates adjacent examples; SGD wants them scattered): every doc
+    * gets a dense position 0..n-1 in md5-hash order, deterministic across
+    * re-runs, engines and partitionings — no RNG, no seed file.
+    *
+    * The rank is DISTRIBUTED, the same two-level recipe as
+    * `pipeline_shard`: never a global `row_number() OVER (ORDER BY hash)`
+    * (one task would sort the corpus) and never a sampled
+    * `repartitionByRange` (range bounds come from a sampling job —
+    * deterministic only per plan, and a second data pass). The 64-bit key
+    * truncation-divides into [[ShuffleBlock]] blocks — trunc-division is
+    * monotone, so block order refines key order and blocks are uniform by
+    * md5 construction; level 1 cumulates block counts over the block
+    * HISTOGRAM, level 2 ranks within a block (bounded, uniform window
+    * partitions), and the offset join lands on the window's own
+    * partitioning. Ties (64-bit collisions) break on doc_id inside the
+    * colliding block — a collision cannot straddle blocks. */
+  def shuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), graft.functions.hash64(col("doc_id")).as("h"))
+      .withColumn("blk", expr(s"h DIV $ShuffleBlock"))
+    val wBlk = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = d.groupBy("blk").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wBlk), lit(0L)))
+      .select(col("blk"), col("off"))
+    val wLocal = Window.partitionBy(col("blk")).orderBy(col("h"), col("doc_id"))
+    d.withColumn("lrn", row_number().over(wLocal).cast("long"))
+      .join(offs, Seq("blk"))
+      .select(col("doc_id"), (col("off") + col("lrn") - 1).as("shuffle_pos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> (curate _),
     "pipeline_curate_model" -> (curateModel _),
@@ -382,6 +422,7 @@ object Pipeline {
     "pipeline_shard" -> ((s: SparkSession, dir: String) => shard(s, dir)),
     "pipeline_sample_weighted" -> (sampleWeighted _),
     "pipeline_sample_stratified" -> (sampleStratified _),
+    "pipeline_shuffle" -> (shuffle _),
     "pipeline_mix_temperature" -> (mixTemperature _),
     "pipeline_mix_manifest" -> (mixManifest _))
 
@@ -443,6 +484,8 @@ object Pipeline {
         s"CASE WHEN $bucket < 20 + 3 * (CAST(substr(source, 4) AS INT) % 7) THEN 1 ELSE 0 END AS kept " +
         "FROM documents) GROUP BY source, rate"
     },
+    "pipeline_shuffle" ->
+      (s"SELECT doc_id, CAST(row_number() OVER (ORDER BY ${graft.functions.hash64Sql("doc_id")}, doc_id) - 1 AS BIGINT) AS shuffle_pos FROM documents"),
     "pipeline_sample_stratified" ->
       (s"WITH ${Similarity.ivfAssignCtes}, " +
         s"r AS (SELECT vec_id, cent_id, ${graft.functions.hash52Sql("vec_id")} AS rk FROM assign), " +

@@ -63,6 +63,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(meanErr <= 0.25, s"mean |estimate - exact| = $meanErr")
   }
 
+  test("shuffle positions are a dense permutation equal to the global-order reference") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    val n = d.count()
+    val got = Pipeline.shuffle(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    assert(got.values.toSeq.sorted == (0L until n), "positions must be dense 0..n-1")
+    val reference = d
+      .select(col("doc_id"), graft.functions.hash64(col("doc_id")).as("h"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("h"), col("doc_id"))) - 1)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2) - 0L)).toMap
+    assert(got == reference, "two-level rank must equal the single-window reference")
+  }
+
   test("stratified sample equals the window formulation, capped per cluster") {
     // Reference: the row_number window over the SAME assignment the
     // operator reads (persisted centroids; ivfParts' exact tie-breaks).

@@ -51,10 +51,38 @@ class PlansSpec extends SparkSpec {
     Seq(TextOps.langid(spark, sf), TextOps.quality(spark, sf),
       TextOps.tokens(spark, sf), TextOps.fingerprint(spark, sf),
       TextOps.repetition(spark, sf), TextOps.pii(spark, sf),
-      TextOps.piiRedact(spark, sf)).foreach { df =>
+      TextOps.piiRedact(spark, sf), TextOps.gopherRules(spark, sf),
+      TextOps.bpeEncode(spark, sf), TextOps.bpeIds(spark, sf)).foreach { df =>
       val p = plan(df)
       assert(!p.contains("Exchange"), s"unexpected shuffle in text op:\n$p")
     }
+  }
+
+  test("shuffle rank is two-level: block windows only, no range sampling, no global doc window") {
+    val p = plan(graft.operators.Pipeline.shuffle(spark, sf))
+    assert(!p.contains("rangepartitioning"),
+      s"shuffle must not rely on sampled range bounds:\n$p")
+    assert(p.contains("windowspecdefinition(blk#"),
+      s"local rank must partition by the hash block:\n$p")
+    // The only unpartitioned window is the block-histogram cumulation —
+    // it must sit above an aggregate, never over the raw doc relation.
+    val rawGlobalWindow = p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(h#") || l.contains("windowspecdefinition(doc_id#"))
+    assert(!rawGlobalWindow, s"global window over raw docs:\n$p")
+  }
+
+  test("stratified sample plans through TopKPerKey heaps, no cluster-keyed row window") {
+    val p = plan(graft.operators.Pipeline.sampleStratified(spark, sf))
+    assert(p.contains("TopKPerKey"),
+      s"per-cluster cap must run in the bounded-heap operator:\n$p")
+    // The only window allowed is the assignment argmax (partitioned by
+    // vec_id); a Window node over the CLUSTER key would buffer the densest
+    // cluster on one task — the exact plan the operator exists to avoid.
+    // (the assignment argmax window partitions by vec_id and only
+    // tie-breaks on cent_id — the partition key is windowspecdefinition's
+    // first argument)
+    val clusterWindow = p.contains("windowspecdefinition(cent_id#")
+    assert(!clusterWindow, s"row window over the cluster key:\n$p")
   }
 
   test("as-of join is a single window pass — exactly one shuffle") {
