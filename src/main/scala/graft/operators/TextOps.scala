@@ -130,9 +130,11 @@ object TextOps {
     * faithfully, not stubbed, and discriminate on any richer corpus; the
     * word-count, mean-word-length and stopword rules do the discriminating
     * here. Rules, per the paper: word count in [50, 100k]; mean word
-    * length in [3, 10]; symbol-to-word ratio ('#' or '...') <= 0.1; >= 80%
-    * of words contain an alphabetic char; >= 2 distinct stopword hits;
-    * < 90% of lines bullet-started; <= 30% of lines ellipsis-ended. */
+    * length in [3, 10]; symbol-to-word ratio <= 0.1 for EACH of '#' and
+    * '...' separately (the paper removes at "greater than 0.1 for either");
+    * >= 80% of words contain an alphabetic char; >= 2 distinct stopword
+    * hits; <= 90% of lines bullet-started (removal only at MORE than 90%);
+    * <= 30% of lines ellipsis-ended. */
   def gopherRules(s: SparkSession, dir: String): DataFrame =
     gopherRulesOf(docs(s, dir))
 
@@ -146,8 +148,8 @@ object TextOps {
       .select(col("doc_id"),
         size(toks).cast("long").as("n"),
         aggregate(transform(toks, t => length(t)), lit(0L), (a, v) => a + v).as("totlen"),
-        (length(col("text")) - length(noHash) +
-          (length(col("text")) - length(noEll)) / 3).cast("long").as("nsym"),
+        (length(col("text")) - length(noHash)).cast("long").as("nhash"),
+        ((length(col("text")) - length(noEll)) / 3).cast("long").as("nell"),
         size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("nalpha"),
         size(array_intersect(array_distinct(toks),
           array(GopherStop.map(lit): _*))).as("nstop"),
@@ -161,10 +163,10 @@ object TextOps {
         col("nstop").cast("int").as("n_stop_hits"),
         b(col("n") >= GopherMinWords && col("n") <= GopherMaxWords).as("r_word_count"),
         b(lit(3) * col("n") <= col("totlen") && col("totlen") <= lit(10) * col("n")).as("r_mean_len"),
-        b(lit(10) * col("nsym") <= col("n")).as("r_symbol"),
+        b(lit(10) * col("nhash") <= col("n") && lit(10) * col("nell") <= col("n")).as("r_symbol"),
         b(lit(5) * col("nalpha") >= lit(4) * col("n")).as("r_alpha"),
         b(col("nstop") >= GopherMinStopHits).as("r_stop"),
-        b(lit(10) * col("nbullet") < lit(9) * col("nlines")).as("r_bullet"),
+        b(lit(10) * col("nbullet") <= lit(9) * col("nlines")).as("r_bullet"),
         b(lit(10) * col("nelline") <= lit(3) * col("nlines")).as("r_ellipsis"))
       .withColumn("keep",
         b(Seq("r_word_count", "r_mean_len", "r_symbol", "r_alpha", "r_stop",
@@ -462,7 +464,13 @@ object TextOps {
     val vocab = bpeVocab(s, dir).select(col("token"), col("token_id")).collect()
     val idMap = map(vocab.flatMap(r =>
       Seq(lit(r.getString(0)), lit(r.getInt(1)))).toIndexedSeq: _*)
-    val toks = split(BpeExpressions.bpeEncode(col("text"), BpeMerges), " ")
+    // Empty-document guard: an encode of "" must yield ZERO tokens (split
+    // would yield [""], inflating n_tokens to 1 with a null id silently
+    // dropped by array_join — the oracle's left join emits 0, so the
+    // Spark side must too).
+    val enc = BpeExpressions.bpeEncode(col("text"), BpeMerges)
+    val toks = when(length(enc) > 0, split(enc, " "))
+      .otherwise(array().cast("array<string>"))
     docs(s, dir).select(
       col("doc_id"),
       array_join(transform(toks, t => element_at(idMap, t).cast("string")), " ")
@@ -838,9 +846,14 @@ object TextOps {
         "tk AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), " +
         "i -> {'pos': i, 't': toks[i]})) AS p FROM enc), " +
         "j AS (SELECT tk.doc_id, tk.p.pos AS pos, v.token_id AS id FROM tk " +
-        "JOIN (SELECT token, token_id FROM cr UNION ALL SELECT token, token_id FROM pr) v ON v.token = tk.p.t) " +
-        "SELECT doc_id, array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ' ') AS token_ids, " +
-        "CAST(count(*) AS INT) AS n_tokens FROM j GROUP BY doc_id"),
+        "JOIN (SELECT token, token_id FROM cr UNION ALL SELECT token, token_id FROM pr) v ON v.token = tk.p.t), " +
+        "agg AS (SELECT doc_id, array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ' ') AS token_ids, " +
+        "CAST(count(*) AS INT) AS n_tokens FROM j GROUP BY doc_id) " +
+        // LEFT JOIN so an empty-encode document surfaces with zero tokens
+        // (mirrors the Spark side's empty-array guard).
+        "SELECT e.doc_id, coalesce(a.token_ids, '') AS token_ids, " +
+        "CAST(coalesce(a.n_tokens, 0) AS INT) AS n_tokens " +
+        "FROM (SELECT DISTINCT doc_id FROM enc) e LEFT JOIN agg a ON a.doc_id = e.doc_id"),
     "text_pii" -> {
       // Built from the SAME PiiPatterns constants the Spark plan compiles.
       val cnt = PiiPatterns.map { case (n, p) => s"CAST(len(regexp_extract_all(text, '$p')) AS INT) AS $n" }
@@ -911,10 +924,10 @@ object TextOps {
     val rules = Seq(
       "r_word_count" -> s"n >= $GopherMinWords AND n <= $GopherMaxWords",
       "r_mean_len" -> "3 * n <= totlen AND totlen <= 10 * n",
-      "r_symbol" -> "10 * nsym <= n",
+      "r_symbol" -> "10 * nhash <= n AND 10 * nell <= n",
       "r_alpha" -> "5 * nalpha >= 4 * n",
       "r_stop" -> s"nstop >= $GopherMinStopHits",
-      "r_bullet" -> "10 * nbullet < 9 * nlines",
+      "r_bullet" -> "10 * nbullet <= 9 * nlines",
       "r_ellipsis" -> "10 * nelline <= 3 * nlines")
     val flags = rules.map { case (nm, c) => s"CASE WHEN $c THEN 1 ELSE 0 END AS $nm" }
     val keep = rules.map { case (_, c) => s"($c)" }.mkString(" AND ")
@@ -925,8 +938,8 @@ object TextOps {
       s"CASE WHEN $keep THEN 1 ELSE 0 END AS keep FROM " +
       "(SELECT doc_id, len(toks) AS n, " +
       "list_sum(list_transform(toks, t -> length(t))) AS totlen, " +
-      "length(text) - length(replace(text, '#', '')) + " +
-      "(length(text) - length(replace(text, '...', ''))) // 3 AS nsym, " +
+      "length(text) - length(replace(text, '#', '')) AS nhash, " +
+      "(length(text) - length(replace(text, '...', ''))) // 3 AS nell, " +
       "len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS nalpha, " +
       s"len(list_filter(list_distinct(toks), t -> t IN ${sqlIn(GopherStop)})) AS nstop, " +
       "len(lines) AS nlines, " +

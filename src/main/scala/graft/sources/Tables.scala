@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Source layer: every query reads through here so scan behavior is uniform.
   *
@@ -19,17 +19,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` and this loader restores a
-    * microsecond TIMESTAMP_NTZ (`ts div 1000` — integer division, since nanos
-    * since epoch exceed 2^53 and would lose precision through a double).
-    * DuckDB truncates nanos→micros the same way, so oracles line up. */
+  /** `events.parquet` has shipped with either TIMESTAMP(NANOS) — which
+    * Spark's vectorized parquet reader rejects, so sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and the column arrives as
+    * LONG nanos — or plain TIMESTAMP(MICROS), which arrives as a timestamp
+    * already. The rebuild is TYPE-driven: a LONG `ts` is nanos and is
+    * truncated to a microsecond TIMESTAMP_NTZ (`ts div 1000` — integer
+    * division, since nanos since epoch exceed 2^53 and would lose precision
+    * through a double; DuckDB truncates nanos→micros the same way); a
+    * timestamp `ts` is normalized to TIMESTAMP_NTZ as-is. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    } else df
   }
 
   /** TextInputFormat analog: one string column per line. */

@@ -22,6 +22,19 @@ object EventStreams {
 
   val SessionGapUs: Long = 30L * 60 * 1000000 // 30 minutes
 
+  /** Normalize the raw events `ts` to a watermarkable TIMESTAMP: a LONG
+    * column is the nanosAsLong read of TIMESTAMP(NANOS) parquet (truncate
+    * to micros, the batch loader's rule — Tables.load); anything else is a
+    * timestamp already (TIMESTAMP(MICROS) parquet) and only needs the cast
+    * to the with-local-tz type watermarks require (session tz is UTC, so
+    * wall-clock matches the batch path's TIMESTAMP_NTZ). */
+  private def tsAsTimestamp(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   case class Ev(user_id: Long, event_id: Long, us: Long, cents: Long)
   /** Stream-side event carrying the watermark column: EventTimeTimeout
     * requires the watermarked attribute to survive into the
@@ -132,11 +145,17 @@ object EventStreams {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     val rawSchema = s.read.option("pathGlobFilter", glob).parquet(dir).schema
+    // LONG ts = nanosAsLong read of TIMESTAMP(NANOS); timestamp ts =
+    // TIMESTAMP(MICROS) parquet (same type-driven rule as Tables.load).
+    val usCol =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000")
+      else expr("unix_micros(cast(ts as timestamp))")
     val typed = s.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      .withColumn("us", expr("ts div 1000"))
+      .withColumn("us", usCol)
       .withColumn("ets", expr("timestamp_micros(us)"))
       .withWatermark("ets", "1 hour")
       .select(col("user_id"), col("event_id"), col("us"),
@@ -213,7 +232,7 @@ object EventStreams {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(tsAsTimestamp)
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"), col("event_id").as("view_id"))
       .withWatermark("view_ts", "1 hour")
@@ -240,7 +259,7 @@ object EventStreams {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(tsAsTimestamp)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_type"), col("ts"))
       .dropDuplicates("user_id", "event_type")
@@ -264,7 +283,7 @@ object EventStreams {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(tsAsTimestamp)
       .withWatermark("ts", "1 hour")
     windowAgg(stream)
       .writeStream
@@ -362,7 +381,7 @@ object EventStreams {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(tsAsTimestamp)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -384,7 +403,7 @@ object EventStreams {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(tsAsTimestamp)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
