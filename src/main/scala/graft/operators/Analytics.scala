@@ -555,6 +555,47 @@ object Analytics {
       .limit(20)
   }
 
+  /** Exact equi-depth deciles of `l_extendedprice` WITHOUT a global sort —
+    * the distributed-exact-quantile recipe (the two-level rank engine
+    * Pipeline.shuffle/shard use, applied to a value domain):
+    *
+    *  1. value→count aggregation (map-side combine; state is
+    *     distinct-value-sized, not row-sized),
+    *  2. monotone blocks (`floor(v/1000)` — block id orders like the value),
+    *     per-block subtotals, cumulative block offsets via a window over the
+    *     BLOCK LIST (thousands of rows at 100 TB, never the data),
+    *  3. within-block cumulative counts (window partitioned BY BLOCK — state
+    *     bounded per block, no single-partition global window),
+    *  4. the 10 target ranks ceil(q·N/10) broadcast against the cumulative
+    *     relation: boundary_q is the unique value whose cumulative range
+    *     [cum-cnt+1, cum] contains the target.
+    *
+    * Everything is integer arithmetic on counts (`(q*N+9) div 10` is exact
+    * ceil), so the boundary set is bit-identical in any engine. This is the
+    * histogram/percentile primitive a 100 TB profiler runs where a global
+    * ORDER BY would be the bottleneck; approx_percentile trades exactness
+    * for one pass, this keeps exactness at two small shuffles. */
+  def equidepthHist(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val vc = li.groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("blk", floor(col("v") / 1000).cast("long"))
+    val wBlk = Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = vc.groupBy("blk").agg(sum(col("cnt")).as("bcnt"))
+      .withColumn("off", coalesce(sum(col("bcnt")).over(wBlk), lit(0L)))
+      .select(col("blk"), col("off"))
+    val wLoc = Window.partitionBy(col("blk")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc.join(offs, Seq("blk"))
+      .withColumn("cum", col("off") + sum(col("cnt")).over(wLoc))
+    val n = li.agg(count(lit(1)).as("n"))
+    val targets = s.range(1, 11).select(col("id").cast("int").as("decile"))
+      .crossJoin(broadcast(n))
+      .withColumn("target", expr("(decile * n + 9) DIV 10"))
+    cum.join(broadcast(targets),
+        col("cum") >= col("target") && (col("cum") - col("cnt")) < col("target"))
+      .select(col("decile"), col("v").as("boundary"), col("target"), col("n"))
+  }
+
   // --- wiring --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -586,9 +627,20 @@ object Analytics {
     "q_top_supplier" -> (topSupplier _),
     "q_idle_customers" -> (idleCustomers _),
     "q_small_qty_revenue" -> (smallQtyRevenue _),
-    "q_waiting_suppliers" -> (waitingSuppliers _))
+    "q_waiting_suppliers" -> (waitingSuppliers _),
+    "q_equidepth_hist" -> (equidepthHist _))
 
   def oracles: Map[String, String] = Map(
+    "q_equidepth_hist" ->
+      // Same rule spelled directly: cumulative counts over the value domain,
+      // boundary_q = the value whose cumulative range contains ceil(q*N/10).
+      ("WITH vc AS (SELECT l_extendedprice AS v, count(*) AS cnt FROM lineitem GROUP BY 1), " +
+        "c AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum FROM vc), " +
+        "nn AS (SELECT count(*) AS n FROM lineitem), " +
+        "t AS (SELECT CAST(g.q AS INT) AS decile, (g.q * nn.n + 9) // 10 AS target, nn.n AS n " +
+        "FROM generate_series(1, 10) g(q) CROSS JOIN nn) " +
+        "SELECT t.decile, c.v AS boundary, t.target, t.n FROM t " +
+        "JOIN c ON c.cum >= t.target AND c.cum - c.cnt < t.target"),
     "q_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(sum(qty) AS DOUBLE) AS sum_qty, " +

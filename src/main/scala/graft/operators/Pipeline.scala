@@ -409,7 +409,38 @@ object Pipeline {
       .select(col("doc_id"), (col("off") + col("lrn") - 1).as("shuffle_pos"))
   }
 
+  /** Curriculum ordering — easy→hard training order (Bengio et al. 2009's
+    * curriculum learning applied the CCNet way): the perplexity tertile is
+    * the difficulty signal (head = most fluent under the corpus LM),
+    * documents stream head → middle → tail, and WITHIN a tier the order is
+    * the deterministic md5 permutation so adjacent examples stay
+    * decorrelated. Implementation is [[shuffle]]'s two-level rank with the
+    * tier prepended to the sort key: blocks refine (tier, hash) order, the
+    * offset window runs over the (tier, block) histogram — never a global
+    * sort, never a corpus-sized window partition. */
+  def curriculum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tier = when(col("ppl_bucket") === "head", 0)
+      .when(col("ppl_bucket") === "middle", 1).otherwise(2)
+    val d = TextOps.perplexityBucket(s, dir)
+      .select(col("doc_id"), col("ppl_bucket"), tier.as("tier"),
+        graft.functions.hash64(col("doc_id")).as("h"))
+      .withColumn("blk", expr(s"h DIV $ShuffleBlock"))
+    val wBlk = Window.orderBy(col("tier"), col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = d.groupBy("tier", "blk").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wBlk), lit(0L)))
+      .select(col("tier"), col("blk"), col("off"))
+    val wLocal = Window.partitionBy(col("tier"), col("blk"))
+      .orderBy(col("h"), col("doc_id"))
+    d.withColumn("lrn", row_number().over(wLocal).cast("long"))
+      .join(offs, Seq("tier", "blk"))
+      .select(col("doc_id"), col("ppl_bucket"),
+        (col("off") + col("lrn") - 1).as("curriculum_pos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curriculum" -> (curriculum _),
     "pipeline_curate" -> (curate _),
     "pipeline_curate_model" -> (curateModel _),
     "pipeline_curate_neardup" -> (curateNearDup _),
@@ -486,6 +517,11 @@ object Pipeline {
     },
     "pipeline_shuffle" ->
       (s"SELECT doc_id, CAST(row_number() OVER (ORDER BY ${graft.functions.hash64Sql("doc_id")}, doc_id) - 1 AS BIGINT) AS shuffle_pos FROM documents"),
+    "pipeline_curriculum" ->
+      (s"WITH ${TextOps.pplBucketCtes} " +
+        "SELECT doc_id, ppl_bucket, CAST(row_number() OVER (ORDER BY " +
+        "CASE ppl_bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1 ELSE 2 END, " +
+        s"${graft.functions.hash64Sql("doc_id")}, doc_id) - 1 AS BIGINT) AS curriculum_pos FROM pb"),
     "pipeline_sample_stratified" ->
       (s"WITH ${Similarity.ivfAssignCtes}, " +
         s"r AS (SELECT vec_id, cent_id, ${graft.functions.hash52Sql("vec_id")} AS rk FROM assign), " +

@@ -478,6 +478,39 @@ object TextOps {
       size(toks).as("n_tokens"))
   }
 
+  /** Detokenization — the tokenizer chain's inverse, closing the loop a
+    * training pipeline needs for inspection/debugging (render a packed
+    * sample back to text). [[bpeIds]]'s flat stream drops word boundaries
+    * (symbols of adjacent words are indistinguishable), so decode runs on a
+    * BOUNDARY-PRESERVING id layout: each word's ids comma-joined, words
+    * space-joined ("12,5 7 3,3"). Encode maps word → symbol stream
+    * ([[BpeExpressions.bpeEncode]]) → ids; decode inverts ids → symbols and
+    * concatenation restores each word exactly (merges preserve characters),
+    * words rejoined by single spaces. `exact` asserts decode∘encode =
+    * whitespace-normalized source per document — verified row by row, not
+    * assumed. Both directions are driver-built literal map lookups inside
+    * one shuffle-free codegen pass (the [[bpeIds]] scale shape: the model
+    * is alphabet+merges-sized, never corpus-sized). */
+  def bpeDecode(s: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeVocab(s, dir).select(col("token"), col("token_id")).collect()
+    val idMap = map(vocab.flatMap(r =>
+      Seq(lit(r.getString(0)), lit(r.getInt(1)))).toIndexedSeq: _*)
+    val tokMap = map(vocab.flatMap(r =>
+      Seq(lit(r.getInt(1)), lit(r.getString(0)))).toIndexedSeq: _*)
+    val words = filter(split(col("text"), " "), w => length(w) > 0)
+    val wordIds = transform(words, w =>
+      array_join(transform(split(BpeExpressions.bpeEncode(w, BpeMerges), " "),
+        t => element_at(idMap, t).cast("string")), ","))
+    val d0 = docs(s, dir).select(col("doc_id"), col("text"),
+      array_join(wordIds, " ").as("ids_text"))
+    val idWords = filter(split(col("ids_text"), " "), w => length(w) > 0)
+    val decoded = array_join(transform(idWords, w =>
+      array_join(transform(split(w, ","), i => element_at(tokMap, i.cast("int"))), "")), " ")
+    val normalized = array_join(filter(split(col("text"), " "), w => length(w) > 0), " ")
+    d0.select(col("doc_id"), col("ids_text"), decoded.as("text_rt"),
+      (decoded === normalized).cast("int").as("exact"))
+  }
+
   /** Token counting: whitespace tokens, BPE-ish regex token count
     * (letter runs | digit runs | single punctuation), and the REAL
     * greedy-merge BPE count over [[BpeMerges]]. */
@@ -772,6 +805,7 @@ object TextOps {
     "text_bpe_encode" -> (bpeEncode _),
     "text_bpe_vocab" -> (bpeVocab _),
     "text_bpe_ids" -> (bpeIds _),
+    "text_bpe_decode" -> (bpeDecode _),
     "text_pii" -> (pii _),
     "text_pii_redact" -> (piiRedact _),
     "text_repetition" -> (repetition _),
@@ -854,6 +888,27 @@ object TextOps {
         "SELECT e.doc_id, coalesce(a.token_ids, '') AS token_ids, " +
         "CAST(coalesce(a.n_tokens, 0) AS INT) AS n_tokens " +
         "FROM (SELECT DISTINCT doc_id FROM enc) e LEFT JOIN agg a ON a.doc_id = e.doc_id"),
+    "text_bpe_decode" ->
+      // Encode each word to comma-joined ids (boundary-preserving layout),
+      // decode through the inverse vocab map, compare against the
+      // whitespace-normalized source. Maps are scalar-subquery built from
+      // the same cr/pr vocab CTEs the Spark side materializes.
+      (s"WITH $bpeVocabCtes, " +
+        "v AS (SELECT token, token_id FROM cr UNION ALL SELECT token, token_id FROM pr), " +
+        "em AS (SELECT map(list(token), list(token_id)) AS m FROM v), " +
+        "dm AS (SELECT map(list(token_id), list(token)) AS m FROM v), " +
+        "e AS (SELECT doc_id, text, array_to_string(list_transform(" +
+        "list_filter(string_split(text, ' '), w -> length(w) > 0), " +
+        s"w -> array_to_string(list_transform(string_split(trim(replace(replace($bpeMergedSql, '$BpeOpen', ''), '$BpeClose', ' ')), ' '), " +
+        "t -> CAST(em.m[t][1] AS VARCHAR)), ',')), ' ') AS ids_text " +
+        "FROM documents CROSS JOIN em), " +
+        "d AS (SELECT doc_id, text, ids_text, array_to_string(list_transform(" +
+        "list_filter(string_split(ids_text, ' '), w -> length(w) > 0), " +
+        "w -> array_to_string(list_transform(string_split(w, ','), i -> dm.m[CAST(i AS INT)][1]), '')), ' ') AS text_rt " +
+        "FROM e CROSS JOIN dm) " +
+        "SELECT doc_id, ids_text, text_rt, CASE WHEN text_rt = " +
+        "array_to_string(list_filter(string_split(text, ' '), w -> length(w) > 0), ' ') " +
+        "THEN 1 ELSE 0 END AS exact FROM d"),
     "text_pii" -> {
       // Built from the SAME PiiPatterns constants the Spark plan compiles.
       val cnt = PiiPatterns.map { case (n, p) => s"CAST(len(regexp_extract_all(text, '$p')) AS INT) AS $n" }
@@ -884,18 +939,23 @@ object TextOps {
         "(SELECT doc_id, CAST(len(cl) AS INT) AS n, list_distinct(cl) AS dist, cl FROM " +
         "(SELECT doc_id, list_transform(generate_series(1, length(text)), i -> substr(text, i, 1)) AS cl FROM documents))"),
     "text_perplexity_bucket" ->
-      (s"WITH ppl AS ($perplexitySql), " +
-        "a AS (SELECT p.doc_id, d.lang, p.avg_nll, CAST(floor(p.avg_nll * 1000000 + 0.5) AS BIGINT) AS n6 " +
-        "FROM ppl p JOIN documents d ON p.doc_id = d.doc_id), " +
-        "hist AS (SELECT lang, n6, count(*) AS cnt FROM a GROUP BY 1, 2), " +
-        "cum AS (SELECT lang, n6, " +
-        "sum(cnt) OVER (PARTITION BY lang ORDER BY n6 ROWS UNBOUNDED PRECEDING) AS cum, " +
-        "sum(cnt) OVER (PARTITION BY lang) AS n FROM hist), " +
-        "thr AS (SELECT lang, min(CASE WHEN cum >= (n + 2) // 3 THEN n6 END) AS t1, " +
-        "min(CASE WHEN cum >= (2 * n + 2) // 3 THEN n6 END) AS t2 FROM cum GROUP BY lang) " +
-        "SELECT a.doc_id, a.lang, a.avg_nll, " +
-        "CASE WHEN a.n6 <= t.t1 THEN 'head' WHEN a.n6 <= t.t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket " +
-        "FROM a JOIN thr t ON a.lang = t.lang"))
+      (s"WITH $pplBucketCtes SELECT doc_id, lang, avg_nll, ppl_bucket FROM pb"))
+
+  /** CTE chain ending in `pb(doc_id, lang, avg_nll, ppl_bucket)` — the
+    * perplexity-tertile replay, shared with Pipeline's curriculum oracle. */
+  private[graft] lazy val pplBucketCtes: String =
+    s"ppl AS ($perplexitySql), " +
+      "a AS (SELECT p.doc_id, d.lang, p.avg_nll, CAST(floor(p.avg_nll * 1000000 + 0.5) AS BIGINT) AS n6 " +
+      "FROM ppl p JOIN documents d ON p.doc_id = d.doc_id), " +
+      "hist AS (SELECT lang, n6, count(*) AS cnt FROM a GROUP BY 1, 2), " +
+      "cum AS (SELECT lang, n6, " +
+      "sum(cnt) OVER (PARTITION BY lang ORDER BY n6 ROWS UNBOUNDED PRECEDING) AS cum, " +
+      "sum(cnt) OVER (PARTITION BY lang) AS n FROM hist), " +
+      "thr AS (SELECT lang, min(CASE WHEN cum >= (n + 2) // 3 THEN n6 END) AS t1, " +
+      "min(CASE WHEN cum >= (2 * n + 2) // 3 THEN n6 END) AS t2 FROM cum GROUP BY lang), " +
+      "pb AS (SELECT a.doc_id, a.lang, a.avg_nll, " +
+      "CASE WHEN a.n6 <= t.t1 THEN 'head' WHEN a.n6 <= t.t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket " +
+      "FROM a JOIN thr t ON a.lang = t.lang)"
 
   /** Shared CTEs of the vocab replay: corpus characters ranked ascending
     * (cr), merge products id'd n + rank - 1 with duplicate/char products

@@ -142,6 +142,20 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("boundary-preserving decode restores the normalized text exactly") {
+    val got = TextOps.bpeDecode(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getInt(3) == 1, s"doc ${r.getLong(0)} failed the round trip")
+    }
+    // hand case under the toy table: "the" is one symbol (id lookup), "ab"
+    // merges — word boundaries must survive as spaces, commas stay within
+    // words, and double spaces normalize away
+    val one = got.head
+    assert(one.getString(1).matches("[0-9,]+( [0-9,]+)*"),
+      "ids_text must be comma-within-word, space-between-words")
+  }
+
   test("native BPE splits like split(text, ' ') — empty tokens count zero") {
     val got = Seq("the  and", " the", "the ", "")
       .toDF("text").select(TextOps.bpeCount(col("text")).as("n"))

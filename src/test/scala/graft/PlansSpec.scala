@@ -71,6 +71,28 @@ class PlansSpec extends SparkSpec {
     assert(!rawGlobalWindow, s"global window over raw docs:\n$p")
   }
 
+  test("curriculum rank keeps the two-level shape: tiered block windows, no raw doc window") {
+    val p = plan(graft.operators.Pipeline.curriculum(spark, sf))
+    assert(!p.contains("rangepartitioning"),
+      s"curriculum must not rely on sampled range bounds:\n$p")
+    assert(p.contains("windowspecdefinition(tier#"),
+      s"local rank must partition by (tier, blk):\n$p")
+    val rawGlobalWindow = p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(h#") || l.contains("windowspecdefinition(doc_id#"))
+    assert(!rawGlobalWindow, s"global window over raw docs:\n$p")
+  }
+
+  test("equi-depth deciles never globally sort the fact table") {
+    val p = plan(graft.operators.Analytics.equidepthHist(spark, sf))
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort / sampled range bounds over lineitem:\n$p")
+    assert(p.contains("windowspecdefinition(blk#"),
+      s"cumulative counts must partition by the value block:\n$p")
+    // the value-domain aggregate must partial-aggregate before its shuffle
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"value histogram must map-side combine:\n$p")
+  }
+
   test("stratified sample plans through TopKPerKey heaps, no cluster-keyed row window") {
     val p = plan(graft.operators.Pipeline.sampleStratified(spark, sf))
     assert(p.contains("TopKPerKey"),

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Pipeline, TextOps}
+
+/** Semantics of the two-level-rank family added in round 8: curriculum
+  * ordering (tiered permutation) and exact distributed quantiles — each
+  * checked against a brute-force driver-side re-derivation at sf0.001.
+  */
+class RankOpsSpec extends SparkSpec {
+
+  test("curriculum is a dense permutation ordered head < middle < tail") {
+    val rows = Pipeline.curriculum(spark, sf)
+      .select(col("doc_id"), col("ppl_bucket"), col("curriculum_pos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = rows.length
+    assert(n > 0)
+    assert(rows.map(_._3).sorted.toSeq == (0L until n).toSeq,
+      "positions must be a dense 0..n-1 permutation")
+    // tier blocks are contiguous: every head position < every middle
+    // position < every tail position
+    def posOf(b: String) = rows.filter(_._2 == b).map(_._3)
+    val (h, m, t) = (posOf("head"), posOf("middle"), posOf("tail"))
+    assert(h.nonEmpty && m.nonEmpty && t.nonEmpty, "all three tiers populated")
+    assert(h.max < m.min && m.max < t.min, "tiers must stream in order")
+  }
+
+  test("curriculum within-tier order is the md5 permutation") {
+    val got = Pipeline.curriculum(spark, sf)
+      .join(graft.sources.Tables.load(spark, sf, "documents").select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("ppl_bucket"), col("curriculum_pos"),
+        graft.functions.hash64(col("doc_id")).as("h"))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(0), r.getLong(2)))
+    got.groupBy(_._1).foreach { case (_, tierRows) =>
+      val byPos = tierRows.sortBy(_._4).map(r => (r._2, r._3)).toSeq
+      val byHash = tierRows.sortBy(r => (r._2, r._3)).map(r => (r._2, r._3)).toSeq
+      assert(byPos == byHash, "within a tier, position order must equal (hash, doc_id) order")
+    }
+  }
+
+  test("equi-depth deciles match a brute-force sort") {
+    val got = Analytics.equidepthHist(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val vals = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    val n = vals.length.toLong
+    assert(got.map(_._1).toSeq == (1 to 10).toSeq, "one row per decile")
+    got.foreach { case (q, boundary, target, nOut) =>
+      assert(nOut == n)
+      val expectTarget = (q * n + 9) / 10
+      assert(target == expectTarget, s"decile $q target rank")
+      assert(boundary == vals((expectTarget - 1).toInt),
+        s"decile $q boundary must be the rank-$expectTarget value")
+    }
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq, "boundaries nondecreasing")
+    assert(got.last._2 == vals.last, "decile 10 is the maximum")
+  }
+}
