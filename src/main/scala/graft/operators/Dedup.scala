@@ -768,6 +768,25 @@ object Dedup {
       lshIndexOf(d.filter(col("source") =!= "src0")))
   }
 
+  /** Cross-source contamination matrix — WHERE the near-duplication lives:
+    * each verified near-dup pair ([[minhashVerified]] — LSH-bounded,
+    * exact-Jaccard-confirmed) resolved to its two documents' sources and
+    * aggregated into (source_a ≤ source_b) cells. The readout that decides
+    * which feeds to drop or de-prioritize before a 100 TB crawl merge:
+    * diagonal cells are within-feed churn, off-diagonal cells are
+    * mirror/syndication overlap. Pair volume is LSH-bounded, the source
+    * lookup joins doc-id-sized relations, the matrix is |sources|². */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    minhashVerified(s, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // --- wiring --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -789,7 +808,8 @@ object Dedup {
     "dedup_substring_rm" -> (substringRemove _),
     "dedup_semantic" -> (semanticDedup _),
     "dedup_semantic_keep" -> (semanticDedupKeep _),
-    "dedup_embedding" -> (embeddingNearDup _))
+    "dedup_embedding" -> (embeddingNearDup _),
+    "dedup_source_overlap" -> (sourceOverlap _))
 
   // Oracle SQL (generated where repetitive, so Spark and SQL share constants)
 
@@ -919,6 +939,15 @@ object Dedup {
     "shd AS (SELECT doc_id, list_transform(list_distinct(sh), x -> " +
       s"${graft.functions.hash64Sql("x")}) AS dsh FROM sh WHERE len(sh) > 0)"
 
+  /** The verified-pair select over `cand` + `shd` — shared by the
+    * minhash_verified oracle and the source-overlap matrix built on it. */
+  private val verifiedSelectSql: String =
+    "SELECT doc_a, doc_b, jaccard FROM (SELECT c.doc_a, c.doc_b, " +
+      "round(CAST(len(list_intersect(a.dsh, b.dsh)) AS DOUBLE) / " +
+      "(len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh))), 4) AS jaccard " +
+      "FROM cand c JOIN shd a ON a.doc_id = c.doc_a JOIN shd b ON b.doc_id = c.doc_b) " +
+      s"WHERE jaccard >= $JaccardThreshold"
+
   private[operators] def survivorLabCtes: String =
     s"$lshCtes, pairs AS ($lshPairsSelect), $shdCte, " +
       "vp AS (SELECT doc_a, doc_b FROM (SELECT c.doc_a, c.doc_b, " +
@@ -990,12 +1019,14 @@ object Dedup {
         "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) " +
         "SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src"),
     "dedup_minhash_verified" ->
-      (s"WITH $lshCtes, cand AS ($lshPairsSelect), $shdCte " +
-        "SELECT doc_a, doc_b, jaccard FROM (SELECT c.doc_a, c.doc_b, " +
-        "round(CAST(len(list_intersect(a.dsh, b.dsh)) AS DOUBLE) / " +
-        "(len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh))), 4) AS jaccard " +
-        "FROM cand c JOIN shd a ON a.doc_id = c.doc_a JOIN shd b ON b.doc_id = c.doc_b) " +
-        s"WHERE jaccard >= $JaccardThreshold"),
+      (s"WITH $lshCtes, cand AS ($lshPairsSelect), $shdCte $verifiedSelectSql"),
+    "dedup_source_overlap" ->
+      (s"WITH $lshCtes, cand AS ($lshPairsSelect), $shdCte, " +
+        s"ver AS ($verifiedSelectSql) " +
+        "SELECT least(da.source, db.source) AS source_a, " +
+        "greatest(da.source, db.source) AS source_b, count(*) AS n_pairs " +
+        "FROM ver JOIN documents da ON ver.doc_a = da.doc_id " +
+        "JOIN documents db ON ver.doc_b = db.doc_id GROUP BY 1, 2"),
     "dedup_minhash_estimate" ->
       (s"WITH $lshCtes, cand AS ($lshPairsSelect), " +
         "m AS (SELECT c.doc_a, c.doc_b, sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS nm " +

@@ -59,6 +59,83 @@ object TextOps {
         floor(col("n_docs").cast("double") / sum(col("n_docs")).over(byLabel) * 1e6 + 0.5) / 1e6)
   }
 
+  /** Hashed char-bigram feature dimension of the learned language model. */
+  val LangidBuckets = 32
+
+  /** Per-doc hashed char-bigram bucket stream: bucket(i) =
+    * (ascii(c_i)*31 + ascii(c_{i+1})) mod [[LangidBuckets]] — integer-only,
+    * replayed verbatim by the oracle. Guarded for len<2 (Spark's
+    * sequence(1,0) DESCENDS where DuckDB's generate_series is empty). */
+  private def langidBigrams(text: Column): Column = {
+    val chars = split(text, "")
+    val raw = transform(sequence(lit(1), length(text) - 1),
+      i => (ascii(element_at(chars, i)) * 31 + ascii(element_at(chars, i + 1))) % LangidBuckets)
+    when(length(text) >= 2, raw).otherwise(array().cast("array<int>"))
+  }
+
+  /** LEARNED language ID — the fastText-shaped companion to the marker
+    * heuristic [[langid]]: a Rocchio (nearest-centroid) classifier over
+    * hashed char-bigram counts, TRAINED IN-ENGINE on the even-doc_id half
+    * of the corpus and scored on all of it.
+    *
+    * Training (the small side): per train doc, per-bucket bigram counts
+    * explode to at most [[LangidBuckets]] rows/doc; frequencies quantize to
+    * the 1e6 fixed-point grid with INTEGER division; the per-language
+    * centroid is the fixed-point mean (again integer div by the language's
+    * train-doc count) — every step exact, so centroids are bit-identical in
+    * any engine.
+    *
+    * Scoring (the 100 TB side): centroids are model-sized (|langs| ×
+    * [[LangidBuckets]] longs), collected once and compiled into literal
+    * arrays — the score is an integer dot product `Σ_b cnt_b · w_{l,b}`
+    * inside ONE shuffle-free codegen pass over the scan (the bpeIds /
+    * broadcast-LUT shape; raw counts suffice because the doc-length
+    * normalizer scales every language's score equally, leaving the argmax
+    * unchanged). Argmax ties break to the lexically smallest language;
+    * bigram-less docs predict 'und'. */
+  def langidModel(s: SparkSession, dir: String): DataFrame =
+    langidModelOf(docs(s, dir))
+
+  private[graft] def langidModelOf(d: DataFrame): DataFrame = {
+    val feat = d.select(col("doc_id"), col("lang"), langidBigrams(col("text")).as("bg"))
+    val counts = transform(sequence(lit(0), lit(LangidBuckets - 1)),
+      b => size(filter(col("bg"), x => x === b)).cast("long"))
+    val train = feat.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), size(col("bg")).cast("long").as("tot"),
+        posexplode(counts).as(Seq("b", "c")))
+      .filter(col("c") > 0)
+      .withColumn("f", expr("c * 1000000 DIV tot"))
+    val nl = train.groupBy("lang").agg(countDistinct(col("doc_id")).as("nd"))
+    val cent = train.groupBy("lang", "b").agg(sum(col("f")).as("sf"))
+      .join(nl, Seq("lang"))
+      .withColumn("w", expr("sf DIV nd"))
+      .select(col("lang"), col("b"), col("w"))
+      .collect()
+    val langs = cent.map(_.getString(0)).distinct.sorted.toIndexedSeq
+    val weights = langs.map { l =>
+      val arr = Array.fill(LangidBuckets)(0L)
+      cent.filter(_.getString(0) == l).foreach(r => arr(r.getInt(1)) = r.getLong(2))
+      l -> arr.toSeq
+    }.toMap
+    // struct(score, reverseIdx): array_max ties on the SECOND field, and the
+    // reverse index makes "larger" mean "lexically smaller language".
+    val cands = langs.zipWithIndex.map { case (l, i) =>
+      val sc = aggregate(
+        zip_with(col("cnt"), typedLit(weights(l)), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      struct(sc.as("sc"), lit(langs.size - i).as("ri"))
+    }
+    val riToLang = map(langs.zipWithIndex.flatMap { case (l, i) =>
+      Seq(lit(langs.size - i), lit(l)) }: _*)
+    val best = array_max(array(cands: _*))
+    feat.select(col("doc_id"), col("lang"), col("bg"))
+      .withColumn("cnt", counts)
+      .select(col("doc_id"), col("lang"),
+        when(size(col("bg")) === 0, lit("und"))
+          .otherwise(element_at(riToLang, best.getField("ri"))).as("pred_lang"))
+      .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
+  }
+
   /** Quality scoring: token stats + punctuation + stopword + repetition
     * ratios, equal-weight composite. All ratios of exact ints → bit-stable. */
   def quality(s: SparkSession, dir: String): DataFrame = qualityOf(docs(s, dir))
@@ -790,6 +867,29 @@ object TextOps {
         when(logit8 >= 0, 1).otherwise(0).as("model_keep"))
   }
 
+  /** The corpus report card — the first query every 100 TB curation run
+    * issues and re-issues after each stage: per (lang, source) cell, how
+    * many documents, how many whitespace tokens, how many are exact
+    * duplicates of ANOTHER document (corpus-wide md5 census, the
+    * dedup_exact shape: only 16-byte hashes shuffle), and how many pass
+    * the Gopher battery. The duplicate census and the Gopher flags join
+    * back on doc-count-sized relations; everything else fuses into the
+    * scan. Integer counts only — nothing to drift. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val withHash = d.select(col("doc_id"), col("lang"), col("source"),
+      size(wsTokens(col("text"))).as("nt"), md5Hex(col("text")).as("h"))
+    val census = withHash.groupBy("h").agg(count(lit(1)).as("c"))
+    withHash.join(census, Seq("h"))
+      .join(gopherRulesOf(d).select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum((col("c") > 1).cast("long")).as("n_dup_docs"),
+        sum(col("keep").cast("long")).as("n_gopher_keep"))
+  }
+
   // --- wiring --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -797,9 +897,11 @@ object TextOps {
     "text_normalize" -> (normalize _),
     "text_langid" -> (langid _),
     "text_langid_confusion" -> (langidConfusion _),
+    "text_langid_model" -> (langidModel _),
     "text_tfidf" -> (tfidf _),
     "text_quality" -> (quality _),
     "text_gopher_rules" -> (gopherRules _),
+    "text_corpus_stats" -> (corpusStats _),
     "text_tokens" -> (tokens _),
     "text_bpe_train" -> (bpeTrain _),
     "text_bpe_encode" -> (bpeEncode _),
@@ -847,8 +949,38 @@ object TextOps {
         "cells AS (SELECT d.lang, p.pred_lang, count(*) AS n_docs FROM pred p JOIN documents d ON p.doc_id = d.doc_id GROUP BY 1, 2) " +
         "SELECT lang, pred_lang, n_docs, " +
         "floor(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang) * 1000000 + 0.5) / 1000000 AS label_share FROM cells"),
+    "text_langid_model" ->
+      // The full train→score replay: hashed-bigram counts, fixed-point
+      // frequencies and centroids on the even-doc_id train half (integer
+      // division throughout), integer dot-product scores, argmax with the
+      // (score DESC, lang ASC) tie rule, bigram-less docs -> 'und'.
+      (s"WITH bg AS (SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(text) - 1), " +
+        s"i -> (ascii(substr(text, CAST(i AS INT), 1)) * 31 + ascii(substr(text, CAST(i AS INT) + 1, 1))) % $LangidBuckets)) AS b " +
+        "FROM documents), " +
+        "cnt AS (SELECT doc_id, lang, b, count(*) AS c FROM bg GROUP BY 1, 2, 3), " +
+        "tot AS (SELECT doc_id, count(*) AS tot FROM bg GROUP BY 1), " +
+        "fr AS (SELECT cnt.doc_id, cnt.lang, cnt.b, cnt.c * 1000000 // tot.tot AS f " +
+        "FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id WHERE cnt.doc_id % 2 = 0), " +
+        "nl AS (SELECT lang, count(DISTINCT doc_id) AS nd FROM fr GROUP BY 1), " +
+        "cent AS (SELECT fr.lang, fr.b, sum(fr.f) // max(nl.nd) AS w " +
+        "FROM fr JOIN nl ON fr.lang = nl.lang GROUP BY fr.lang, fr.b), " +
+        "sc AS (SELECT cnt.doc_id, cent.lang AS cand, sum(cnt.c * cent.w) AS s " +
+        "FROM cnt JOIN cent ON cnt.b = cent.b GROUP BY 1, 2), " +
+        "pred AS (SELECT doc_id, cand, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cand ASC) AS rn FROM sc) " +
+        "SELECT d.doc_id, d.lang, coalesce(p.cand, 'und') AS pred_lang, " +
+        "CASE WHEN coalesce(p.cand, 'und') = d.lang THEN 1 ELSE 0 END AS is_match " +
+        "FROM documents d LEFT JOIN (SELECT doc_id, cand FROM pred WHERE rn = 1) p ON d.doc_id = p.doc_id"),
     "text_quality" -> qualitySql,
     "text_gopher_rules" -> gopherSql,
+    "text_corpus_stats" ->
+      (s"WITH g AS ($gopherSql), " +
+        "wh AS (SELECT doc_id, lang, source, CAST(len(string_split(text, ' ')) AS INT) AS nt, md5(text) AS h FROM documents), " +
+        "census AS (SELECT h, count(*) AS c FROM wh GROUP BY h) " +
+        "SELECT wh.lang, wh.source, count(*) AS n_docs, CAST(sum(wh.nt) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN census.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, " +
+        "CAST(sum(g.keep) AS BIGINT) AS n_gopher_keep " +
+        "FROM wh JOIN census ON wh.h = census.h JOIN g ON wh.doc_id = g.doc_id " +
+        "GROUP BY wh.lang, wh.source"),
     "text_quality_model" -> qualityModelSql,
     "text_normalize" ->
       ("SELECT doc_id, cleaned AS text_norm, " +

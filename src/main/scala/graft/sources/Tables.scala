@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, floor, lit, shiftleft, shiftright, when}
 
 /** Source layer: every query reads through here so scan behavior is uniform.
   *
@@ -245,6 +245,50 @@ object Tables {
         }
     }
     (nSrc, toCopy.length.toLong)
+  }
+
+  /** Z-ORDER clustered write — multi-dimensional data skipping for the
+    * 100 TB table layout (the Delta/Iceberg OPTIMIZE ZORDER recipe,
+    * expressed with plain Spark): both columns normalize to a 16-bit grid
+    * (one tiny min/max aggregate — deterministic bounds, not a sample),
+    * their bits interleave into a Morton key, and the write
+    * range-partitions + sorts on that key. Files then occupy compact
+    * rectangles of the 2-D value space, so a reader consulting per-file
+    * min/max (parquet footers / table-format stats) prunes on EITHER
+    * predicate column — a single-column sort gives skipping on that column
+    * only. The key is layout-only: dropped before write, row content
+    * untouched. */
+  def zorderKey(a: Column, b: Column): Column = {
+    def bits16(c: Column): Column = c.cast("long").bitwiseAND(lit(0xFFFFL))
+    val (na, nb) = (bits16(a), bits16(b))
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(na, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(nb, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
+
+  /** Scale `c` into [0, 65535] against inclusive bounds (rank-free grid). */
+  def gridScale(c: Column, lo: Double, hi: Double): Column =
+    when(lit(hi) > lit(lo),
+      floor((c.cast("double") - lit(lo)) / (lit(hi) - lit(lo)) * 65535.0))
+      .otherwise(lit(0L)).cast("long")
+
+  def zorderWrite(df: DataFrame, colA: String, colB: String,
+      path: String, nFiles: Int): Unit = {
+    val b = df.agg(
+      org.apache.spark.sql.functions.min(col(colA)).cast("double"),
+      org.apache.spark.sql.functions.max(col(colA)).cast("double"),
+      org.apache.spark.sql.functions.min(col(colB)).cast("double"),
+      org.apache.spark.sql.functions.max(col(colB)).cast("double")).head()
+    val z = zorderKey(
+      gridScale(col(colA), b.getDouble(0), b.getDouble(1)),
+      gridScale(col(colB), b.getDouble(2), b.getDouble(3)))
+    df.withColumn("_zkey", z)
+      .repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(path)
   }
 
   /** SequenceFile support — the reference's native binary KV container

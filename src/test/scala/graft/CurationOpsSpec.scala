@@ -16,6 +16,37 @@ class CurationOpsSpec extends SparkSpec {
   private val ss = SparkSpec.spark
   import ss.implicits._
 
+  test("rocchio langid separates char-distribution-distinct languages") {
+    val ss = SparkSpec.spark
+    import ss.implicits._
+    // two "languages" with disjoint alphabets: centroids must separate
+    // them perfectly, including on the odd-id docs the model never saw
+    val docs = (0L until 40L).map { i =>
+      if (i % 4 < 2) (i, "aa ab ba ab aa ba ab aa", "aa")
+      else (i, "zz zy yz zy zz yz zy zz", "zz")
+    }.toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextOps.langidModelOf(docs).collect()
+    assert(got.length == 40)
+    got.foreach { r =>
+      assert(r.getInt(3) == 1,
+        s"doc ${r.getLong(0)}: predicted ${r.getString(2)}, wanted ${r.getString(1)}")
+    }
+  }
+
+  test("rocchio langid predicts 'und' for bigram-less documents") {
+    val ss = SparkSpec.spark
+    import ss.implicits._
+    val docs = Seq(
+      (0L, "aa ab aa ab", "aa"), (2L, "zz zy zz zy", "zz"),
+      (1L, "x", "aa"), (3L, "", "zz"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextOps.langidModelOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // "x" has one char (no bigram), "" has none — both und
+    assert(got(1L) == "und" && got(3L) == "und")
+    assert(got(0L) == "aa" && got(2L) == "zz")
+  }
+
   test("gopher battery separates crafted good and bad documents rule by rule") {
     val good = ("the of and that be to have with " * 8).trim
     val docs = Seq(

@@ -21,6 +21,42 @@ class SourcesSpec extends SparkSpec {
     assert(files == 1, s"expected 1 parquet file, got $files")
   }
 
+  test("z-order write clusters both dimensions: a 2-D box prunes most files") {
+    val dst = Files.createTempDirectory("graft_zorder").toString + "/events_z"
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    Tables.zorderWrite(ev, "user_id", "value", dst, nFiles = 16)
+    val back = spark.read.parquet(dst)
+    assert(back.count() == ev.count(), "z-order write must preserve rows")
+    // Per-file bounding boxes — what parquet footer stats / a table format
+    // would serve a pruning reader.
+    def boxes(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+        min("value").as("vlo"), max("value").as("vhi"))
+      .collect()
+    // query box: middle slice of each dimension
+    val st = ev.agg(
+      expr("approx_percentile(user_id, array(0.4, 0.6))"),
+      expr("approx_percentile(value, array(0.4, 0.6))")).head()
+    val u = st.getSeq[Long](0); val v = st.getSeq[Double](1)
+    def hits(bs: Array[org.apache.spark.sql.Row]) = bs.count { r =>
+      r.getLong(1) <= u(1) && r.getLong(2) >= u(0) &&
+        r.getDouble(3) <= v(1) && r.getDouble(4) >= v(0)
+    }
+    val zHits = hits(boxes(dst))
+    val zFiles = boxes(dst).length
+    // baseline: same data in arrival order (event_id) — user/value scatter
+    // across every file, so the same box intersects (nearly) all of them
+    val flat = Files.createTempDirectory("graft_flat").toString + "/events_f"
+    ev.repartitionByRange(16, col("event_id")).write.parquet(flat)
+    val fHits = hits(boxes(flat))
+    assert(zFiles >= 8, s"expected ~16 z-ordered files, got $zFiles")
+    assert(fHits >= zFiles - 2, s"arrival-order layout should not prune: $fHits")
+    assert(zHits * 2 <= fHits,
+      s"z-order must at least halve the touched files: z=$zHits flat=$fHits of $zFiles")
+  }
+
   test("gzip text round-trips transparently (TextInputFormat codec parity)") {
     // The reference's TextInputFormat decompresses .gz splits transparently
     // (hadoop-common GzipCodec); Spark's text/csv readers inherit the same
