@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
 import graft.sources.Tables
@@ -177,9 +177,64 @@ object Extras {
       .limit(CmsTopK)
   }
 
+  val BloomM = 65536
+  val BloomK = 4
+
+  /** Distributed BLOOM FILTER build + probe with a false-positive audit —
+    * the fourth sketch in the family (KMV cardinality, CMS heavy hitters,
+    * HLL++ in streaming): the pre-join membership gate a 100 TB pipeline
+    * ships to the probe side instead of the build side's keys. Build keys
+    * (BUILDING-segment customers) each set k=4 md5-derived positions in an
+    * m=65536-bit space; the filter materializes as the DISTINCT position
+    * set (≤ m rows — bounded by the SKETCH size, not the data, and
+    * broadcastable); a probe key passes iff all k of its positions are
+    * set. Overestimate-only by construction: every true member passes
+    * (spec-asserted), non-members pass at the classic fp rate — the 1-row
+    * audit reports probed/members/passed/false-positives and the rate.
+    * Seeded positions are the engine-portable hash52 of "key:i", so the
+    * oracle replays the filter bit for bit. */
+  def sketchBloom(s: SparkSession, dir: String): DataFrame = {
+    val bld = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("key")).distinct()
+    val prb = Tables.load(s, dir, "orders")
+      .select(col("o_custkey").as("key")).distinct()
+    sketchBloomOf(bld, prb, BloomM.toLong, BloomK)
+  }
+
+  /** The build+probe+audit engine over any (key) relations — `m`/`k` are
+    * parameters so the spec can force a saturated filter and measure real
+    * false positives; the gated query runs the production-shaped m. */
+  private[graft] def sketchBloomOf(bldIn: DataFrame, prbIn: DataFrame,
+      m: Long, k: Int): DataFrame = {
+    def positions(key: Column): Column =
+      array((0 until k).map(i =>
+        pmod(graft.functions.hash52(concat(key.cast("string"), lit(":" + i))),
+          lit(m))): _*)
+    val bld = bldIn.localCheckpoint()
+    val bits = bld.select(explode(positions(col("key"))).as("pos")).distinct()
+    val prb = prbIn.localCheckpoint()
+    val pass = prb.select(col("key"), explode(positions(col("key"))).as("pos"))
+      .join(bits, Seq("pos"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === k)
+      .select(col("key"))
+      .localCheckpoint()
+    val audit = prb.agg(count(lit(1)).as("n_probed"))
+      .crossJoin(prb.join(bld, Seq("key"), "left_semi").agg(count(lit(1)).as("n_members")))
+      .crossJoin(pass.agg(count(lit(1)).as("n_pass")))
+      .crossJoin(pass.join(bld, Seq("key"), "left_anti").agg(count(lit(1)).as("n_false_pos")))
+    audit.withColumn("fp_rate",
+      when(col("n_probed") > col("n_members"),
+        floor(col("n_false_pos").cast("double") /
+          (col("n_probed") - col("n_members")) * 1e6 + 0.5) / 1e6)
+        .otherwise(lit(0.0)))
+  }
+
   // --- wiring --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr_sketch_bloom" -> (sketchBloom _),
     "mr_streaming_pipe" -> (streamingPipe _),
     "mr_streaming_pipe_reduce" -> (streamingPipeReduce _),
     "mr_quasi_monte_carlo" -> (quasiMonteCarlo _),
@@ -190,6 +245,24 @@ object Extras {
   private val vocabSql = Vocab.map(w => s"'$w'").mkString("[", ", ", "]")
 
   def oracles: Map[String, String] = Map(
+    "mr_sketch_bloom" -> {
+      val posList = (0 until BloomK)
+        .map(i => s"${graft.functions.hash52Sql(s"CAST(key AS VARCHAR) || ':$i'")} % $BloomM")
+        .mkString("[", ", ", "]")
+      val nMembers = "(SELECT count(*) FROM prb WHERE key IN (SELECT key FROM bld))"
+      val nFp = "(SELECT count(*) FROM pass WHERE key NOT IN (SELECT key FROM bld))"
+      s"WITH bld AS (SELECT DISTINCT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'), " +
+        s"bits AS (SELECT DISTINCT pos FROM (SELECT unnest($posList) AS pos FROM bld)), " +
+        "prb AS (SELECT DISTINCT o_custkey AS key FROM orders), " +
+        s"pp AS (SELECT key, unnest($posList) AS pos FROM prb), " +
+        "hits AS (SELECT key, count(*) AS nhit FROM pp WHERE pos IN (SELECT pos FROM bits) GROUP BY key), " +
+        s"pass AS (SELECT key FROM hits WHERE nhit = $BloomK) " +
+        s"SELECT (SELECT count(*) FROM prb) AS n_probed, $nMembers AS n_members, " +
+        s"(SELECT count(*) FROM pass) AS n_pass, $nFp AS n_false_pos, " +
+        s"CASE WHEN (SELECT count(*) FROM prb) > $nMembers THEN " +
+        s"floor(CAST($nFp AS DOUBLE) / ((SELECT count(*) FROM prb) - $nMembers) * 1000000 + 0.5) / 1000000 " +
+        "ELSE 0.0 END AS fp_rate"
+    },
     "mr_streaming_pipe" ->
       "SELECT upper(word) AS word_upper, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY upper(word)",
     "mr_streaming_pipe_reduce" ->

@@ -560,9 +560,33 @@ object Similarity {
           .as("qsum"))
   }
 
+  /** Recall@k audit — the number every ANN deployment watches before
+    * trusting the index: per query, |ANN top-k ∩ exact top-k| / |exact
+    * top-k|, composing the gated LSH path against the brute-force ground
+    * truth. Both sides rank with the identical (cos DESC, neighbor_id ASC)
+    * tie rule, so the intersection is deterministic. At 100 TB the ground
+    * truth runs on a SAMPLE of queries (here: the same bounded query set
+    * both operators already share) — recall is an estimate over queries,
+    * never a corpus-sized computation. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = topkBruteforce(s, dir).select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val ann = annLsh(s, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_true"),
+        (floor(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_true") * 1e6 + 0.5) / 1e6)
+          .as("recall"))
+  }
+
   // --- wiring --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_recall" -> (annRecall _),
     "sim_topk_bruteforce" -> (topkBruteforce _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_ann_ivf" -> (annIvf _),
@@ -766,5 +790,27 @@ object Similarity {
       (s"WITH scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS cos " +
         s"FROM embeddings c JOIN embeddings q ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id), " +
         "ranked AS (SELECT query_id, neighbor_id, cos, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank FROM scored) " +
-        s"SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $TopK"))
+        s"SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $TopK"),
+    "sim_ann_recall" ->
+      // Both rankings replayed with the shared building blocks (lshSigSql /
+      // cosSql) under prefixed CTE names, then intersected per query.
+      (s"WITH sigd AS (SELECT vec_id, embedding, CAST($lshSigSql AS BIGINT) AS sig FROM embeddings), " +
+        s"tb AS (SELECT vec_id, (sig >> (t * $PlanesPerTable)) & ${(1 << PlanesPerTable) - 1} AS bucket, t " +
+        s"FROM sigd CROSS JOIN generate_series(0, ${NumTables - 1}) g(t)), " +
+        s"acand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id " +
+        s"FROM tb c JOIN tb q ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id < $NumQueries AND q.vec_id <> c.vec_id), " +
+        s"ascored AS (SELECT acand.query_id, acand.neighbor_id, $cosSql AS cos " +
+        "FROM acand JOIN embeddings q ON q.vec_id = acand.query_id JOIN embeddings c ON c.vec_id = acand.neighbor_id), " +
+        s"ann AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER " +
+        s"(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM ascored) WHERE rank <= $TopK), " +
+        s"escored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS cos " +
+        s"FROM embeddings c JOIN embeddings q ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id), " +
+        s"ex AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER " +
+        s"(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM escored) WHERE rank <= $TopK), " +
+        "et AS (SELECT query_id, count(*) AS n_true FROM ex GROUP BY 1), " +
+        "ht AS (SELECT ex.query_id, count(*) AS n_hit FROM ex JOIN ann " +
+        "ON ann.query_id = ex.query_id AND ann.neighbor_id = ex.neighbor_id GROUP BY 1) " +
+        "SELECT et.query_id, CAST(coalesce(ht.n_hit, 0) AS BIGINT) AS n_hit, et.n_true, " +
+        "floor(CAST(coalesce(ht.n_hit, 0) AS DOUBLE) / et.n_true * 1000000 + 0.5) / 1000000 AS recall " +
+        "FROM et LEFT JOIN ht ON et.query_id = ht.query_id"))
 }

@@ -416,6 +416,29 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must be sort-limit:\n$p")
   }
 
+  test("bloom filter never false-negatives; a saturated filter shows real false positives") {
+    import org.apache.spark.sql.functions._
+    val ss = SparkSpec.spark
+    import ss.implicits._
+    val bld = (1L to 60L).toDF("key")
+    val prb = (1L to 400L).toDF("key")
+    // production-shaped m: every member passes, and at 240/65536 fill the
+    // fp probability is ~1e-9 — expect zero
+    val wide = graft.operators.Extras.sketchBloomOf(bld, prb, 65536L, 4).head()
+    assert(wide.getLong(1) == 60 && wide.getLong(2) >= 60,
+      "every true member must pass (no false negatives, ever)")
+    assert(wide.getLong(3) == 0, "a near-empty filter should show no false positives")
+    // saturated m=64: fill ~ 1 - (1-1/64)^240 ≈ 0.98 → nearly every
+    // non-member passes; the audit must COUNT them, not hide them
+    val tight = graft.operators.Extras.sketchBloomOf(bld, prb, 64L, 4).head()
+    assert(tight.getLong(2) >= tight.getLong(1), "members always pass")
+    assert(tight.getLong(3) > 100,
+      s"a saturated filter must show mass false positives, got ${tight.getLong(3)}")
+    val recount = tight.getLong(2) - tight.getLong(1)
+    assert(tight.getLong(3) == recount,
+      "false positives must equal passes minus members when all members pass")
+  }
+
   test("salted join is result-identical to the plain join and keys on (orderkey, salt)") {
     import org.apache.spark.sql.functions._
     val df = Analytics.joinSalted(spark, sf)

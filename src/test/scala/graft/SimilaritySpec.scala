@@ -211,4 +211,25 @@ class SimilaritySpec extends SparkSpec {
     assert(trained >= untrained,
       s"training regressed recall: $trained < $untrained")
   }
+
+  test("recall audit equals a driver-side recount of the two gated rankings") {
+    import org.apache.spark.sql.functions.col
+    val exact = Similarity.topkBruteforce(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ann = Similarity.annLsh(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val audit = Similarity.annRecall(spark, sf).collect()
+    assert(audit.nonEmpty)
+    val exByQ = exact.groupBy(_._1)
+    audit.foreach { r =>
+      val (q, nHit, nTrue) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val ex = exByQ(q)
+      assert(nTrue == ex.length, s"query $q: n_true mismatch")
+      val recount = ex.count(ann.contains)
+      assert(nHit == recount, s"query $q: n_hit $nHit != recount $recount")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
 }
