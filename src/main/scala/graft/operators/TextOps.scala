@@ -112,6 +112,11 @@ object TextOps {
       .select(col("lang"), col("b"), col("w"))
       .collect()
     val langs = cent.map(_.getString(0)).distinct.sorted.toIndexedSeq
+    // No trained centroids (empty/degenerate corpus): everything is 'und' —
+    // the same verdict the scorer gives a bigram-less doc.
+    if (langs.isEmpty)
+      return feat.select(col("doc_id"), col("lang"), lit("und").as("pred_lang"))
+        .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
     val weights = langs.map { l =>
       val arr = Array.fill(LangidBuckets)(0L)
       cent.filter(_.getString(0) == l).foreach(r => arr(r.getInt(1)) = r.getLong(2))
