@@ -16,6 +16,17 @@ class CurationOpsSpec extends SparkSpec {
   private val ss = SparkSpec.spark
   import ss.implicits._
 
+  test("native bigram-bucket histogram equals the declarative HOF reference") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    val ref = transform(sequence(lit(0), lit(TextOps.LangidBuckets - 1)),
+      b => size(filter(TextOps.langidBigrams(col("text")), x => x === b)).cast("long"))
+    val bad = d.select(
+        graft.functions.LangidExpressions.bigramBuckets(col("text"), TextOps.LangidBuckets).as("native"),
+        ref.as("ref"))
+      .filter(col("native") =!= col("ref"))
+    assert(bad.count() == 0, "native histogram must equal the 32-filter formulation")
+  }
+
   test("rocchio langid separates char-distribution-distinct languages") {
     val ss = SparkSpec.spark
     import ss.implicits._
