@@ -439,7 +439,49 @@ object Pipeline {
         (col("off") + col("lrn") - 1).as("curriculum_pos"))
   }
 
+  /** Mixture-interleaved GLOBAL ORDER — the data-loader stream that
+    * REALIZES the tempered mixture plan: source s's documents appear with
+    * density ∝ share6 (mixTemperature's n^0.5 tempered share), evenly
+    * spread rather than block-concatenated, each source internally in the
+    * deterministic md5 permutation. The classic deterministic interleave:
+    * in-source rank r takes priority key (r+1)·1e9 DIV share6 (pure
+    * integer — strictly increasing within a source, overflow-safe past
+    * 9e9 docs/source), the global order sorts (key, source, r). Both
+    * ranks are the two-level recipe: in-source rank partitions its
+    * windows by (source, block); the global rank blocks the KEY domain
+    * (monotone truncation-division again) — no global sort, no
+    * corpus-sized window anywhere. */
+  def interleave(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), graft.functions.hash64(col("doc_id")).as("h"))
+      .withColumn("blk", expr(s"h DIV $ShuffleBlock"))
+    val wSrcBlk = Window.partitionBy(col("source")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = d.groupBy("source", "blk").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wSrcBlk), lit(0L)))
+      .select(col("source"), col("blk"), col("off"))
+    val wLocal = Window.partitionBy(col("source"), col("blk")).orderBy(col("h"), col("doc_id"))
+    val ranked = d.withColumn("lrn", row_number().over(wLocal).cast("long"))
+      .join(offs, Seq("source", "blk"))
+      .select(col("doc_id"), col("source"), (col("off") + col("lrn") - 1).as("r"))
+    val shares = mixTemperature(s, dir).select(col("source"), col("share6"))
+    val keyed = ranked.join(broadcast(shares), Seq("source"))
+      .withColumn("key", expr("((r + 1) * 1000000000) DIV share6"))
+      .withColumn("kblk", expr("key DIV 1000000000"))
+    val wKblk = Window.orderBy(col("kblk")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs2 = keyed.groupBy("kblk").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wKblk), lit(0L)))
+      .select(col("kblk"), col("off"))
+    val wKey = Window.partitionBy(col("kblk")).orderBy(col("key"), col("source"), col("r"))
+    keyed.withColumn("lrn", row_number().over(wKey).cast("long"))
+      .join(offs2, Seq("kblk"))
+      .select(col("doc_id"), col("source"), col("r"),
+        (col("off") + col("lrn") - 1).as("interleave_pos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_interleave" -> (interleave _),
     "pipeline_curriculum" -> (curriculum _),
     "pipeline_curate" -> (curate _),
     "pipeline_curate_model" -> (curateModel _),
@@ -517,6 +559,13 @@ object Pipeline {
     },
     "pipeline_shuffle" ->
       (s"SELECT doc_id, CAST(row_number() OVER (ORDER BY ${graft.functions.hash64Sql("doc_id")}, doc_id) - 1 AS BIGINT) AS shuffle_pos FROM documents"),
+    "pipeline_interleave" ->
+      (s"WITH $mixCtes, " +
+        s"rr AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+        s"ORDER BY ${graft.functions.hash64Sql("doc_id")}, doc_id) - 1 AS r FROM documents), " +
+        "k AS (SELECT rr.doc_id, rr.source, rr.r, ((rr.r + 1) * 1000000000) // tg.share6 AS key " +
+        "FROM rr JOIN tg ON rr.source = tg.source) " +
+        "SELECT doc_id, source, r, CAST(row_number() OVER (ORDER BY key, source, r) - 1 AS BIGINT) AS interleave_pos FROM k"),
     "pipeline_curriculum" ->
       (s"WITH ${TextOps.pplBucketCtes} " +
         "SELECT doc_id, ppl_bucket, CAST(row_number() OVER (ORDER BY " +

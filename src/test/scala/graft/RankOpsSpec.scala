@@ -40,6 +40,26 @@ class RankOpsSpec extends SparkSpec {
     }
   }
 
+  test("interleave is a dense permutation that spreads sources evenly") {
+    val rows = Pipeline.interleave(spark, sf)
+      .select(col("doc_id"), col("source"), col("r"), col("interleave_pos"))
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    val n = rows.length
+    assert(rows.map(_._4).sorted.toSeq == (0L until n).toSeq, "dense 0..n-1 permutation")
+    // per-source: stream order preserves the in-source md5 rank
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val byPos = g.sortBy(_._4).map(_._3).toSeq
+      assert(byPos == byPos.sorted, "within a source, r must increase along the stream")
+    }
+    // the shipped corpus has equal-share sources: the interleave must be an
+    // exact round-robin — each block of |sources| positions hits every source
+    val nSrc = rows.map(_._2).distinct.length
+    val firstBlock = rows.filter(_._4 < nSrc).map(_._2).distinct
+    assert(firstBlock.length == nSrc,
+      s"equal shares must round-robin: first $nSrc positions hit ${firstBlock.length} sources")
+  }
+
   test("equi-depth deciles match a brute-force sort") {
     val got = Analytics.equidepthHist(spark, sf)
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
