@@ -155,11 +155,16 @@ object Pipeline {
     size(graft.functions.wsTokens(col("text"))).cast("long")
 
   def pack(s: SparkSession, dir: String, packBlock: Int = PackBlock,
-      tokenCount: Column = wsTokenCount): DataFrame = {
+      tokenCount: Column = wsTokenCount): DataFrame =
+    packOf(graft.sources.Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), tokenCount.as("n_tok")), packBlock)
+
+  /** The two-level packing planner over ANY (source, doc_id, n_tok)
+    * relation — `pack` feeds it the whole corpus, `build` the curated
+    * survivor set. */
+  private[graft] def packOf(rel: DataFrame, packBlock: Int = PackBlock): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = graft.sources.Tables.load(s, dir, "documents")
-      .select(col("source"), col("doc_id"), tokenCount.as("n_tok"))
-      .withColumn("blk", expr(s"doc_id DIV $packBlock"))
+    val base = rel.withColumn("blk", expr(s"doc_id DIV $packBlock"))
     // Level 1: running sum inside each (source, block) — bounded partitions.
     val wLocal = Window.partitionBy(col("source"), col("blk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -480,7 +485,51 @@ object Pipeline {
         (col("off") + col("lrn") - 1).as("interleave_pos"))
   }
 
+  /** The END-TO-END dataset build — every curation stage composed into the
+    * single manifest a training run consumes, the query this library
+    * exists to serve:
+    *
+    *   documents (minus the benchmark set)
+    *     ∩ Gopher heuristic battery        (text_gopher_rules.keep)
+    *     ∩ learned quality gate            (text_quality_model.model_keep)
+    *     ∩ near-dup cluster canonicals     (dedup_survivors — LSH-verified
+    *                                        CC ∪ exact-hash stars)
+    *     ∖ benchmark-contaminated docs     (pipeline_decontaminate hits)
+    *   → two-level packing planner         (pipeline_pack's engine)
+    *   → (source, chunk_id, n_docs, n_tokens, fill_ratio)
+    *
+    * Every stage is the SAME DataFrame the standalone gated operator
+    * returns, joined by doc_id (semi/anti — only ids shuffle); the oracle
+    * composes the same factored CTE chains. Catalyst fuses the scan-side
+    * gates; the expensive stages (survivors' verified pairs) are
+    * LSH-bounded exactly as they are standalone. */
+  /** The heuristic stage gates on the LANGUAGE-AGNOSTIC Gopher rules —
+    * the stopword rule is an English-marker test (Rae et al. apply it to
+    * an English corpus; CCNet-style deployments gate per language), and on
+    * this synthetic non-English-like corpus it would annihilate every
+    * document. One shared list drives the Spark filter and the oracle. */
+  val BuildGopherFlags: Seq[String] = Seq(
+    "r_word_count", "r_mean_len", "r_symbol", "r_alpha", "r_bullet", "r_ellipsis")
+
+  def build(s: SparkSession, dir: String): DataFrame = {
+    val gopher = TextOps.gopherRules(s, dir)
+      .filter(BuildGopherFlags.map(col(_) === 1).reduce(_ && _))
+      .select("doc_id")
+    val model = TextOps.qualityModel(s, dir).filter(col("model_keep") === 1).select("doc_id")
+    val canon = Dedup.survivors(s, dir).select(col("doc_id"))
+    val dirty = decontaminate(s, dir).select(col("doc_id"))
+    val base = graft.sources.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") >= 10)
+      .select(col("source"), col("doc_id"), wsTokenCount.as("n_tok"))
+      .join(gopher, Seq("doc_id"), "left_semi")
+      .join(model, Seq("doc_id"), "left_semi")
+      .join(canon, Seq("doc_id"), "left_semi")
+      .join(dirty, Seq("doc_id"), "left_anti")
+    packOf(base)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_build" -> (build _),
     "pipeline_interleave" -> (interleave _),
     "pipeline_curriculum" -> (curriculum _),
     "pipeline_curate" -> (curate _),
@@ -559,6 +608,28 @@ object Pipeline {
     },
     "pipeline_shuffle" ->
       (s"SELECT doc_id, CAST(row_number() OVER (ORDER BY ${graft.functions.hash64Sql("doc_id")}, doc_id) - 1 AS BIGINT) AS shuffle_pos FROM documents"),
+    "pipeline_build" ->
+      // The same factored chains the standalone oracles run: survivor
+      // labels (recursive CC), gopher flags, model gate, contamination
+      // grams, then the pack cumsum over the filtered base.
+      (s"WITH RECURSIVE ${Dedup.survivorLabCtes}, " +
+        s"g AS (${TextOps.gopherSql}), " +
+        s"qm AS (${TextOps.qualityModelSql}), " +
+        s"bgrams AS (SELECT doc_id, unnest(list_distinct($shingles5Sql)) AS g5 FROM documents), " +
+        "bbench AS (SELECT doc_id AS bench_id, g5 FROM bgrams WHERE doc_id < 10), " +
+        "dirty AS (SELECT DISTINCT c.doc_id FROM bgrams c JOIN bbench b ON c.g5 = b.g5 WHERE c.doc_id >= 10), " +
+        "bse AS (SELECT d.source, d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok " +
+        "FROM documents d WHERE d.doc_id >= 10 " +
+        s"AND d.doc_id IN (SELECT doc_id FROM g WHERE ${BuildGopherFlags.map(f => s"$f = 1").mkString(" AND ")}) " +
+        "AND d.doc_id IN (SELECT doc_id FROM qm WHERE model_keep = 1) " +
+        "AND d.doc_id IN (SELECT DISTINCT cluster_id FROM lab) " +
+        "AND d.doc_id NOT IN (SELECT doc_id FROM dirty)), " +
+        "cumed AS (SELECT source, doc_id, n_tok, CAST(sum(n_tok) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM bse) " +
+        "SELECT source, chunk_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+        s"floor(CAST(sum(n_tok) AS DOUBLE) / $CtxTokens * 1000000 + 0.5) / 1000000 AS fill_ratio FROM " +
+        s"(SELECT source, (cum - n_tok) // $CtxTokens AS chunk_id, n_tok FROM cumed) " +
+        "GROUP BY source, chunk_id"),
     "pipeline_interleave" ->
       (s"WITH $mixCtes, " +
         s"rr AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +

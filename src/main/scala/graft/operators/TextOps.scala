@@ -1121,7 +1121,7 @@ object TextOps {
   /** SQL mirror of [[gopherRules]]: the same integer-arithmetic rule
     * conditions over the same raw counts, built from one shared condition
     * list so Spark flags and oracle flags can never drift. */
-  private val gopherSql: String = {
+  private[operators] val gopherSql: String = {
     val rules = Seq(
       "r_word_count" -> s"n >= $GopherMinWords AND n <= $GopherMaxWords",
       "r_mean_len" -> "3 * n <= totlen AND totlen <= 10 * n",

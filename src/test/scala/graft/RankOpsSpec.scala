@@ -60,6 +60,32 @@ class RankOpsSpec extends SparkSpec {
       s"equal shares must round-robin: first $nSrc positions hit ${firstBlock.length} sources")
   }
 
+  test("dataset build manifest conserves the composed standalone gates") {
+    val ss = SparkSpec.spark
+    val flags = Pipeline.BuildGopherFlags
+    val gopher = TextOps.gopherRules(spark, sf)
+      .filter(flags.map(col(_) === 1).reduce(_ && _))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val model = TextOps.qualityModel(spark, sf).filter(col("model_keep") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val canon = graft.operators.Dedup.survivors(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dirty = Pipeline.decontaminate(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectIds = docs.keySet
+      .filter(id => id >= 10 && gopher(id) && model(id) && canon(id) && !dirty(id))
+    val manifest = Pipeline.build(spark, sf)
+      .agg(sum(col("n_docs")), sum(col("n_tokens"))).head()
+    assert(manifest.getLong(0) == expectIds.size,
+      s"manifest docs ${manifest.getLong(0)} != composed gates ${expectIds.size}")
+    assert(manifest.getLong(1) == expectIds.toSeq.map(docs).sum,
+      "manifest token total must equal the survivors' token sum")
+    assert(expectIds.nonEmpty, "the composed gates must keep a non-degenerate survivor set")
+  }
+
   test("equi-depth deciles match a brute-force sort") {
     val got = Analytics.equidepthHist(spark, sf)
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
