@@ -116,7 +116,12 @@ object Scale {
       "pipeline_curate_neardup" -> (Pipeline.curateNearDup _),
       "dedup_semantic" -> (Dedup.semanticDedup _),
       "sim_ann_ivfpq" -> (Similarity.annIvfPq _),
-      "sim_knn_graph" -> (Similarity.knnGraph _))
+      "sim_knn_graph" -> (Similarity.knnGraph _),
+      // round-8 additions: the two-level-rank family's new consumers and
+      // the end-to-end build capstone (composes the heaviest chains)
+      "pipeline_curriculum" -> (Pipeline.curriculum _),
+      "pipeline_interleave" -> (Pipeline.interleave _),
+      "pipeline_build" -> (Pipeline.build _))
 
   def main(args: Array[String]): Unit = {
     val outBase = args.headOption.getOrElse("/tmp/graft_scale")
