@@ -416,6 +416,14 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must be sort-limit:\n$p")
   }
 
+  test("dataset build: id-only gate joins, no cartesian, no global sort") {
+    val p = plan(graft.operators.Pipeline.build(spark, sf))
+    assert(p.contains("LeftSemi"), s"gates must compose as semi joins:\n${p.take(2000)}")
+    assert(p.contains("LeftAnti"), s"decontamination must be an anti join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere in the build")
+    assert(!p.contains("rangepartitioning"), "no sampled global sort in the build")
+  }
+
   test("bloom filter never false-negatives; a saturated filter shows real false positives") {
     import org.apache.spark.sql.functions._
     val ss = SparkSpec.spark
