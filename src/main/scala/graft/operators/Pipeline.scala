@@ -449,9 +449,12 @@ object Pipeline {
     * density ∝ share6 (mixTemperature's n^0.5 tempered share), evenly
     * spread rather than block-concatenated, each source internally in the
     * deterministic md5 permutation. The classic deterministic interleave:
-    * in-source rank r takes priority key (r+1)·1e9 DIV share6 (pure
-    * integer — strictly increasing within a source, overflow-safe past
-    * 9e9 docs/source), the global order sorts (key, source, r). Both
+    * in-source rank r takes priority key (r+1)·1e9 DIV max(share6, 1)
+    * (pure integer — strictly increasing within a source, overflow-safe
+    * past 9e9 docs/source; the max(·,1) clamp keeps a source whose
+    * tempered share rounds below 0.5 ppm from dividing by zero — it
+    * degrades to share 1e-6 instead of NULL keys), the global order
+    * sorts (key, source, r). Both
     * ranks are the two-level recipe: in-source rank partitions its
     * windows by (source, block); the global rank blocks the KEY domain
     * (monotone truncation-division again) — no global sort, no
@@ -472,7 +475,7 @@ object Pipeline {
       .select(col("doc_id"), col("source"), (col("off") + col("lrn") - 1).as("r"))
     val shares = mixTemperature(s, dir).select(col("source"), col("share6"))
     val keyed = ranked.join(broadcast(shares), Seq("source"))
-      .withColumn("key", expr("((r + 1) * 1000000000) DIV share6"))
+      .withColumn("key", expr("((r + 1) * 1000000000) DIV greatest(share6, 1)"))
       .withColumn("kblk", expr("key DIV 1000000000"))
     val wKblk = Window.orderBy(col("kblk")).rowsBetween(Window.unboundedPreceding, -1)
     val offs2 = keyed.groupBy("kblk").agg(count(lit(1)).as("cnt"))
@@ -634,7 +637,7 @@ object Pipeline {
       (s"WITH $mixCtes, " +
         s"rr AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
         s"ORDER BY ${graft.functions.hash64Sql("doc_id")}, doc_id) - 1 AS r FROM documents), " +
-        "k AS (SELECT rr.doc_id, rr.source, rr.r, ((rr.r + 1) * 1000000000) // tg.share6 AS key " +
+        "k AS (SELECT rr.doc_id, rr.source, rr.r, ((rr.r + 1) * 1000000000) // greatest(tg.share6, 1) AS key " +
         "FROM rr JOIN tg ON rr.source = tg.source) " +
         "SELECT doc_id, source, r, CAST(row_number() OVER (ORDER BY key, source, r) - 1 AS BIGINT) AS interleave_pos FROM k"),
     "pipeline_curriculum" ->

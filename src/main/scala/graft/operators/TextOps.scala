@@ -973,8 +973,15 @@ object TextOps {
         "nl AS (SELECT lang, count(DISTINCT doc_id) AS nd FROM fr GROUP BY 1), " +
         "cent AS (SELECT fr.lang, fr.b, sum(fr.f) // max(nl.nd) AS w " +
         "FROM fr JOIN nl ON fr.lang = nl.lang GROUP BY fr.lang, fr.b), " +
-        "sc AS (SELECT cnt.doc_id, cent.lang AS cand, sum(cnt.c * cent.w) AS s " +
+        // Every (doc-with-bigrams, trained-language) pair scores — overlap
+        // coalesces to 0 — because the Spark argmax considers EVERY trained
+        // language; an inner bucket join would send zero-overlap docs to
+        // 'und' instead of the lex-smallest zero-score language.
+        "dl AS (SELECT tot.doc_id, l.cand FROM tot CROSS JOIN (SELECT DISTINCT lang AS cand FROM cent) l), " +
+        "ov AS (SELECT cnt.doc_id, cent.lang AS cand, sum(cnt.c * cent.w) AS s " +
         "FROM cnt JOIN cent ON cnt.b = cent.b GROUP BY 1, 2), " +
+        "sc AS (SELECT dl.doc_id, dl.cand, coalesce(ov.s, 0) AS s " +
+        "FROM dl LEFT JOIN ov ON dl.doc_id = ov.doc_id AND dl.cand = ov.cand), " +
         "pred AS (SELECT doc_id, cand, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cand ASC) AS rn FROM sc) " +
         "SELECT d.doc_id, d.lang, coalesce(p.cand, 'und') AS pred_lang, " +
         "CASE WHEN coalesce(p.cand, 'und') = d.lang THEN 1 ELSE 0 END AS is_match " +

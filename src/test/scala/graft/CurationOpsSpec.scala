@@ -58,6 +58,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(0L) == "aa" && got(2L) == "zz")
   }
 
+  test("rocchio langid scores zero-overlap docs against every trained language") {
+    val ss = SparkSpec.spark
+    import ss.implicits._
+    // bucket(c1,c2) = (31*c1 + c2) mod 32 = (c2 - c1) mod 32: "aaaa"
+    // occupies only bucket 0, "cece" only buckets {2, 30}, while "abab"
+    // hits buckets {1, 31} — zero bucket overlap with every centroid. The
+    // argmax still ranges over every trained language (all scores 0), so
+    // the doc takes the lex-smallest one — exactly what the oracle's
+    // coalesced cross join computes; an inner bucket join would have
+    // emitted no candidate rows and mislabeled the doc 'und'.
+    val docs = Seq(
+      (0L, "aaaa", "aa"), (2L, "aaaa", "aa"),
+      (4L, "cece", "cc"), (6L, "cece", "cc"),
+      (1L, "abab", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextOps.langidModelOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "aa",
+      s"zero-overlap doc must take the lex-smallest trained language, got ${got(1L)}")
+    assert(got(0L) == "aa" && got(4L) == "cc")
+  }
+
   test("gopher battery separates crafted good and bad documents rule by rule") {
     val good = ("the of and that be to have with " * 8).trim
     val docs = Seq(
