@@ -1,6 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Where a run's artifact belongs: a contended run (start load average
+    * above [[ContendedLoad]]) is demoted to `<path>.contended` whenever the
+    * existing artifact at `path` records a CLEAN start load — so a busy-box
+    * re-run can never overwrite idle-box evidence. Every other case (clean
+    * run, no prior artifact, or a prior artifact that was itself contended)
+    * writes `path` as before. */
+  val ContendedLoad = 2.0
+  private[graft] def artifactDestination(path: String, loadAvg: Double,
+      existingLoad: Option[Double]): String =
+    if (loadAvg > ContendedLoad && existingLoad.exists(_ <= ContendedLoad))
+      path + ".contended"
+    else path
+
+  /** The `load_avg_start` stamped into an existing artifact, if one parses. */
+  private[graft] def existingLoadAvg(path: String): Option[Double] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+      """"load_avg_start"\s*:\s*(-?[0-9.]+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -70,7 +93,15 @@ object Bench {
     // medians — guaranteed to fit the archived tail and parse.
     val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","load_avg_start":${r3(loadAvg)},"cold_total":${r3(coldTotal)},"queries_cold":${obj(_._1)},"queries":${obj(_._2)},"queries_median":$medObj,"median_heavy_total":${r3(medTotal)},"value":${r3(warmTotal)}}"""
     println(full)
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    val basePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    // Self-defense: a contended run (load > 2.0 at start) must not clobber a
+    // clean artifact — rounds 6 and 8 both lost their idle-box numbers to a
+    // later busy-box re-run. The contended timings still land on disk (as
+    // `<path>.contended`) so nothing is hidden; only the clean slot is kept.
+    val fullPath = artifactDestination(basePath, loadAvg, existingLoadAvg(basePath))
+    if (fullPath != basePath)
+      System.err.println(s"[bench] load average ${r3(loadAvg)} > 2.0 and $basePath " +
+        s"holds a cleaner run — writing $fullPath instead")
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
