@@ -575,10 +575,30 @@ object Analytics {
     * histogram/percentile primitive a 100 TB profiler runs where a global
     * ORDER BY would be the bottleneck; approx_percentile trades exactness
     * for one pass, this keeps exactness at two small shuffles. */
-  def equidepthHist(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val vc = li.groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("cnt"))
-      .withColumn("blk", floor(col("v") / 1000).cast("long"))
+  def equidepthHist(s: SparkSession, dir: String): DataFrame =
+    equidepthOf(t(s, dir, "lineitem").select(col("l_extendedprice").as("v")))
+
+  /** Target block count for the value-domain decomposition. ~4k blocks keep
+    * the block histogram window trivially small while bounding each block to
+    * ~N_distinct/4k values — and because the width comes from the observed
+    * min/max, a skewed or continuous domain cannot collapse into one block
+    * the way a fixed absolute width (the old `floor(v/1000)`) could. */
+  val EquidepthBlocks = 4096
+
+  private[graft] def equidepthOf(vals: DataFrame): DataFrame = {
+    // Block id from the DATA's own bounds (the zorderWrite gridScale
+    // recipe): one min/max aggregate broadcasts a single row, and
+    // blk = floor((v-min)/width) is monotone in v — all the decomposition
+    // needs. A one-value domain (min = max) degenerates to a single block,
+    // which is then also the whole (single-row) value census.
+    val bounds = vals.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val vc = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("blk", when(col("vmax") > col("vmin"),
+        floor((col("v") - col("vmin")).cast("double") /
+          ((col("vmax") - col("vmin")).cast("double") / EquidepthBlocks)))
+        .otherwise(lit(0)).cast("long"))
+      .select(col("v"), col("cnt"), col("blk"))
     val wBlk = Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)
     val offs = vc.groupBy("blk").agg(sum(col("cnt")).as("bcnt"))
       .withColumn("off", coalesce(sum(col("bcnt")).over(wBlk), lit(0L)))
@@ -587,7 +607,8 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = vc.join(offs, Seq("blk"))
       .withColumn("cum", col("off") + sum(col("cnt")).over(wLoc))
-    val n = li.agg(count(lit(1)).as("n"))
+    val s = vals.sparkSession
+    val n = vals.agg(count(lit(1)).as("n"))
     val targets = s.range(1, 11).select(col("id").cast("int").as("decile"))
       .crossJoin(broadcast(n))
       .withColumn("target", expr("(decile * n + 9) DIV 10"))

@@ -104,4 +104,32 @@ class RankOpsSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq, "boundaries nondecreasing")
     assert(got.last._2 == vals.last, "decile 10 is the maximum")
   }
+
+  test("equi-depth blocks derive from the data's own bounds (skewed domain)") {
+    val sp = spark
+    import sp.implicits._
+    // 10k distinct values all inside [0, 10): the pre-round-9 fixed absolute
+    // width (floor(v/1000)) would land EVERY value in one block, degenerating
+    // the within-block window toward a global sort. The min/max-derived
+    // width must both (a) keep the decile answer exact and (b) spread the
+    // domain over many bounded blocks.
+    val raw = (0 until 10000).map(i => i.toDouble / 1000)
+    val got = Analytics.equidepthOf(raw.toDF("v")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val sorted = raw.sorted
+    assert(got.map(_._1).toSeq == (1 to 10).toSeq, "one row per decile")
+    got.foreach { case (q, b, target, n) =>
+      assert(n == 10000L)
+      assert(target == (q * 10000L + 9) / 10)
+      assert(b == sorted((target - 1).toInt), s"decile $q boundary")
+    }
+    // the block scheme itself (same formula the operator plants): bounded
+    // per-block distinct values, spread over many blocks
+    val w = (sorted.last - sorted.head) / Analytics.EquidepthBlocks
+    val perBlk = sorted.distinct
+      .groupBy(v => math.floor((v - sorted.head) / w).toLong).values.map(_.size)
+    assert(perBlk.max <= 8, s"per-block distinct values must stay bounded, got ${perBlk.max}")
+    assert(perBlk.size > 1000, s"skewed domain must spread over many blocks, got ${perBlk.size}")
+  }
 }
