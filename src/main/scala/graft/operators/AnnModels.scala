@@ -35,6 +35,8 @@ object AnnModels {
   @volatile private[graft] var ivfTrains = 0
   @volatile private[graft] var pqTrains = 0
   @volatile private[graft] var lmTrains = 0
+  @volatile private[graft] var langidTrains = 0
+  @volatile private[graft] var bpeTrains = 0
 
   private var rootOverride: Option[String] = None
 
@@ -92,6 +94,29 @@ object AnnModels {
       }
       val dfs = names.map(n => s.read.parquet(new Path(root(s), n).toString))
       (dfs(0), dfs(1), dfs(2))
+    }
+
+  /** The trained Rocchio language-ID centroids (lang, b, w) for `dir` —
+    * the one trained model that previously re-trained per invocation
+    * (VERDICT r8 #3). Training is integer-exact (see
+    * `TextOps.trainLangidCentroids`), so artifact-served scoring is
+    * bit-identical to inline. */
+  def langidCentroids(s: SparkSession, dir: String): DataFrame =
+    ensure(s, key(dir, "langid", s"b=${TextOps.LangidBuckets},half=even")) {
+      langidTrains += 1
+      TextOps.trainLangidCentroids(graft.sources.Tables.load(s, dir, "documents"))
+    }
+
+  /** The trained BPE merge table (rank, lhs, rhs, pair_count) for `dir` —
+    * the reference's DistributedCache train-then-ship shape: the table
+    * trains once, persists, and drives the native encoder chain
+    * (`TextOps.bpeTrainedIds`) instead of the static constant. Training is
+    * deterministic (count argmax with lexical tie-break), so the artifact
+    * is bit-identical to an inline train and the oracle can replay it. */
+  def bpeMergeTable(s: SparkSession, dir: String): DataFrame =
+    ensure(s, key(dir, "bpe", s"k=${TextOps.BpeTrainMerges}")) {
+      bpeTrains += 1
+      TextOps.bpeTrain(s, dir)
     }
 
   private def key(dir: String, kind: String, params: String): String = {

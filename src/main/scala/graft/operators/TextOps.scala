@@ -97,12 +97,22 @@ object TextOps {
     * unchanged). Argmax ties break to the lexically smallest language;
     * bigram-less docs predict 'und'. */
   def langidModel(s: SparkSession, dir: String): DataFrame =
-    langidModelOf(docs(s, dir))
+    // gated path: centroids come from the train-once model registry (the
+    // IVF/PQ/bigram-LM deployment shape) — bit-identical to inline training
+    // because every training step is integer-exact and parquet round-trips
+    // longs exactly (AnnModelsSpec asserts parity and the single pass)
+    scoreLangidWith(docs(s, dir), AnnModels.langidCentroids(s, dir).collect())
 
-  private[graft] def langidModelOf(d: DataFrame): DataFrame = {
-    // ONE codegen'd pass per document builds the long[32] histogram —
-    // the declarative 32-filter HOF chain runs interpreted and measured
-    // ~21 s at sf0.1 (spec asserts the expression equals that formulation).
+  private[graft] def langidModelOf(d: DataFrame): DataFrame =
+    scoreLangidWith(d, trainLangidCentroids(d).collect())
+
+  /** The trained centroid relation (lang, b, w) — Rocchio training on the
+    * even-doc_id half of `d`: per-doc fixed-point bigram frequencies,
+    * per-language integer-mean centroids (see [[langidModel]]'s scaladoc
+    * for the full derivation). Every step is exact integer arithmetic, so
+    * the relation is bit-identical in any engine and parquet-persistable
+    * without drift. */
+  private[graft] def trainLangidCentroids(d: DataFrame): DataFrame = {
     val feat = d.select(col("doc_id"), col("lang"),
       graft.functions.LangidExpressions.bigramBuckets(col("text"), LangidBuckets).as("cnt"))
     val tot = aggregate(col("cnt"), lit(0L), (a, x) => a + x)
@@ -112,11 +122,20 @@ object TextOps {
       .filter(col("c") > 0)
       .withColumn("f", expr("c * 1000000 DIV tot"))
     val nl = train.groupBy("lang").agg(countDistinct(col("doc_id")).as("nd"))
-    val cent = train.groupBy("lang", "b").agg(sum(col("f")).as("sf"))
+    train.groupBy("lang", "b").agg(sum(col("f")).as("sf"))
       .join(nl, Seq("lang"))
       .withColumn("w", expr("sf DIV nd"))
       .select(col("lang"), col("b"), col("w"))
-      .collect()
+  }
+
+  private def scoreLangidWith(d: DataFrame,
+      cent: Array[org.apache.spark.sql.Row]): DataFrame = {
+    // ONE codegen'd pass per document builds the long[32] histogram —
+    // the declarative 32-filter HOF chain runs interpreted and measured
+    // ~21 s at sf0.1 (spec asserts the expression equals that formulation).
+    val feat = d.select(col("doc_id"), col("lang"),
+      graft.functions.LangidExpressions.bigramBuckets(col("text"), LangidBuckets).as("cnt"))
+    val tot = aggregate(col("cnt"), lit(0L), (a, x) => a + x)
     val langs = cent.map(_.getString(0)).distinct.sorted.toIndexedSeq
     // No trained centroids (empty/degenerate corpus): everything is 'und' —
     // the same verdict the scorer gives a bigram-less doc.
@@ -399,7 +418,7 @@ object TextOps {
     * into the next vocab, and an exhausted pair space (empty argmax)
     * empties every later CTE — exactly the Spark loop's early break. */
   // lazy: references BpeTrainMerges, declared further down the object
-  private lazy val bpeTrainSql: String = {
+  private lazy val bpeTrainCtes: String = {
     val seed = "v0 AS (SELECT count(*) AS f, " +
       s"regexp_replace(w, '(.)', '$BpeOpen\\1$BpeClose', 'g') AS s " +
       "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w)"
@@ -412,10 +431,57 @@ object TextOps {
         s"v$i AS (SELECT f, replace(s, '$BpeOpen' || a || '$BpeClose$BpeOpen' || b || '$BpeClose', " +
         s"'$BpeOpen' || a || b || '$BpeClose') AS s FROM v${i - 1} CROSS JOIN b$i)"
     }
+    s"$seed, ${steps.mkString(", ")}"
+  }
+
+  private lazy val bpeTrainSql: String = {
     val out = (1 to BpeTrainMerges).map { i =>
       s"SELECT CAST($i AS INT) AS rank, a AS lhs, b AS rhs, cnt AS pair_count FROM b$i"
     }.mkString(" UNION ALL ")
-    s"WITH $seed, ${steps.mkString(", ")} $out"
+    s"WITH $bpeTrainCtes $out"
+  }
+
+  /** SQL mirror of [[bpeTrainedIds]] — the FULL trained-tokenizer chain
+    * replayed from the raw corpus: the training CTE chain (the same
+    * v/b CTEs as `text_bpe_train`), then a parallel word-keyed chain
+    * u0..uk applying each learned rule b_i to every distinct word (LEFT
+    * JOIN ON TRUE, so an exhausted pair space leaves words untouched
+    * instead of emptying the relation), trained-vocab ids (corpus chars
+    * ranked + b_i products at nc+rank-1), and the per-document id stream
+    * assembled through map lookups — end-to-end train→encode parity with
+    * zero shared constants. */
+  private lazy val bpeTrainedIdsSql: String = {
+    val k = BpeTrainMerges
+    val seed = s"u0 AS (SELECT w, regexp_replace(w, '(.)', '$BpeOpen\\1$BpeClose', 'g') AS s " +
+      "FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents) WHERE length(w) > 0)"
+    val steps = (1 to k).map { i =>
+      s"u$i AS (SELECT w, CASE WHEN mb.a IS NULL THEN s ELSE " +
+        s"replace(s, '$BpeOpen' || mb.a || '$BpeClose$BpeOpen' || mb.b || '$BpeClose', " +
+        s"'$BpeOpen' || mb.a || mb.b || '$BpeClose') END AS s FROM u${i - 1} LEFT JOIN b$i mb ON TRUE)"
+    }
+    val mt = (1 to k).map(i => s"SELECT $i AS rank, a || b AS token FROM b$i")
+      .mkString(" UNION ALL ")
+    val vocab =
+      "c AS (SELECT DISTINCT unnest(list_transform(generate_series(1, length(ns)), " +
+        "i -> substr(ns, i, 1))) AS token FROM (SELECT replace(text, ' ', '') AS ns FROM documents)), " +
+        "cr AS (SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS INT) AS token_id, token FROM c), " +
+        "nc AS (SELECT count(*) AS n FROM c), " +
+        s"mt AS ($mt), " +
+        "prod AS (SELECT token, min(rank) AS rank FROM mt GROUP BY token), " +
+        "pr AS (SELECT CAST(n + p.rank - 1 AS INT) AS token_id, p.token FROM prod p " +
+        "CROSS JOIN nc WHERE p.token NOT IN (SELECT token FROM c)), " +
+        "vv AS (SELECT token, token_id FROM cr UNION ALL SELECT token, token_id FROM pr)"
+    val enc =
+      s"wm AS (SELECT map(list(w), list(s)) AS m FROM u$k), " +
+        "em AS (SELECT map(list(token), list(token_id)) AS m FROM vv), " +
+        "e AS (SELECT doc_id, array_to_string(list_transform(" +
+        "list_filter(string_split(text, ' '), w -> length(w) > 0), " +
+        s"w -> array_to_string(list_transform(string_split(trim(replace(replace(wm.m[w][1], '$BpeOpen', ''), '$BpeClose', ' ')), ' '), " +
+        "t -> CAST(em.m[t][1] AS VARCHAR)), ' ')), ' ') AS token_ids " +
+        "FROM documents CROSS JOIN wm CROSS JOIN em)"
+    s"WITH $bpeTrainCtes, $seed, ${steps.mkString(", ")}, $vocab, $enc " +
+      "SELECT doc_id, token_ids, CASE WHEN token_ids = '' THEN 0 " +
+      "ELSE CAST(len(string_split(token_ids, ' ')) AS INT) END AS n_tokens FROM e"
   }
 
   /** Number of merge rules `text_bpe_train` learns. 8 keeps the unrolled
@@ -512,9 +578,14 @@ object TextOps {
     * distinct over the corpus alphabet (bounded by the charset, so the
     * global rank window orders a handful of rows); the merge side is the
     * table constant itself. */
-  def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+  def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    bpeVocabWith(docs(s, dir), BpeMerges)
+
+  private[graft] def bpeVocabWith(d: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val s = d.sparkSession
     import s.implicits._
-    val chars = docs(s, dir)
+    val chars = d
       .select(explode(split(regexp_replace(col("text"), " ", ""), "")).as("token"))
       .filter(length(col("token")) > 0)
       .distinct()
@@ -523,8 +594,9 @@ object TextOps {
       .withColumn("token_id", (row_number().over(wChar) - 1).cast("int"))
       .withColumn("kind", lit("char"))
       .select(col("token_id"), col("token"), col("kind"))
+    if (merges.isEmpty) return charIds
     val nc = chars.agg(count(lit(1)).as("nc"))
-    val prodIds = BpeMerges.zipWithIndex
+    val prodIds = merges.zipWithIndex
       .map { case ((a, b), i) => (i + 1, a + b) }.toDF("rank", "token")
       .groupBy(col("token")).agg(min(col("rank")).as("rank"))
       .join(chars, Seq("token"), "left_anti")
@@ -546,22 +618,43 @@ object TextOps {
     * of a 100 TB corpus just to rebuild document order. Every token the
     * encoder can emit is a corpus character or a merge product, so the
     * lookup is total by construction (spec-asserted). */
-  def bpeIds(s: SparkSession, dir: String): DataFrame = {
-    val vocab = bpeVocab(s, dir).select(col("token"), col("token_id")).collect()
+  def bpeIds(s: SparkSession, dir: String): DataFrame =
+    bpeIdsWith(docs(s, dir), BpeMerges)
+
+  private[graft] def bpeIdsWith(d: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocab = bpeVocabWith(d, merges).select(col("token"), col("token_id")).collect()
     val idMap = map(vocab.flatMap(r =>
       Seq(lit(r.getString(0)), lit(r.getInt(1)))).toIndexedSeq: _*)
     // Empty-document guard: an encode of "" must yield ZERO tokens (split
     // would yield [""], inflating n_tokens to 1 with a null id silently
     // dropped by array_join — the oracle's left join emits 0, so the
     // Spark side must too).
-    val enc = BpeExpressions.bpeEncode(col("text"), BpeMerges)
+    val enc = BpeExpressions.bpeEncode(col("text"), merges)
     val toks = when(length(enc) > 0, split(enc, " "))
       .otherwise(array().cast("array<string>"))
-    docs(s, dir).select(
+    d.select(
       col("doc_id"),
       array_join(transform(toks, t => element_at(idMap, t).cast("string")), " ")
         .as("token_ids"),
       size(toks).as("n_tokens"))
+  }
+
+  /** The TRAINED tokenizer end-to-end — train → persist → encode with the
+    * SAME table (the reference's DistributedCache train-then-ship pattern:
+    * hadoop-mapreduce-examples jobs ship side data to every task;
+    * here the side data is the trained merge table): [[bpeTrain]]'s output
+    * persists once via the model registry (AnnModels.bpeMergeTable), is
+    * collected rank-ordered (model-sized — k rows), and drives the native
+    * encoder + vocab + id chain exactly where the static [[BpeMerges]]
+    * constant otherwise sits. Training emits rules in rank order, so the
+    * operands-exist-first invariant the single-pass encoder relies on
+    * holds by construction. The oracle replays the ENTIRE chain — train
+    * loop, vocab ids, encode — from the raw corpus. */
+  def bpeTrainedIds(s: SparkSession, dir: String): DataFrame = {
+    val table = AnnModels.bpeMergeTable(s, dir).orderBy(col("rank")).collect()
+    val merges = table.map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeIdsWith(docs(s, dir), merges)
   }
 
   /** Detokenization — the tokenizer chain's inverse, closing the loop a
@@ -916,6 +1009,7 @@ object TextOps {
     "text_bpe_encode" -> (bpeEncode _),
     "text_bpe_vocab" -> (bpeVocab _),
     "text_bpe_ids" -> (bpeIds _),
+    "text_bpe_trained_ids" -> (bpeTrainedIds _),
     "text_bpe_decode" -> (bpeDecode _),
     "text_pii" -> (pii _),
     "text_pii_redact" -> (piiRedact _),
@@ -1009,6 +1103,7 @@ object TextOps {
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe, " +
         s"${bpeCountSql("text")} AS n_bpe_real FROM documents"),
     "text_bpe_train" -> bpeTrainSql,
+    "text_bpe_trained_ids" -> bpeTrainedIdsSql,
     "text_bpe_encode" ->
       // Per word: fold-merge, strip the open delimiter, close -> space,
       // trim — "|th;|e;" becomes "th e"; empty words (absent here, but

