@@ -553,6 +553,77 @@ object TextOps {
     merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
   }
 
+  /** BATCHED BPE training — the path to a real ~32k-merge tokenizer:
+    * [[bpeTrainOn]] costs one Spark job per merge (a 32k-vocab train would
+    * be 32k sequential driver round-trips — the same class of wall-clock
+    * bottleneck the replace-chain fold had before BpeCountExpr). Here each
+    * ROUND recomputes pair counts once, pulls the top `4·batch` candidates
+    * (driver sees a bounded candidate page, never the pair relation), and
+    * greedily accepts up to `batch` of them in (count desc, lhs, rhs) order
+    * subject to SYMBOL DISJOINTNESS: a candidate is taken only if neither
+    * operand appears among the operands OR products of the pairs already
+    * accepted this round. Merging (a,b) changes only counts of pairs that
+    * mention a, b, or the new product ab, so every accepted pair's recorded
+    * count is still its exact corpus count at acceptance time, accepted
+    * rules are mutually independent (apply in any order to the same
+    * result), and the operands-exist-first invariant holds — operands of a
+    * within-round acceptance always predate the round. The first candidate
+    * of a round is always accepted, so rounds <= merges and the job count
+    * is O(k/batch) + checkpoint materializations, not O(k). Deterministic:
+    * the ordering and the disjointness rule reference only exact counts
+    * and lexical order. The result is a valid rank-ordered merge table for
+    * [[graft.functions.BpeExpressions]] (spec-asserted, including
+    * batch=1 ≡ sequential). */
+  private[graft] def bpeTrainBatchedOn(d: DataFrame, k: Int,
+      batch: Int): (DataFrame, Int) = {
+    val spark = d.sparkSession
+    var vocab = d
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(col("f"), regexp_replace(col("w"), "(.)", s"\\$BpeOpen$$1$BpeClose").as("s"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var rounds = 0
+    var done = false
+    while (merges.size < k && !done) {
+      val syms = regexp_extract_all(col("s"), lit("\\|([^;]*);"), lit(1))
+      val prs = when(size(syms) > 1,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val page = vocab
+        .select(col("f"), explode(prs).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(batch * 4).collect()
+      rounds += 1
+      if (page.isEmpty) done = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+        page.iterator.takeWhile(_ => accepted.size < batch && merges.size + accepted.size < k)
+          .foreach { r =>
+            val (a, b) = (r.getString(0), r.getString(1))
+            if (!used(a) && !used(b)) {
+              accepted += ((a, b, r.getLong(2)))
+              used += a; used += b; used += (a + b)
+            }
+          }
+        accepted.foreach { case (a, b, cnt) => merges += ((merges.size + 1, a, b, cnt)) }
+        vocab = vocab.select(col("f"),
+          accepted.foldLeft(col("s")) { case (c, (a, b, _)) =>
+            call_function("replace", c,
+              lit(s"$BpeOpen$a$BpeClose$BpeOpen$b$BpeClose"),
+              lit(s"$BpeOpen$a$b$BpeClose"))
+          }.as("s"))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    (merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count"), rounds)
+  }
+
   /** BPE ENCODING — the materialized tokenizer output (the flat
     * space-joined symbol stream a training pipeline actually writes, not
     * just its length): one native expression pass

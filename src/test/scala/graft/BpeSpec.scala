@@ -108,6 +108,48 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("batched training at batch=1 replays sequential training exactly") {
+    val toy = Seq((0L, "aaab aaab ab")).toDF("doc_id", "text")
+    def tbl(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val (batched, _) = TextOps.bpeTrainBatchedOn(toy, 8, 1)
+    assert(tbl(batched) == tbl(TextOps.bpeTrainOn(toy, 8)),
+      "batch size 1 must degenerate to the sequential trainer")
+    val corpus = graft.sources.Tables.load(spark, sf, "documents")
+    val (batchedCorpus, _) = TextOps.bpeTrainBatchedOn(corpus, TextOps.BpeTrainMerges, 1)
+    assert(tbl(batchedCorpus) == tbl(TextOps.bpeTrain(spark, sf)),
+      "batch size 1 must match the gated trainer on the real corpus")
+  }
+
+  test("batched training reaches 1,000 merges in O(k/batch) rounds") {
+    // 1,200 two-char words over 2,400 distinct codepoints: every candidate
+    // pair is symbol-disjoint from every other, so the disjoint-accept rule
+    // fills whole batches and 1,000 merges land in ceil(1000/256) = 4
+    // rounds — not 1,000 driver round-trips.
+    val alpha = (0 until 2400).map(i => (0x100 + i).toChar)
+    val words = (0 until 1200).map(i => s"${alpha(2 * i)}${alpha(2 * i + 1)}")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val (table, rounds) = TextOps.bpeTrainBatchedOn(df, 1000, 256)
+    val merges = table.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size == 1000, s"must train all 1,000 merges, got ${merges.size}")
+    assert(rounds <= 6, s"job rounds must stay O(k/batch), got $rounds")
+    // rank order still satisfies the operands-exist-first invariant
+    val products = scala.collection.mutable.Set.empty[String]
+    merges.foreach { case (a, b) =>
+      assert(a.length == 1 || products.contains(a), s"left operand $a unseen")
+      assert(b.length == 1 || products.contains(b), s"right operand $b unseen")
+      products += (a + b)
+    }
+    // the trained table drives the native encoder: accepted words collapse
+    // to one symbol, unaccepted words stay two
+    val coder = new BpeCoder(merges)
+    assert(coder.countWord(words(0)) == 1L, "merged word must encode as one symbol")
+    assert(merges.map(p => p._1 + p._2).toSet.forall(w => coder.countWord(w) == 1L))
+    val unmergedWords = words.filterNot(merges.map(p => p._1 + p._2).toSet)
+    assert(unmergedWords.nonEmpty && coder.countWord(unmergedWords.head) == 2L)
+  }
+
   test("bpe encode emits the token stream whose length is the count") {
     val d = graft.sources.Tables.load(spark, sf, "documents")
       .select(TextOps.bpeCount(col("text")).as("n"),
