@@ -121,7 +121,11 @@ object Scale {
       // the end-to-end build capstone (composes the heaviest chains)
       "pipeline_curriculum" -> (Pipeline.curriculum _),
       "pipeline_interleave" -> (Pipeline.interleave _),
-      "pipeline_build" -> (Pipeline.build _))
+      "pipeline_build" -> (Pipeline.build _),
+      // round 9: the corpus-calibrated gate variant — the manifest must be
+      // NON-EMPTY here (the fixed-coefficient gate's empty ×10/×100
+      // manifest is the depth gap this closes; SCALE.md r8)
+      "pipeline_build_calibrated" -> (Pipeline.buildCalibrated _))
 
   def main(args: Array[String]): Unit = {
     val outBase = args.headOption.getOrElse("/tmp/graft_scale")

@@ -585,12 +585,16 @@ object Analytics {
     * the way a fixed absolute width (the old `floor(v/1000)`) could. */
   val EquidepthBlocks = 4096
 
-  private[graft] def equidepthOf(vals: DataFrame): DataFrame = {
-    // Block id from the DATA's own bounds (the zorderWrite gridScale
-    // recipe): one min/max aggregate broadcasts a single row, and
-    // blk = floor((v-min)/width) is monotone in v — all the decomposition
-    // needs. A one-value domain (min = max) degenerates to a single block,
-    // which is then also the whole (single-row) value census.
+  /** The ascending cumulative value census of `vals` (one column `v`):
+    * (v, cnt, cum) where `cum` is the count of rows with value <= v — the
+    * distributed rank-selection primitive [[equidepthOf]] and the
+    * calibrated quality gate both select order statistics from. Block id
+    * comes from the DATA's own bounds (the zorderWrite gridScale recipe):
+    * one min/max aggregate broadcasts a single row, and
+    * blk = floor((v-min)/width) is monotone in v — all the two-level
+    * decomposition needs. A one-value domain (min = max) degenerates to a
+    * single block, which is then also the whole (single-row) census. */
+  private[graft] def cumulativeCensus(vals: DataFrame): DataFrame = {
     val bounds = vals.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
     val vc = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(bounds))
@@ -605,8 +609,13 @@ object Analytics {
       .select(col("blk"), col("off"))
     val wLoc = Window.partitionBy(col("blk")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = vc.join(offs, Seq("blk"))
+    vc.join(offs, Seq("blk"))
       .withColumn("cum", col("off") + sum(col("cnt")).over(wLoc))
+      .select(col("v"), col("cnt"), col("cum"))
+  }
+
+  private[graft] def equidepthOf(vals: DataFrame): DataFrame = {
+    val cum = cumulativeCensus(vals)
     val s = vals.sparkSession
     val n = vals.agg(count(lit(1)).as("n"))
     val targets = s.range(1, 11).select(col("id").cast("int").as("decile"))

@@ -514,11 +514,24 @@ object Pipeline {
   val BuildGopherFlags: Seq[String] = Seq(
     "r_word_count", "r_mean_len", "r_symbol", "r_alpha", "r_bullet", "r_ellipsis")
 
-  def build(s: SparkSession, dir: String): DataFrame = {
+  def build(s: SparkSession, dir: String): DataFrame =
+    buildWith(s, dir,
+      TextOps.qualityModel(s, dir).filter(col("model_keep") === 1).select("doc_id"))
+
+  /** [[build]] with the CORPUS-CALIBRATED model gate — the variant that
+    * stays non-degenerate on corpora the shipped fixed coefficients were
+    * never calibrated for (SCALE.md r8 documents the fixed gate emptying
+    * the manifest at ×10/×100): `text_quality_calibrated` keeps the top
+    * half of the corpus's own logit distribution, so the composed manifest
+    * is non-empty on ANY corpus where the other gates pass documents. */
+  def buildCalibrated(s: SparkSession, dir: String): DataFrame =
+    buildWith(s, dir,
+      TextOps.qualityCalibrated(s, dir).filter(col("calib_keep") === 1).select("doc_id"))
+
+  private def buildWith(s: SparkSession, dir: String, model: DataFrame): DataFrame = {
     val gopher = TextOps.gopherRules(s, dir)
       .filter(BuildGopherFlags.map(col(_) === 1).reduce(_ && _))
       .select("doc_id")
-    val model = TextOps.qualityModel(s, dir).filter(col("model_keep") === 1).select("doc_id")
     val canon = Dedup.survivors(s, dir).select(col("doc_id"))
     val dirty = decontaminate(s, dir).select(col("doc_id"))
     val base = graft.sources.Tables.load(s, dir, "documents")
@@ -531,8 +544,33 @@ object Pipeline {
     packOf(base)
   }
 
+  /** The build oracle, parameterized on the model-gate CTE and its keep
+    * flag — the same factored chains the standalone oracles run: survivor
+    * labels (recursive CC), gopher flags, model gate, contamination grams,
+    * then the pack cumsum over the filtered base. */
+  private def buildOracleSql(modelCte: String, modelFlag: String): String =
+    s"WITH RECURSIVE ${Dedup.survivorLabCtes}, " +
+      s"g AS (${TextOps.gopherSql}), " +
+      s"qm AS ($modelCte), " +
+      s"bgrams AS (SELECT doc_id, unnest(list_distinct($shingles5Sql)) AS g5 FROM documents), " +
+      "bbench AS (SELECT doc_id AS bench_id, g5 FROM bgrams WHERE doc_id < 10), " +
+      "dirty AS (SELECT DISTINCT c.doc_id FROM bgrams c JOIN bbench b ON c.g5 = b.g5 WHERE c.doc_id >= 10), " +
+      "bse AS (SELECT d.source, d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok " +
+      "FROM documents d WHERE d.doc_id >= 10 " +
+      s"AND d.doc_id IN (SELECT doc_id FROM g WHERE ${BuildGopherFlags.map(f => s"$f = 1").mkString(" AND ")}) " +
+      s"AND d.doc_id IN (SELECT doc_id FROM qm WHERE $modelFlag = 1) " +
+      "AND d.doc_id IN (SELECT DISTINCT cluster_id FROM lab) " +
+      "AND d.doc_id NOT IN (SELECT doc_id FROM dirty)), " +
+      "cumed AS (SELECT source, doc_id, n_tok, CAST(sum(n_tok) OVER " +
+      "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM bse) " +
+      "SELECT source, chunk_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+      s"floor(CAST(sum(n_tok) AS DOUBLE) / $CtxTokens * 1000000 + 0.5) / 1000000 AS fill_ratio FROM " +
+      s"(SELECT source, (cum - n_tok) // $CtxTokens AS chunk_id, n_tok FROM cumed) " +
+      "GROUP BY source, chunk_id"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_build" -> (build _),
+    "pipeline_build_calibrated" -> (buildCalibrated _),
     "pipeline_interleave" -> (interleave _),
     "pipeline_curriculum" -> (curriculum _),
     "pipeline_curate" -> (curate _),
@@ -612,27 +650,9 @@ object Pipeline {
     "pipeline_shuffle" ->
       (s"SELECT doc_id, CAST(row_number() OVER (ORDER BY ${graft.functions.hash64Sql("doc_id")}, doc_id) - 1 AS BIGINT) AS shuffle_pos FROM documents"),
     "pipeline_build" ->
-      // The same factored chains the standalone oracles run: survivor
-      // labels (recursive CC), gopher flags, model gate, contamination
-      // grams, then the pack cumsum over the filtered base.
-      (s"WITH RECURSIVE ${Dedup.survivorLabCtes}, " +
-        s"g AS (${TextOps.gopherSql}), " +
-        s"qm AS (${TextOps.qualityModelSql}), " +
-        s"bgrams AS (SELECT doc_id, unnest(list_distinct($shingles5Sql)) AS g5 FROM documents), " +
-        "bbench AS (SELECT doc_id AS bench_id, g5 FROM bgrams WHERE doc_id < 10), " +
-        "dirty AS (SELECT DISTINCT c.doc_id FROM bgrams c JOIN bbench b ON c.g5 = b.g5 WHERE c.doc_id >= 10), " +
-        "bse AS (SELECT d.source, d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok " +
-        "FROM documents d WHERE d.doc_id >= 10 " +
-        s"AND d.doc_id IN (SELECT doc_id FROM g WHERE ${BuildGopherFlags.map(f => s"$f = 1").mkString(" AND ")}) " +
-        "AND d.doc_id IN (SELECT doc_id FROM qm WHERE model_keep = 1) " +
-        "AND d.doc_id IN (SELECT DISTINCT cluster_id FROM lab) " +
-        "AND d.doc_id NOT IN (SELECT doc_id FROM dirty)), " +
-        "cumed AS (SELECT source, doc_id, n_tok, CAST(sum(n_tok) OVER " +
-        "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM bse) " +
-        "SELECT source, chunk_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
-        s"floor(CAST(sum(n_tok) AS DOUBLE) / $CtxTokens * 1000000 + 0.5) / 1000000 AS fill_ratio FROM " +
-        s"(SELECT source, (cum - n_tok) // $CtxTokens AS chunk_id, n_tok FROM cumed) " +
-        "GROUP BY source, chunk_id"),
+      buildOracleSql(TextOps.qualityModelSql, "model_keep"),
+    "pipeline_build_calibrated" ->
+      buildOracleSql(TextOps.qualityCalibratedSql, "calib_keep"),
     "pipeline_interleave" ->
       (s"WITH $mixCtes, " +
         s"rr AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +

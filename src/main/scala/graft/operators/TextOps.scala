@@ -1040,6 +1040,54 @@ object TextOps {
         when(logit8 >= 0, 1).otherwise(0).as("model_keep"))
   }
 
+  /** CORPUS-CALIBRATED learned quality gate — the deployment fix for fixed
+    * coefficients meeting a foreign corpus (SCALE.md r8: the shipped
+    * QmBias-centered threshold keeps 46/5000 docs of a generated corpus,
+    * emptying pipeline_build's manifest): instead of thresholding the logit
+    * at the absolute zero the shipped-corpus calibration centered, keep the
+    * TOP HALF of the corpus's own logit distribution — the
+    * quantile-threshold form of model-based filtering (FineWeb-Edu keeps a
+    * score quantile, CCNet buckets perplexity tertiles by the corpus's own
+    * distribution). The threshold is the ceil(N/2)-th LARGEST logit8,
+    * selected with the SAME two-level cumulative census the equi-depth
+    * histogram uses (Analytics.cumulativeCensus — no global sort, no
+    * corpus-sized window); ties at the threshold are kept, so at least
+    * ceil(N/2) documents survive on ANY corpus. Integer-exact end to end:
+    * logit8 is already a fixed-point long, the census is integer counts,
+    * and the comparison is a long compare — bit-replayable by the oracle's
+    * single-window cumsum. */
+  def qualityCalibrated(s: SparkSession, dir: String): DataFrame =
+    qualityCalibratedOf(qualityModel(s, dir))
+
+  private[graft] def qualityCalibratedOf(model: DataFrame): DataFrame = {
+    val census = Analytics.cumulativeCensus(model.select(col("logit8").as("v")))
+    val target = broadcast(model.agg(count(lit(1)).as("n"))
+      .withColumn("keep_n", expr("(n + 1) DIV 2"))
+      .withColumn("target", col("n") - col("keep_n") + 1)
+      .select(col("target")))
+    val thr = census.join(target,
+        col("cum") >= col("target") && (col("cum") - col("cnt")) < col("target"))
+      .select(col("v").as("thr"))
+    model.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("logit8"),
+        when(col("logit8") >= col("thr"), 1).otherwise(0).as("calib_keep"))
+  }
+
+  /** SQL mirror of [[qualityCalibrated]]: the model CTE, a single-window
+    * cumulative census over logit8, the ceil(N/2)-keep rank target, and
+    * the >= threshold flag. */
+  private[operators] lazy val qualityCalibratedSql: String =
+    // alias qmm (not qm): pipeline_build_calibrated nests this whole query
+    // inside its own qm CTE, and distinct names keep the scoping unambiguous
+    s"WITH qmm AS ($qualityModelSql), " +
+      "nn AS (SELECT count(*) AS n, (count(*) + 1) // 2 AS keep_n FROM qmm), " +
+      "tt AS (SELECT n - keep_n + 1 AS target FROM nn), " +
+      "cc AS (SELECT logit8, cnt, sum(cnt) OVER (ORDER BY logit8) AS cum FROM " +
+      "(SELECT logit8, count(*) AS cnt FROM qmm GROUP BY 1)), " +
+      "thr AS (SELECT cc.logit8 AS thr FROM cc, tt WHERE cc.cum >= tt.target AND cc.cum - cc.cnt < tt.target) " +
+      "SELECT qmm.doc_id, qmm.logit8, CASE WHEN qmm.logit8 >= thr.thr THEN 1 ELSE 0 END AS calib_keep " +
+      "FROM qmm CROSS JOIN thr"
+
   /** The corpus report card — the first query every 100 TB curation run
     * issues and re-issues after each stage: per (lang, source) cell, how
     * many documents, how many whitespace tokens, how many are exact
@@ -1067,6 +1115,7 @@ object TextOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_model" -> (qualityModel _),
+    "text_quality_calibrated" -> (qualityCalibrated _),
     "text_normalize" -> (normalize _),
     "text_langid" -> (langid _),
     "text_langid_confusion" -> (langidConfusion _),
@@ -1163,6 +1212,7 @@ object TextOps {
         "FROM wh JOIN census ON wh.h = census.h JOIN g ON wh.doc_id = g.doc_id " +
         "GROUP BY wh.lang, wh.source"),
     "text_quality_model" -> qualityModelSql,
+    "text_quality_calibrated" -> qualityCalibratedSql,
     "text_normalize" ->
       ("SELECT doc_id, cleaned AS text_norm, " +
         "CASE WHEN cleaned <> text THEN 1 ELSE 0 END AS was_changed, " +

@@ -167,4 +167,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(perCluster.values.forall(_ <= Pipeline.StratifiedCap))
     assert(perCluster.values.exists(_ > 1), "sample should retain multiple members somewhere")
   }
+
+  test("calibrated quality gate keeps the top half of ANY logit distribution") {
+    // brute force on the shipped corpus: threshold = the ceil(N/2)-th
+    // largest logit8, ties kept
+    val model = TextOps.qualityModel(spark, sf)
+      .select(col("doc_id"), col("logit8")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = model.size
+    val keepN = (n + 1) / 2
+    val thr = model.values.toSeq.sorted.apply(n - keepN)
+    val kept = TextOps.qualityCalibrated(spark, sf)
+      .filter(col("calib_keep") === 1).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == model.filter(_._2 >= thr).keySet,
+      "calibrated keep set must be exactly the >=threshold docs")
+    assert(kept.size >= keepN, s"must keep at least ceil(N/2), got ${kept.size}")
+
+    // a corpus the FIXED gate annihilates (every logit far below zero)
+    // still keeps its top half under calibration — the SCALE.md r8
+    // empty-manifest failure mode, pinned in miniature
+    val ss2 = spark
+    import ss2.implicits._
+    val shifted = (1L to 101L).map(i => (i, -1000000000000L - i)).toDF("doc_id", "logit8")
+    assert(shifted.filter(col("logit8") >= 0).count() == 0, "fixed gate keeps nothing here")
+    val calib = TextOps.qualityCalibratedOf(shifted)
+      .filter(col("calib_keep") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(calib.size == 51, s"calibrated gate must keep ceil(101/2)=51, got ${calib.size}")
+    assert(calib == (1L to 51L).toSet, "must keep the LARGEST logits (smallest doc ids here)")
+  }
 }
