@@ -82,6 +82,46 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.phashStub(Multimodal.Asset(2L, "same bytes".getBytes))._3)
   }
 
+  test("pixel-domain phash is invariant to re-encoding; the byte stub is not") {
+    import java.awt.image.BufferedImage
+    def toPng(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos), "JDK PNG writer unavailable")
+      bos.toByteArray
+    }
+    // deterministic gradient: column-dependent gray so cell means differ
+    val img = new BufferedImage(64, 48, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val v = (x * 4) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val png1 = toPng(img)
+    // SAME pixels through a different encoder path (ARGB color type):
+    // different PNG bytes, identical decoded image
+    val argb = new BufferedImage(64, 48, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 48; x <- 0 until 64) argb.setRGB(x, y, 0xff000000 | img.getRGB(x, y))
+    val png2 = toPng(argb)
+    assert(!java.util.Arrays.equals(png1, png2), "re-encode must change the container bytes")
+    val h1 = Multimodal.phashAsset(Multimodal.Asset(1L, png1))._3
+    val h2 = Multimodal.phashAsset(Multimodal.Asset(2L, png2))._3
+    assert(h1 == h2, "pixel-domain phash must collide across re-encodings of the same image")
+    assert(h1 != 0L && h1 != -1L, "hash must be nondegenerate on a gradient")
+    // the byte-domain stub DOES diverge across the two encodings — the
+    // image-dedup defect the pixel branch exists to fix
+    assert(Multimodal.phashStub(Multimodal.Asset(1L, png1))._3 !=
+      Multimodal.phashStub(Multimodal.Asset(2L, png2))._3,
+      "byte segmentation should differ across encodings (else this spec proves nothing)")
+    // a genuinely different image (inverted gradient) lands far away
+    val inv = new BufferedImage(64, 48, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val v = 255 - ((x * 4) % 256)
+      inv.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val h3 = Multimodal.phashAsset(Multimodal.Asset(3L, toPng(inv)))._3
+    assert(java.lang.Long.bitCount(h1 ^ h3) > 8,
+      s"inverted image must be hamming-far, got ${java.lang.Long.bitCount(h1 ^ h3)}")
+  }
+
   test("mm_phash_pairs pairs identical payloads at hamming 0 and skips disjoint ones") {
     val dir = java.nio.file.Files.createTempDirectory("graft_phash").toString
     val s = spark
