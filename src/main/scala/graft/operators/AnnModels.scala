@@ -37,6 +37,7 @@ object AnnModels {
   @volatile private[graft] var lmTrains = 0
   @volatile private[graft] var langidTrains = 0
   @volatile private[graft] var bpeTrains = 0
+  @volatile private[graft] var lshIndexBuilds = 0
 
   private var rootOverride: Option[String] = None
 
@@ -119,6 +120,22 @@ object AnnModels {
       TextOps.bpeTrain(s, dir)
     }
 
+  /** The persisted CORPUS LSH signature index (doc_id, band, h) — the
+    * artifact `dedup_incremental_lsh` and the streaming ingest probe read
+    * instead of recomputing corpus signatures per batch (the nightly-index
+    * deployment shape Dedup.incrementalLshMatch documents). Corpus = every
+    * source except `src0`, the ingest-batch convention the incremental
+    * family established. Unlike the model artifacts this relation is
+    * corpus-signature-sized, so it keeps its natural partitioning (no
+    * single-file coalesce). */
+  def lshIndex(s: SparkSession, dir: String): DataFrame =
+    ensure(s, key(dir, "lshidx",
+        s"p=${Dedup.MinhashPerms},n=${Dedup.ShingleN},excl=src0"), coalesce1 = false) {
+      lshIndexBuilds += 1
+      Dedup.lshIndexOf(graft.sources.Tables.load(s, dir, "documents")
+        .filter(org.apache.spark.sql.functions.col("source") =!= "src0"))
+    }
+
   private def key(dir: String, kind: String, params: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = md.digest(s"$dir|$params".getBytes("UTF-8"))
@@ -129,13 +146,17 @@ object AnnModels {
   /** Serve `name` from the artifact store, training (and persisting)
     * only when the artifact does not exist. The existence probe requires
     * the committer's _SUCCESS marker, so a torn write never serves. */
-  private def ensure(s: SparkSession, name: String)(train: => DataFrame): DataFrame =
+  private def ensure(s: SparkSession, name: String, coalesce1: Boolean = true)
+      (train: => DataFrame): DataFrame =
     synchronized {
       val p = new Path(root(s), name)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(new Path(p, "_SUCCESS"))) {
-        // The model is a handful of rows; one file keeps the artifact tidy.
-        train.coalesce(1).write.mode("overwrite").parquet(p.toString)
+        // A model is a handful of rows; one file keeps the artifact tidy.
+        // Corpus-sized artifacts (the LSH index) keep their partitioning.
+        val out = train
+        (if (coalesce1) out.coalesce(1) else out)
+          .write.mode("overwrite").parquet(p.toString)
       }
       s.read.parquet(p.toString)
     }

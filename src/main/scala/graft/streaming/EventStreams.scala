@@ -481,6 +481,59 @@ object EventStreams {
       .start()
   }
 
+  /** INCREMENTAL ingest probe vs the PERSISTED corpus index — the batch
+    * analog of the nightly/streaming reality: the corpus's LSH signatures
+    * were computed once at index-build time and persist as a parquet
+    * artifact (AnnModels.lshIndex); each ingest batch (source 'src0')
+    * computes only its OWN signatures and joins the artifact. Identical
+    * result to `dedup_incremental_lsh` (the artifact replays `lshIndexOf`
+    * exactly — deterministic signatures, parquet-exact longs), but the
+    * deployment cost model is now real: |batch| signature passes + one
+    * artifact scan, never a corpus recompute. */
+  def incrementalVsIndex(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.incrementalLshMatch(
+      Tables.load(s, dir, "documents").filter(col("source") === "src0"),
+      graft.operators.AnnModels.lshIndex(s, dir))
+
+  /** True-stream form of the incremental probe: the ingest stream explodes
+    * to banded signatures and joins the persisted index as a STREAM-STATIC
+    * join (stateless — the index never enters the state store), then
+    * `dropDuplicatesWithinWatermark` reduces band-level collisions to
+    * distinct (doc_id, corpus_id) match pairs with state bounded by the
+    * watermark horizon. The sink holds match pairs; the per-doc
+    * n_matches/novelty rollup applies over the sink table (the
+    * stream_topk post-sink pattern), spec-compared to [[incrementalVsIndex]].
+    * No salting on the stream side: the static index is a join build side,
+    * not a shuffle partner, so a dense bucket costs fan-out rows, not task
+    * skew — and the dedup state that follows is pair-distinct anyway. */
+  def startIncrementalLshStream(s: SparkSession, dir: String, name: String,
+      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    val index = graft.operators.AnnModels.lshIndex(s, dir)
+      .select(col("band"), col("h"), col("doc_id").as("corpus_id"))
+    val rawSchema = s.read.option("pathGlobFilter", "documents.parquet").parquet(dir).schema
+    var reader = s.readStream.schema(rawSchema).option("pathGlobFilter", "documents.parquet")
+    if (maxFilesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    reader.parquet(dir)
+      .filter(col("source") === "src0")
+      .withColumn("ets", expr("timestamp_micros(doc_id * 1000000)"))
+      .withWatermark("ets", "1 hour")
+      .select(col("doc_id"), col("ets"),
+        posexplode(ShingleExpressions.minhashSig(col("text"),
+          graft.operators.Dedup.MinhashPerms, graft.operators.Dedup.ShingleN))
+          .as(Seq("band", "h")))
+      .join(index, Seq("band", "h"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+      .select(col("doc_id"), col("corpus_id"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // --- wiring (batch analogs, oracle-checked) ------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -490,6 +543,7 @@ object EventStreams {
     "stream_interval_join" -> ((s, dir) => intervalJoinBatch(Tables.load(s, dir, "events"))),
     "stream_dedup" -> ((s, dir) => dedupBatch(Tables.load(s, dir, "events"))),
     "stream_dedup_lsh" -> ((s, dir) => dedupLshNovelty(Tables.load(s, dir, "documents"))),
+    "stream_dedup_incremental" -> ((s, dir) => incrementalVsIndex(s, dir)),
     "stream_sketch_distinct" -> ((s, dir) => windowDistinctSketch(Tables.load(s, dir, "events"))),
     "stream_topk" -> ((s, dir) => windowTopKBatch(Tables.load(s, dir, "events"))))
 
@@ -525,6 +579,12 @@ object EventStreams {
         "SELECT d.doc_id, coalesce(pd.n_owned, 0) AS n_owned, " +
         "CASE WHEN coalesce(pd.n_bands, 0) = coalesce(pd.n_owned, 0) THEN 1 ELSE 0 END AS is_novel " +
         "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"),
+    "stream_dedup_incremental" ->
+      // identical semantics to dedup_incremental_lsh — the artifact index
+      // replays lshIndexOf bit-for-bit, so the one parameterized oracle
+      // serves both the in-query and the persisted-index forms
+      graft.operators.Dedup.lshMatchOracle(
+        idxPred = "source <> 'src0'", batchPred = "source = 'src0'"),
     "stream_sketch_distinct" -> {
       import graft.operators.Extras.{KmvK, Two52}
       val hex13 = graft.functions.hexIntSql("md5(CAST(user_id AS VARCHAR))", 1, 13)

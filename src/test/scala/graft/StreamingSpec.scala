@@ -321,4 +321,49 @@ class StreamingSpec extends SparkSpec {
       .count()
     assert(bad == 0, "adjacent sessions closer than the gap threshold")
   }
+
+  test("streaming incremental probe vs the persisted LSH index matches the batch analog") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_inclsh").toString
+    // corpus (index side) + ingest batch (src0): one cross-corpus near-dup,
+    // one novel doc, one too short to shingle (trivially novel)
+    val tmp = s"${dir}_tmp"
+    Seq(
+      (1L, "srcA", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "srcB", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "srcA", "totally different corpus content nine ten eleven twelve"),
+      (10L, "src0", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "src0", "one two three four five six seven eight nine ten"),
+      (12L, "src0", "short"))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    // the shipped layout is a single FILE named documents.parquet
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    val root = java.nio.file.Files.createTempDirectory("graft-inclsh-models").toString
+    graft.operators.AnnModels.withRoot(root) {
+      val b0 = graft.operators.AnnModels.lshIndexBuilds
+      val q = EventStreams.startIncrementalLshStream(spark, dir, "inc_lsh_sink")
+      try q.processAllAvailable()
+      finally q.stop()
+      val sinkPairs = spark.table("inc_lsh_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(sinkPairs == Set((10L, 1L), (10L, 2L)),
+        s"stream must match the batch doc against BOTH corpus copies: $sinkPairs")
+      // the post-sink rollup equals the gated batch analog (artifact-served)
+      val counts = sinkPairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val batch = EventStreams.incrementalVsIndex(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val fromStream = batch.map(_._1).map { d =>
+        (d, counts.getOrElse(d, 0L), if (counts.contains(d)) 0 else 1) }
+      assert(fromStream == batch, s"rollup diverged: $fromStream vs $batch")
+      assert(batch == Set((10L, 2L, 0), (11L, 0L, 1), (12L, 0L, 1)), s"batch semantics: $batch")
+      // ONE index build serves both the stream and the batch probe
+      assert(graft.operators.AnnModels.lshIndexBuilds == b0 + 1,
+        s"index rebuilt: ${graft.operators.AnnModels.lshIndexBuilds - b0} builds")
+    }
+  }
 }
