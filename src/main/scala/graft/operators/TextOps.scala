@@ -135,32 +135,25 @@ object TextOps {
     // ~21 s at sf0.1 (spec asserts the expression equals that formulation).
     val feat = d.select(col("doc_id"), col("lang"),
       graft.functions.LangidExpressions.bigramBuckets(col("text"), LangidBuckets).as("cnt"))
-    val tot = aggregate(col("cnt"), lit(0L), (a, x) => a + x)
     val langs = cent.map(_.getString(0)).distinct.sorted.toIndexedSeq
     // No trained centroids (empty/degenerate corpus): everything is 'und' —
     // the same verdict the scorer gives a bigram-less doc.
     if (langs.isEmpty)
       return feat.select(col("doc_id"), col("lang"), lit("und").as("pred_lang"))
         .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
-    val weights = langs.map { l =>
+    val weights: Seq[Seq[Long]] = langs.map { l =>
       val arr = Array.fill(LangidBuckets)(0L)
       cent.filter(_.getString(0) == l).foreach(r => arr(r.getInt(1)) = r.getLong(2))
-      l -> arr.toSeq
-    }.toMap
-    // struct(score, reverseIdx): array_max ties on the SECOND field, and the
-    // reverse index makes "larger" mean "lexically smaller language".
-    val cands = langs.zipWithIndex.map { case (l, i) =>
-      val sc = aggregate(
-        zip_with(col("cnt"), typedLit(weights(l)), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x)
-      struct(sc.as("sc"), lit(langs.size - i).as("ri"))
+      arr.toSeq
     }
-    val riToLang = map(langs.zipWithIndex.flatMap { case (l, i) =>
-      Seq(lit(langs.size - i), lit(l)) }: _*)
-    val best = array_max(array(cands: _*))
+    // ONE plan node at any language count: the weight matrix rides along
+    // as a referenced object (graft.functions.LangidArgmaxExpr) — the
+    // per-language inlined-aggregate formulation grew the expression tree
+    // linearly in |langs| and would abandon codegen on a fastText-sized
+    // language set (ADVICE r8; spec-asserted equal on a 128-language model)
     feat.select(col("doc_id"), col("lang"),
-        when(tot === 0, lit("und"))
-          .otherwise(element_at(riToLang, best.getField("ri"))).as("pred_lang"))
+        graft.functions.LangidExpressions.argmaxLang(col("cnt"), langs, weights)
+          .as("pred_lang"))
       .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
   }
 

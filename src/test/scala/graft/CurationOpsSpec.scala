@@ -27,6 +27,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(bad.count() == 0, "native histogram must equal the 32-filter formulation")
   }
 
+  test("native argmax scores a 128-language model in one plan node") {
+    // A fastText-sized language set: the retired per-language inlined
+    // aggregates would have compiled 128 candidate subtrees into one
+    // projection; the native expression holds the whole matrix as a
+    // referenced object. Checked against a plain-Scala argmax replay.
+    val langs = (0 until 128).map(i => f"l$i%03d")
+    val weights: Seq[Seq[Long]] = langs.indices.map { i =>
+      Seq.tabulate(TextOps.LangidBuckets)(b =>
+        if (b == i % TextOps.LangidBuckets) 1000L + i else (i % 7).toLong)
+    }
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    val cntCol = graft.functions.LangidExpressions.bigramBuckets(col("text"), TextOps.LangidBuckets)
+    val got = d.select(col("doc_id"), cntCol.as("cnt"),
+      graft.functions.LangidExpressions.argmaxLang(cntCol, langs, weights).as("pred"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val cnt = r.getSeq[Long](1)
+      val expect =
+        if (cnt.sum == 0L) "und"
+        else {
+          val scores = weights.map(w => cnt.zip(w).map(p => p._1 * p._2).sum)
+          langs(scores.indexOf(scores.max)) // first max = lexically smallest
+        }
+      assert(r.getString(2) == expect, s"doc ${r.getLong(0)}")
+    }
+    // bigram-less input scores 'und' through the same node
+    val tiny = Seq((1L, "x")).toDF("doc_id", "text")
+    assert(tiny.select(graft.functions.LangidExpressions.argmaxLang(
+        graft.functions.LangidExpressions.bigramBuckets(col("text"), TextOps.LangidBuckets),
+        langs, weights)).head.getString(0) == "und")
+  }
+
   test("rocchio langid separates char-distribution-distinct languages") {
     val ss = SparkSpec.spark
     import ss.implicits._
