@@ -1053,15 +1053,25 @@ object TextOps {
     qualityCalibratedOf(qualityModel(s, dir))
 
   private[graft] def qualityCalibratedOf(model: DataFrame): DataFrame = {
-    val census = Analytics.cumulativeCensus(model.select(col("logit8").as("v")))
-    val target = broadcast(model.agg(count(lit(1)).as("n"))
+    // The model subtree (three feature joins + LM scoring over the full
+    // corpus) feeds the count, the census bounds, the census itself, AND
+    // the final flag projection — materialize the (doc_id, logit8) pairs
+    // once (16 bytes/row at any scale; the dedup-CC localCheckpoint reuse
+    // pattern) so the corpus-expensive pipeline runs ONE pass, not four.
+    // (At sf0.1 the query's ~4 s is sequential job-scheduling latency
+    // across the census/threshold stages, not repeated work — measured;
+    // the checkpoint is for the 100 TB shape, where four corpus passes
+    // would be the real cost.)
+    val m = model.select(col("doc_id"), col("logit8")).localCheckpoint()
+    val census = Analytics.cumulativeCensus(m.select(col("logit8").as("v")))
+    val target = broadcast(m.agg(count(lit(1)).as("n"))
       .withColumn("keep_n", expr("(n + 1) DIV 2"))
       .withColumn("target", col("n") - col("keep_n") + 1)
       .select(col("target")))
     val thr = census.join(target,
         col("cum") >= col("target") && (col("cum") - col("cnt")) < col("target"))
       .select(col("v").as("thr"))
-    model.crossJoin(broadcast(thr))
+    m.crossJoin(broadcast(thr))
       .select(col("doc_id"), col("logit8"),
         when(col("logit8") >= col("thr"), 1).otherwise(0).as("calib_keep"))
   }
