@@ -424,6 +424,44 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), "no sampled global sort in the build")
   }
 
+  test("calibrated build keeps the build contract; calibrated gate never globally sorts") {
+    val p = plan(graft.operators.Pipeline.buildCalibrated(spark, sf))
+    assert(p.contains("LeftSemi"), s"gates must compose as semi joins:\n${p.take(2000)}")
+    assert(p.contains("LeftAnti"), s"decontamination must be an anti join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere in the calibrated build")
+    assert(!p.contains("rangepartitioning"), "no sampled global sort in the calibrated build")
+    val pg = plan(graft.operators.TextOps.qualityCalibrated(spark, sf))
+    assert(!pg.contains("rangepartitioning"),
+      s"threshold selection must use the census, not a global sort:\n${pg.take(2000)}")
+    assert(pg.contains("windowspecdefinition(blk#"),
+      s"census cumsum must partition by the value block:\n${pg.take(2000)}")
+  }
+
+  test("trained-BPE id encoding is a shuffle-free scan pass") {
+    // the merge table and vocab are collected at plan-build time; the
+    // returned id-stream projection must be one codegen pass over the scan
+    val p = plan(graft.operators.TextOps.bpeTrainedIds(spark, sf))
+    assert(!p.contains("Exchange"), s"unexpected shuffle in the trained encoder pass:\n$p")
+  }
+
+  test("streaming-incremental batch analog hashes the batch side only") {
+    // same scan-only contract as dedup_incremental_lsh, now against the
+    // registry artifact: ONE MinHash signature expression (the batch side);
+    // corpus signatures stream off the persisted parquet index
+    val root = java.nio.file.Files.createTempDirectory("graft-plans-lshidx").toString
+    graft.operators.AnnModels.withRoot(root) {
+      val out = graft.streaming.EventStreams.incrementalVsIndex(spark, sf)
+      var sigs = 0
+      out.queryExecution.optimizedPlan.foreach { node =>
+        node.expressions.foreach(_.foreach {
+          case _: graft.functions.MinHashSigExpr => sigs += 1
+          case _ => ()
+        })
+      }
+      assert(sigs == 1, s"expected ONE signature pass (batch only), found $sigs")
+    }
+  }
+
   test("bloom filter never false-negatives; a saturated filter shows real false positives") {
     import org.apache.spark.sql.functions._
     val ss = SparkSpec.spark
