@@ -198,6 +198,18 @@ object Pipeline {
   def packBpe(s: SparkSession, dir: String): DataFrame =
     pack(s, dir, PackBlock, TextOps.bpeCount(col("text")))
 
+  /** `pack` with the TRAINED tokenizer's budget — the full deployment loop
+    * closed: train (`text_bpe_train`) → persist (AnnModels.bpeMergeTable)
+    * → count with the SAME table through the native expression → plan
+    * chunk boundaries. The oracle replays train + word-merge + count with
+    * zero shared constants (the `text_bpe_trained_ids` backbone feeding
+    * the pack cumsum). Same two-level prefix-sum plan as every pack. */
+  def packTrained(s: SparkSession, dir: String): DataFrame = {
+    val table = AnnModels.bpeMergeTable(s, dir).orderBy(col("rank")).collect()
+    val merges = table.map(r => (r.getString(1), r.getString(2))).toSeq
+    pack(s, dir, PackBlock, graft.functions.BpeExpressions.bpeCount(col("text"), merges))
+  }
+
   /** Output shard fan-out for the balanced-shard writer. */
   val NumShards = 16
 
@@ -582,6 +594,7 @@ object Pipeline {
     "pipeline_decontaminate_fuzzy" -> (decontaminateFuzzy _),
     "pipeline_pack" -> ((s: SparkSession, dir: String) => pack(s, dir)),
     "pipeline_pack_bpe" -> (packBpe _),
+    "pipeline_pack_trained" -> (packTrained _),
     "pipeline_shard" -> ((s: SparkSession, dir: String) => shard(s, dir)),
     "pipeline_sample_weighted" -> (sampleWeighted _),
     "pipeline_sample_stratified" -> (sampleStratified _),
@@ -592,13 +605,15 @@ object Pipeline {
   /** The pack oracle, parameterized on the per-doc token-count SQL (the
     * oracle's single-window cumsum replays the two-level decomposition for
     * ANY per-row counter, so the ws and BPE variants share it verbatim). */
-  private def packOracleSql(nTokSql: String): String =
-    "SELECT source, chunk_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+  private def packOracleSql(nTokSql: String, from: String = "documents",
+      prefix: String = ""): String =
+    prefix +
+      "SELECT source, chunk_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
       s"floor(CAST(sum(n_tok) AS DOUBLE) / $CtxTokens * 1000000 + 0.5) / 1000000 AS fill_ratio FROM " +
       s"(SELECT source, (cum - n_tok) // $CtxTokens AS chunk_id, n_tok FROM " +
       s"(SELECT source, doc_id, $nTokSql AS n_tok, " +
       s"CAST(sum($nTokSql) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum " +
-      "FROM documents)) GROUP BY source, chunk_id"
+      s"FROM $from)) GROUP BY source, chunk_id"
 
   /** CTE chain ending in `tg(source, n_docs, share6, target_docs)` — the
     * tempered-mixture plan, the exact mirror of [[mixTemperatureOf]];
@@ -633,6 +648,16 @@ object Pipeline {
       packOracleSql("CAST(len(string_split(text, ' ')) AS BIGINT)"),
     "pipeline_pack_bpe" ->
       packOracleSql(TextOps.bpeCountSql("text")),
+    "pipeline_pack_trained" ->
+      // train + word-merge backbone (wm map), then per-doc trained token
+      // counts feed the standard pack cumsum — nothing shared with the
+      // Spark side but the raw corpus
+      packOracleSql("n_tok", from = "dtok",
+        prefix = s"WITH ${TextOps.bpeTrainedWordCtes}, " +
+          "dtok AS (SELECT doc_id, source, CAST(coalesce(list_sum(list_transform(" +
+          "list_filter(string_split(text, ' '), w -> length(w) > 0), " +
+          s"w -> len(string_split(${TextOps.bpeTrainedTokensSql("w")}, ' ')))), 0) AS BIGINT) AS n_tok " +
+          "FROM documents CROSS JOIN wm) "),
     "pipeline_shard" ->
       (s"SELECT source, shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens, " +
         "CAST(max(n_tok) AS BIGINT) AS max_tokens, CAST(min(n_tok) AS BIGINT) AS min_tokens FROM " +

@@ -443,7 +443,11 @@ object TextOps {
     * ranked + b_i products at nc+rank-1), and the per-document id stream
     * assembled through map lookups — end-to-end train→encode parity with
     * zero shared constants. */
-  private lazy val bpeTrainedIdsSql: String = {
+  /** Training replay + the word-keyed merge-application chain, ending in
+    * `wm` (a single-row map word → fully-merged boundary-wrapped symbol
+    * string) — the shared backbone of every trained-tokenizer oracle
+    * (`text_bpe_trained_ids`, `pipeline_pack_trained`). */
+  private[operators] lazy val bpeTrainedWordCtes: String = {
     val k = BpeTrainMerges
     val seed = s"u0 AS (SELECT w, regexp_replace(w, '(.)', '$BpeOpen\\1$BpeClose', 'g') AS s " +
       "FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents) WHERE length(w) > 0)"
@@ -452,6 +456,17 @@ object TextOps {
         s"replace(s, '$BpeOpen' || mb.a || '$BpeClose$BpeOpen' || mb.b || '$BpeClose', " +
         s"'$BpeOpen' || mb.a || mb.b || '$BpeClose') END AS s FROM u${i - 1} LEFT JOIN b$i mb ON TRUE)"
     }
+    s"$bpeTrainCtes, $seed, ${steps.mkString(", ")}, " +
+      s"wm AS (SELECT map(list(w), list(s)) AS m FROM u$k)"
+  }
+
+  /** The fully-merged symbol string of SQL word expression `w` via the wm
+    * map, rendered as a space-separated token list string. */
+  private[operators] def bpeTrainedTokensSql(w: String): String =
+    s"trim(replace(replace(wm.m[$w][1], '$BpeOpen', ''), '$BpeClose', ' '))"
+
+  private lazy val bpeTrainedIdsSql: String = {
+    val k = BpeTrainMerges
     val mt = (1 to k).map(i => s"SELECT $i AS rank, a || b AS token FROM b$i")
       .mkString(" UNION ALL ")
     val vocab =
@@ -465,14 +480,13 @@ object TextOps {
         "CROSS JOIN nc WHERE p.token NOT IN (SELECT token FROM c)), " +
         "vv AS (SELECT token, token_id FROM cr UNION ALL SELECT token, token_id FROM pr)"
     val enc =
-      s"wm AS (SELECT map(list(w), list(s)) AS m FROM u$k), " +
-        "em AS (SELECT map(list(token), list(token_id)) AS m FROM vv), " +
+      "em AS (SELECT map(list(token), list(token_id)) AS m FROM vv), " +
         "e AS (SELECT doc_id, array_to_string(list_transform(" +
         "list_filter(string_split(text, ' '), w -> length(w) > 0), " +
-        s"w -> array_to_string(list_transform(string_split(trim(replace(replace(wm.m[w][1], '$BpeOpen', ''), '$BpeClose', ' ')), ' '), " +
+        s"w -> array_to_string(list_transform(string_split(${bpeTrainedTokensSql("w")}, ' '), " +
         "t -> CAST(em.m[t][1] AS VARCHAR)), ' ')), ' ') AS token_ids " +
         "FROM documents CROSS JOIN wm CROSS JOIN em)"
-    s"WITH $bpeTrainCtes, $seed, ${steps.mkString(", ")}, $vocab, $enc " +
+    s"WITH $bpeTrainedWordCtes, $vocab, $enc " +
       "SELECT doc_id, token_ids, CASE WHEN token_ids = '' THEN 0 " +
       "ELSE CAST(len(string_split(token_ids, ' ')) AS INT) END AS n_tokens FROM e"
   }

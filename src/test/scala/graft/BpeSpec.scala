@@ -150,6 +150,21 @@ class BpeSpec extends SparkSpec {
     assert(unmergedWords.nonEmpty && coder.countWord(unmergedWords.head) == 2L)
   }
 
+  test("trained-tokenizer pack conserves the trained token budget") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bpe-pack").toString
+    graft.operators.AnnModels.withRoot(root) {
+      // two independent computations of the trained budget — the pack
+      // manifest total (BpeCountExpr over the trained table) must equal the
+      // id-stream lengths (encode + split + size)
+      val packed = graft.operators.Pipeline.packTrained(spark, sf)
+        .agg(sum(col("n_tokens"))).head.getLong(0)
+      val ids = TextOps.bpeTrainedIds(spark, sf)
+        .agg(sum(col("n_tokens"))).head.getLong(0)
+      assert(packed == ids, s"pack total $packed != id-stream total $ids")
+      assert(packed > 0)
+    }
+  }
+
   test("bpe encode emits the token stream whose length is the count") {
     val d = graft.sources.Tables.load(spark, sf, "documents")
       .select(TextOps.bpeCount(col("text")).as("n"),
