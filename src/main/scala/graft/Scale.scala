@@ -125,7 +125,15 @@ object Scale {
       // round 9: the corpus-calibrated gate variant — the manifest must be
       // NON-EMPTY here (the fixed-coefficient gate's empty ×10/×100
       // manifest is the depth gap this closes; SCALE.md r8)
-      "pipeline_build_calibrated" -> (Pipeline.buildCalibrated _))
+      "pipeline_build_calibrated" -> (Pipeline.buildCalibrated _),
+      // round 9: the calibrated gate alone (census threshold selection),
+      // the trained-tokenizer chain (registry artifact + native encoder +
+      // pack), and the persisted-index ingest probe — ordered after
+      // build_calibrated so the LM artifact is warm when the gate re-runs
+      "text_quality_calibrated" -> (graft.operators.TextOps.qualityCalibrated _),
+      "text_bpe_trained_ids" -> (graft.operators.TextOps.bpeTrainedIds _),
+      "pipeline_pack_trained" -> (Pipeline.packTrained _),
+      "stream_dedup_incremental" -> (graft.streaming.EventStreams.incrementalVsIndex _))
 
   def main(args: Array[String]): Unit = {
     val outBase = args.headOption.getOrElse("/tmp/graft_scale")
