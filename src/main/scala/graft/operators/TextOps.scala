@@ -106,6 +106,20 @@ object TextOps {
   private[graft] def langidModelOf(d: DataFrame): DataFrame =
     scoreLangidWith(d, trainLangidCentroids(d).collect())
 
+  /** Confusion audit of the LEARNED model — the accuracy readout
+    * [[langidConfusion]] gives the marker heuristic, over the trained
+    * Rocchio predictions (registry-served): per (label, prediction) cell,
+    * doc count and share of the label's documents. The window runs over
+    * the AGGREGATED cells (≤ |langs|² rows), never raw documents. */
+  def langidModelConfusion(s: SparkSession, dir: String): DataFrame = {
+    val byLabel = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    langidModel(s, dir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("label_share",
+        floor(col("n_docs").cast("double") / sum(col("n_docs")).over(byLabel) * 1e6 + 0.5) / 1e6)
+  }
+
   /** The trained centroid relation (lang, b, w) — Rocchio training on the
     * even-doc_id half of `d`: per-doc fixed-point bigram frequencies,
     * per-language integer-mean centroids (see [[langidModel]]'s scaladoc
@@ -1137,6 +1151,7 @@ object TextOps {
     "text_langid" -> (langid _),
     "text_langid_confusion" -> (langidConfusion _),
     "text_langid_model" -> (langidModel _),
+    "text_langid_model_confusion" -> (langidModelConfusion _),
     "text_tfidf" -> (tfidf _),
     "text_quality" -> (quality _),
     "text_gopher_rules" -> (gopherRules _),
@@ -1172,28 +1187,12 @@ object TextOps {
   private val shinglesSql =
     "list_transform(generate_series(1, len(string_split(text, ' ')) - 2), i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))"
 
-  def oracles: Map[String, String] = Map(
-    "text_tfidf" ->
-      ("WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
-        "tf AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY doc_id, word), " +
-        "df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM terms) GROUP BY word), " +
-        "n AS (SELECT count(*) AS n FROM documents), " +
-        "scored AS (SELECT doc_id, tf.word, round(tf * ln(CAST(n + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf " +
-        "FROM tf JOIN df ON tf.word = df.word CROSS JOIN n) " +
-        "SELECT doc_id, word, tfidf, rank FROM (SELECT *, CAST(row_number() OVER " +
-        "(PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS INT) AS rank FROM scored) WHERE rank <= 3"),
-    "text_langid" ->
-      (s"SELECT doc_id, $langCase AS pred_lang FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"),
-    "text_langid_confusion" ->
-      (s"WITH pred AS (SELECT doc_id, $langCase AS pred_lang FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)), " +
-        "cells AS (SELECT d.lang, p.pred_lang, count(*) AS n_docs FROM pred p JOIN documents d ON p.doc_id = d.doc_id GROUP BY 1, 2) " +
-        "SELECT lang, pred_lang, n_docs, " +
-        "floor(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang) * 1000000 + 0.5) / 1000000 AS label_share FROM cells"),
-    "text_langid_model" ->
-      // The full train→score replay: hashed-bigram counts, fixed-point
-      // frequencies and centroids on the even-doc_id train half (integer
-      // division throughout), integer dot-product scores, argmax with the
-      // (score DESC, lang ASC) tie rule, bigram-less docs -> 'und'.
+  /** SQL mirror of [[langidModel]] — the full train→score replay
+    * (hashed-bigram counts, fixed-point centroids on the even-doc_id
+    * half, integer dot-product scores, (score DESC, lang ASC) argmax,
+    * bigram-less docs -> 'und'); shared by the prediction oracle and
+    * the model-confusion oracle. */
+  private[operators] lazy val langidModelSql: String =
       (s"WITH bg AS (SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(text) - 1), " +
         s"i -> (ascii(substr(text, CAST(i AS INT), 1)) * 31 + ascii(substr(text, CAST(i AS INT) + 1, 1))) % $LangidBuckets)) AS b " +
         "FROM documents), " +
@@ -1216,7 +1215,33 @@ object TextOps {
         "pred AS (SELECT doc_id, cand, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cand ASC) AS rn FROM sc) " +
         "SELECT d.doc_id, d.lang, coalesce(p.cand, 'und') AS pred_lang, " +
         "CASE WHEN coalesce(p.cand, 'und') = d.lang THEN 1 ELSE 0 END AS is_match " +
-        "FROM documents d LEFT JOIN (SELECT doc_id, cand FROM pred WHERE rn = 1) p ON d.doc_id = p.doc_id"),
+        "FROM documents d LEFT JOIN (SELECT doc_id, cand FROM pred WHERE rn = 1) p ON d.doc_id = p.doc_id")
+
+  def oracles: Map[String, String] = Map(
+    "text_tfidf" ->
+      ("WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY doc_id, word), " +
+        "df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM terms) GROUP BY word), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "scored AS (SELECT doc_id, tf.word, round(tf * ln(CAST(n + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf " +
+        "FROM tf JOIN df ON tf.word = df.word CROSS JOIN n) " +
+        "SELECT doc_id, word, tfidf, rank FROM (SELECT *, CAST(row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS INT) AS rank FROM scored) WHERE rank <= 3"),
+    "text_langid" ->
+      (s"SELECT doc_id, $langCase AS pred_lang FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"),
+    "text_langid_confusion" ->
+      (s"WITH pred AS (SELECT doc_id, $langCase AS pred_lang FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)), " +
+        "cells AS (SELECT d.lang, p.pred_lang, count(*) AS n_docs FROM pred p JOIN documents d ON p.doc_id = d.doc_id GROUP BY 1, 2) " +
+        "SELECT lang, pred_lang, n_docs, " +
+        "floor(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang) * 1000000 + 0.5) / 1000000 AS label_share FROM cells"),
+    "text_langid_model" -> langidModelSql,
+    "text_langid_model_confusion" ->
+      // the same confusion-cell aggregation the heuristic audit runs,
+      // over the full train→score model replay
+      (s"WITH lm AS ($langidModelSql), " +
+        "cells AS (SELECT lang, pred_lang, count(*) AS n_docs FROM lm GROUP BY 1, 2) " +
+        "SELECT lang, pred_lang, n_docs, " +
+        "floor(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang) * 1000000 + 0.5) / 1000000 AS label_share FROM cells"),
     "text_quality" -> qualitySql,
     "text_gopher_rules" -> gopherSql,
     "text_corpus_stats" ->
