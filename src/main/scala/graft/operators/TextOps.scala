@@ -734,7 +734,8 @@ object TextOps {
 
   /** The TRAINED tokenizer end-to-end — train → persist → encode with the
     * SAME table (the reference's DistributedCache train-then-ship pattern:
-    * hadoop-mapreduce-examples jobs ship side data to every task;
+    * hadoop-mapreduce-examples Sort.java:170 / terasort/TeraSort.java:324
+    * compute a partition table once and `addCacheFile` it to every task;
     * here the side data is the trained merge table): [[bpeTrain]]'s output
     * persists once via the model registry (AnnModels.bpeMergeTable), is
     * collected rank-ordered (model-sized — k rows), and drives the native
