@@ -229,6 +229,93 @@ object Multimodal {
   val MaxSide = 224
   val Patch = 16
 
+  /** Output geometry of one asset — the [[resizePlan]] column formulas in
+    * scalar form, shared by the stub and pixel resamplers so the gated
+    * arithmetic and the real branch cannot drift (parity spec-asserted
+    * against resizePlan's own output). */
+  def outDims(w: Int, h: Int): (Int, Int) =
+    if (math.max(w, h) <= MaxSide) (w, h)
+    else if (w >= h) (MaxSide, math.max(1, h * MaxSide / w))
+    else (math.max(1, w * MaxSide / h), MaxSide)
+
+  /** Box-filter average-pool of the decoded image's BT.601 luminance to
+    * (ow × oh) — the REAL resample for the real-codec branch: each output
+    * cell is the exact integer mean (1000-scaled weights, one division at
+    * the end) of its source box; boxes tile the image via the same
+    * floor-division edges the phash grid uses. */
+  def poolLuminance(img: java.awt.image.BufferedImage, ow: Int, oh: Int): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](ow * oh)
+    var oy = 0
+    while (oy < oh) {
+      val y0 = (oy.toLong * h / oh).toInt
+      val y1 = math.max(((oy + 1).toLong * h / oh).toInt, y0 + 1)
+      var ox = 0
+      while (ox < ow) {
+        val x0 = (ox.toLong * w / ow).toInt
+        val x1 = math.max(((ox + 1).toLong * w / ow).toInt, x0 + 1)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val npx = (y1 - y0).toLong * (x1 - x0)
+        out(oy * ow + ox) = (sum / (npx * 1000L)).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
+  /** Stub resample: ow·oh payload bytes sampled at pos(i) = i·n DIV (ow·oh)
+    * — a deterministic byte-domain stand-in with the real output SHAPE
+    * (the resized grid's size), oracle-replayable as substr/ascii over the
+    * text payload. Empty payloads fingerprint the empty grid. */
+  def resampleStub(a: Asset): (Long, Int, Int, String) = {
+    val m = decodeStub(a)
+    val (ow, oh) = outDims(m.width, m.height)
+    val n = a.payload.length
+    val total = ow * oh
+    val buf = new Array[Byte](if (n == 0) 0 else total)
+    var i = 0
+    while (i < buf.length) {
+      buf(i) = a.payload(((i.toLong * n) / total).toInt)
+      i += 1
+    }
+    (a.doc_id, ow, oh, md5hex(buf))
+  }
+
+  /** The resample dispatch, mirroring [[decodeAsset]]/[[phashAsset]]: real
+    * PNG payloads pool DECODED luminance (re-encode-invariant, the true
+    * vision-preprocessing step between decode and patching); everything
+    * else keeps the byte stub, so the gated corpus stays oracle-exact. */
+  def resampleAsset(a: Asset): (Long, Int, Int, String) =
+    if (a.payload.length >= 8 && a.payload.take(8).sameElements(PngMagic)) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+      val (ow, oh) = outDims(img.getWidth, img.getHeight)
+      (a.doc_id, ow, oh, md5hex(poolLuminance(img, ow, oh)))
+    } else resampleStub(a)
+
+  /** Resampled-content fingerprints, partition-parallel (no shuffle). */
+  def resizeSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).mapPartitions(_.map(resampleAsset))
+      .toDF("doc_id", "out_w", "out_h", "resample_md5")
+  }
+
   /** Resize planner + patch grid — the preprocessing step between decode
     * and a vision model: aspect-preserving downscale with the long side
     * capped at `MaxSide` (images already within bounds pass through), and
@@ -256,6 +343,7 @@ object Multimodal {
     "mm_frame_sample" -> (frameSample _),
     "mm_audio_windows" -> (audioWindows _),
     "mm_resize" -> (resizePlan _),
+    "mm_resize_sample" -> (resizeSample _),
     "mm_phash" -> (phash _),
     "mm_phash_pairs" -> (phashPairs _))
 
@@ -304,6 +392,21 @@ object Multimodal {
         s"WHEN w >= h THEN greatest(1, (h * $MaxSide) // w) ELSE $MaxSide END AS INT) AS out_h FROM d) " +
         "SELECT doc_id, w AS src_w, h AS src_h, out_w, out_h, " +
         s"CAST(((out_w + ${Patch - 1}) // $Patch) * ((out_h + ${Patch - 1}) // $Patch) AS INT) AS n_patches FROM r"),
+    "mm_resize_sample" ->
+      // stub resample replay: resizePlan geometry, then the i·n DIV (ow·oh)
+      // byte picks rendered as substr chars (ASCII payload: byte == char),
+      // md5 over the assembled sample string
+      ("WITH m AS (SELECT doc_id, text, CAST(strlen(text) AS INT) AS n, " +
+        "CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS b0 FROM documents), " +
+        "d AS (SELECT doc_id, text, n, CAST(16 + n % 624 AS INT) AS w, CAST(16 + (n * 7 + b0) % 464 AS INT) AS h FROM m), " +
+        s"r AS (SELECT doc_id, text, n, CAST(CASE WHEN greatest(w, h) <= $MaxSide THEN w " +
+        s"WHEN w >= h THEN $MaxSide ELSE greatest(1, (w * $MaxSide) // h) END AS INT) AS out_w, " +
+        s"CAST(CASE WHEN greatest(w, h) <= $MaxSide THEN h " +
+        s"WHEN w >= h THEN greatest(1, (h * $MaxSide) // w) ELSE $MaxSide END AS INT) AS out_h FROM d) " +
+        "SELECT doc_id, out_w, out_h, " +
+        "md5(CASE WHEN n = 0 THEN '' ELSE array_to_string(list_transform(" +
+        "generate_series(0, out_w * out_h - 1), " +
+        "i -> substr(text, CAST((i * n) // (out_w * out_h) AS INT) + 1, 1)), '') END) AS resample_md5 FROM r"),
     "mm_phash" ->
       (s"WITH $phashCtes " +
         "SELECT doc_id, CAST(n AS INT) AS n_bytes, CAST(sum(b) AS BIGINT) AS phash " +

@@ -122,6 +122,38 @@ class MultimodalSpec extends SparkSpec {
       s"inverted image must be hamming-far, got ${java.lang.Long.bitCount(h1 ^ h3)}")
   }
 
+  test("pixel resample pools exact block means and survives re-encoding") {
+    import java.awt.image.BufferedImage
+    // four constant 2x2 gray blocks -> pooling to 2x2 must yield the exact
+    // block values (gray pixel: luminance = (299+587+114)*v/1000 = v)
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_3BYTE_BGR)
+    val blocks = Array(Array(10, 200), Array(90, 250))
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val v = blocks(y / 2)(x / 2)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val pooled = Multimodal.poolLuminance(img, 2, 2).map(_ & 0xff)
+    assert(pooled.toSeq == Seq(10, 200, 90, 250), s"pooled: ${pooled.toSeq}")
+    // the dispatch: same pixels through two PNG encoders -> same fingerprint
+    def toPng(im: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, "png", bos))
+      bos.toByteArray
+    }
+    val argb = new BufferedImage(4, 4, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 4; x <- 0 until 4) argb.setRGB(x, y, 0xff000000 | img.getRGB(x, y))
+    val r1 = Multimodal.resampleAsset(Multimodal.Asset(1L, toPng(img)))
+    val r2 = Multimodal.resampleAsset(Multimodal.Asset(2L, toPng(argb)))
+    assert(r1._4 == r2._4, "pixel resample must collide across re-encodings")
+    assert((r1._2, r1._3) == ((4, 4)), "within-bounds image passes through")
+    // scalar outDims mirrors the resizePlan column arithmetic exactly
+    val plan = Multimodal.resizePlan(spark, sf).collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> ((r.getInt(3), r.getInt(4)))).toMap
+    plan.foreach { case ((w, h), out) =>
+      assert(Multimodal.outDims(w, h) == out, s"outDims($w,$h) diverges from resizePlan")
+    }
+  }
+
   test("mm_phash_pairs pairs identical payloads at hamming 0 and skips disjoint ones") {
     val dir = java.nio.file.Files.createTempDirectory("graft_phash").toString
     val s = spark
