@@ -164,7 +164,16 @@ object Pipeline {
     * survivor set. */
   private[graft] def packOf(rel: DataFrame, packBlock: Int = PackBlock): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE pass for the token counter: base feeds BOTH the block-local
+    // cumsum and the block-subtotal offsets, and without a materialization
+    // the scan and the counter expression run twice (probed: 2 parquet
+    // scans, 2 BpeCountExpr nodes in packBpe's optimized plan). Trivial
+    // for whitespace counts; for the BPE/trained budgets — a full
+    // merge-table replay per document — and for build's curated input —
+    // the whole gate chain — the second pass is the real cost at scale.
+    // The checkpoint rows are (source, doc_id, n_tok, blk): tiny.
     val base = rel.withColumn("blk", expr(s"doc_id DIV $packBlock"))
+      .localCheckpoint()
     // Level 1: running sum inside each (source, block) — bounded partitions.
     val wLocal = Window.partitionBy(col("source"), col("blk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
