@@ -448,10 +448,13 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val tier = when(col("ppl_bucket") === "head", 0)
       .when(col("ppl_bucket") === "middle", 1).otherwise(2)
+    // the tiered key relation feeds the (tier, blk) histogram AND the
+    // local rank — one materialization, not two bucket-chain evaluations
     val d = TextOps.perplexityBucket(s, dir)
       .select(col("doc_id"), col("ppl_bucket"), tier.as("tier"),
         graft.functions.hash64(col("doc_id")).as("h"))
       .withColumn("blk", expr(s"h DIV $ShuffleBlock"))
+      .localCheckpoint()
     val wBlk = Window.orderBy(col("tier"), col("blk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = d.groupBy("tier", "blk").agg(count(lit(1)).as("cnt"))
@@ -549,21 +552,36 @@ object Pipeline {
     buildWith(s, dir,
       TextOps.qualityCalibrated(s, dir).filter(col("calib_keep") === 1).select("doc_id"))
 
-  private def buildWith(s: SparkSession, dir: String, model: DataFrame): DataFrame = {
+  private def buildWith(s: SparkSession, dir: String, model: DataFrame): DataFrame =
+    packOf(buildBase(s, dir, model))
+
+  /** The curated (source, doc_id, n_tok) relation `build` packs — exposed
+    * so the plan contract (id-only semi/anti gates, no cartesian, no
+    * global sort) stays assertable now that packOf materializes its input
+    * (the checkpoint hides upstream operators from the pack plan). */
+  private[graft] def buildBase(s: SparkSession, dir: String,
+      model: DataFrame): DataFrame = {
     val gopher = TextOps.gopherRules(s, dir)
       .filter(BuildGopherFlags.map(col(_) === 1).reduce(_ && _))
       .select("doc_id")
     val canon = Dedup.survivors(s, dir).select(col("doc_id"))
     val dirty = decontaminate(s, dir).select(col("doc_id"))
-    val base = graft.sources.Tables.load(s, dir, "documents")
+    graft.sources.Tables.load(s, dir, "documents")
       .filter(col("doc_id") >= 10)
       .select(col("source"), col("doc_id"), wsTokenCount.as("n_tok"))
       .join(gopher, Seq("doc_id"), "left_semi")
       .join(model, Seq("doc_id"), "left_semi")
       .join(canon, Seq("doc_id"), "left_semi")
       .join(dirty, Seq("doc_id"), "left_anti")
-    packOf(base)
   }
+
+  private[graft] def buildBaseDefault(s: SparkSession, dir: String): DataFrame =
+    buildBase(s, dir,
+      TextOps.qualityModel(s, dir).filter(col("model_keep") === 1).select("doc_id"))
+
+  private[graft] def buildBaseCalibrated(s: SparkSession, dir: String): DataFrame =
+    buildBase(s, dir,
+      TextOps.qualityCalibrated(s, dir).filter(col("calib_keep") === 1).select("doc_id"))
 
   /** The build oracle, parameterized on the model-gate CTE and its keep
     * flag — the same factored chains the standalone oracles run: survivor

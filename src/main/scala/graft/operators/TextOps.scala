@@ -921,8 +921,14 @@ object TextOps {
   def perplexityBucket(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir).select(col("doc_id"), col("lang"))
+    // One scoring pass: the LM-scored relation feeds the per-language
+    // histogram AND the final bucket join — unmaterialized, the whole
+    // perplexity chain (documents + three LM artifact scans) re-runs for
+    // each (probed: 8 documents scans in pipeline_curriculum's plan).
+    // Checkpoint rows are (doc_id, lang, avg_nll, n6): id-sized.
     val a = perplexity(s, dir).join(d, Seq("doc_id"))
       .withColumn("n6", floor(col("avg_nll") * 1e6 + 0.5).cast("long"))
+      .localCheckpoint()
     val hist = a.groupBy("lang", "n6").agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy(col("lang")).orderBy(col("n6").asc)
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -417,19 +417,25 @@ class PlansSpec extends SparkSpec {
   }
 
   test("dataset build: id-only gate joins, no cartesian, no global sort") {
-    val p = plan(graft.operators.Pipeline.build(spark, sf))
+    // the gate chain is asserted on the pre-pack base (packOf's checkpoint
+    // hides upstream operators from the packed plan)
+    val p = plan(graft.operators.Pipeline.buildBaseDefault(spark, sf))
     assert(p.contains("LeftSemi"), s"gates must compose as semi joins:\n${p.take(2000)}")
     assert(p.contains("LeftAnti"), s"decontamination must be an anti join:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"), "no cartesian anywhere in the build")
     assert(!p.contains("rangepartitioning"), "no sampled global sort in the build")
+    val packed = plan(graft.operators.Pipeline.build(spark, sf))
+    assert(!packed.contains("rangepartitioning"), "no global sort in the pack tail")
   }
 
   test("calibrated build keeps the build contract; calibrated gate never globally sorts") {
-    val p = plan(graft.operators.Pipeline.buildCalibrated(spark, sf))
+    val p = plan(graft.operators.Pipeline.buildBaseCalibrated(spark, sf))
     assert(p.contains("LeftSemi"), s"gates must compose as semi joins:\n${p.take(2000)}")
     assert(p.contains("LeftAnti"), s"decontamination must be an anti join:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"), "no cartesian anywhere in the calibrated build")
     assert(!p.contains("rangepartitioning"), "no sampled global sort in the calibrated build")
+    assert(!plan(graft.operators.Pipeline.buildCalibrated(spark, sf)).contains("rangepartitioning"),
+      "no global sort in the calibrated pack tail")
     val pg = plan(graft.operators.TextOps.qualityCalibrated(spark, sf))
     assert(!pg.contains("rangepartitioning"),
       s"threshold selection must use the census, not a global sort:\n${pg.take(2000)}")
