@@ -1136,8 +1136,12 @@ object TextOps {
     * scan. Integer counts only — nothing to drift. */
   def corpusStats(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    // the hashed census relation feeds the duplicate census AND the join
+    // back — one text scan + md5 pass, not two (rows are id-sized: ids,
+    // labels, one count, one 16-byte hash)
     val withHash = d.select(col("doc_id"), col("lang"), col("source"),
       size(wsTokens(col("text"))).as("nt"), md5Hex(col("text")).as("h"))
+      .localCheckpoint()
     val census = withHash.groupBy("h").agg(count(lit(1)).as("c"))
     withHash.join(census, Seq("h"))
       .join(gopherRulesOf(d).select(col("doc_id"), col("keep")), Seq("doc_id"))
