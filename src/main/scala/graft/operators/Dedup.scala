@@ -176,6 +176,33 @@ object Dedup {
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
 
+  /** Jaccard-decile bands of the recall audit. */
+  val RecallBands = 10
+
+  /** LSH candidate-RECALL audit — the measured S-curve: for every
+    * shingle-sharing pair (the exact-Jaccard ground truth, enumerable
+    * without an all-pairs pass because jaccard > 0 ⟺ shares a shingle —
+    * the posting-list engine [[ngramJaccard]] runs, bounded by the same
+    * salt caps), which fraction does the banded MinHash candidate
+    * generator ([[minhashLsh]]) actually surface, per Jaccard decile? The
+    * readout that validates the b×r choice against theory (P[candidate] =
+    * 1-(1-s^r)^b) before trusting the dedup gate at 100 TB — the dedup
+    * analog of `sim_ann_recall`. Bands are exact integer arithmetic
+    * ((inter·10) DIV union, clamped to 9), recall is ppm integer division
+    * — nothing to drift. Output is ≤ [[RecallBands]] rows. */
+  def lshRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = shingleInterPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"),
+        least(expr(s"(inter * $RecallBands) DIV (na + nb - inter)"),
+          lit(RecallBands - 1)).cast("int").as("sim_band"))
+    val cand = minhashLsh(s, dir).withColumn("hit", lit(1))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .groupBy("sim_band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0)).cast("long")).as("n_hit"))
+      .withColumn("recall_ppm", expr("(n_hit * 1000000) DIV n_pairs"))
+  }
+
   /** Containment floor for [[containment]] — deliberately high: the rule
     * exists for pairs where most of the SMALLER doc is shared. */
   val ContainmentThreshold = 0.5
@@ -796,6 +823,7 @@ object Dedup {
     "dedup_simhash" -> (simhash _),
     "dedup_simhash_pairs" -> ((s: SparkSession, dir: String) => simhashPairs(s, dir)),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_lsh_recall" -> (lshRecall _),
     "dedup_containment" -> (containment _),
     "dedup_clusters" -> (clusterAssign _),
     "dedup_minhash_verified" -> (minhashVerified _),
@@ -1046,6 +1074,17 @@ object Dedup {
         "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)), " +
         s"shp AS (SELECT doc_id, ${simhashSignedSql("s")} AS h FROM raw), " +
         s"${hammingPairsCtes("shp")} $hammingPairsSelect"),
+    "dedup_lsh_recall" ->
+      // truth = the posting-list pair relation (outer CTEs); candidates =
+      // the banded-LSH pair select, nested in its own WITH so its sh/ex
+      // names scope independently of the truth chain's
+      (s"WITH $shingleInterCtes, " +
+        s"cand AS (WITH $lshCtes $lshPairsSelect), " +
+        s"tr AS (SELECT doc_a, doc_b, CAST(least((inter * $RecallBands) // (na + nb - inter), ${RecallBands - 1}) AS INT) AS sim_band FROM pairs), " +
+        "j AS (SELECT tr.sim_band, CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit " +
+        "FROM tr LEFT JOIN cand c ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b) " +
+        "SELECT sim_band, count(*) AS n_pairs, CAST(sum(hit) AS BIGINT) AS n_hit, " +
+        "(CAST(sum(hit) AS BIGINT) * 1000000) // count(*) AS recall_ppm FROM j GROUP BY sim_band"),
     "dedup_ngram_jaccard" ->
       (s"WITH $shingleInterCtes " +
         s"SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard FROM pairs " +

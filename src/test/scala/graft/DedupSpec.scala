@@ -316,4 +316,29 @@ class DedupSpec extends SparkSpec {
     val sizesB = Dedup.semanticDedup(spark, sf).collect().map(_.getLong(1)).toSeq.sorted
     assert(sizesA == sizesB, "keep variant changed the duplicate-group structure")
   }
+
+  test("lsh recall audit: identical pairs land in the top band at total recall") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshrec").toString
+    // ten identical pairs over disjoint vocabularies (jaccard 1.0 -> band
+    // 9, and identical docs share every minhash so the candidate generator
+    // CANNOT miss them) + ten unrelated docs (no shared shingles -> no
+    // truth pairs at all)
+    val rows =
+      (0 until 10).flatMap { i =>
+        val text = s"pair$i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"
+        Seq((i.toLong, text), (i.toLong + 100L, text))
+      } ++ (0 until 10).map { i =>
+        (i.toLong + 200L, s"solo$i uniq$i${i} only$i$i words$i here$i now$i")
+      }
+    rows.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.lshRecall(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(9), s"only the identical pairs may share shingles: $got")
+    val (nPairs, nHit, ppm) = got(9)
+    assert(nPairs == 10L, s"expected the 10 planted pairs, got $nPairs")
+    assert(nHit == 10L && ppm == 1000000L,
+      s"identical pairs must be recalled totally: hit=$nHit ppm=$ppm")
+  }
 }
