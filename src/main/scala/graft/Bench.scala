@@ -3,15 +3,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Where a run's artifact belongs: a contended run (start load average
-    * above [[ContendedLoad]]) is demoted to `<path>.contended` whenever the
-    * existing artifact at `path` records a CLEAN start load — so a busy-box
-    * re-run can never overwrite idle-box evidence. Every other case (clean
-    * run, no prior artifact, or a prior artifact that was itself contended)
-    * writes `path` as before. */
+    * above [[ContendedLoad]]) is demoted to `<path>.contended` whenever an
+    * artifact already EXISTS at `path` and does not affirmatively record a
+    * contended start — so a busy-box re-run can never overwrite idle-box
+    * evidence, and an unparseable existing artifact fails SAFE (demote)
+    * rather than silently disarming the guard. A clean run, a missing
+    * prior artifact, or a prior artifact stamped contended all write
+    * `path` as before. */
   val ContendedLoad = 2.0
   private[graft] def artifactDestination(path: String, loadAvg: Double,
-      existingLoad: Option[Double]): String =
-    if (loadAvg > ContendedLoad && existingLoad.exists(_ <= ContendedLoad))
+      fileExists: Boolean, existingLoad: Option[Double]): String =
+    if (loadAvg > ContendedLoad && fileExists && existingLoad.forall(_ <= ContendedLoad))
       path + ".contended"
     else path
 
@@ -98,7 +100,9 @@ object Bench {
     // clean artifact — rounds 6 and 8 both lost their idle-box numbers to a
     // later busy-box re-run. The contended timings still land on disk (as
     // `<path>.contended`) so nothing is hidden; only the clean slot is kept.
-    val fullPath = artifactDestination(basePath, loadAvg, existingLoadAvg(basePath))
+    val fullPath = artifactDestination(basePath, loadAvg,
+      java.nio.file.Files.exists(java.nio.file.Paths.get(basePath)),
+      existingLoadAvg(basePath))
     if (fullPath != basePath)
       System.err.println(s"[bench] load average ${r3(loadAvg)} > 2.0 and $basePath " +
         s"holds a cleaner run — writing $fullPath instead")

@@ -183,12 +183,24 @@ object Scale {
         // execution memory — at x100 that turned an 8 s pipeline into a
         // 210 s spill storm and read as fake superlinearity.
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        // Both timings recorded per (scale, op): the FIRST-TOUCH run may
+        // train registry artifacts (LM, BPE table, langid centroids, LSH
+        // index) at this scale — only x1's warmup pre-trains them — and
+        // the SERVED re-run is the deployment shape. Comparing x1-served
+        // against x100-first-touch overstates growth; the pair makes both
+        // trends readable (the r8 curriculum hand-split, now systematic).
         val t0 = System.nanoTime()
         val rows = fn(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
         val line = s"""{"scale":"$tag","mult":$mult,"op":"$name","rows":$rows,"sec":${r3(secs)}}"""
         println(line)
         results += line
+        val t1 = System.nanoTime()
+        fn(spark, dir).count()
+        val secs2 = (System.nanoTime() - t1) / 1e9
+        val line2 = s"""{"scale":"$tag","mult":$mult,"op":"${name}_served","rows":$rows,"sec":${r3(secs2)}}"""
+        println(line2)
+        results += line2
       }
       if ("terasort".contains(opFilter)) {
         // TeraSort end to end (generate -> range-partitioned total-order

@@ -55,12 +55,25 @@ object Multimodal {
     * start with the 0x89 signature byte, so every gated result is
     * unchanged and stays oracle-replayable; the real branch is pinned by
     * MultimodalSpec on a generated PNG. */
+  /** The ONE codec dispatch all three real-branch consumers share
+    * (decode, phash, resample): Some(image) only for a payload that both
+    * carries the PNG signature AND actually decodes. Real crawled data
+    * routinely contains truncated/corrupt files whose first 8 bytes still
+    * match — ImageIO returns null or throws there, and every consumer
+    * must fall back to the byte stub rather than kill the task. */
+  private[graft] def decodePng(a: Asset): Option[java.awt.image.BufferedImage] =
+    if (a.payload.length >= 8 && a.payload.take(8).sameElements(PngMagic))
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload)))
+      catch { case _: java.io.IOException => None }
+    else None
+
   def decodeAsset(a: Asset): MediaMeta =
-    if (a.payload.length >= 8 && a.payload.take(8).sameElements(PngMagic)) {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
-      MediaMeta(a.doc_id, a.payload.length, img.getWidth, img.getHeight,
-        img.getColorModel.getNumComponents, 1)
-    } else decodeStub(a)
+    decodePng(a) match {
+      case Some(img) =>
+        MediaMeta(a.doc_id, a.payload.length, img.getWidth, img.getHeight,
+          img.getColorModel.getNumComponents, 1)
+      case None => decodeStub(a)
+    }
 
   private def assets(s: SparkSession, dir: String) = {
     import s.implicits._
@@ -208,10 +221,10 @@ object Multimodal {
     * can never carry the 0x89 signature) is byte-for-byte unchanged and
     * stays oracle-replayable. */
   def phashAsset(a: Asset): (Long, Int, Long) =
-    if (a.payload.length >= 8 && a.payload.take(8).sameElements(PngMagic)) {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
-      (a.doc_id, a.payload.length, phashPixels(img))
-    } else phashStub(a)
+    decodePng(a) match {
+      case Some(img) => (a.doc_id, a.payload.length, phashPixels(img))
+      case None => phashStub(a)
+    }
 
   /** Perceptual-hash fingerprints, partition-parallel (no shuffle). */
   def phash(s: SparkSession, dir: String): DataFrame = {
@@ -303,11 +316,12 @@ object Multimodal {
     * vision-preprocessing step between decode and patching); everything
     * else keeps the byte stub, so the gated corpus stays oracle-exact. */
   def resampleAsset(a: Asset): (Long, Int, Int, String) =
-    if (a.payload.length >= 8 && a.payload.take(8).sameElements(PngMagic)) {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
-      val (ow, oh) = outDims(img.getWidth, img.getHeight)
-      (a.doc_id, ow, oh, md5hex(poolLuminance(img, ow, oh)))
-    } else resampleStub(a)
+    decodePng(a) match {
+      case Some(img) =>
+        val (ow, oh) = outDims(img.getWidth, img.getHeight)
+        (a.doc_id, ow, oh, md5hex(poolLuminance(img, ow, oh)))
+      case None => resampleStub(a)
+    }
 
   /** Resampled-content fingerprints, partition-parallel (no shuffle). */
   def resizeSample(s: SparkSession, dir: String): DataFrame = {

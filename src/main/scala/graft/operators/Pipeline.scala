@@ -213,11 +213,9 @@ object Pipeline {
     * chunk boundaries. The oracle replays train + word-merge + count with
     * zero shared constants (the `text_bpe_trained_ids` backbone feeding
     * the pack cumsum). Same two-level prefix-sum plan as every pack. */
-  def packTrained(s: SparkSession, dir: String): DataFrame = {
-    val table = AnnModels.bpeMergeTable(s, dir).orderBy(col("rank")).collect()
-    val merges = table.map(r => (r.getString(1), r.getString(2))).toSeq
-    pack(s, dir, PackBlock, graft.functions.BpeExpressions.bpeCount(col("text"), merges))
-  }
+  def packTrained(s: SparkSession, dir: String): DataFrame =
+    pack(s, dir, PackBlock,
+      graft.functions.BpeExpressions.bpeCount(col("text"), TextOps.trainedMerges(s, dir)))
 
   /** Output shard fan-out for the balanced-shard writer. */
   val NumShards = 16

@@ -562,11 +562,16 @@ object TextOps {
       else {
         val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank, a, b, cnt))
+        val prev = vocab
         vocab = vocab.select(col("f"),
           call_function("replace", col("s"),
             lit(s"$BpeOpen$a$BpeClose$BpeOpen$b$BpeClose"),
             lit(s"$BpeOpen$a$b$BpeClose")).as("s"))
           .localCheckpoint()
+        // the superseded checkpoint would otherwise stay persisted for all
+        // k rounds — the accumulating-blocks spill hazard Scale.main works
+        // around for cross-operator runs
+        prev.unpersist()
         rank += 1
       }
     }
@@ -632,6 +637,7 @@ object TextOps {
             }
           }
         accepted.foreach { case (a, b, cnt) => merges += ((merges.size + 1, a, b, cnt)) }
+        val prev = vocab
         vocab = vocab.select(col("f"),
           accepted.foldLeft(col("s")) { case (c, (a, b, _)) =>
             call_function("replace", c,
@@ -639,6 +645,10 @@ object TextOps {
               lit(s"$BpeOpen$a$b$BpeClose"))
           }.as("s"))
           .localCheckpoint()
+        // a ~32k-merge train is ~128 rounds: without this, every round's
+        // vocab checkpoint stays persisted simultaneously (the spill-storm
+        // class Scale.main documents)
+        prev.unpersist()
       }
     }
     import spark.implicits._
@@ -744,11 +754,16 @@ object TextOps {
     * operands-exist-first invariant the single-pass encoder relies on
     * holds by construction. The oracle replays the ENTIRE chain — train
     * loop, vocab ids, encode — from the raw corpus. */
-  def bpeTrainedIds(s: SparkSession, dir: String): DataFrame = {
-    val table = AnnModels.bpeMergeTable(s, dir).orderBy(col("rank")).collect()
-    val merges = table.map(r => (r.getString(1), r.getString(2))).toSeq
-    bpeIdsWith(docs(s, dir), merges)
-  }
+  def bpeTrainedIds(s: SparkSession, dir: String): DataFrame =
+    bpeIdsWith(docs(s, dir), trainedMerges(s, dir))
+
+  /** The registry-persisted trained merge table, collected rank-ordered —
+    * the ONE accessor every trained-tokenizer consumer uses
+    * ([[bpeTrainedIds]], Pipeline.packTrained), so the schema/ordering
+    * contract lives in a single place. */
+  private[graft] def trainedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    AnnModels.bpeMergeTable(s, dir).orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
 
   /** Detokenization — the tokenizer chain's inverse, closing the loop a
     * training pipeline needs for inspection/debugging (render a packed

@@ -7,18 +7,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchSpec extends AnyFunSuite {
 
   test("clean run always writes the primary artifact") {
-    assert(Bench.artifactDestination("b.json", 0.9, None) == "b.json")
-    assert(Bench.artifactDestination("b.json", 0.9, Some(0.5)) == "b.json")
-    assert(Bench.artifactDestination("b.json", 0.9, Some(6.5)) == "b.json")
+    assert(Bench.artifactDestination("b.json", 0.9, fileExists = false, None) == "b.json")
+    assert(Bench.artifactDestination("b.json", 0.9, fileExists = true, Some(0.5)) == "b.json")
+    assert(Bench.artifactDestination("b.json", 0.9, fileExists = true, Some(6.5)) == "b.json")
   }
 
-  test("contended run is demoted only when the existing artifact is clean") {
-    assert(Bench.artifactDestination("b.json", 6.5, Some(0.99)) == "b.json.contended")
-    // no prior artifact, or a prior contended one: some numbers beat none
-    assert(Bench.artifactDestination("b.json", 6.5, None) == "b.json")
-    assert(Bench.artifactDestination("b.json", 6.5, Some(5.4)) == "b.json")
+  test("contended run is demoted unless the existing artifact is affirmatively contended") {
+    assert(Bench.artifactDestination("b.json", 6.5, fileExists = true, Some(0.99)) == "b.json.contended")
+    // no prior artifact: some numbers beat none
+    assert(Bench.artifactDestination("b.json", 6.5, fileExists = false, None) == "b.json")
+    // prior artifact stamped contended: overwrite allowed
+    assert(Bench.artifactDestination("b.json", 6.5, fileExists = true, Some(5.4)) == "b.json")
+    // prior artifact exists but does not parse: fail SAFE, demote — a
+    // truncated/hand-edited clean artifact must not lose to a busy box
+    assert(Bench.artifactDestination("b.json", 6.5, fileExists = true, None) == "b.json.contended")
     // boundary: load exactly at the threshold counts as clean
-    assert(Bench.artifactDestination("b.json", Bench.ContendedLoad, Some(0.5)) == "b.json")
+    assert(Bench.artifactDestination("b.json", Bench.ContendedLoad, fileExists = true, Some(0.5)) == "b.json")
   }
 
   test("existingLoadAvg parses the stamped field and tolerates garbage") {

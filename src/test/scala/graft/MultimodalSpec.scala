@@ -82,6 +82,17 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.phashStub(Multimodal.Asset(2L, "same bytes".getBytes))._3)
   }
 
+  test("a corrupt payload carrying the PNG signature falls back to the stub, never NPEs") {
+    // real crawled data contains truncated/corrupt files whose first 8
+    // bytes still match the signature — every real-branch consumer must
+    // degrade to the byte stub, not kill the task
+    val magic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val a = Multimodal.Asset(7L, magic ++ "not actually a png at all".getBytes("UTF-8"))
+    assert(Multimodal.decodeAsset(a) == Multimodal.decodeStub(a))
+    assert(Multimodal.phashAsset(a) == Multimodal.phashStub(a))
+    assert(Multimodal.resampleAsset(a) == Multimodal.resampleStub(a))
+  }
+
   test("pixel-domain phash is invariant to re-encoding; the byte stub is not") {
     import java.awt.image.BufferedImage
     def toPng(img: BufferedImage): Array[Byte] = {
