@@ -190,12 +190,24 @@ object Dedup {
     * analog of `sim_ann_recall`. Bands are exact integer arithmetic
     * ((inter·10) DIV union, clamped to 9), recall is ppm integer division
     * — nothing to drift. Output is ≤ [[RecallBands]] rows. */
-  def lshRecall(s: SparkSession, dir: String): DataFrame = {
+  def lshRecall(s: SparkSession, dir: String): DataFrame =
+    lshRecallOf(s, dir, minhashLsh(s, dir))
+
+  /** The same audit over the BANDED (b=4×r=2) generator — side by side
+    * with [[lshRecall]] this is the b×r trade made measurable: r=2 AND-
+    * amplification suppresses low-similarity candidates (cheaper
+    * verification) at the cost of mid-band recall, exactly the
+    * 1-(1-s^r)^b curves. */
+  def lshRecallBanded(s: SparkSession, dir: String): DataFrame =
+    lshRecallOf(s, dir, minhashLshBanded(s, dir))
+
+  private def lshRecallOf(s: SparkSession, dir: String,
+      candidates: DataFrame): DataFrame = {
     val truth = shingleInterPairs(s, dir)
       .select(col("doc_a"), col("doc_b"),
         least(expr(s"(inter * $RecallBands) DIV (na + nb - inter)"),
           lit(RecallBands - 1)).cast("int").as("sim_band"))
-    val cand = minhashLsh(s, dir).withColumn("hit", lit(1))
+    val cand = candidates.withColumn("hit", lit(1))
     truth.join(cand, Seq("doc_a", "doc_b"), "left")
       .groupBy("sim_band")
       .agg(count(lit(1)).as("n_pairs"),
@@ -824,6 +836,7 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s: SparkSession, dir: String) => simhashPairs(s, dir)),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_lsh_recall" -> (lshRecall _),
+    "dedup_lsh_recall_banded" -> (lshRecallBanded _),
     "dedup_containment" -> (containment _),
     "dedup_clusters" -> (clusterAssign _),
     "dedup_minhash_verified" -> (minhashVerified _),
@@ -915,6 +928,31 @@ object Dedup {
   private val lshPairsSelect =
     "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bandedc a JOIN bandedc b " +
       "ON a.band = b.band AND a.h = b.h AND a.salt = b.salt AND a.doc_id < b.doc_id"
+
+  /** The full banded (b=4xr=2) candidate-pair query — shared by the
+    * dedup_minhash_banded oracle and the banded recall audit. */
+  private val bandedPairsSql: String =
+    s"WITH $lshCtes, " +
+      s"b2 AS (SELECT a.doc_id, a.band // $BandRows AS band, a.h AS h1, b.h AS h2 " +
+      s"FROM banded a JOIN banded b ON a.doc_id = b.doc_id AND b.band = a.band + 1 AND a.band % $BandRows = 0), " +
+      s"b2s AS (SELECT doc_id, band, h1, h2, ${graft.functions.hash52Sql("doc_id")} % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
+      "FROM (SELECT doc_id, band, h1, h2, count(*) OVER (PARTITION BY band, h1, h2) AS bn FROM b2)), " +
+      "b2c AS (SELECT doc_id, band, h1, h2, salt FROM (SELECT doc_id, band, h1, h2, salt, " +
+      s"count(*) OVER (PARTITION BY band, h1, h2, salt) AS gn FROM b2s) WHERE gn <= ${2 * MaxBucket}) " +
+      "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM b2c a JOIN b2c b " +
+      "ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.salt = b.salt AND a.doc_id < b.doc_id"
+
+  /** Recall-audit oracle, parameterized on the candidate-pair query
+    * (nested in its own WITH so its CTE names scope independently of the
+    * truth chain's sh/ex). */
+  private def lshRecallOracle(candidateSql: String): String =
+    s"WITH $shingleInterCtes, " +
+      s"cand AS ($candidateSql), " +
+      s"tr AS (SELECT doc_a, doc_b, CAST(least((inter * $RecallBands) // (na + nb - inter), ${RecallBands - 1}) AS INT) AS sim_band FROM pairs), " +
+      "j AS (SELECT tr.sim_band, CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit " +
+      "FROM tr LEFT JOIN cand c ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b) " +
+      "SELECT sim_band, count(*) AS n_pairs, CAST(sum(hit) AS BIGINT) AS n_hit, " +
+      "(CAST(sum(hit) AS BIGINT) * 1000000) // count(*) AS recall_ppm FROM j GROUP BY sim_band"
 
   /** Mirror of SimHash64Expr: bit j of a token's 64-bit hash is nibble bit
     * j%4 of hex digit 16 - j/4 of md5(token) (big-endian hex == the same
@@ -1030,16 +1068,7 @@ object Dedup {
       ("SELECT doc_id, source FROM documents WHERE source = 'src0' AND md5(text) NOT IN " +
         "(SELECT md5(text) FROM documents WHERE source <> 'src0')"),
     "dedup_minhash_lsh" -> s"WITH $lshCtes $lshPairsSelect",
-    "dedup_minhash_banded" ->
-      (s"WITH $lshCtes, " +
-        s"b2 AS (SELECT a.doc_id, a.band // $BandRows AS band, a.h AS h1, b.h AS h2 " +
-        s"FROM banded a JOIN banded b ON a.doc_id = b.doc_id AND b.band = a.band + 1 AND a.band % $BandRows = 0), " +
-        s"b2s AS (SELECT doc_id, band, h1, h2, ${graft.functions.hash52Sql("doc_id")} % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
-        "FROM (SELECT doc_id, band, h1, h2, count(*) OVER (PARTITION BY band, h1, h2) AS bn FROM b2)), " +
-        "b2c AS (SELECT doc_id, band, h1, h2, salt FROM (SELECT doc_id, band, h1, h2, salt, " +
-        s"count(*) OVER (PARTITION BY band, h1, h2, salt) AS gn FROM b2s) WHERE gn <= ${2 * MaxBucket}) " +
-        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM b2c a JOIN b2c b " +
-        "ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.salt = b.salt AND a.doc_id < b.doc_id"),
+    "dedup_minhash_banded" -> bandedPairsSql,
     "dedup_clusters" ->
       (s"WITH RECURSIVE $lshCtes, pairs AS ($lshPairsSelect), " +
         "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs), " +
@@ -1074,17 +1103,8 @@ object Dedup {
         "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)), " +
         s"shp AS (SELECT doc_id, ${simhashSignedSql("s")} AS h FROM raw), " +
         s"${hammingPairsCtes("shp")} $hammingPairsSelect"),
-    "dedup_lsh_recall" ->
-      // truth = the posting-list pair relation (outer CTEs); candidates =
-      // the banded-LSH pair select, nested in its own WITH so its sh/ex
-      // names scope independently of the truth chain's
-      (s"WITH $shingleInterCtes, " +
-        s"cand AS (WITH $lshCtes $lshPairsSelect), " +
-        s"tr AS (SELECT doc_a, doc_b, CAST(least((inter * $RecallBands) // (na + nb - inter), ${RecallBands - 1}) AS INT) AS sim_band FROM pairs), " +
-        "j AS (SELECT tr.sim_band, CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit " +
-        "FROM tr LEFT JOIN cand c ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b) " +
-        "SELECT sim_band, count(*) AS n_pairs, CAST(sum(hit) AS BIGINT) AS n_hit, " +
-        "(CAST(sum(hit) AS BIGINT) * 1000000) // count(*) AS recall_ppm FROM j GROUP BY sim_band"),
+    "dedup_lsh_recall" -> lshRecallOracle(s"WITH $lshCtes $lshPairsSelect"),
+    "dedup_lsh_recall_banded" -> lshRecallOracle(bandedPairsSql),
     "dedup_ngram_jaccard" ->
       (s"WITH $shingleInterCtes " +
         s"SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard FROM pairs " +

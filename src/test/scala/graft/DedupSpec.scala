@@ -341,4 +341,32 @@ class DedupSpec extends SparkSpec {
     assert(nHit == 10L && ppm == 1000000L,
       s"identical pairs must be recalled totally: hit=$nHit ppm=$ppm")
   }
+
+  test("banded recall shows AND-amplification: suppressed mid-band, same truth") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshrec2").toString
+    // 50 pairs at jaccard 1/3 (4 shared of 12 total shingles), disjoint
+    // vocab between pairs: r=1 catches ~1-(2/3)^8 = 96% of them, r=2 only
+    // ~1-(1-1/9)^4 = 38% — the S-curve's mid-band is exactly where
+    // AND-amplification bites
+    val rows = (0 until 50).flatMap { i =>
+      val shared = (0 until 6).map(j => s"p${i}w$j").mkString(" ")
+      Seq((i.toLong, s"$shared p${i}t0 p${i}t1 p${i}t2 p${i}t3"),
+        (i.toLong + 100L, s"$shared q${i}t0 q${i}t1 q${i}t2 q${i}t3"))
+    }
+    rows.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def byBand(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val flat = byBand(Dedup.lshRecall(spark, dir))
+    val banded = byBand(Dedup.lshRecallBanded(spark, dir))
+    assert(flat.view.mapValues(_._1).toMap == banded.view.mapValues(_._1).toMap,
+      "the ground truth must be identical across generators")
+    val band = (4 * Dedup.RecallBands) / 12 // jaccard 1/3 decile
+    assert(flat(band)._1 == 50L, s"expected the 50 planted pairs in band $band: $flat")
+    assert(banded(band)._2 < flat(band)._2,
+      s"r=2 banding must suppress mid-band recall: banded=${banded(band)._2} flat=${flat(band)._2}")
+    assert(flat(band)._2 > 40L, s"r=1 should catch most mid-band pairs: ${flat(band)._2}")
+    assert(banded(band)._2 > 0L, "banding should still surface some mid-band pairs")
+  }
 }
