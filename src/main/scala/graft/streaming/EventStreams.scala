@@ -506,15 +506,12 @@ object EventStreams {
     * No salting on the stream side: the static index is a join build side,
     * not a shuffle partner, so a dense bucket costs fan-out rows, not task
     * skew — and the dedup state that follows is pair-distinct anyway. */
-  def startIncrementalLshStream(s: SparkSession, dir: String, name: String,
-      maxFilesPerTrigger: Int = 0): StreamingQuery = {
-    val index = graft.operators.AnnModels.lshIndex(s, dir)
-      .select(col("band"), col("h"), col("doc_id").as("corpus_id"))
-    val rawSchema = s.read.option("pathGlobFilter", "documents.parquet").parquet(dir).schema
-    var reader = s.readStream.schema(rawSchema).option("pathGlobFilter", "documents.parquet")
-    if (maxFilesPerTrigger > 0)
-      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
-    reader.parquet(dir)
+  /** The shared stream transform: ingest docs → banded signatures →
+    * stream-static join with the persisted index → watermark-bounded
+    * distinct (doc_id, corpus_id) match pairs. */
+  private def incrementalLshTransform(stream: DataFrame,
+      index: DataFrame): DataFrame =
+    stream
       .filter(col("source") === "src0")
       .withColumn("ets", expr("timestamp_micros(doc_id * 1000000)"))
       .withWatermark("ets", "1 hour")
@@ -522,16 +519,52 @@ object EventStreams {
         posexplode(ShingleExpressions.minhashSig(col("text"),
           graft.operators.Dedup.MinhashPerms, graft.operators.Dedup.ShingleN))
           .as(Seq("band", "h")))
-      .join(index, Seq("band", "h"))
+      .join(index.select(col("band"), col("h"), col("doc_id").as("corpus_id")),
+        Seq("band", "h"))
       .filter(col("doc_id") =!= col("corpus_id"))
       .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
       .select(col("doc_id"), col("corpus_id"))
+
+  def startIncrementalLshStream(s: SparkSession, dir: String, name: String,
+      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    val index = graft.operators.AnnModels.lshIndex(s, dir)
+    val rawSchema = s.read.option("pathGlobFilter", "documents.parquet").parquet(dir).schema
+    var reader = s.readStream.schema(rawSchema).option("pathGlobFilter", "documents.parquet")
+    if (maxFilesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    incrementalLshTransform(reader.parquet(dir), index)
       .writeStream
       .outputMode("append")
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** One restartable AvailableNow pass of the incremental ingest probe —
+    * the nightly production shape: resume from `checkpoint`, ingest any
+    * files under `dropDir` matching `glob` the checkpoint has not seen,
+    * probe them against `indexDir`'s persisted LSH index, and append only
+    * NEW (doc_id, corpus_id) match pairs to the parquet sink. A pair
+    * already claimed by an earlier run is never re-emitted even if its
+    * document is re-dropped — the dedup state lives in the checkpoint,
+    * not the JVM (the runSessionizeStep recipe applied to ingest dedup;
+    * spec drives two drops across two steps). */
+  def runIncrementalLshStep(s: SparkSession, indexDir: String, dropDir: String,
+      checkpoint: String, outPath: String, glob: String = "*.parquet"): Unit = {
+    val index = graft.operators.AnnModels.lshIndex(s, indexDir)
+    val rawSchema = s.read.option("pathGlobFilter", glob).parquet(dropDir).schema
+    val stream = s.readStream.schema(rawSchema).option("pathGlobFilter", glob)
+      .parquet(dropDir)
+    val q = incrementalLshTransform(stream, index)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   // --- wiring (batch analogs, oracle-checked) ------------------------------

@@ -366,4 +366,54 @@ class StreamingSpec extends SparkSpec {
         s"index rebuilt: ${graft.operators.AnnModels.lshIndexBuilds - b0} builds")
     }
   }
+
+  test("incremental probe checkpoint restart: re-dropped docs never re-emit claimed pairs") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_increstart").toString
+    val (corpusDir, dropDir, cp, out) =
+      (s"$base/corpus", s"$base/drops", s"$base/cp", s"$base/out")
+    // corpus: two identical docs (both will match any probe of that text)
+    val corpusTmp = s"$base/ctmp"
+    Seq(
+      (1L, "srcA", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "srcB", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "srcA", "unrelated corpus filler content nine ten eleven twelve"))
+      .toDF("doc_id", "source", "text").coalesce(1).write.parquet(corpusTmp)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(corpusDir))
+    val cpart = new java.io.File(corpusTmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    java.nio.file.Files.move(cpart.toPath,
+      java.nio.file.Paths.get(corpusDir, "documents.parquet"))
+    def drop(tag: String, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = s"$base/tmp_$tag"
+      rows.toDF("doc_id", "source", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dropDir))
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dropDir, s"$tag.parquet"))
+    }
+    def pairs(): Set[(Long, Long)] = {
+      if (!new java.io.File(out).exists()) Set.empty
+      else spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-increstart-models").toString
+    graft.operators.AnnModels.withRoot(root) {
+      // run 1: doc 10 matches both corpus copies, doc 11 is novel
+      drop("d0", Seq(
+        (10L, "src0", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (11L, "src0", "one two three four five six seven eight nine ten")))
+      EventStreams.runIncrementalLshStep(spark, corpusDir, dropDir, cp, out)
+      assert(pairs() == Set((10L, 1L), (10L, 2L)), s"run 1 pairs: ${pairs()}")
+      // run 2, NEW query from the checkpoint: doc 10 is RE-dropped (its
+      // pairs are already claimed — state must suppress them across the
+      // restart) alongside a genuinely new matching doc 12
+      drop("d1", Seq(
+        (10L, "src0", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (12L, "src0", "alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+      EventStreams.runIncrementalLshStep(spark, corpusDir, dropDir, cp, out)
+      assert(pairs() == Set((10L, 1L), (10L, 2L), (12L, 1L), (12L, 2L)),
+        s"run 2 must add ONLY the new doc's pairs: ${pairs()}")
+    }
+  }
 }
