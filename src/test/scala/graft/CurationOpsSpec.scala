@@ -228,5 +228,14 @@ class CurationOpsSpec extends SparkSpec {
       .filter(col("calib_keep") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(calib.size == 51, s"calibrated gate must keep ceil(101/2)=51, got ${calib.size}")
     assert(calib == (1L to 51L).toSet, "must keep the LARGEST logits (smallest doc ids here)")
+
+    // full tie saturation: every doc at the same logit — the threshold IS
+    // that value and ties are kept, so the whole corpus survives (both
+    // engines state the same >= rule; degenerate distributions can't
+    // under-keep)
+    val ties = (1L to 100L).map(i => (i, -5L)).toDF("doc_id", "logit8")
+    assert(TextOps.qualityCalibratedOf(ties)
+      .filter(col("calib_keep") === 1).count() == 100L,
+      "a fully-tied distribution must keep every document")
   }
 }
