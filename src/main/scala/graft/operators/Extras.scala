@@ -31,8 +31,16 @@ object Extras {
     * hadoop-streaming execution model on Spark partitions. */
   def streamingPipe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // whitespace-RUN tokenization (\s+, not just ' '): the pipe protocol
+    // is line-oriented — hadoop-streaming records ARE lines and can never
+    // contain '\n' (TextInputFormat split them upstream), and rdd.pipe
+    // would split a newline-bearing element into two records. Tokenizing
+    // on all whitespace (StringTokenizer semantics, what the reference
+    // wordcount does) makes every element line-safe by construction.
+    // Caught by the round-9 perturbed-corpus parity sweep.
     val words = Tables.load(s, dir, "documents")
-      .select(explode(wsTokens(col("text"))).as("word"))
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
       .as[String]
     val piped = words.rdd.pipe(Seq("tr", "a-z", "A-Z"))
     s.createDataset(piped).toDF("word_upper")
@@ -52,8 +60,10 @@ object Extras {
     * partition, so counts are exact and partitioning-independent. */
   def streamingPipeReduce(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // line-safe whitespace-run tokenization — see streamingPipe
     val keyed = Tables.load(s, dir, "documents")
-      .select(explode(wsTokens(col("text"))).as("word"))
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
       .repartition(col("word"))
       .sortWithinPartitions("word")
       .as[String]
@@ -264,9 +274,13 @@ object Extras {
         "ELSE 0.0 END AS fp_rate"
     },
     "mr_streaming_pipe" ->
-      "SELECT upper(word) AS word_upper, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY upper(word)",
+      ("SELECT upper(word) AS word_upper, count(*) AS cnt FROM " +
+        "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents) " +
+        "WHERE length(word) > 0 GROUP BY upper(word)"),
     "mr_streaming_pipe_reduce" ->
-      "SELECT word, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word",
+      ("SELECT word, count(*) AS cnt FROM " +
+        "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents) " +
+        "WHERE length(word) > 0 GROUP BY word"),
     "mr_quasi_monte_carlo" ->
       (s"SELECT count(*) AS n, CAST(sum(CASE WHEN x*x + y*y <= 1.0 THEN 1 ELSE 0 END) AS DOUBLE) * 4.0 / $QmcN AS pi_estimate FROM " +
         s"(SELECT CAST((i * 2654435761 + 12345) % 4294967296 AS DOUBLE) / 4294967296 AS x, " +

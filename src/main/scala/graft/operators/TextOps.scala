@@ -366,6 +366,14 @@ object TextOps {
   val BpeOpen = "|"
   val BpeClose = ";"
 
+  /** Every char-seeding regex in the BPE family runs in DOTALL mode
+    * ((?s)): plain `.` skips newlines in BOTH Java and RE2 regex, so a
+    * token containing '\n' (bulleted/multi-line documents) would seed
+    * with the newline UNWRAPPED while the native coder — the production
+    * path, which iterates raw chars — tokenizes it like any other
+    * character. Caught by the round-9 perturbed-corpus parity sweep; the
+    * native semantics (every char is a symbol) is the contract. */
+
   /** BPE symbol count of one word, as a codegen'd builtin composition —
     * no UDF, no custom expression: the word seeds as "|c;|h;|a;|r;", and
     * each merge (a, b) is ONE string `replace("|a;|b;" -> "|ab;")` —
@@ -373,7 +381,7 @@ object TextOps {
     * which IS BPE's within-rank greedy scan. Symbols = close-delimiter
     * count. */
   private def bpeSymbolCount(word: Column): Column = {
-    val seeded = regexp_replace(word, "(.)", s"\\$BpeOpen$$1$BpeClose")
+    val seeded = regexp_replace(word, "(?s)(.)", s"\\$BpeOpen$$1$BpeClose")
     val merged = BpeMerges.foldLeft(seeded) { case (c, (a, b)) =>
       call_function("replace", c,
         lit(s"$BpeOpen$a$BpeClose$BpeOpen$b$BpeClose"), lit(s"$BpeOpen$a$b$BpeClose"))
@@ -407,7 +415,7 @@ object TextOps {
   /** The fold's merged boundary-wrapped symbol string of one word `w` —
     * shared by the count and encode oracles. */
   private def bpeMergedSql: String = {
-    val seeded = s"regexp_replace(w, '(.)', '$BpeOpen\\1$BpeClose', 'g')"
+    val seeded = s"regexp_replace(w, '(?s)(.)', '$BpeOpen\\1$BpeClose', 'g')"
     BpeMerges.foldLeft(seeded) { case (c, (a, b)) =>
       s"replace($c, '$BpeOpen$a$BpeClose$BpeOpen$b$BpeClose', '$BpeOpen$a$b$BpeClose')"
     }
@@ -427,7 +435,7 @@ object TextOps {
   // lazy: references BpeTrainMerges, declared further down the object
   private lazy val bpeTrainCtes: String = {
     val seed = "v0 AS (SELECT count(*) AS f, " +
-      s"regexp_replace(w, '(.)', '$BpeOpen\\1$BpeClose', 'g') AS s " +
+      s"regexp_replace(w, '(?s)(.)', '$BpeOpen\\1$BpeClose', 'g') AS s " +
       "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w)"
     val steps = (1 to BpeTrainMerges).map { i =>
       s"sy$i AS (SELECT f, regexp_extract_all(s, '\\|([^;]*);', 1) AS syms FROM v${i - 1}), " +
@@ -463,7 +471,7 @@ object TextOps {
     * (`text_bpe_trained_ids`, `pipeline_pack_trained`). */
   private[operators] lazy val bpeTrainedWordCtes: String = {
     val k = BpeTrainMerges
-    val seed = s"u0 AS (SELECT w, regexp_replace(w, '(.)', '$BpeOpen\\1$BpeClose', 'g') AS s " +
+    val seed = s"u0 AS (SELECT w, regexp_replace(w, '(?s)(.)', '$BpeOpen\\1$BpeClose', 'g') AS s " +
       "FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents) WHERE length(w) > 0)"
     val steps = (1 to k).map { i =>
       s"u$i AS (SELECT w, CASE WHEN mb.a IS NULL THEN s ELSE " +
@@ -541,7 +549,7 @@ object TextOps {
     var vocab = d
       .select(explode(wsTokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .select(col("f"), regexp_replace(col("w"), "(.)", s"\\$BpeOpen$$1$BpeClose").as("s"))
+      .select(col("f"), regexp_replace(col("w"), "(?s)(.)", s"\\$BpeOpen$$1$BpeClose").as("s"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var done = false
@@ -606,7 +614,7 @@ object TextOps {
     var vocab = d
       .select(explode(wsTokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .select(col("f"), regexp_replace(col("w"), "(.)", s"\\$BpeOpen$$1$BpeClose").as("s"))
+      .select(col("f"), regexp_replace(col("w"), "(?s)(.)", s"\\$BpeOpen$$1$BpeClose").as("s"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var rounds = 0

@@ -18,6 +18,21 @@ class BpeSpec extends SparkSpec {
   private val ss = SparkSpec.spark
   import ss.implicits._
 
+  test("newline-bearing tokens: fold, SQL seeds, and native coder agree (DOTALL)") {
+    // plain `.` skips '\n' in both Java and RE2 regex — without (?s) the
+    // fold/oracle seeds dropped newline chars while the native coder (raw
+    // char iteration) kept them; the perturbed-corpus sweep caught the
+    // divergence on bulleted multi-line documents
+    val d = Seq((1L, "line one\nline two\n- bullet"), (2L, "plain text"))
+      .toDF("doc_id", "text")
+      .select(TextOps.bpeCount(col("text")).as("native"),
+        TextOps.bpeCountFold(col("text")).as("fold"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    d.foreach { case (native, fold) =>
+      assert(native == fold, s"newline token diverged: native=$native fold=$fold")
+    }
+  }
+
   test("native BPE count equals the Catalyst fold on the corpus (toy table)") {
     val d = graft.sources.Tables.load(spark, sf, "documents")
       .select(col("doc_id"),

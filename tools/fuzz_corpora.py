@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Perturbed-corpus parity sweep (round 9).
+
+Generates synthetic documents.parquet variants (other tables copied from
+sf0.001) that stress corpus shapes the shipped testdata never exercises,
+then the normal Verify -> check.py loop proves Spark/DuckDB parity on
+each:
+
+  dup:    80% exact duplicates over five texts (census/dedup saturation)
+  sparse: 1-3 token docs, single chars, rare bigrams ('und' paths)
+  rep:    heavy token repetition, '#'/'...'-dense docs, MULTI-LINE docs
+
+The rep corpus caught two real parity families on first run: regex '.'
+skipping '\n' in the BPE char-wrap seeds (fixed with (?s) on both
+engines' seeds), and rdd.pipe line-splitting newline-bearing tokens in
+the hadoop-streaming analogs (fixed: whitespace-run tokenization — the
+reference's StringTokenizer semantics — making every piped element
+line-safe).
+
+Usage:
+  python3 tools/fuzz_corpora.py [outBase=/tmp/graft_fuzz]
+  # then, per corpus:
+  sbt "runMain graft.Verify <outBase>/<name> <outBase>/<name>_out"
+  python3 tools/check.py <outBase>/<name> <outBase>/<name>_out
+"""
+import pyarrow as pa, pyarrow.parquet as pq, shutil, os, random, sys
+
+SRC = '/root/testdata/sf0.001'
+LANGS = ['en', 'de', 'fr', 'es']
+WORDS = ['key', 'agg', 'row', 'scan', 'slow', 'fast', 'table', 'value',
+         'part', 'hash', 'merge', 'batch', 'line', 'sort', 'window',
+         'spark', 'order', 'data', 'column', 'join']
+
+
+def mkdir_with_tables(dst):
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst)
+    for f in os.listdir(SRC):
+        s = os.path.join(SRC, f)
+        if f == 'documents.parquet':
+            continue
+        if os.path.isdir(s):
+            shutil.copytree(s, os.path.join(dst, f))
+        else:
+            shutil.copy(s, os.path.join(dst, f))
+
+
+def write_docs(dst, rows):
+    orig = pq.read_table(os.path.join(SRC, 'documents.parquet'))
+    t = pa.table({
+        'doc_id': pa.array([r[0] for r in rows], pa.int64()),
+        'text': pa.array([r[1] for r in rows], pa.string()),
+        'lang': pa.array([r[2] for r in rows], pa.string()),
+        'source': pa.array([r[3] for r in rows], pa.string()),
+        'n_chars': pa.array([len(r[1]) for r in rows], pa.int64())})
+    pq.write_table(t.select(orig.schema.names),
+                   os.path.join(dst, 'documents.parquet'))
+
+
+def text(n, seed):
+    rnd = random.Random(seed)
+    return ' '.join(rnd.choice(WORDS) for _ in range(n))
+
+
+def gen(base):
+    random.seed(42)
+    # dup-storm
+    rows, seeds = [], [text(30, i) for i in range(5)]
+    for i in range(500):
+        t_ = seeds[i % 5] if i < 400 else text(20 + i % 40, 1000 + i)
+        rows.append((i, t_, LANGS[i % 4], f'src{i % 20}'))
+    d = f'{base}/dup'; mkdir_with_tables(d); write_docs(d, rows)
+    # sparse/degenerate
+    rows = []
+    for i in range(500):
+        k = i % 10
+        t_ = ['q', 'qz', 'a b', 'zx qv jq', 'xq xq xq', 'zzzz'][k] \
+            if k < 6 else text(3 + i % 5, 2000 + i)
+        rows.append((i, t_, LANGS[i % 4], f'src{i % 20}'))
+    d = f'{base}/sparse'; mkdir_with_tables(d); write_docs(d, rows)
+    # repetition / punct / multi-line
+    rows = []
+    for i in range(500):
+        k = i % 8
+        if k == 0:
+            t_ = ' '.join('aaa' for _ in range(60))
+        elif k == 1:
+            t_ = ' '.join('# # item' for _ in range(10))
+        elif k == 2:
+            t_ = ('real words here ' * 5 + '... more text ... ') * 3
+        elif k == 3:
+            t_ = 'line one\nline two\n- bullet one\n- bullet two\n' + text(20, 3000 + i)
+        elif k == 4:
+            t_ = text(120, 4000 + i)
+        else:
+            t_ = text(15 + i % 30, 5000 + i)
+        rows.append((i, t_.strip(), LANGS[i % 4], f'src{i % 20}'))
+    d = f'{base}/rep'; mkdir_with_tables(d); write_docs(d, rows)
+    print(f'wrote {base}/{{dup,sparse,rep}}')
+
+
+if __name__ == '__main__':
+    gen(sys.argv[1] if len(sys.argv) > 1 else '/tmp/graft_fuzz')
