@@ -43,7 +43,12 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm guard: a zero vector has no direction — its similarity to
+    // anything is 0, never NaN (Spark SQL orders NaN ABOVE every number,
+    // so an unguarded 0/0 would make zero vectors "similar" to everything
+    // above any threshold; caught by the degenerate-embeddings sweep)
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,7 +66,8 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
          |  double $yi = $getY;
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 :
+         |  $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

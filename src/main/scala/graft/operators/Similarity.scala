@@ -555,8 +555,12 @@ object Similarity {
       .select(
         col("vec_id"),
         col("scale"), // raw double: max/127 is bit-identical across engines
-        aggregate(col("embedding"), lit(0L),
-          (acc, v) => acc + floor(v.cast("double") / col("scale") + 0.5).cast("long"))
+        // zero-scale guard: an all-zero vector quantizes to all-zero codes
+        // (scale 0 would otherwise divide by zero — an ANSI error, caught
+        // by the degenerate-embeddings sweep)
+        when(col("scale") === 0, lit(0L)).otherwise(
+          aggregate(col("embedding"), lit(0L),
+            (acc, v) => acc + floor(v.cast("double") / col("scale") + 0.5).cast("long")))
           .as("qsum"))
   }
 
@@ -597,15 +601,16 @@ object Similarity {
     "sim_knn_graph" -> (knnGraph _),
     "sim_prototype_prune" -> (prototypePrune _))
 
-  private val cosSql =
-    "round(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / " +
-      "(sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) * " +
-      "sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))), 4)"
+  private val cosSql = cosBetween("q.embedding", "c.embedding")
 
-  private[operators] def cosBetween(x: String, y: String): String =
-    s"round(list_sum(list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))) / " +
-      s"(sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE)))) * " +
-      s"sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST($y[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))))), 4)"
+  private[operators] def cosBetween(x: String, y: String): String = {
+    def norm2(v: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)))"
+    // zero-norm guard mirrors CosineSimilarityExpr: cos(0, ·) = 0, not NaN
+    s"CASE WHEN ${norm2(x)} = 0 OR ${norm2(y)} = 0 THEN 0.0 ELSE " +
+      s"round(list_sum(list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))) / " +
+      s"(sqrt(${norm2(x)}) * sqrt(${norm2(y)})), 4) END"
+  }
 
   /** Hyperplane-signature SQL mirroring HyperplaneSignExpr bit for bit:
     * components quantize to floor(v*1024 + 0.5) BIGINT (exact for floats),
@@ -783,8 +788,8 @@ object Similarity {
         "SELECT qa.vec_id, qa.cent_id, qa.cc4 FROM qa JOIN thr ON qa.cent_id = thr.cent_id " +
         "WHERE qa.cc4 <= thr.thr"),
     "sim_quantize_int8" ->
-      ("SELECT vec_id, scale, " +
-        "CAST(list_sum(list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT))) AS BIGINT) AS qsum FROM " +
+      ("SELECT vec_id, scale, CASE WHEN scale = 0 THEN 0 ELSE " +
+        "CAST(list_sum(list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT))) AS BIGINT) END AS qsum FROM " +
         "(SELECT vec_id, embedding, list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS scale FROM embeddings)"),
     "sim_topk_bruteforce" ->
       (s"WITH scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS cos " +

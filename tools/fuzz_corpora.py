@@ -100,5 +100,57 @@ def gen(base):
     print(f'wrote {base}/{{dup,sparse,rep}}')
 
 
+def mkdir_with_docs(dst):
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst)
+    for f in os.listdir(SRC):
+        s = os.path.join(SRC, f)
+        if f == 'embeddings.parquet':
+            continue
+        if os.path.isdir(s):
+            shutil.copytree(s, os.path.join(dst, f))
+        else:
+            shutil.copy(s, os.path.join(dst, f))
+
+
+def write_embs(dst, vecs):
+    t = pa.table({
+        'vec_id': pa.array([v[0] for v in vecs], pa.int64()),
+        'embedding': pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+        'label': pa.array([v[2] for v in vecs], pa.int32())})
+    pq.write_table(t, os.path.join(dst, 'embeddings.parquet'))
+
+
+def gen_embeddings(base):
+    """Degenerate embeddings (zero vectors, mass-duplicate vectors, one
+    tight tiny-magnitude cluster) — the sweep that caught the unguarded
+    0/0 cosine (Spark orders NaN above every number, so zero vectors were
+    'similar' to everything) and the int8 zero-scale ANSI crash."""
+    random.seed(7)
+    D = 64
+    seed = [random.uniform(-1, 1) for _ in range(D)]
+    vecs = []
+    for i in range(500):
+        if i < 100:
+            e = [0.0] * D
+        elif i < 300:
+            e = seed[:]
+        else:
+            r = random.Random(100 + i)
+            e = [r.uniform(-1, 1) for _ in range(D)]
+        vecs.append((i, e, i % 16))
+    d = f'{base}/emb_degen'; mkdir_with_docs(d); write_embs(d, vecs)
+    vecs = []
+    for i in range(500):
+        r = random.Random(200 + i)
+        e = [0.001 * seed[k] + 1e-6 * r.uniform(-1, 1) for k in range(D)]
+        vecs.append((i, e, 0))
+    d = f'{base}/emb_cluster'; mkdir_with_docs(d); write_embs(d, vecs)
+    print(f'wrote {base}/{{emb_degen,emb_cluster}}')
+
+
 if __name__ == '__main__':
-    gen(sys.argv[1] if len(sys.argv) > 1 else '/tmp/graft_fuzz')
+    base = sys.argv[1] if len(sys.argv) > 1 else '/tmp/graft_fuzz'
+    gen(base)
+    gen_embeddings(base)
