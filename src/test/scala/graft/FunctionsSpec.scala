@@ -285,6 +285,26 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(df.collect().head.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("cosine of a zero vector is 0, never NaN — on both eval paths") {
+    // Spark SQL orders NaN above every number, so an unguarded 0/0 makes
+    // zero vectors pass every similarity threshold (the degenerate-
+    // embeddings sweep measured a 3.4x pair explosion in dedup_embedding)
+    val zero = Array.fill(3)(0.0f)
+    val some = Array(1.0f, 2.0f, 3.0f)
+    val df = Seq((zero, some), (zero, zero), (some, zero))
+      .toDF("a", "b").select(cosineSim(col("a"), col("b")).as("c"))
+    df.collect().foreach(r => assert(r.getDouble(0) == 0.0, s"got ${r.getDouble(0)}"))
+    // interpreted eval (driver-side Literal fold takes this path)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    val conv = CatalystTypeConverters.createToCatalystConverter(
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val expr = graft.functions.CosineSimilarityExpr(
+      Literal.create(conv(zero), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      Literal.create(conv(some), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(expr.eval(null) == 0.0)
+  }
+
   test("native codegen cosine is bit-identical to the HOF reference on real data") {
     val e = graft.sources.Tables.load(spark, sf, "embeddings").limit(50)
     val both = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
