@@ -599,8 +599,8 @@ object Analytics {
     val vc = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(bounds))
       .withColumn("blk", when(col("vmax") > col("vmin"),
-        floor((col("v") - col("vmin")).cast("double") /
-          ((col("vmax") - col("vmin")).cast("double") / EquidepthBlocks)))
+        floor((col("v").cast("double") - col("vmin").cast("double")) /
+          ((col("vmax").cast("double") - col("vmin").cast("double")) / EquidepthBlocks)))
         .otherwise(lit(0)).cast("long"))
       .select(col("v"), col("cnt"), col("blk"))
     val wBlk = Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)

@@ -769,8 +769,16 @@ object Dedup {
     * groups is total (a batch doc can never miss an index partner because
     * of the salt). Output: per batch doc, the distinct-corpus-match count
     * and a novelty flag. */
-  def incrementalLshMatch(batch: DataFrame, index: DataFrame,
-      maxBucket: Int = MaxBucket): DataFrame = {
+  /** The ONE salted-index policy both the batch ([[incrementalLshMatch]])
+    * and streaming (EventStreams.incrementalLshTransform) probe forms
+    * apply, so a degenerate dense bucket is capped identically on both
+    * paths: index rows of an oversized (band, h) bucket salt into
+    * ceil(bn/cap) hash52 groups, and any salt group still above 2x cap
+    * (an adversarial single-hash pile-up hash52 cannot spread) is dropped
+    * from the index side entirely. Returns (bounded index keyed
+    * (band, h, salt) -> corpus_id, dense-bucket census for the probe side). */
+  private[graft] def saltedIndexSide(index: DataFrame,
+      maxBucket: Int = MaxBucket): (DataFrame, DataFrame) = {
     val nGroups = coalesce(
       expr(s"(bn + ${maxBucket - 1L}) DIV ${maxBucket.toLong}"), lit(1L))
     val dense = index.groupBy("band", "h").agg(count(lit(1)).as("bn"))
@@ -782,10 +790,26 @@ object Dedup {
     val idxBounded = idxSalted
       .join(broadcast(oversized), Seq("band", "h", "salt"), "left_anti")
       .select(col("band"), col("h"), col("salt"), col("doc_id").as("corpus_id"))
-    val probes = lshIndexOf(batch)
-      .join(broadcast(dense), Seq("band", "h"), "left")
+    (idxBounded, dense)
+  }
+
+  /** Probe-side half of the shared policy: each probe signature row fans
+    * out to EVERY salt group of its bucket (replication lands on the small
+    * batch side and only for dense buckets), so a probe can never miss an
+    * index partner because of the salt. */
+  private[graft] def saltedProbeSide(sigs: DataFrame, dense: DataFrame,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val nGroups = coalesce(
+      expr(s"(bn + ${maxBucket - 1L}) DIV ${maxBucket.toLong}"), lit(1L))
+    sigs.join(broadcast(dense), Seq("band", "h"), "left")
       .withColumn("salt", explode(sequence(lit(0L), nGroups - 1)))
       .select(col("band"), col("h"), col("salt"), col("doc_id"))
+  }
+
+  def incrementalLshMatch(batch: DataFrame, index: DataFrame,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val (idxBounded, dense) = saltedIndexSide(index, maxBucket)
+    val probes = saltedProbeSide(lshIndexOf(batch), dense, maxBucket)
     val matches = probes.join(idxBounded, Seq("band", "h", "salt"))
       .filter(col("doc_id") =!= col("corpus_id"))
       .select(col("doc_id"), col("corpus_id")).distinct()

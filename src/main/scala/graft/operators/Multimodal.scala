@@ -64,7 +64,7 @@ object Multimodal {
   private[graft] def decodePng(a: Asset): Option[java.awt.image.BufferedImage] =
     if (a.payload.length >= 8 && a.payload.take(8).sameElements(PngMagic))
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     else None
 
   def decodeAsset(a: Asset): MediaMeta =

@@ -498,32 +498,38 @@ object EventStreams {
   /** True-stream form of the incremental probe: the ingest stream explodes
     * to banded signatures and joins the persisted index as a STREAM-STATIC
     * join (stateless — the index never enters the state store), then
-    * `dropDuplicatesWithinWatermark` reduces band-level collisions to
-    * distinct (doc_id, corpus_id) match pairs with state bounded by the
-    * watermark horizon. The sink holds match pairs; the per-doc
-    * n_matches/novelty rollup applies over the sink table (the
+    * `dropDuplicates` reduces band-level collisions to distinct
+    * (doc_id, corpus_id) match pairs. The pair-dedup state deliberately
+    * NEVER expires: it is the claims registry itself — one state row per
+    * emitted match pair (exactly the sink's size, NOT corpus-sized), and
+    * that is what makes "a claimed pair is never re-emitted" exact across
+    * restarts with no event-time assumption. The earlier form derived
+    * event time from doc_id under a 1-hour watermark, which silently
+    * discarded any backfilled document whose id lagged the checkpointed
+    * maximum — an ingest stream has no doc_id-monotonicity guarantee, so
+    * no watermark keyed on it can be safe. The sink holds match pairs; the
+    * per-doc n_matches/novelty rollup applies over the sink table (the
     * stream_topk post-sink pattern), spec-compared to [[incrementalVsIndex]].
-    * No salting on the stream side: the static index is a join build side,
-    * not a shuffle partner, so a dense bucket costs fan-out rows, not task
-    * skew — and the dedup state that follows is pair-distinct anyway. */
-  /** The shared stream transform: ingest docs → banded signatures →
-    * stream-static join with the persisted index → watermark-bounded
-    * distinct (doc_id, corpus_id) match pairs. */
+    * The static index side applies the SAME salted dense-bucket cap as the
+    * batch analog (Dedup.saltedIndexSide / saltedProbeSide), so a
+    * degenerate bucket is bounded identically on both paths and the
+    * stream==batch parity holds on ANY corpus, not just sparse ones. */
   private def incrementalLshTransform(stream: DataFrame,
-      index: DataFrame): DataFrame =
-    stream
+      index: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val (idxBounded, dense) = Dedup.saltedIndexSide(index)
+    val sigs = stream
       .filter(col("source") === "src0")
-      .withColumn("ets", expr("timestamp_micros(doc_id * 1000000)"))
-      .withWatermark("ets", "1 hour")
-      .select(col("doc_id"), col("ets"),
+      .select(col("doc_id"),
         posexplode(ShingleExpressions.minhashSig(col("text"),
-          graft.operators.Dedup.MinhashPerms, graft.operators.Dedup.ShingleN))
+          Dedup.MinhashPerms, Dedup.ShingleN))
           .as(Seq("band", "h")))
-      .join(index.select(col("band"), col("h"), col("doc_id").as("corpus_id")),
-        Seq("band", "h"))
+    Dedup.saltedProbeSide(sigs, dense)
+      .join(idxBounded, Seq("band", "h", "salt"))
       .filter(col("doc_id") =!= col("corpus_id"))
-      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+      .dropDuplicates("doc_id", "corpus_id")
       .select(col("doc_id"), col("corpus_id"))
+  }
 
   def startIncrementalLshStream(s: SparkSession, dir: String, name: String,
       maxFilesPerTrigger: Int = 0): StreamingQuery = {

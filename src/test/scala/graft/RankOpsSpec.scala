@@ -132,4 +132,26 @@ class RankOpsSpec extends SparkSpec {
     assert(perBlk.max <= 8, s"per-block distinct values must stay bounded, got ${perBlk.max}")
     assert(perBlk.size > 1000, s"skewed domain must spread over many blocks, got ${perBlk.size}")
   }
+
+  test("census survives a value domain wider than Long.MaxValue") {
+    val sp = spark
+    import sp.implicits._
+    // v - vmin overflows a long when the domain spans both extreme signs
+    // (e.g. fixed-point logit8 outliers): the block id must come from
+    // double-space subtraction or the census goes non-monotone and the
+    // calibrated threshold with it. Deciles over the full signed range.
+    val raw: Seq[Long] = Seq(Long.MinValue, Long.MinValue + 7, -1L, 0L, 1L,
+      42L, 1000L, Long.MaxValue - 3, Long.MaxValue) ++ (1L to 11L).map(_ * 1001L)
+    val sorted = raw.sorted
+    val n = raw.length.toLong
+    val got = Analytics.equidepthOf(raw.toDF("v")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1 to 10).toSeq, s"one row per decile: ${got.toSeq}")
+    got.foreach { case (q, b, target, nOut) =>
+      assert(nOut == n)
+      assert(target == (q * n + 9) / 10)
+      assert(b == sorted((target - 1).toInt), s"decile $q boundary")
+    }
+  }
 }

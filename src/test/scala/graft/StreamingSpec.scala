@@ -414,6 +414,19 @@ class StreamingSpec extends SparkSpec {
       EventStreams.runIncrementalLshStep(spark, corpusDir, dropDir, cp, out)
       assert(pairs() == Set((10L, 1L), (10L, 2L), (12L, 1L), (12L, 2L)),
         s"run 2 must add ONLY the new doc's pairs: ${pairs()}")
+      // run 3: BACKFILL — a genuinely new doc whose id lags the ids already
+      // seen by far more than an hour's worth (the doc_id-derived-watermark
+      // form silently discarded exactly this row as "late data"); its pairs
+      // MUST still emit. An ingest stream has no id-monotonicity guarantee.
+      drop("d2", Seq(
+        (999999L, "src0", "unmatched text aaa bbb ccc ddd eee fff ggg hhh")))
+      EventStreams.runIncrementalLshStep(spark, corpusDir, dropDir, cp, out)
+      drop("d3", Seq(
+        (4L, "src0", "alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+      EventStreams.runIncrementalLshStep(spark, corpusDir, dropDir, cp, out)
+      assert(pairs() == Set((10L, 1L), (10L, 2L), (12L, 1L), (12L, 2L),
+          (4L, 1L), (4L, 2L)),
+        s"run 4 backfilled old-id doc must not be dropped as late: ${pairs()}")
     }
   }
 }
