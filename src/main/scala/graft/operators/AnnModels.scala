@@ -37,6 +37,7 @@ object AnnModels {
   @volatile private[graft] var lmTrains = 0
   @volatile private[graft] var langidTrains = 0
   @volatile private[graft] var bpeTrains = 0
+  @volatile private[graft] var bpeBigTrains = 0
   @volatile private[graft] var lshIndexBuilds = 0
 
   private var rootOverride: Option[String] = None
@@ -118,6 +119,18 @@ object AnnModels {
     ensure(s, key(dir, "bpe", s"k=${TextOps.BpeTrainMerges}")) {
       bpeTrains += 1
       TextOps.bpeTrain(s, dir)
+    }
+
+  /** The PRODUCTION-count trained BPE merge table — the batched trainer
+    * ([[TextOps.bpeTrainBig]], k=[[TextOps.BpeTrainMergesBig]]) persisted
+    * once and served to the `text_bpe_train_256` /
+    * `text_bpe_trained_ids_256` chain. Keyed on (k, batch) so the k=8
+    * artifact and this one can never shadow each other. */
+  def bpeMergeTableBig(s: SparkSession, dir: String): DataFrame =
+    ensure(s, key(dir, "bpebig",
+        s"k=${TextOps.BpeTrainMergesBig},b=${TextOps.BpeTrainBatch}")) {
+      bpeBigTrains += 1
+      TextOps.bpeTrainBig(s, dir)
     }
 
   /** The persisted CORPUS LSH signature index (doc_id, band, h) — the

@@ -513,10 +513,116 @@ object TextOps {
       "ELSE CAST(len(string_split(token_ids, ' ')) AS INT) END AS n_tokens FROM e"
   }
 
+  /** SQL replay of [[bpeTrainBatchedOn]] at ANY (k, batch) — ONE recursive
+    * CTE instead of per-merge unrolling, which is what makes a
+    * production-count trained tokenizer oracle-checkable. The working
+    * table carries the word vocab ('v' rows) and the accumulated merge
+    * table ('m' rows); each iteration recomputes pair counts from the
+    * vocab (the aggregate runs over the PREVIOUS iteration's rows — the
+    * recursive working set), ranks the top `4*batch` page, accepts every
+    * candidate disjoint from all higher-ranked candidates (the trainer's
+    * conservative rule as a NOT-EXISTS self-join), caps acceptance at
+    * batch and at k total, and applies the accepted rules to every vocab
+    * string through one `list_reduce` replace fold (rules are mutually
+    * disjoint, so fold order is immaterial — but rank order is used, same
+    * as the Scala side). Recursion stops when the pair space is exhausted
+    * or k merges exist. Ends in `mt` (rank, lhs, rhs, cnt). */
+  private[operators] def bpeTrainBatchedCtes(k: Int, batch: Int): String = {
+    val o = BpeOpen; val c = BpeClose
+    val lhsOf = "split_part(m, chr(1), 1)"
+    val rhsOf = "split_part(m, chr(1), 2)"
+    s"st(kind, w, f, s, rank, lhs, rhs, cnt) AS ( " +
+      s"SELECT 'v', w, CAST(count(*) AS BIGINT), " +
+      s"regexp_replace(w, '(?s)(.)', '$o\\1$c', 'g'), " +
+      "NULL::INT, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w " +
+      "UNION ALL " +
+      "(WITH pc AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(pr.f) AS BIGINT) AS cnt FROM (" +
+      "SELECT unnest(list_transform(generate_series(1, len(syms) - 1), " +
+      "j -> {'a': syms[j], 'b': syms[j + 1], 'f': f})) AS pr " +
+      s"FROM (SELECT f, regexp_extract_all(s, '\\|([^;]*);', 1) AS syms FROM st WHERE kind = 'v')" +
+      ") GROUP BY 1, 2), " +
+      "page AS (SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) AS rn " +
+      s"FROM pc ORDER BY cnt DESC, a ASC, b ASC LIMIT ${4 * batch}), " +
+      "nm AS (SELECT count(*) AS done FROM st WHERE kind = 'm'), " +
+      "acc AS (SELECT p.a, p.b, p.cnt, p.rn FROM page p " +
+      "WHERE NOT EXISTS (SELECT 1 FROM page q WHERE q.rn < p.rn AND " +
+      "(q.a IN (p.a, p.b) OR q.b IN (p.a, p.b) OR (q.a || q.b) IN (p.a, p.b))) " +
+      s"QUALIFY row_number() OVER (ORDER BY rn) <= $batch " +
+      s"AND row_number() OVER (ORDER BY rn) + (SELECT done FROM nm) <= $k), " +
+      "al AS (SELECT coalesce(list(a || chr(1) || b ORDER BY rn), []) AS ms, " +
+      "count(*) AS na FROM acc) " +
+      "SELECT * FROM (" +
+      "SELECT 'v', w, f, " +
+      "list_reduce(list_prepend(s, (SELECT ms FROM al)), (s0, m) -> " +
+      s"replace(s0, '$o' || $lhsOf || '$c$o' || $rhsOf || '$c', " +
+      s"'$o' || $lhsOf || $rhsOf || '$c')), " +
+      "NULL::INT, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT FROM st WHERE kind = 'v' " +
+      "UNION ALL SELECT 'm', NULL, NULL, NULL, rank, lhs, rhs, cnt FROM st WHERE kind = 'm' " +
+      "UNION ALL SELECT 'm', NULL, NULL, NULL, " +
+      "CAST((SELECT done FROM nm) + row_number() OVER (ORDER BY rn) AS INT), a, b, cnt FROM acc" +
+      ") WHERE (SELECT na FROM al) > 0 AND (SELECT done FROM nm) < " + k + ")" +
+      "), " +
+      "mt AS (SELECT DISTINCT rank, lhs, rhs, cnt FROM st WHERE kind = 'm')"
+  }
+
+  private lazy val bpeTrainBigSql: String =
+    s"WITH RECURSIVE ${bpeTrainBatchedCtes(BpeTrainMergesBig, BpeTrainBatch)} " +
+      "SELECT rank, lhs, rhs, cnt AS pair_count FROM mt"
+
+  /** SQL mirror of [[bpeTrainedIdsBig]] — the recursive training replay
+    * feeding the SAME vocab-id and encode assembly as the k=8 oracle,
+    * with the per-word merge application a `list_reduce` fold over the
+    * learned rule list instead of an unrolled CTE chain. End-to-end
+    * train→encode parity at production k with zero shared constants. */
+  private lazy val bpeTrainedIdsBigSql: String = {
+    val o = BpeOpen; val c = BpeClose
+    val lhsOf = "split_part(m, chr(1), 1)"
+    val rhsOf = "split_part(m, chr(1), 2)"
+    val words =
+      "mtl AS (SELECT coalesce(list(lhs || chr(1) || rhs ORDER BY rank), []) AS ml FROM mt), " +
+        s"u AS (SELECT w, list_reduce(list_prepend(regexp_replace(w, '(?s)(.)', '$o\\1$c', 'g'), " +
+        "(SELECT ml FROM mtl)), (s0, m) -> " +
+        s"replace(s0, '$o' || $lhsOf || '$c$o' || $rhsOf || '$c', " +
+        s"'$o' || $lhsOf || $rhsOf || '$c')) AS s " +
+        "FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents) " +
+        "WHERE length(w) > 0), " +
+        "wm AS (SELECT map(list(w), list(s)) AS m FROM u)"
+    val vocab =
+      "c AS (SELECT DISTINCT unnest(list_transform(generate_series(1, length(ns)), " +
+        "i -> substr(ns, i, 1))) AS token FROM (SELECT replace(text, ' ', '') AS ns FROM documents)), " +
+        "cr AS (SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS INT) AS token_id, token FROM c), " +
+        "nc AS (SELECT count(*) AS n FROM c), " +
+        "prod AS (SELECT lhs || rhs AS token, min(rank) AS rank FROM mt GROUP BY 1), " +
+        "pr AS (SELECT CAST(n + p.rank - 1 AS INT) AS token_id, p.token FROM prod p " +
+        "CROSS JOIN nc WHERE p.token NOT IN (SELECT token FROM c)), " +
+        "vv AS (SELECT token, token_id FROM cr UNION ALL SELECT token, token_id FROM pr)"
+    val enc =
+      "em AS (SELECT map(list(token), list(token_id)) AS m FROM vv), " +
+        "e AS (SELECT doc_id, array_to_string(list_transform(" +
+        "list_filter(string_split(text, ' '), w -> length(w) > 0), " +
+        s"w -> array_to_string(list_transform(string_split(${bpeTrainedTokensSql("w")}, ' '), " +
+        "t -> CAST(em.m[t][1] AS VARCHAR)), ' ')), ' ') AS token_ids " +
+        "FROM documents CROSS JOIN wm CROSS JOIN em)"
+    s"WITH RECURSIVE ${bpeTrainBatchedCtes(BpeTrainMergesBig, BpeTrainBatch)}, " +
+      s"$words, $vocab, $enc " +
+      "SELECT doc_id, token_ids, CASE WHEN token_ids = '' THEN 0 " +
+      "ELSE CAST(len(string_split(token_ids, ' ')) AS INT) END AS n_tokens FROM e"
+  }
+
   /** Number of merge rules `text_bpe_train` learns. 8 keeps the unrolled
     * SQL oracle tractable; the algorithm is iteration-count-agnostic (a
     * deployment runs ~50k, each iteration VOCAB-sized, not corpus-sized). */
   val BpeTrainMerges = 8
+
+  /** Production-count trained-tokenizer geometry: `text_bpe_train_256` /
+    * `text_bpe_trained_ids_256` gate the BATCHED trainer at 256 merges,
+    * 64 accepts per round (page = 4x64) — past the unrolled-CTE oracle's
+    * practical ceiling; the replay is ONE recursive CTE
+    * ([[bpeTrainBatchedCtes]]) whatever k is, so scaling k further is a
+    * constant bump, not an oracle rewrite. */
+  val BpeTrainMergesBig = 256
+  val BpeTrainBatch = 64
 
   /** BPE merge-table TRAINING (Sennrich et al. 2016, "Neural Machine
     * Translation of Rare Words with Subword Units", learn_bpe): starting
@@ -543,6 +649,12 @@ object TextOps {
     * greedy left-to-right non-overlapping — both mirrored by the oracle. */
   def bpeTrain(s: SparkSession, dir: String): DataFrame =
     bpeTrainOn(docs(s, dir), BpeTrainMerges)
+
+  /** The batched trainer at production merge count — the table
+    * `AnnModels.bpeMergeTableBig` persists and the `_256` gated chain
+    * serves. */
+  def bpeTrainBig(s: SparkSession, dir: String): DataFrame =
+    bpeTrainBatchedOn(docs(s, dir), BpeTrainMergesBig, BpeTrainBatch)._1
 
   private[graft] def bpeTrainOn(d: DataFrame, k: Int): DataFrame = {
     val spark = d.sparkSession
@@ -595,19 +707,28 @@ object TextOps {
     * (driver sees a bounded candidate page, never the pair relation), and
     * greedily accepts up to `batch` of them in (count desc, lhs, rhs) order
     * subject to SYMBOL DISJOINTNESS: a candidate is taken only if neither
-    * operand appears among the operands OR products of the pairs already
-    * accepted this round. Merging (a,b) changes only counts of pairs that
-    * mention a, b, or the new product ab, so every accepted pair's recorded
-    * count is still its exact corpus count at acceptance time, accepted
-    * rules are mutually independent (apply in any order to the same
-    * result), and the operands-exist-first invariant holds — operands of a
-    * within-round acceptance always predate the round. The first candidate
-    * of a round is always accepted, so rounds <= merges and the job count
-    * is O(k/batch) + checkpoint materializations, not O(k). Deterministic:
-    * the ordering and the disjointness rule reference only exact counts
-    * and lexical order. The result is a valid rank-ordered merge table for
+    * operand appears among the operands OR products of any HIGHER-RANKED
+    * candidate on the page (accepted or not). Disjointness against every
+    * predecessor — not just accepted ones — makes acceptance a pure
+    * per-candidate predicate over the page relation (candidate i vs the
+    * set of candidates j < i), which is exactly what lets the DuckDB
+    * oracle replay a round as one NOT-EXISTS self-join instead of a
+    * sequential accumulator; the trade is a few fewer acceptances per
+    * round, never a different accepted pair's count. Merging (a,b) changes
+    * only counts of pairs that mention a, b, or the new product ab, so
+    * every accepted pair's recorded count is still its exact corpus count
+    * at acceptance time, accepted rules are mutually independent (apply in
+    * any order to the same result), and the operands-exist-first invariant
+    * holds — operands of a within-round acceptance always predate the
+    * round. The first candidate of a round is always accepted, so
+    * rounds <= merges and the job count is O(k/batch) + checkpoint
+    * materializations, not O(k). Deterministic: the ordering and the
+    * disjointness rule reference only exact counts and lexical order. The
+    * result is a valid rank-ordered merge table for
     * [[graft.functions.BpeExpressions]] (spec-asserted, including
-    * batch=1 ≡ sequential). */
+    * batch=1 ≡ sequential), and the whole loop is oracle-replayable at ANY
+    * k by ONE recursive CTE ([[bpeTrainBatchedCtes]]) — the gate that
+    * takes the trained tokenizer from the k=8 toy to production counts. */
   private[graft] def bpeTrainBatchedOn(d: DataFrame, k: Int,
       batch: Int): (DataFrame, Int) = {
     val spark = d.sparkSession
@@ -636,14 +757,16 @@ object TextOps {
       else {
         val used = scala.collection.mutable.Set.empty[String]
         val accepted = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
-        page.iterator.takeWhile(_ => accepted.size < batch && merges.size + accepted.size < k)
-          .foreach { r =>
-            val (a, b) = (r.getString(0), r.getString(1))
-            if (!used(a) && !used(b)) {
-              accepted += ((a, b, r.getLong(2)))
-              used += a; used += b; used += (a + b)
-            }
-          }
+        val cap = math.min(batch, k - merges.size)
+        // `used` accumulates EVERY processed candidate's symbols (the
+        // conservative rule the oracle's NOT-EXISTS self-join mirrors),
+        // so acceptance depends only on page order, never on the cap.
+        page.foreach { r =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          if (accepted.size < cap && !used(a) && !used(b))
+            accepted += ((a, b, r.getLong(2)))
+          used += a; used += b; used += (a + b)
+        }
         accepted.foreach { case (a, b, cnt) => merges += ((merges.size + 1, a, b, cnt)) }
         val prev = vocab
         vocab = vocab.select(col("f"),
@@ -764,6 +887,21 @@ object TextOps {
     * loop, vocab ids, encode — from the raw corpus. */
   def bpeTrainedIds(s: SparkSession, dir: String): DataFrame =
     bpeIdsWith(docs(s, dir), trainedMerges(s, dir))
+
+  /** [[bpeTrainedIds]] at PRODUCTION merge count: the registry-persisted
+    * 256-rule batched-trainer table drives the same native
+    * encoder + vocab + id chain. The merge table is still model-sized
+    * (k rows collected once), the encode is still ONE shuffle-free
+    * codegen pass — only the oracle's replay had to change shape
+    * (recursive CTE instead of per-rule unrolling) to follow k. */
+  def bpeTrainedIdsBig(s: SparkSession, dir: String): DataFrame =
+    bpeIdsWith(docs(s, dir), trainedMergesBig(s, dir))
+
+  /** Rank-ordered collect of the production-count trained merge table —
+    * [[trainedMerges]]'s contract at [[BpeTrainMergesBig]]. */
+  private[graft] def trainedMergesBig(s: SparkSession, dir: String): Seq[(String, String)] =
+    AnnModels.bpeMergeTableBig(s, dir).orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
 
   /** The registry-persisted trained merge table, collected rank-ordered —
     * the ONE accessor every trained-tokenizer consumer uses
@@ -1196,6 +1334,8 @@ object TextOps {
     "text_bpe_vocab" -> (bpeVocab _),
     "text_bpe_ids" -> (bpeIds _),
     "text_bpe_trained_ids" -> (bpeTrainedIds _),
+    "text_bpe_train_256" -> ((s: SparkSession, dir: String) => AnnModels.bpeMergeTableBig(s, dir)),
+    "text_bpe_trained_ids_256" -> (bpeTrainedIdsBig _),
     "text_bpe_decode" -> (bpeDecode _),
     "text_pii" -> (pii _),
     "text_pii_redact" -> (piiRedact _),
@@ -1301,6 +1441,8 @@ object TextOps {
         s"${bpeCountSql("text")} AS n_bpe_real FROM documents"),
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_trained_ids" -> bpeTrainedIdsSql,
+    "text_bpe_train_256" -> bpeTrainBigSql,
+    "text_bpe_trained_ids_256" -> bpeTrainedIdsBigSql,
     "text_bpe_encode" ->
       // Per word: fold-merge, strip the open delimiter, close -> space,
       // trim — "|th;|e;" becomes "th e"; empty words (absent here, but

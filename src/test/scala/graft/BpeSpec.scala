@@ -165,6 +165,41 @@ class BpeSpec extends SparkSpec {
     assert(unmergedWords.nonEmpty && coder.countWord(unmergedWords.head) == 2L)
   }
 
+  test("production-count trained chain: one registry train serves table and ids") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bpe-big").toString
+    graft.operators.AnnModels.withRoot(root) {
+      val t0 = graft.operators.AnnModels.bpeBigTrains
+      val table = graft.operators.AnnModels.bpeMergeTableBig(spark, sf)
+        .orderBy("rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      // the 31-word synthetic corpus saturates below the 256 cap: every
+      // word eventually collapses to ONE symbol and the pair space empties
+      // — the trainer must stop there, not loop, and the table must still
+      // satisfy the operands-exist-first invariant at its full length
+      assert(table.nonEmpty && table.size <= TextOps.BpeTrainMergesBig)
+      assert(table.map(_._1) == (1 to table.size), "ranks dense and ordered")
+      val products = scala.collection.mutable.Set.empty[String]
+      table.foreach { case (_, a, b) =>
+        assert(a.length == 1 || products.contains(a), s"left operand $a unseen")
+        assert(b.length == 1 || products.contains(b), s"right operand $b unseen")
+        products += (a + b)
+      }
+      // saturation really happened: every corpus word encodes to one symbol
+      val merges = table.map(t => (t._2, t._3))
+      val coder = new BpeCoder(merges)
+      val words = graft.sources.Tables.load(spark, sf, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0).distinct().collect().map(_.getString(0))
+      assert(words.forall(w => coder.countWord(w) == 1L),
+        "pair space exhausted means every word is a single symbol")
+      // the ids query reuses the SAME artifact — zero extra training passes
+      val ids = TextOps.bpeTrainedIdsBig(spark, sf)
+      assert(ids.filter(col("n_tokens") > 0).count() > 0)
+      assert(graft.operators.AnnModels.bpeBigTrains == t0 + 1,
+        s"big table must train exactly once, got ${graft.operators.AnnModels.bpeBigTrains - t0}")
+    }
+  }
+
   test("trained-tokenizer pack conserves the trained token budget") {
     val root = java.nio.file.Files.createTempDirectory("graft-bpe-pack").toString
     graft.operators.AnnModels.withRoot(root) {
