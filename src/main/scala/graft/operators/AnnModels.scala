@@ -38,6 +38,7 @@ object AnnModels {
   @volatile private[graft] var langidTrains = 0
   @volatile private[graft] var bpeTrains = 0
   @volatile private[graft] var bpeBigTrains = 0
+  @volatile private[graft] var qualityTrains = 0
   @volatile private[graft] var lshIndexBuilds = 0
 
   private var rootOverride: Option[String] = None
@@ -131,6 +132,18 @@ object AnnModels {
         s"k=${TextOps.BpeTrainMergesBig},b=${TextOps.BpeTrainBatch}")) {
       bpeBigTrains += 1
       TextOps.bpeTrainBig(s, dir)
+    }
+
+  /** The trained quality-gate Rocchio centroids (cls, n, w_*) for `dir` —
+    * integer-mean feature centroids per gopher-consensus class over the
+    * even-doc_id training half (see TextOps.trainQualityCentroids).
+    * Integer-exact training, so artifact-served scoring is bit-identical
+    * to inline and the oracle can replay the fit from the raw corpus. */
+  def qualityCentroids(s: SparkSession, dir: String): DataFrame =
+    ensure(s, key(dir, "qualcent",
+        s"feat=${TextOps.QualityFeatNames.size},half=even,cap=${TextOps.QmLenCap}")) {
+      qualityTrains += 1
+      TextOps.trainQualityCentroids(s, dir)
     }
 
   /** The persisted CORPUS LSH signature index (doc_id, band, h) — the

@@ -280,10 +280,13 @@ object TextOps {
         b(col("nstop") >= GopherMinStopHits).as("r_stop"),
         b(lit(10) * col("nbullet") <= lit(9) * col("nlines")).as("r_bullet"),
         b(lit(10) * col("nelline") <= lit(3) * col("nlines")).as("r_ellipsis"))
-      .withColumn("keep",
-        b(Seq("r_word_count", "r_mean_len", "r_symbol", "r_alpha", "r_stop",
-          "r_bullet", "r_ellipsis").map(col(_) === 1).reduce(_ && _)))
+      .withColumn("keep", b(GopherFlagNames.map(col(_) === 1).reduce(_ && _)))
   }
+
+  /** The seven Gopher rule-flag columns, in rule order — shared by the
+    * keep conjunction and the trained gate's seed labels. */
+  private[graft] val GopherFlagNames = Seq("r_word_count", "r_mean_len",
+    "r_symbol", "r_alpha", "r_stop", "r_bullet", "r_ellipsis")
 
   /** PII patterns shared verbatim with the SQL oracle — RE2 ∩ Java syntax
     * only (char classes, bounded repeats, \b), so both engines compile them
@@ -1229,6 +1232,99 @@ object TextOps {
         when(logit8 >= 0, 1).otherwise(0).as("model_keep"))
   }
 
+  /** The six quality features as exact fixed-point longs (q4 ratios on
+    * the 0..10000 grid, NLL in 1e4 nats, length as a 0..10000 fraction of
+    * [[QmLenCap]]) — the ONE feature relation both sides of the trained
+    * quality gate consume, so train-time and score-time features can
+    * never drift. */
+  private[graft] def qualityFeaturesOf(d: DataFrame, ppl: DataFrame): DataFrame = {
+    def q4(c: Column): Column = floor(c * 1e4 + 0.5).cast("long")
+    qualityOf(d)
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
+        col("repetition_ratio"), col("punct_ratio"))
+      .join(repetitionOf(d).select(col("doc_id"), col("rep_ratio")), Seq("doc_id"))
+      .join(ppl.select(col("doc_id"), col("avg_nll")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        q4(col("stopword_ratio")).as("f_stop"),
+        q4(col("repetition_ratio")).as("f_rep"),
+        q4(col("punct_ratio")).as("f_punct"),
+        q4(col("rep_ratio")).as("f_rep3"),
+        coalesce(q4(col("avg_nll")), lit(0L)).as("f_nll"),
+        expr(s"CAST(least(n_tokens, $QmLenCap) AS BIGINT) * 10000 DIV $QmLenCap")
+          .as("f_len"))
+  }
+
+  private[graft] val QualityFeatNames =
+    Seq("f_stop", "f_rep", "f_punct", "f_rep3", "f_nll", "f_len")
+
+  /** Seed-label tolerance: a document is a positive training example when
+    * it passes at least this many of the 7 Gopher rules. Full 7-of-7
+    * consensus makes the positive class EMPTY whenever one rule is
+    * globally unattainable on a corpus (the shipped synthetic vocabulary
+    * contains no Gopher stopword, so r_stop is 0 for every document) —
+    * the degenerate-seed failure a corpus-tolerant margin avoids. */
+  val QualitySeedMinFlags = 6
+
+  /** TRAINED quality-gate weights — the langid Rocchio recipe
+    * ([[trainLangidCentroids]]) applied to the quality features: per
+    * Gopher-seed class (passes >= [[QualitySeedMinFlags]] of the 7 rules
+    * = 1, else 0 — deterministic integer seed labels), the integer-mean
+    * centroid of the six fixed-point features
+    * over the even-doc_id training half. Every step is exact integer
+    * arithmetic (sum DIV count), so the relation is bit-identical in any
+    * engine and parquet-persistable without drift. Output: one wide row
+    * per class — (cls, n, w_stop, w_rep, w_punct, w_rep3, w_nll, w_len).
+    * This closes the last hand-fixed half of the quality model: round 9
+    * calibrated the THRESHOLD to the corpus, this trains the WEIGHTS from
+    * the corpus itself (the in-engine deterministic-training recipe the
+    * langid centroids and bigram LM already proved). */
+  private[graft] def trainQualityCentroids(s: SparkSession, dir: String): DataFrame =
+    trainQualityCentroidsOf(docs(s, dir), perplexity(s, dir))
+
+  private[graft] def trainQualityCentroidsOf(d: DataFrame, ppl: DataFrame): DataFrame = {
+    val feats = qualityFeaturesOf(d, ppl)
+    val flagSum = GopherFlagNames.map(col).reduce(_ + _)
+    val labels = gopherRulesOf(d).select(col("doc_id"),
+      when(flagSum >= QualitySeedMinFlags, 1).otherwise(0).as("cls"))
+    feats.join(labels, Seq("doc_id"))
+      .filter(col("doc_id") % 2 === 0)
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n"),
+        QualityFeatNames.map(f => sum(col(f)).as(s"s$f")): _*)
+      .select(col("cls") +: col("n") +:
+        QualityFeatNames.map(f => expr(s"s$f DIV n").as(f.replaceFirst("f_", "w_"))): _*)
+  }
+
+  /** The TRAINED quality gate — scoring every document against the
+    * registry-persisted Rocchio centroids (AnnModels.qualityCentroids):
+    * keep iff the feature vector is at least as close (squared L2) to the
+    * keep centroid as to the fail centroid, i.e.
+    * margin8 = 2*x.(c1-c0) - (|c1|^2 - |c0|^2) >= 0 — the equidistant
+    * hyperplane as pure long arithmetic (fixed-point 1e8 scale, same as
+    * logit8). The centroids are MODEL-sized (<= 2 rows) and compile into
+    * literal coefficients, so scoring is one shuffle-free codegen pass; a
+    * class absent from the training half scores as the zero centroid
+    * (deterministic, oracle-mirrored via coalesced aggregates). */
+  def qualityTrained(s: SparkSession, dir: String): DataFrame =
+    qualityTrainedWith(
+      qualityFeaturesOf(docs(s, dir), perplexity(s, dir)),
+      AnnModels.qualityCentroids(s, dir).collect())
+
+  private[graft] def qualityTrainedWith(feats: DataFrame,
+      cent: Array[org.apache.spark.sql.Row]): DataFrame = {
+    def vec(cls: Int): IndexedSeq[Long] =
+      cent.find(_.getInt(0) == cls)
+        .map(r => QualityFeatNames.indices.map(i => r.getLong(i + 2)))
+        .getOrElse(QualityFeatNames.indices.map(_ => 0L))
+    val (c0, c1) = (vec(0), vec(1))
+    val sqDiff = c1.map(x => x * x).sum - c0.map(x => x * x).sum
+    val margin = QualityFeatNames.zipWithIndex
+      .map { case (f, i) => col(f) * lit(2L * (c1(i) - c0(i))) }
+      .reduce(_ + _) - lit(sqDiff)
+    feats.select(col("doc_id"), margin.as("margin8"),
+      when(margin >= 0, 1).otherwise(0).as("trained_keep"))
+  }
+
   /** CORPUS-CALIBRATED learned quality gate — the deployment fix for fixed
     * coefficients meeting a foreign corpus (SCALE.md r8: the shipped
     * QmBias-centered threshold keeps 46/5000 docs of a generated corpus,
@@ -1326,6 +1422,7 @@ object TextOps {
     "text_langid_model_confusion" -> (langidModelConfusion _),
     "text_tfidf" -> (tfidf _),
     "text_quality" -> (quality _),
+    "text_quality_trained" -> (qualityTrained _),
     "text_gopher_rules" -> (gopherRules _),
     "text_corpus_stats" -> (corpusStats _),
     "text_tokens" -> (tokens _),
@@ -1417,6 +1514,7 @@ object TextOps {
         "SELECT lang, pred_lang, n_docs, " +
         "floor(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang) * 1000000 + 0.5) / 1000000 AS label_share FROM cells"),
     "text_quality" -> qualitySql,
+    "text_quality_trained" -> qualityTrainedSql,
     "text_gopher_rules" -> gopherSql,
     "text_corpus_stats" ->
       (s"WITH g AS ($gopherSql), " +
@@ -1623,6 +1721,41 @@ object TextOps {
       "FROM g2 JOIN cb USING (g) JOIN cp USING (w1) CROSS JOIN vo) " +
       "SELECT doc_id, count(*) AS n_bigrams, floor(CAST(sum(nll) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS avg_nll " +
       "FROM scored GROUP BY doc_id"
+
+  /** SQL mirror of [[qualityTrained]] — the ENTIRE fit replayed from the
+    * raw corpus: the shared feature CTEs, gopher labels, per-class
+    * integer-mean centroids over the even-doc_id half, and the
+    * equidistant-hyperplane margin. Missing-class centroids coalesce to
+    * zero exactly like the Spark side's zero-vector fallback. */
+  private[operators] lazy val qualityTrainedSql: String = {
+    val fs = QualityFeatNames
+    val featSel =
+      "SELECT q.doc_id, " +
+        "CAST(floor(q.stopword_ratio * 10000 + 0.5) AS BIGINT) AS f_stop, " +
+        "CAST(floor(q.repetition_ratio * 10000 + 0.5) AS BIGINT) AS f_rep, " +
+        "CAST(floor(q.punct_ratio * 10000 + 0.5) AS BIGINT) AS f_punct, " +
+        "CAST(floor(r.rep_ratio * 10000 + 0.5) AS BIGINT) AS f_rep3, " +
+        "coalesce(CAST(floor(p.avg_nll * 10000 + 0.5) AS BIGINT), 0) AS f_nll, " +
+        s"CAST(least(q.n_tokens, $QmLenCap) AS BIGINT) * 10000 // $QmLenCap AS f_len " +
+        "FROM qual q JOIN rep r ON q.doc_id = r.doc_id LEFT JOIN ppl p ON q.doc_id = p.doc_id"
+    val sums = fs.map(f => s"sum($f) AS s$f").mkString(", ")
+    val means = fs.map(f => s"s$f // n AS ${f.replaceFirst("f_", "w_")}").mkString(", ")
+    def centCte(name: String, cls: Int) =
+      s"$name AS (SELECT ${fs.map(f => s"coalesce(max(${f.replaceFirst("f_", "w_")}), 0) AS ${f.replaceFirst("f_", "w_")}").mkString(", ")} FROM ce WHERE cls = $cls)"
+    val dot = fs.map(f => { val w = f.replaceFirst("f_", "w_"); s"ft.$f * (c1.$w - c0.$w)" }).mkString(" + ")
+    val sq = (a: String) => fs.map(f => { val w = f.replaceFirst("f_", "w_"); s"$a.$w * $a.$w" }).mkString(" + ")
+    s"WITH qual AS ($qualitySql), rep AS ($repetitionSql), ppl AS ($perplexitySql), " +
+      s"ft AS ($featSel), " +
+      s"gp AS (SELECT doc_id, CASE WHEN ${GopherFlagNames.mkString(" + ")} >= $QualitySeedMinFlags " +
+      s"THEN 1 ELSE 0 END AS cls FROM ($gopherSql)), " +
+      s"tr AS (SELECT gp.cls, count(*) AS n, $sums FROM ft JOIN gp ON ft.doc_id = gp.doc_id " +
+      "WHERE ft.doc_id % 2 = 0 GROUP BY 1), " +
+      s"ce AS (SELECT cls, $means FROM tr), " +
+      s"${centCte("c0", 0)}, ${centCte("c1", 1)} " +
+      "SELECT doc_id, margin8, CASE WHEN margin8 >= 0 THEN 1 ELSE 0 END AS trained_keep FROM " +
+      s"(SELECT ft.doc_id, CAST(2 * ($dot) - ((${sq("c1")}) - (${sq("c0")})) AS BIGINT) AS margin8 " +
+      "FROM ft CROSS JOIN c0 CROSS JOIN c1)"
+  }
 
   /** SQL mirror of [[qualityModelOf]]: the SAME coefficient constants
     * interpolated over the composed feature CTEs, so the weights can never

@@ -113,6 +113,41 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("quality centroids train once; the trained gate splits the corpus") {
+    AnnModels.withRoot(freshRoot("qual")) {
+      val t0 = AnnModels.qualityTrains
+      val first = rows(graft.operators.TextOps.qualityTrained(spark, sf))
+      assert(AnnModels.qualityTrains == t0 + 1, "first access must train the centroids")
+      val second = rows(graft.operators.TextOps.qualityTrained(spark, sf))
+      assert(AnnModels.qualityTrains == t0 + 1, "second access must serve the artifact")
+      assert(second == first, "artifact round-trip changed the gate")
+      // non-degenerate on the shipped corpus: the learned hyperplane keeps
+      // some and drops some (the >=6-of-7 seed split generalizes)
+      val keeps = graft.operators.TextOps.qualityTrained(spark, sf)
+        .groupBy("trained_keep").count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(keeps.getOrElse(1, 0L) > 0 && keeps.getOrElse(0, 0L) > 0,
+        s"trained gate must split the corpus, got $keeps")
+    }
+  }
+
+  test("single-class seed corpus: trained gate degrades deterministically") {
+    val sp = spark
+    import sp.implicits._
+    // every doc fails r_word_count (too short) -> positive class empty ->
+    // keep centroid is the zero vector; the gate must still score every
+    // document (margin = -2x.c0 + |c0|^2 compare), not crash or emit null
+    val d = Seq((2L, "tiny doc"), (4L, "two words"), (6L, "-"), (7L, "odd id"))
+      .toDF("doc_id", "text")
+    val cent = graft.operators.TextOps.trainQualityCentroidsOf(
+      d, graft.operators.TextOps.perplexityOf(d)).collect()
+    assert(cent.map(_.getInt(0)).toSet == Set(0), "only the fail class trains")
+    val out = graft.operators.TextOps.qualityTrainedWith(
+      graft.operators.TextOps.qualityFeaturesOf(d, graft.operators.TextOps.perplexityOf(d)),
+      cent).collect()
+    assert(out.length == 4 && out.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+  }
+
   test("non-default training parameters bypass the artifact store") {
     AnnModels.withRoot(freshRoot("bypass")) {
       val t0 = AnnModels.ivfTrains
