@@ -22,11 +22,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Artifact root: `$SPARK_GRAFT_MODEL_DIR` when set (the cross-run
   * deployment store), else a per-application temp directory (hermetic
-  * for tests/verify runs). Artifacts key on the dataset dir AND the
-  * training constants, so a constant bump can never serve a stale model
-  * out of a long-lived store. All path probes go through the Hadoop
-  * FileSystem for the path's scheme — an object-store root works the
-  * same as a local one.
+  * for tests/verify runs). Artifacts key on the dataset dir, the
+  * training constants, AND a freshness fingerprint of the backing
+  * table's files, so neither a constant bump nor an in-place corpus
+  * mutation can ever serve a stale model out of a long-lived store.
+  * All path probes go through the Hadoop FileSystem for the path's
+  * scheme — an object-store root works the same as a local one.
   */
 object AnnModels {
 
@@ -57,7 +58,8 @@ object AnnModels {
 
   /** The trained IVF coarse quantizer (cent_id, cent_emb) for `dir`. */
   def ivfCentroids(s: SparkSession, dir: String): DataFrame =
-    ensure(s, key(dir, "ivf",
+    ensure(s, key(s, dir, "ivf", table = "embeddings",
+        params =
         s"i=${Similarity.KMeansIters},m=${Similarity.TrainMod},k=${Similarity.NumCentroids}")) {
       ivfTrains += 1
       Similarity.trainIvfCentroids(s, dir,
@@ -66,7 +68,8 @@ object AnnModels {
 
   /** The trained PQ codebook (m, cent_id, cent) for `dir`. */
   def pqCodebook(s: SparkSession, dir: String): DataFrame =
-    ensure(s, key(dir, "pq",
+    ensure(s, key(s, dir, "pq", table = "embeddings",
+        params =
         s"i=${Similarity.PqIters},m=${Similarity.TrainMod},k=${Similarity.PqCentroids},s=${Similarity.PqSubspaces}x${Similarity.PqSubDims}")) {
       pqTrains += 1
       Similarity.trainPqCodebook(s, dir)
@@ -81,7 +84,7 @@ object AnnModels {
     * exact integers, so artifact-served scores are bit-identical. */
   def bigramLm(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     synchronized {
-      val names = Seq("c2", "c1", "vocab").map(k => key(dir, s"lm-$k", "n=2"))
+      val names = Seq("c2", "c1", "vocab").map(k => key(s, dir, s"lm-$k", "n=2"))
       val hconf = s.sparkContext.hadoopConfiguration
       def ok(name: String): Boolean = {
         val p = new Path(new Path(root(s), name), "_SUCCESS")
@@ -105,7 +108,7 @@ object AnnModels {
     * `TextOps.trainLangidCentroids`), so artifact-served scoring is
     * bit-identical to inline. */
   def langidCentroids(s: SparkSession, dir: String): DataFrame =
-    ensure(s, key(dir, "langid", s"b=${TextOps.LangidBuckets},half=even")) {
+    ensure(s, key(s, dir, "langid", s"b=${TextOps.LangidBuckets},half=even")) {
       langidTrains += 1
       TextOps.trainLangidCentroids(graft.sources.Tables.load(s, dir, "documents"))
     }
@@ -117,7 +120,7 @@ object AnnModels {
     * deterministic (count argmax with lexical tie-break), so the artifact
     * is bit-identical to an inline train and the oracle can replay it. */
   def bpeMergeTable(s: SparkSession, dir: String): DataFrame =
-    ensure(s, key(dir, "bpe", s"k=${TextOps.BpeTrainMerges}")) {
+    ensure(s, key(s, dir, "bpe", s"k=${TextOps.BpeTrainMerges}")) {
       bpeTrains += 1
       TextOps.bpeTrain(s, dir)
     }
@@ -128,7 +131,7 @@ object AnnModels {
     * `text_bpe_trained_ids_256` chain. Keyed on (k, batch) so the k=8
     * artifact and this one can never shadow each other. */
   def bpeMergeTableBig(s: SparkSession, dir: String): DataFrame =
-    ensure(s, key(dir, "bpebig",
+    ensure(s, key(s, dir, "bpebig",
         s"k=${TextOps.BpeTrainMergesBig},b=${TextOps.BpeTrainBatch}")) {
       bpeBigTrains += 1
       TextOps.bpeTrainBig(s, dir)
@@ -140,7 +143,7 @@ object AnnModels {
     * Integer-exact training, so artifact-served scoring is bit-identical
     * to inline and the oracle can replay the fit from the raw corpus. */
   def qualityCentroids(s: SparkSession, dir: String): DataFrame =
-    ensure(s, key(dir, "qualcent",
+    ensure(s, key(s, dir, "qualcent",
         s"feat=${TextOps.QualityFeatNames.size},half=even,cap=${TextOps.QmLenCap}")) {
       qualityTrains += 1
       TextOps.trainQualityCentroids(s, dir)
@@ -155,16 +158,43 @@ object AnnModels {
     * corpus-signature-sized, so it keeps its natural partitioning (no
     * single-file coalesce). */
   def lshIndex(s: SparkSession, dir: String): DataFrame =
-    ensure(s, key(dir, "lshidx",
+    ensure(s, key(s, dir, "lshidx",
         s"p=${Dedup.MinhashPerms},n=${Dedup.ShingleN},excl=src0"), coalesce1 = false) {
       lshIndexBuilds += 1
       Dedup.lshIndexOf(graft.sources.Tables.load(s, dir, "documents")
         .filter(org.apache.spark.sql.functions.col("source") =!= "src0"))
     }
 
-  private def key(dir: String, kind: String, params: String): String = {
+  /** Corpus-freshness fingerprint of the table backing an artifact: the
+    * sorted (name, length, mtime) triples of every file under
+    * `dir/table.parquet`, hashed. One `listStatus` per artifact access —
+    * no data scan — and any in-place mutation of the corpus (appended
+    * part file, rewritten file, touched bytes) changes it, so a stale
+    * model/index can never be served silently against a corpus edited at
+    * the same path. This matters most for the LSH index: without it,
+    * `dedup_incremental_lsh` and the streaming ingest probe would miss
+    * every corpus document added after index build — silent wrong
+    * answers, not just staleness. A missing table fingerprints as
+    * "absent" (the training query will surface the real error). */
+  private def fingerprint(s: SparkSession, dir: String, table: String): String = {
+    val p = new Path(dir, s"$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val st = fs.getFileStatus(p)
+      val files =
+        if (st.isDirectory)
+          fs.listStatus(p).filter(_.isFile).map(f =>
+            s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+        else Array(s"${p.getName}:${st.getLen}:${st.getModificationTime}")
+      files.sorted.mkString("|")
+    }
+  }
+
+  private def key(s: SparkSession, dir: String, kind: String, params: String,
+      table: String = "documents"): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"$dir|$params".getBytes("UTF-8"))
+    val h = md.digest(s"$dir|$params|${fingerprint(s, dir, table)}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     s"$kind-$h"
   }

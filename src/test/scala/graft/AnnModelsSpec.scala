@@ -148,6 +148,51 @@ class AnnModelsSpec extends SparkSpec {
     assert(out.length == 4 && out.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
   }
 
+  test("in-place corpus mutation invalidates artifacts: the incremental probe sees new docs") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-fresh").toString
+    val dir = s"$base/corpus"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def writeDocs(rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = s"$base/tmp"
+      rows.toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, "documents.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    AnnModels.withRoot(freshRoot("fresh")) {
+      writeDocs(Seq(
+        (1L, "srcA", shared),
+        (2L, "srcA", "unrelated corpus filler content nine ten eleven twelve"),
+        (10L, "src0", shared)))
+      val b0 = AnnModels.lshIndexBuilds
+      val first = graft.streaming.EventStreams.incrementalVsIndex(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(first == Set((10L, 1L, 0)), s"probe matches the one corpus copy: $first")
+      assert(AnnModels.lshIndexBuilds == b0 + 1)
+      // MUTATE the corpus IN PLACE at the same path: add corpus doc 5 with
+      // the shared text. Without the freshness fingerprint the persisted
+      // index still exists for this (dir, params) key and doc 5 would be
+      // invisible to every later probe — silent wrong answers.
+      writeDocs(Seq(
+        (1L, "srcA", shared),
+        (2L, "srcA", "unrelated corpus filler content nine ten eleven twelve"),
+        (5L, "srcB", shared),
+        (10L, "src0", shared)))
+      val second = graft.streaming.EventStreams.incrementalVsIndex(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(AnnModels.lshIndexBuilds == b0 + 2,
+        "in-place mutation must retrain the index")
+      assert(second == Set((10L, 2L, 0)),
+        s"retrained index must surface the backfilled corpus doc: $second")
+    }
+  }
+
   test("non-default training parameters bypass the artifact store") {
     AnnModels.withRoot(freshRoot("bypass")) {
       val t0 = AnnModels.ivfTrains
