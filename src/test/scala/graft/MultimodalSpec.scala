@@ -193,4 +193,94 @@ class MultimodalSpec extends SparkSpec {
     assert(df.filter(col("n_patches") =!=
       (ceil(col("out_w") / Multimodal.Patch) * ceil(col("out_h") / Multimodal.Patch)).cast("int")).count() == 0)
   }
+
+  test("bulk luminance plane matches per-pixel getRGB across raster layouts") {
+    import java.awt.image.BufferedImage
+    // the reference semantics the bulk paths must preserve: per-pixel getRGB
+    def referenceHash(img: BufferedImage): Long = {
+      val w = img.getWidth; val h = img.getHeight
+      val cellSum = new Array[Long](64); val cellPix = new Array[Long](64)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val lum = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        val c = math.min(y * 8 / h, 7) * 8 + math.min(x * 8 / w, 7)
+        cellSum(c) += lum; cellPix(c) += 1
+      }
+      val total = cellSum.sum; val totPix = cellPix.sum
+      (0 until 64).foldLeft(0L) { (acc, j) =>
+        if (cellPix(j) > 0 &&
+            (BigInt(cellSum(j)) * totPix > BigInt(total) * cellPix(j))) acc | (1L << j)
+        else acc
+      }
+    }
+    val types = Seq(
+      "3BYTE_BGR" -> BufferedImage.TYPE_3BYTE_BGR,   // packed raw-raster fast path
+      "4BYTE_ABGR" -> BufferedImage.TYPE_4BYTE_ABGR, // packed fast path with alpha lead
+      "INT_RGB" -> BufferedImage.TYPE_INT_RGB,       // bulk getRGB path
+      "BYTE_GRAY" -> BufferedImage.TYPE_BYTE_GRAY)   // bulk path WITH color conversion
+    types.foreach { case (name, t) =>
+      val img = new BufferedImage(41, 23, t)
+      val g = img.createGraphics()
+      for (y <- 0 until 23; x <- 0 until 41) {
+        g.setColor(new java.awt.Color((x * 29 + y * 7) % 256, (x * 13) % 256, (y * 31) % 256))
+        g.fillRect(x, y, 1, 1)
+      }
+      g.dispose()
+      assert(Multimodal.phashPixels(img) == referenceHash(img),
+        s"bulk luminance diverged from per-pixel getRGB on $name")
+      // pooling parity on the same plane: exact block means of getRGB luminance
+      val pooled = Multimodal.poolLuminance(img, 5, 3)
+      for (oy <- 0 until 3; ox <- 0 until 5) {
+        val y0 = oy * 23 / 3; val y1 = math.max((oy + 1) * 23 / 3, y0 + 1)
+        val x0 = ox * 41 / 5; val x1 = math.max((ox + 1) * 41 / 5, x0 + 1)
+        var sum = 0L
+        for (y <- y0 until y1; x <- x0 until x1) {
+          val rgb = img.getRGB(x, y)
+          sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        }
+        val expect = (sum / ((y1 - y0).toLong * (x1 - x0) * 1000L)).toByte
+        assert(pooled(oy * 5 + ox) == expect, s"pool cell ($ox,$oy) diverged on $name")
+      }
+    }
+  }
+
+  test("real WAV branch: windows decoded PCM samples, degrades on corrupt RIFF") {
+    import javax.sound.sampled._
+    // deterministic 16-bit signed little-endian mono PCM, 700 samples
+    val samples = Array.tabulate(700)(i => ((i * 37 + 11) % 4001 - 2000).toShort)
+    def wavBytes(bigEndian: Boolean): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        val v = samples(i).toInt
+        if (bigEndian) { bytes(2 * i) = (v >> 8).toByte; bytes(2 * i + 1) = v.toByte }
+        else { bytes(2 * i) = v.toByte; bytes(2 * i + 1) = (v >> 8).toByte }
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, bigEndian)
+      val in = new AudioInputStream(new java.io.ByteArrayInputStream(bytes), fmt, samples.length)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val wav = wavBytes(bigEndian = false)
+    assert(wav.take(4).sameElements("RIFF".getBytes("US-ASCII")), "generated file must be RIFF")
+    val rows = Multimodal.audioWindowsOf(Multimodal.Asset(3L, wav))
+    // expected: hand-computed energies over the DECODED samples (windows of
+    // 256 samples, hop 128) — proves the branch reads PCM, not container bytes
+    val expected = (0 until (700 - 256 + 1) by 128).take(8).map { st =>
+      val end = math.min(st + 256, 700)
+      (3L, st / 128, end - st, (st until end).map(i => samples(i).toLong * samples(i)).sum)
+    }
+    assert(rows == expected, s"WAV windows must cover decoded samples: $rows")
+    // container-variant invariance: the same PCM written big-endian decodes
+    // to the same sample values, so energies are identical
+    assert(Multimodal.audioWindowsOf(Multimodal.Asset(3L, wavBytes(bigEndian = true))) == expected,
+      "endianness of the container must not change decoded energies")
+    // a corrupt payload carrying the RIFF/WAVE signature degrades to the
+    // byte stub (same contract as decodePng) — never kills the task
+    val corrupt = ("RIFF" + "    " + "WAVE" + "garbage header")
+      .getBytes("US-ASCII")
+    val stub = Multimodal.audioWindowsOf(Multimodal.Asset(4L, corrupt))
+    assert(stub.nonEmpty && stub == Multimodal.audioWindowsOf(
+      Multimodal.Asset(4L, corrupt)), "corrupt RIFF must fall back deterministically")
+  }
 }
