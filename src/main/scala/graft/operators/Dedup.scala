@@ -193,6 +193,21 @@ object Dedup {
   def lshRecall(s: SparkSession, dir: String): DataFrame =
     lshRecallOf(s, dir, minhashLsh(s, dir))
 
+  /** SAMPLED form of the recall audit — the stated 100 TB cost model: the
+    * truth side's quadratic term (posting-list pair expansion) runs on the
+    * hash-sampled subcorpus hash52(doc_id) % sampleMod == 0, so it costs
+    * ~1/sampleMod² of the full audit while the candidate generator stays
+    * whole-corpus; recall measured over sampled truth pairs estimates
+    * global recall (the sample is id-assignment-independent by hashing).
+    * sampleMod = 1 IS the gated `dedup_lsh_recall` (spec-asserted
+    * identical); a 100 TB deployment runs sampleMod ~ 10³-10⁴. */
+  def lshRecallSampled(s: SparkSession, dir: String, sampleMod: Int): DataFrame =
+    lshRecallOf(s, dir, minhashLsh(s, dir), sampleMod)
+
+  /** [[lshRecallSampled]] over the banded generator. */
+  def lshRecallBandedSampled(s: SparkSession, dir: String, sampleMod: Int): DataFrame =
+    lshRecallOf(s, dir, minhashLshBanded(s, dir), sampleMod)
+
   /** The same audit over the BANDED (b=4×r=2) generator — side by side
     * with [[lshRecall]] this is the b×r trade made measurable: r=2 AND-
     * amplification suppresses low-similarity candidates (cheaper
@@ -202,8 +217,8 @@ object Dedup {
     lshRecallOf(s, dir, minhashLshBanded(s, dir))
 
   private def lshRecallOf(s: SparkSession, dir: String,
-      candidates: DataFrame): DataFrame = {
-    val truth = shingleInterPairs(s, dir)
+      candidates: DataFrame, sampleMod: Int = 1): DataFrame = {
+    val truth = shingleInterPairs(s, dir, sampleMod)
       .select(col("doc_a"), col("doc_b"),
         least(expr(s"(inter * $RecallBands) DIV (na + nb - inter)"),
           lit(RecallBands - 1)).cast("int").as("sim_band"))
@@ -246,8 +261,15 @@ object Dedup {
     * 52-bit space collides routinely (and an intra-doc collision could
     * even self-pair a document); 2^-64 per pair keeps the ratios exact
     * modulo vanishing probability. The oracle hashes identically. */
-  private def shingleInterPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = docs(s, dir)
+  private def shingleInterPairs(s: SparkSession, dir: String,
+      sampleMod: Int = 1): DataFrame = {
+    // sampleMod > 1: the quadratic pair expansion runs on the hash-sampled
+    // subcorpus only (both endpoints sampled) — the recall audits'
+    // documented cost knob; 1 = whole corpus (every other consumer).
+    val base =
+      if (sampleMod <= 1) docs(s, dir)
+      else docs(s, dir).filter(pmod(hash52(col("doc_id")), lit(sampleMod.toLong)) === 0)
+    val sh = base
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         array_distinct(ShingleExpressions.shingles(col("text"), ShingleN)).as("sh"))

@@ -369,4 +369,26 @@ class DedupSpec extends SparkSpec {
     assert(flat(band)._2 > 40L, s"r=1 should catch most mid-band pairs: ${flat(band)._2}")
     assert(banded(band)._2 > 0L, "banding should still surface some mid-band pairs")
   }
+
+  test("sampled recall audit: full sample IS the gated audit; sampling shrinks the truth side") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // sampleMod = 1 must be byte-identical to the gated query
+    assert(rows(Dedup.lshRecallSampled(spark, sf, 1)) == rows(Dedup.lshRecall(spark, sf)),
+      "full sample must equal the gated audit exactly")
+    assert(rows(Dedup.lshRecallBandedSampled(spark, sf, 1)) ==
+      rows(Dedup.lshRecallBanded(spark, sf)))
+    // a real sample: strictly fewer truth pairs, none invented, still useful
+    val full = Dedup.lshRecall(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sampled = Dedup.lshRecallSampled(spark, sf, 4).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sampled.nonEmpty, "a mod-4 hash sample of the corpus must keep some truth pairs")
+    assert(sampled.keySet.subsetOf(full.keySet), "sampling cannot invent similarity bands")
+    sampled.foreach { case (band, n) =>
+      assert(n <= full(band), s"band $band grew under sampling: $n > ${full(band)}")
+    }
+    assert(sampled.values.sum < full.values.sum,
+      "the quadratic truth term must actually shrink under sampling")
+  }
 }
