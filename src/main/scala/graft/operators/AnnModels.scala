@@ -40,6 +40,7 @@ object AnnModels {
   @volatile private[graft] var bpeTrains = 0
   @volatile private[graft] var bpeBigTrains = 0
   @volatile private[graft] var qualityTrains = 0
+  @volatile private[graft] var ingestGateTrains = 0
   @volatile private[graft] var lshIndexBuilds = 0
 
   private var rootOverride: Option[String] = None
@@ -147,6 +148,44 @@ object AnnModels {
         s"feat=${TextOps.QualityFeatNames.size},half=even,cap=${TextOps.QmLenCap}")) {
       qualityTrains += 1
       TextOps.trainQualityCentroids(s, dir)
+    }
+
+  /** The CORPUS-side ingest admission model — FOUR persisted relations:
+    * the bigram LM of the corpus (source != 'src0': bigram counts, prefix
+    * counts, vocab size) and the calibrated logit8 threshold (the
+    * ceil(N/2)-th largest corpus logit — the corpus's own top-half bar).
+    * This is the admission-control deployment shape: the corpus trains
+    * the model ONCE, the artifacts serve every ingest batch / stream as
+    * static join sides (the lshIndex pattern applied to quality gating).
+    * Threshold is NULL when the corpus is empty (no corpus = no bar). */
+  def ingestGate(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    synchronized {
+      val names = Seq("c2", "c1", "vocab", "thr")
+        .map(k => key(s, dir, s"ig-$k", "n=2,keep=half,excl=src0"))
+      val hconf = s.sparkContext.hadoopConfiguration
+      def ok(name: String): Boolean = {
+        val p = new Path(new Path(root(s), name), "_SUCCESS")
+        p.getFileSystem(hconf).exists(p)
+      }
+      if (!names.forall(ok)) {
+        ingestGateTrains += 1
+        val corpus = graft.sources.Tables.load(s, dir, "documents")
+          .filter(org.apache.spark.sql.functions.col("source") =!= "src0")
+        val (c2, c1, vocab) = TextOps.trainBigramLmOf(corpus)
+        // thr derives from the LM relations; materialize them first so the
+        // threshold pass reads the persisted LM instead of recounting
+        Seq(c2, c1, vocab).zip(names.take(3)).foreach { case (df, name) =>
+          df.coalesce(1).write.mode("overwrite").parquet(new Path(root(s), name).toString)
+        }
+        val lm = names.take(3).map(n => s.read.parquet(new Path(root(s), n).toString))
+        val thr = TextOps.calibratedThresholdOf(
+          TextOps.ingestLogits(corpus, lm(0), lm(1), lm(2)))
+        thr.coalesce(1).write.mode("overwrite")
+          .parquet(new Path(root(s), names(3)).toString)
+      }
+      val dfs = names.map(n => s.read.parquet(new Path(root(s), n).toString))
+      (dfs(0), dfs(1), dfs(2), dfs(3))
     }
 
   /** The persisted CORPUS LSH signature index (doc_id, band, h) — the

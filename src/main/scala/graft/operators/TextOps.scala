@@ -1044,6 +1044,30 @@ object TextOps {
     (c2, c1, vocab)
   }
 
+  /** Cross-corpus perplexity: score ANY document set against a FOREIGN
+    * LM. Same arithmetic as [[perplexityScore]], but bigrams/prefixes the
+    * LM never saw coalesce to count 0 (standard add-one smoothing:
+    * nll = ln((0+v)/(0+1)) for a fully novel bigram) instead of silently
+    * dropping through the inner joins — the difference that matters when
+    * an INGEST batch is scored against the corpus's model. On documents
+    * whose bigrams all exist in the LM (e.g. the training corpus itself)
+    * this is bit-identical to [[perplexityScore]]. */
+  private[graft] def perplexityScoreOpen(d: DataFrame, c2: DataFrame, c1: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val nll = round(log((coalesce(col("c1"), lit(0L)) + col("v")).cast("double") /
+      (coalesce(col("c2"), lit(0L)) + 1)), 6)
+    bigramOcc(d)
+      .join(c2, Seq("g"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_bigrams"),
+        sum(col("occ") * nll.cast("decimal(18,6)")).as("total_nll_dec"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("total_nll_dec").cast("double") / col("n_bigrams") * 1e6 + 0.5) / 1e6)
+          .as("avg_nll"))
+  }
+
   private def perplexityScore(d: DataFrame, c2: DataFrame, c1: DataFrame,
       vocab: DataFrame): DataFrame = {
     val nll = round(log((col("c1") + col("v")).cast("double") / (col("c2") + 1)), 6)
@@ -1325,6 +1349,58 @@ object TextOps {
       when(margin >= 0, 1).otherwise(0).as("trained_keep"))
   }
 
+  /** The per-row (non-LM) part of the quality logit as ONE column over
+    * `text` — every term of [[qualityModelWith]]'s logit8 except the
+    * QmNll surprise term, computed from the row itself with the SAME
+    * rounding steps as the feature-join path (round to 4dp, then q4).
+    * This is what lets the STREAMING admission gate score a document in
+    * one pass: per-row base rides the bigram explode, and only the nll
+    * aggregate needs state. Equality with the batch chain is
+    * spec-asserted per document. */
+  private[graft] def logitBaseCol: Column = {
+    def q4(c: Column): Column = floor(c * 1e4 + 0.5).cast("long")
+    val toks = wsTokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("double") / length(col("text"))
+    val stop = markerCount(toks, AllStopwords).cast("double") / nTok
+    val rep = lit(1.0) - size(array_distinct(toks)).cast("double") / nTok
+    val sh = wordShingles(toks, 3)
+    val rep3 = when(size(sh) > 0,
+      floor((size(sh) - size(array_distinct(sh))).cast("double") / size(sh) * 1e6 + 0.5) / 1e6)
+      .otherwise(lit(0.0))
+    lit(QmBias) * lit(10000L) +
+      lit(QmStop) * q4(round(stop, 4)) +
+      lit(QmRepUni) * q4(round(rep, 4)) +
+      lit(QmPunct) * q4(round(punct, 4)) +
+      lit(QmRep3) * q4(rep3) +
+      lit(QmLenPerTok) * least(size(toks), lit(QmLenCap)).cast("long") * lit(10000L)
+  }
+
+  /** (doc_id, logit8) of `d` scored against a supplied (possibly foreign)
+    * corpus LM — the quality model with open-vocabulary surprise scoring,
+    * the relation both the ingest admission gate and its threshold
+    * training consume. */
+  private[graft] def ingestLogits(d: DataFrame, c2: DataFrame, c1: DataFrame,
+      vocab: DataFrame): DataFrame =
+    qualityModelWith(d, perplexityScoreOpen(d, c2, c1, vocab))
+      .select(col("doc_id"), col("logit8"))
+
+  /** The calibrated keep-threshold of a (doc_id, logit8) relation as a
+    * ONE-ROW relation (thr) — the ceil(N/2)-th largest logit8 via the
+    * shared cumulative census (see [[qualityCalibratedOf]]); NULL thr on
+    * an empty input (no corpus = no bar). */
+  private[graft] def calibratedThresholdOf(m: DataFrame): DataFrame = {
+    val census = Analytics.cumulativeCensus(m.select(col("logit8").as("v")))
+    val target = broadcast(m.agg(count(lit(1)).as("n"))
+      .withColumn("keep_n", expr("(n + 1) DIV 2"))
+      .withColumn("target", col("n") - col("keep_n") + 1)
+      .select(col("target")))
+    census.join(target,
+        col("cum") >= col("target") && (col("cum") - col("cnt")) < col("target"))
+      .agg(min(col("v")).as("thr"))
+  }
+
   /** CORPUS-CALIBRATED learned quality gate — the deployment fix for fixed
     * coefficients meeting a foreign corpus (SCALE.md r8: the shipped
     * QmBias-centered threshold keeps 46/5000 docs of a generated corpus,
@@ -1355,14 +1431,7 @@ object TextOps {
     // the checkpoint is for the 100 TB shape, where four corpus passes
     // would be the real cost.)
     val m = model.select(col("doc_id"), col("logit8")).localCheckpoint()
-    val census = Analytics.cumulativeCensus(m.select(col("logit8").as("v")))
-    val target = broadcast(m.agg(count(lit(1)).as("n"))
-      .withColumn("keep_n", expr("(n + 1) DIV 2"))
-      .withColumn("target", col("n") - col("keep_n") + 1)
-      .select(col("target")))
-    val thr = census.join(target,
-        col("cum") >= col("target") && (col("cum") - col("cnt")) < col("target"))
-      .select(col("v").as("thr"))
+    val thr = calibratedThresholdOf(m)
     m.crossJoin(broadcast(thr))
       .select(col("doc_id"), col("logit8"),
         when(col("logit8") >= col("thr"), 1).otherwise(0).as("calib_keep"))
@@ -1755,6 +1824,52 @@ object TextOps {
       "SELECT doc_id, margin8, CASE WHEN margin8 >= 0 THEN 1 ELSE 0 END AS trained_keep FROM " +
       s"(SELECT ft.doc_id, CAST(2 * ($dot) - ((${sq("c1")}) - (${sq("c0")})) AS BIGINT) AS margin8 " +
       "FROM ft CROSS JOIN c0 CROSS JOIN c1)"
+  }
+
+  /** SQL mirror of EventStreams.ingestGateBatch — the FULL admission
+    * chain replayed from the raw corpus: corpus-side LM (source !=
+    * 'src0'), corpus logits and their calibrated census threshold, ingest
+    * logits under OPEN scoring (left joins: unseen bigrams/prefixes
+    * smooth to count 0), and the admit compare (NULL threshold admits).
+    * The per-set quality/repetition CTEs reuse the gated SQL strings with
+    * the source relation swapped in. */
+  private[graft] lazy val ingestGateSql: String = {
+    def onSet(tag: String, src: String): String = {
+      val qual = qualitySql.replace("FROM documents", s"FROM $src")
+      val rep = repetitionSql.replace("FROM documents", s"FROM $src")
+      val big = "SELECT doc_id, unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1), " +
+        s"i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS g FROM $src"
+      s"qual$tag AS ($qual), rep$tag AS ($rep), " +
+        s"ppl$tag AS (SELECT doc_id, count(*) AS n_bigrams, " +
+        "floor(CAST(sum(nll) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS avg_nll FROM " +
+        "(SELECT doc_id, CAST(round(ln(CAST(coalesce(c1, 0) + v AS DOUBLE) / (coalesce(c2, 0) + 1)), 6) AS DECIMAL(18,6)) AS nll " +
+        s"FROM (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM ($big)) " +
+        "LEFT JOIN cb USING (g) LEFT JOIN cp USING (w1) CROSS JOIN vo) GROUP BY doc_id), " +
+        s"qm$tag AS (SELECT doc_id, logit8 FROM (SELECT q.doc_id, CAST($QmBias * 10000 " +
+        s"+ ($QmStop) * CAST(floor(q.stopword_ratio * 10000 + 0.5) AS BIGINT) " +
+        s"+ ($QmRepUni) * CAST(floor(q.repetition_ratio * 10000 + 0.5) AS BIGINT) " +
+        s"+ ($QmPunct) * CAST(floor(q.punct_ratio * 10000 + 0.5) AS BIGINT) " +
+        s"+ ($QmRep3) * CAST(floor(r.rep_ratio * 10000 + 0.5) AS BIGINT) " +
+        s"+ ($QmNll) * coalesce(CAST(floor(p.avg_nll * 10000 + 0.5) AS BIGINT), 0) " +
+        s"+ ($QmLenPerTok) * least(q.n_tokens, $QmLenCap) * CAST(10000 AS BIGINT) AS BIGINT) AS logit8 " +
+        s"FROM qual$tag q JOIN rep$tag r ON q.doc_id = r.doc_id LEFT JOIN ppl$tag p ON q.doc_id = p.doc_id))"
+    }
+    "WITH corp AS (SELECT * FROM documents WHERE source <> 'src0'), " +
+      "ing AS (SELECT * FROM documents WHERE source = 'src0'), " +
+      "lmocc AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM " +
+      "(SELECT doc_id, unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1), " +
+      "i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS g FROM corp)), " +
+      "cb AS (SELECT g, count(*) AS c2 FROM lmocc GROUP BY g), " +
+      "cp AS (SELECT w1, count(*) AS c1 FROM lmocc GROUP BY w1), " +
+      "vo AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS w FROM corp)), " +
+      onSet("c", "corp") + ", " + onSet("i", "ing") + ", " +
+      "nn AS (SELECT count(*) AS n, (count(*) + 1) // 2 AS keep_n FROM qmc), " +
+      "tt AS (SELECT n - keep_n + 1 AS target FROM nn), " +
+      "ccq AS (SELECT logit8, cnt, sum(cnt) OVER (ORDER BY logit8) AS cum FROM " +
+      "(SELECT logit8, count(*) AS cnt FROM qmc GROUP BY 1)), " +
+      "thr AS (SELECT min(ccq.logit8) AS thr FROM ccq, tt WHERE ccq.cum >= tt.target AND ccq.cum - ccq.cnt < tt.target) " +
+      "SELECT i.doc_id, i.logit8, CASE WHEN t.thr IS NULL OR i.logit8 >= t.thr THEN 1 ELSE 0 END AS admit " +
+      "FROM qmi i CROSS JOIN thr t"
   }
 
   /** SQL mirror of [[qualityModelOf]]: the SAME coefficient constants

@@ -573,6 +573,78 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** CALIBRATED INGEST ADMISSION GATE — the quality-side twin of the
+    * incremental LSH probe: the corpus trains the quality model ONCE
+    * (bigram LM + the calibrated top-half logit8 threshold, persisted by
+    * AnnModels.ingestGate), and every ingest batch / stream is scored
+    * against those REGISTRY-SERVED artifacts as static join sides. A doc
+    * is admitted iff its logit8 meets the corpus's own bar (NULL bar —
+    * empty corpus — admits everything). This batch analog is the gated,
+    * oracle-replayed form; [[startIngestGateStream]] is the same
+    * computation as a streaming query. */
+  def ingestGateBatch(s: SparkSession, dir: String): DataFrame = {
+    val (c2, c1, vocab, thr) = graft.operators.AnnModels.ingestGate(s, dir)
+    val batch = Tables.load(s, dir, "documents").filter(col("source") === "src0")
+    graft.operators.TextOps.ingestLogits(batch, c2, c1, vocab)
+      .crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("logit8"),
+        when(col("thr").isNull || col("logit8") >= col("thr"), 1).otherwise(0).as("admit"))
+  }
+
+  /** True-stream form of the admission gate: ONE streaming aggregation —
+    * the per-row (non-LM) logit part rides the bigram explode
+    * (TextOps.logitBaseCol), the bigrams join the persisted LM
+    * stream-static (left joins: unseen bigrams smooth to count 0), and a
+    * per-doc_id aggregate rebuilds the exact fixed-point logit before the
+    * broadcast threshold compare. State = one aggregate row per in-flight
+    * ingest document (never corpus-sized; the LM and threshold stay on
+    * the static side). Bigram-less documents ride a null sentinel row so
+    * they are gated too (nll term 0, the batch path's left-join miss).
+    * Update output mode: each doc's aggregate is complete within the
+    * trigger that read its file, so the memory/foreachBatch sink sees one
+    * final row per doc (spec-compared to [[ingestGateBatch]]). */
+  private[graft] def ingestGateTransform(stream: DataFrame, c2: DataFrame,
+      c1: DataFrame, vocab: DataFrame, thr: DataFrame): DataFrame = {
+    val gs = wordShingles(wsTokens(col("text")), 2)
+    val nll = round(log((coalesce(col("c1"), lit(0L)) + col("v")).cast("double") /
+      (coalesce(col("c2"), lit(0L)) + 1)), 6)
+    val avg = floor(col("tot").cast("double") / col("nb") * 1e6 + 0.5) / 1e6
+    stream.filter(col("source") === "src0")
+      .select(col("doc_id"),
+        graft.operators.TextOps.logitBaseCol.as("base"),
+        explode(when(size(gs) > 0, gs)
+          .otherwise(array(lit(null).cast("string")))).as("g"))
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .join(c2, Seq("g"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(first(col("base")).as("base"),
+        count(col("g")).as("nb"),
+        sum(when(col("g").isNotNull, nll.cast("decimal(18,6)"))).as("tot"))
+      .select(col("doc_id"),
+        (col("base") + lit(graft.operators.TextOps.QmNll) *
+          coalesce(when(col("nb") > 0, floor(avg * 1e4 + 0.5).cast("long")), lit(0L)))
+          .as("logit8"))
+      .crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("logit8"),
+        when(col("thr").isNull || col("logit8") >= col("thr"), 1).otherwise(0).as("admit"))
+  }
+
+  def startIngestGateStream(s: SparkSession, dir: String, name: String): StreamingQuery = {
+    val (c2, c1, vocab, thr) = graft.operators.AnnModels.ingestGate(s, dir)
+    val rawSchema = s.read.option("pathGlobFilter", "documents.parquet").parquet(dir).schema
+    val stream = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    ingestGateTransform(stream, c2, c1, vocab, thr)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // --- wiring (batch analogs, oracle-checked) ------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -583,6 +655,7 @@ object EventStreams {
     "stream_dedup" -> ((s, dir) => dedupBatch(Tables.load(s, dir, "events"))),
     "stream_dedup_lsh" -> ((s, dir) => dedupLshNovelty(Tables.load(s, dir, "documents"))),
     "stream_dedup_incremental" -> ((s, dir) => incrementalVsIndex(s, dir)),
+    "stream_ingest_gate" -> (ingestGateBatch _),
     "stream_sketch_distinct" -> ((s, dir) => windowDistinctSketch(Tables.load(s, dir, "events"))),
     "stream_topk" -> ((s, dir) => windowTopKBatch(Tables.load(s, dir, "events"))))
 
@@ -624,6 +697,7 @@ object EventStreams {
       // serves both the in-query and the persisted-index forms
       graft.operators.Dedup.lshMatchOracle(
         idxPred = "source <> 'src0'", batchPred = "source = 'src0'"),
+    "stream_ingest_gate" -> graft.operators.TextOps.ingestGateSql,
     "stream_sketch_distinct" -> {
       import graft.operators.Extras.{KmvK, Two52}
       val hex13 = graft.functions.hexIntSql("md5(CAST(user_id AS VARCHAR))", 1, 13)

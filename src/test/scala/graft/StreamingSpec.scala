@@ -367,6 +367,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ingest admission gate: true stream equals the batch analog, one training") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingate-models").toString
+    graft.operators.AnnModels.withRoot(root) {
+      val t0 = graft.operators.AnnModels.ingestGateTrains
+      val batch = EventStreams.ingestGateBatch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(batch.nonEmpty, "the shipped corpus has src0 ingest docs")
+      assert(batch.map(_._3).contains(1) && batch.map(_._3).contains(0),
+        s"the corpus bar must actually split the ingest batch: $batch")
+      val q = EventStreams.startIngestGateStream(spark, sf, "ingest_gate_sink")
+      try q.processAllAvailable()
+      finally q.stop()
+      val stream = spark.table("ingest_gate_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(stream == batch,
+        s"stream admission must equal the batch analog: ${stream.diff(batch)} / ${batch.diff(stream)}")
+      assert(graft.operators.AnnModels.ingestGateTrains == t0 + 1,
+        "ONE corpus training must serve both the stream and the batch gate")
+    }
+  }
+
   test("incremental probe checkpoint restart: re-dropped docs never re-emit claimed pairs") {
     val sp = spark
     import sp.implicits._
