@@ -133,7 +133,14 @@ object Scale {
       "text_quality_calibrated" -> (graft.operators.TextOps.qualityCalibrated _),
       "text_bpe_trained_ids" -> (graft.operators.TextOps.bpeTrainedIds _),
       "pipeline_pack_trained" -> (Pipeline.packTrained _),
-      "stream_dedup_incremental" -> (graft.streaming.EventStreams.incrementalVsIndex _))
+      "stream_dedup_incremental" -> (graft.streaming.EventStreams.incrementalVsIndex _),
+      // round 10: the learned components at production shape — the
+      // 256-merge batched-trainer chain, the Rocchio-trained quality
+      // gate, and the corpus-calibrated ingest admission gate (all
+      // registry-served; first-touch rows carry their one-time training)
+      "text_bpe_trained_ids_256" -> (graft.operators.TextOps.bpeTrainedIdsBig _),
+      "text_quality_trained" -> (graft.operators.TextOps.qualityTrained _),
+      "stream_ingest_gate" -> (graft.streaming.EventStreams.ingestGateBatch _))
 
   def main(args: Array[String]): Unit = {
     val outBase = args.headOption.getOrElse("/tmp/graft_scale")
