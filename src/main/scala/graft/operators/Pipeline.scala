@@ -550,6 +550,16 @@ object Pipeline {
     buildWith(s, dir,
       TextOps.qualityCalibrated(s, dir).filter(col("calib_keep") === 1).select("doc_id"))
 
+  /** [[build]] with the fully LEARNED quality gate (r10): the model slot
+    * holds `text_quality_trained` — feature WEIGHTS Rocchio-fit in-engine
+    * against Gopher seed labels and served from the registry — so the
+    * build capstone now composes a gate with zero hand-fixed
+    * coefficients (weights from the corpus; the calibrated variant's
+    * threshold likewise). Same plan contract as [[build]]. */
+  def buildTrained(s: SparkSession, dir: String): DataFrame =
+    buildWith(s, dir,
+      TextOps.qualityTrained(s, dir).filter(col("trained_keep") === 1).select("doc_id"))
+
   private def buildWith(s: SparkSession, dir: String, model: DataFrame): DataFrame =
     packOf(buildBase(s, dir, model))
 
@@ -608,6 +618,7 @@ object Pipeline {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_build" -> (build _),
     "pipeline_build_calibrated" -> (buildCalibrated _),
+    "pipeline_build_trained" -> (buildTrained _),
     "pipeline_interleave" -> (interleave _),
     "pipeline_curriculum" -> (curriculum _),
     "pipeline_curate" -> (curate _),
@@ -703,6 +714,8 @@ object Pipeline {
       buildOracleSql(TextOps.qualityModelSql, "model_keep"),
     "pipeline_build_calibrated" ->
       buildOracleSql(TextOps.qualityCalibratedSql, "calib_keep"),
+    "pipeline_build_trained" ->
+      buildOracleSql(TextOps.qualityTrainedSql, "trained_keep"),
     "pipeline_interleave" ->
       (s"WITH $mixCtes, " +
         s"rr AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
