@@ -1236,18 +1236,14 @@ object TextOps {
 
   private def qualityModelWith(d: DataFrame, ppl: DataFrame): DataFrame = {
     def q4(c: Column): Column = floor(c * 1e4 + 0.5).cast("long")
-    val logit8 =
-      lit(QmBias) * lit(10000L) +
-        lit(QmStop) * q4(col("stopword_ratio")) +
-        lit(QmRepUni) * q4(col("repetition_ratio")) +
-        lit(QmPunct) * q4(col("punct_ratio")) +
-        lit(QmRep3) * q4(col("rep_ratio")) +
-        lit(QmNll) * coalesce(q4(col("avg_nll")), lit(0L)) +
-        lit(QmLenPerTok) * least(col("n_tokens"), lit(QmLenCap)).cast("long") * lit(10000L)
-    qualityOf(d)
-      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
-        col("repetition_ratio"), col("punct_ratio"))
-      .join(repetitionOf(d).select(col("doc_id"), col("rep_ratio")), Seq("doc_id"))
+    // ONE text scan: every non-LM term of the logit is the per-row
+    // [[logitBaseCol]] (bit-identical to the former
+    // qualityOf⋈repetitionOf feature-join formulation — the stream/batch
+    // parity spec pins it per document), so only the LM surprise relation
+    // joins. Was three documents scans + two doc_id shuffles; at 100 TB
+    // those were the cost, not the arithmetic.
+    val logit8 = col("base") + lit(QmNll) * coalesce(q4(col("avg_nll")), lit(0L))
+    d.select(col("doc_id"), logitBaseCol.as("base"))
       .join(ppl.select(col("doc_id"), col("avg_nll")), Seq("doc_id"), "left")
       .select(col("doc_id"), logit8.as("logit8"),
         // logit8 < 2^53, so the double is exact; /1e8 rounds identically
