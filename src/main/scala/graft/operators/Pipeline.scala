@@ -591,6 +591,10 @@ object Pipeline {
     buildBase(s, dir,
       TextOps.qualityCalibrated(s, dir).filter(col("calib_keep") === 1).select("doc_id"))
 
+  private[graft] def buildBaseTrained(s: SparkSession, dir: String): DataFrame =
+    buildBase(s, dir,
+      TextOps.qualityTrained(s, dir).filter(col("trained_keep") === 1).select("doc_id"))
+
   /** The build oracle, parameterized on the model-gate CTE and its keep
     * flag — the same factored chains the standalone oracles run: survivor
     * labels (recursive CC), gopher flags, model gate, contamination grams,

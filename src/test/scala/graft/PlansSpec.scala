@@ -428,6 +428,23 @@ class PlansSpec extends SparkSpec {
     assert(!packed.contains("rangepartitioning"), "no global sort in the pack tail")
   }
 
+  test("trained build keeps the build contract; trained gate is broadcast-literal scoring") {
+    val root = java.nio.file.Files.createTempDirectory("graft-plans-trained").toString
+    graft.operators.AnnModels.withRoot(root) {
+      val p = plan(graft.operators.Pipeline.buildBaseTrained(spark, sf))
+      assert(p.contains("LeftSemi"), s"gates must compose as semi joins:\n${p.take(2000)}")
+      assert(p.contains("LeftAnti"), s"decontamination must be an anti join:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), "no cartesian anywhere in the trained build")
+      assert(!p.contains("rangepartitioning"), "no sampled global sort in the trained build")
+      // the gate itself: centroids are LITERAL coefficients (collected from
+      // the model-sized artifact), so scoring adds no join or exchange of
+      // its own beyond the LM surprise join
+      val pg = plan(graft.operators.TextOps.qualityTrained(spark, sf))
+      assert(!pg.contains("CartesianProduct") && !pg.contains("rangepartitioning"),
+        s"trained scoring must stay join-light:\n${pg.take(2000)}")
+    }
+  }
+
   test("calibrated build keeps the build contract; calibrated gate never globally sorts") {
     val p = plan(graft.operators.Pipeline.buildBaseCalibrated(spark, sf))
     assert(p.contains("LeftSemi"), s"gates must compose as semi joins:\n${p.take(2000)}")
