@@ -179,8 +179,10 @@ object AnnModels {
           df.coalesce(1).write.mode("overwrite").parquet(new Path(root(s), name).toString)
         }
         val lm = names.take(3).map(n => s.read.parquet(new Path(root(s), n).toString))
+        // the logits subtree feeds the census, the count AND the threshold
+        // join — materialize the (doc_id, logit8) pairs once (16 B/row)
         val thr = TextOps.calibratedThresholdOf(
-          TextOps.ingestLogits(corpus, lm(0), lm(1), lm(2)))
+          TextOps.ingestLogits(corpus, lm(0), lm(1), lm(2)).localCheckpoint())
         thr.coalesce(1).write.mode("overwrite")
           .parquet(new Path(root(s), names(3)).toString)
       }

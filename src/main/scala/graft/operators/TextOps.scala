@@ -1831,8 +1831,16 @@ object TextOps {
     * the source relation swapped in. */
   private[graft] lazy val ingestGateSql: String = {
     def onSet(tag: String, src: String): String = {
-      val qual = qualitySql.replace("FROM documents", s"FROM $src")
-      val rep = repetitionSql.replace("FROM documents", s"FROM $src")
+      // the swap contract: each gated SQL names the table EXACTLY once —
+      // if that ever changes, fail at oracle-construction time, not with
+      // a silently half-rewritten oracle
+      def swap(sql: String): String = {
+        require(sql.sliding("FROM documents".length).count(_ == "FROM documents") == 1,
+          "per-set CTE swap expects exactly one documents reference")
+        sql.replace("FROM documents", s"FROM $src")
+      }
+      val qual = swap(qualitySql)
+      val rep = swap(repetitionSql)
       val big = "SELECT doc_id, unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1), " +
         s"i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS g FROM $src"
       s"qual$tag AS ($qual), rep$tag AS ($rep), " +
