@@ -596,13 +596,20 @@ object EventStreams {
     * (TextOps.logitBaseCol), the bigrams join the persisted LM
     * stream-static (left joins: unseen bigrams smooth to count 0), and a
     * per-doc_id aggregate rebuilds the exact fixed-point logit before the
-    * broadcast threshold compare. State = one aggregate row per in-flight
-    * ingest document (never corpus-sized; the LM and threshold stay on
-    * the static side). Bigram-less documents ride a null sentinel row so
-    * they are gated too (nll term 0, the batch path's left-join miss).
-    * Update output mode: each doc's aggregate is complete within the
-    * trigger that read its file, so the memory/foreachBatch sink sees one
-    * final row per doc (spec-compared to [[ingestGateBatch]]). */
+    * broadcast threshold compare. State = one aggregate row per ingest
+    * document SEEN BY THIS QUERY (never corpus-sized; the LM and
+    * threshold stay on the static side) — without a watermark the
+    * aggregation state is not evicted, so this form is for the
+    * session-scoped AvailableNow audit it ships in (state dies with the
+    * query); the long-lived nightly deployment is [[runIngestGateStep]],
+    * which is STATELESS by construction (foreachBatch + batch scoring; a
+    * continuous always-on variant would add a processing-time window +
+    * watermark, trading the batch-analog's whole-directory aggregation
+    * semantics for per-drop verdicts). Bigram-less documents ride a null
+    * sentinel row so they are gated too (nll term 0, the batch path's
+    * left-join miss). Update output mode: each doc's aggregate is
+    * complete within the trigger that read its file, so the memory sink
+    * sees one final row per doc (spec-compared to [[ingestGateBatch]]). */
   private[graft] def ingestGateTransform(stream: DataFrame, c2: DataFrame,
       c1: DataFrame, vocab: DataFrame, thr: DataFrame): DataFrame = {
     val gs = wordShingles(wsTokens(col("text")), 2)
@@ -629,6 +636,42 @@ object EventStreams {
       .crossJoin(broadcast(thr))
       .select(col("doc_id"), col("logit8"),
         when(col("thr").isNull || col("logit8") >= col("thr"), 1).otherwise(0).as("admit"))
+  }
+
+  /** One restartable AvailableNow pass of the admission gate — the
+    * nightly production shape (runIncrementalLshStep's recipe applied to
+    * quality admission): resume from `checkpoint`, score any files under
+    * `dropDir` the checkpoint has not seen against `corpusDir`'s
+    * registry-served model, and append each new batch's verdicts to the
+    * parquet sink. Scoring runs per micro-batch through foreachBatch with
+    * the BATCH scoring path (exact same arithmetic as [[ingestGateBatch]]
+    * — one implementation, no drift), so the step is STATELESS: the only
+    * durable state is the file-source checkpoint (which files were
+    * processed), never per-document aggregates — a checkpoint reused
+    * nightly for years stays file-list-sized. A re-dropped file is never
+    * re-scored; a re-dropped document in a NEW file scores again (each
+    * drop is its own admission decision — admission is per-arrival, not
+    * per-identity; the dedup family owns identity). */
+  def runIngestGateStep(s: SparkSession, corpusDir: String, dropDir: String,
+      checkpoint: String, outPath: String, glob: String = "*.parquet"): Unit = {
+    val (c2, c1, vocab, thr) = graft.operators.AnnModels.ingestGate(s, corpusDir)
+    val rawSchema = s.read.option("pathGlobFilter", glob).parquet(dropDir).schema
+    val stream = s.readStream.schema(rawSchema).option("pathGlobFilter", glob)
+      .parquet(dropDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.TextOps
+          .ingestLogits(batch.filter(col("source") === "src0"), c2, c1, vocab)
+          .crossJoin(broadcast(thr))
+          .select(col("doc_id"), col("logit8"),
+            when(col("thr").isNull || col("logit8") >= col("thr"), 1).otherwise(0).as("admit"))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   def startIngestGateStream(s: SparkSession, dir: String, name: String): StreamingQuery = {

@@ -388,6 +388,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("restartable nightly admission: new drops score, processed files never re-score") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ingate_step").toString
+    val (corpusDir, dropDir, cp, out) =
+      (s"$base/corpus", s"$base/drops", s"$base/cp", s"$base/out")
+    def writeSingle(dir: String, fname: String, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = s"$base/tmp_$fname"
+      rows.toDF("doc_id", "source", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dir, fname))
+    }
+    // corpus: four docs of spread quality define the bar (the top-half
+    // threshold); 'the'-laden fluent docs score high, garbage low
+    writeSingle(corpusDir, "documents.parquet", Seq(
+      (1L, "srcA", "the quick brown fox jumps over the lazy dog and the cat"),
+      (2L, "srcA", "the data table holds the value rows and the key columns"),
+      (3L, "srcA", "zz @@ ## !! ?? xx yy qq ww ee rr tt"),
+      (4L, "srcA", "aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa")))
+    def admitted(): Map[Long, Int] = {
+      if (!new java.io.File(out).exists()) Map.empty
+      else spark.read.parquet(out).collect()
+        .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-ingate-step-models").toString
+    graft.operators.AnnModels.withRoot(root) {
+      val t0 = graft.operators.AnnModels.ingestGateTrains
+      writeSingle(dropDir, "d0.parquet", Seq(
+        (10L, "src0", "the quick brown fox jumps over the lazy dog and the cat"),
+        (11L, "src0", "@@ ## $$ %% ^^ && ** (( )) __ ++ ~~")))
+      EventStreams.runIngestGateStep(spark, corpusDir, dropDir, cp, out)
+      val a1 = admitted()
+      assert(a1.keySet == Set(10L, 11L), s"run 1 scores the first drop: $a1")
+      assert(a1(10L) == 1 && a1(11L) == 0,
+        s"fluent doc admitted, garbage rejected by the corpus bar: $a1")
+      // run 2: a new drop arrives; the processed file must NOT re-score
+      // (exactly-once over files via the checkpoint)
+      writeSingle(dropDir, "d1.parquet", Seq(
+        (12L, "src0", "the data table holds the value rows and the key columns")))
+      EventStreams.runIngestGateStep(spark, corpusDir, dropDir, cp, out)
+      val a2 = admitted()
+      assert(a2.keySet == Set(10L, 11L, 12L), s"run 2 adds only the new drop: $a2")
+      assert(spark.read.parquet(out).count() == 3,
+        "processed files must never re-score (no duplicate verdicts)")
+      assert(a2(12L) == 1, s"second fluent doc admitted: $a2")
+      // ONE corpus training served both runs
+      assert(graft.operators.AnnModels.ingestGateTrains == t0 + 1,
+        "the registry model must train once across nightly runs")
+      // the step's verdicts equal the batch analog run over the same drops
+      val batchDir = s"$base/all"
+      writeSingle(batchDir, "documents.parquet", Seq(
+        (1L, "srcA", "the quick brown fox jumps over the lazy dog and the cat"),
+        (2L, "srcA", "the data table holds the value rows and the key columns"),
+        (3L, "srcA", "zz @@ ## !! ?? xx yy qq ww ee rr tt"),
+        (4L, "srcA", "aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa"),
+        (10L, "src0", "the quick brown fox jumps over the lazy dog and the cat"),
+        (11L, "src0", "@@ ## $$ %% ^^ && ** (( )) __ ++ ~~"),
+        (12L, "src0", "the data table holds the value rows and the key columns")))
+      val batch = EventStreams.ingestGateBatch(spark, batchDir).collect()
+        .map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(batch == a2, s"nightly verdicts must equal the batch analog: $batch vs $a2")
+    }
+  }
+
   test("incremental probe checkpoint restart: re-dropped docs never re-emit claimed pairs") {
     val sp = spark
     import sp.implicits._
