@@ -217,6 +217,15 @@ object Pipeline {
     pack(s, dir, PackBlock,
       graft.functions.BpeExpressions.bpeCount(col("text"), TextOps.trainedMerges(s, dir)))
 
+  /** [[packTrained]] at PRODUCTION merge count: the pack budget from the
+    * registry-persisted 256-rule batched-trainer table — with the k=8
+    * chain this completes the replacement of the toy table in every
+    * trained-tokenizer consumer. Same one-scan pack; only the rank map
+    * inside the single BpeCountExpr node grows. */
+  def packTrainedBig(s: SparkSession, dir: String): DataFrame =
+    pack(s, dir, PackBlock,
+      graft.functions.BpeExpressions.bpeCount(col("text"), TextOps.trainedMergesBig(s, dir)))
+
   /** Output shard fan-out for the balanced-shard writer. */
   val NumShards = 16
 
@@ -635,6 +644,7 @@ object Pipeline {
     "pipeline_pack" -> ((s: SparkSession, dir: String) => pack(s, dir)),
     "pipeline_pack_bpe" -> (packBpe _),
     "pipeline_pack_trained" -> (packTrained _),
+    "pipeline_pack_trained_256" -> (packTrainedBig _),
     "pipeline_shard" -> ((s: SparkSession, dir: String) => shard(s, dir)),
     "pipeline_sample_weighted" -> (sampleWeighted _),
     "pipeline_sample_stratified" -> (sampleStratified _),
@@ -694,6 +704,15 @@ object Pipeline {
       // Spark side but the raw corpus
       packOracleSql("n_tok", from = "dtok",
         prefix = s"WITH ${TextOps.bpeTrainedWordCtes}, " +
+          "dtok AS (SELECT doc_id, source, CAST(coalesce(list_sum(list_transform(" +
+          "list_filter(string_split(text, ' '), w -> length(w) > 0), " +
+          s"w -> len(string_split(${TextOps.bpeTrainedTokensSql("w")}, ' ')))), 0) AS BIGINT) AS n_tok " +
+          "FROM documents CROSS JOIN wm) "),
+    "pipeline_pack_trained_256" ->
+      // same pack cumsum over the RECURSIVE trainer replay's word map —
+      // the k-parametric backbone, not the unrolled k=8 CTEs
+      packOracleSql("n_tok", from = "dtok",
+        prefix = s"WITH RECURSIVE ${TextOps.bpeTrainedBigWordCtes}, " +
           "dtok AS (SELECT doc_id, source, CAST(coalesce(list_sum(list_transform(" +
           "list_filter(string_split(text, ' '), w -> length(w) > 0), " +
           s"w -> len(string_split(${TextOps.bpeTrainedTokensSql("w")}, ' ')))), 0) AS BIGINT) AS n_tok " +

@@ -578,19 +578,28 @@ object TextOps {
     * with the per-word merge application a `list_reduce` fold over the
     * learned rule list instead of an unrolled CTE chain. End-to-end
     * train→encode parity at production k with zero shared constants. */
-  private lazy val bpeTrainedIdsBigSql: String = {
+  /** Recursive training replay + the list_reduce word-merge application,
+    * ending in `wm` (word → fully-merged boundary-wrapped symbol string)
+    * — the shared backbone of every PRODUCTION-count trained-tokenizer
+    * oracle (`text_bpe_trained_ids_256`, `pipeline_pack_trained_256`);
+    * the k-parametric twin of [[bpeTrainedWordCtes]]. Callers must
+    * prefix WITH RECURSIVE. */
+  private[operators] lazy val bpeTrainedBigWordCtes: String = {
     val o = BpeOpen; val c = BpeClose
     val lhsOf = "split_part(m, chr(1), 1)"
     val rhsOf = "split_part(m, chr(1), 2)"
-    val words =
+    s"${bpeTrainBatchedCtes(BpeTrainMergesBig, BpeTrainBatch)}, " +
       "mtl AS (SELECT coalesce(list(lhs || chr(1) || rhs ORDER BY rank), []) AS ml FROM mt), " +
-        s"u AS (SELECT w, list_reduce(list_prepend(regexp_replace(w, '(?s)(.)', '$o\\1$c', 'g'), " +
-        "(SELECT ml FROM mtl)), (s0, m) -> " +
-        s"replace(s0, '$o' || $lhsOf || '$c$o' || $rhsOf || '$c', " +
-        s"'$o' || $lhsOf || $rhsOf || '$c')) AS s " +
-        "FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents) " +
-        "WHERE length(w) > 0), " +
-        "wm AS (SELECT map(list(w), list(s)) AS m FROM u)"
+      s"u AS (SELECT w, list_reduce(list_prepend(regexp_replace(w, '(?s)(.)', '$o\\1$c', 'g'), " +
+      "(SELECT ml FROM mtl)), (s0, m) -> " +
+      s"replace(s0, '$o' || $lhsOf || '$c$o' || $rhsOf || '$c', " +
+      s"'$o' || $lhsOf || $rhsOf || '$c')) AS s " +
+      "FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents) " +
+      "WHERE length(w) > 0), " +
+      "wm AS (SELECT map(list(w), list(s)) AS m FROM u)"
+  }
+
+  private lazy val bpeTrainedIdsBigSql: String = {
     val vocab =
       "c AS (SELECT DISTINCT unnest(list_transform(generate_series(1, length(ns)), " +
         "i -> substr(ns, i, 1))) AS token FROM (SELECT replace(text, ' ', '') AS ns FROM documents)), " +
@@ -607,8 +616,7 @@ object TextOps {
         s"w -> array_to_string(list_transform(string_split(${bpeTrainedTokensSql("w")}, ' '), " +
         "t -> CAST(em.m[t][1] AS VARCHAR)), ' ')), ' ') AS token_ids " +
         "FROM documents CROSS JOIN wm CROSS JOIN em)"
-    s"WITH RECURSIVE ${bpeTrainBatchedCtes(BpeTrainMergesBig, BpeTrainBatch)}, " +
-      s"$words, $vocab, $enc " +
+    s"WITH RECURSIVE $bpeTrainedBigWordCtes, $vocab, $enc " +
       "SELECT doc_id, token_ids, CASE WHEN token_ids = '' THEN 0 " +
       "ELSE CAST(len(string_split(token_ids, ' ')) AS INT) END AS n_tokens FROM e"
   }

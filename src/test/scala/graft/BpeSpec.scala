@@ -212,6 +212,15 @@ class BpeSpec extends SparkSpec {
         .agg(sum(col("n_tokens"))).head.getLong(0)
       assert(packed == ids, s"pack total $packed != id-stream total $ids")
       assert(packed > 0)
+      // the production-count chain conserves its own (different) budget
+      val packedBig = graft.operators.Pipeline.packTrainedBig(spark, sf)
+        .agg(sum(col("n_tokens"))).head.getLong(0)
+      val idsBig = TextOps.bpeTrainedIdsBig(spark, sf)
+        .agg(sum(col("n_tokens"))).head.getLong(0)
+      assert(packedBig == idsBig, s"256 pack total $packedBig != id-stream total $idsBig")
+      // more merges -> strictly fewer tokens on this corpus (89 > 8 rules)
+      assert(packedBig < packed,
+        s"the 256-cap table must compress beyond the k=8 toy: $packedBig >= $packed")
     }
   }
 
