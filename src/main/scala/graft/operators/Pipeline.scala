@@ -507,16 +507,33 @@ object Pipeline {
     val shares = mixTemperature(s, dir).select(col("source"), col("share6"))
     val keyed = ranked.join(broadcast(shares), Seq("source"))
       .withColumn("key", expr("((r + 1) * 1000000000) DIV greatest(share6, 1)"))
-      .withColumn("kblk", expr("key DIV 1000000000"))
+    keyBlockPos(keyed, Seq(col("source"), col("r")), "interleave_pos")
+      .select(col("doc_id"), col("source"), col("r"), col("interleave_pos"))
+  }
+
+  /** The priority-key global rank shared by [[interleave]] and
+    * [[buildOrdered]]: a dense 0-based position ordered by
+    * (key, ties...) with NO global sort. The key domain truncation-divides
+    * into 1e9-wide blocks (monotone, so block order refines key order and
+    * — keys being (r+1)·1e9 DIV share6 — a block holds at most
+    * Σ_sources share6 ≤ |sources|·1e6 rows, bounded at any corpus size);
+    * level 1 cumulates the block HISTOGRAM (aggregated rows, one per
+    * non-empty block), level 2 ranks within a block on the window's own
+    * partitioning. Input must carry a long `key` column; internals
+    * (kblk/lrn/off) are dropped on the way out. */
+  private[graft] def keyBlockPos(df: DataFrame, ties: Seq[Column],
+      posName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.withColumn("kblk", expr("key DIV 1000000000"))
     val wKblk = Window.orderBy(col("kblk")).rowsBetween(Window.unboundedPreceding, -1)
-    val offs2 = keyed.groupBy("kblk").agg(count(lit(1)).as("cnt"))
+    val offs = keyed.groupBy("kblk").agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(sum(col("cnt")).over(wKblk), lit(0L)))
       .select(col("kblk"), col("off"))
-    val wKey = Window.partitionBy(col("kblk")).orderBy(col("key"), col("source"), col("r"))
+    val wKey = Window.partitionBy(col("kblk")).orderBy(col("key") +: ties: _*)
     keyed.withColumn("lrn", row_number().over(wKey).cast("long"))
-      .join(offs2, Seq("kblk"))
-      .select(col("doc_id"), col("source"), col("r"),
-        (col("off") + col("lrn") - 1).as("interleave_pos"))
+      .join(offs, Seq("kblk"))
+      .withColumn(posName, col("off") + col("lrn") - 1)
+      .drop("kblk", "lrn", "off")
   }
 
   /** The END-TO-END dataset build — every curation stage composed into the

@@ -1244,14 +1244,27 @@ object TextOps {
 
   private def qualityModelWith(d: DataFrame, ppl: DataFrame): DataFrame = {
     def q4(c: Column): Column = floor(c * 1e4 + 0.5).cast("long")
-    // ONE text scan: every non-LM term of the logit is the per-row
-    // [[logitBaseCol]] (bit-identical to the former
-    // qualityOf⋈repetitionOf feature-join formulation — the stream/batch
-    // parity spec pins it per document), so only the LM surprise relation
-    // joins. Was three documents scans + two doc_id shuffles; at 100 TB
-    // those were the cost, not the arithmetic.
-    val logit8 = col("base") + lit(QmNll) * coalesce(q4(col("avg_nll")), lit(0L))
-    d.select(col("doc_id"), logitBaseCol.as("base"))
+    // Deliberately the FEATURE-JOIN form, not one fused [[logitBaseCol]]
+    // projection: the fused expression falls out of whole-stage codegen
+    // (HOF-heavy) and interpreted eval gets no common-subexpression
+    // elimination, so "one scan" measured 2x SLOWER end-to-end than the
+    // three smaller projections (7.1-8.9 s vs 3.7 s for the calibrated
+    // gate at sf0.1 — profiled, not guessed; tools/ProfileQuality). The
+    // stream transform keeps logitBaseCol where a single per-row column
+    // is structurally required, with the per-doc parity spec pinning the
+    // two formulations equal.
+    val logit8 =
+      lit(QmBias) * lit(10000L) +
+        lit(QmStop) * q4(col("stopword_ratio")) +
+        lit(QmRepUni) * q4(col("repetition_ratio")) +
+        lit(QmPunct) * q4(col("punct_ratio")) +
+        lit(QmRep3) * q4(col("rep_ratio")) +
+        lit(QmNll) * coalesce(q4(col("avg_nll")), lit(0L)) +
+        lit(QmLenPerTok) * least(col("n_tokens"), lit(QmLenCap)).cast("long") * lit(10000L)
+    qualityOf(d)
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
+        col("repetition_ratio"), col("punct_ratio"))
+      .join(repetitionOf(d).select(col("doc_id"), col("rep_ratio")), Seq("doc_id"))
       .join(ppl.select(col("doc_id"), col("avg_nll")), Seq("doc_id"), "left")
       .select(col("doc_id"), logit8.as("logit8"),
         // logit8 < 2^53, so the double is exact; /1e8 rounds identically
