@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Train-once registry for the ANN model relations (the IVF coarse
@@ -22,12 +22,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Artifact root: `$SPARK_GRAFT_MODEL_DIR` when set (the cross-run
   * deployment store), else a per-application temp directory (hermetic
-  * for tests/verify runs). Artifacts key on the dataset dir, the
-  * training constants, AND a freshness fingerprint of the backing
-  * table's files, so neither a constant bump nor an in-place corpus
-  * mutation can ever serve a stale model out of a long-lived store.
-  * All path probes go through the Hadoop FileSystem for the path's
-  * scheme — an object-store root works the same as a local one.
+  * for tests/verify runs). Artifact names key on the dataset dir and the
+  * training constants ONLY — stable across corpus edits — while a
+  * freshness fingerprint of the backing table's files is stored INSIDE
+  * the artifact (the `_GRAFT_COMPLETE` marker, written last). A probe
+  * serves the artifact only when the marker exists AND its fingerprint
+  * matches the corpus's current one, so neither a constant bump nor an
+  * in-place corpus mutation serves a stale model, and a retrain
+  * OVERWRITES the same key instead of orphaning the old artifact — a
+  * long-lived store holds at most one copy per (dataset, constants)
+  * regardless of how often the corpus mutates (ADVICE r10). All path
+  * probes go through the Hadoop FileSystem for the path's scheme — an
+  * object-store root works the same as a local one.
   */
 object AnnModels {
 
@@ -59,9 +65,9 @@ object AnnModels {
 
   /** The trained IVF coarse quantizer (cent_id, cent_emb) for `dir`. */
   def ivfCentroids(s: SparkSession, dir: String): DataFrame =
-    ensure(s, key(s, dir, "ivf", table = "embeddings",
+    ensure(s, dir, "ivf", table = "embeddings",
         params =
-        s"i=${Similarity.KMeansIters},m=${Similarity.TrainMod},k=${Similarity.NumCentroids}")) {
+        s"i=${Similarity.KMeansIters},m=${Similarity.TrainMod},k=${Similarity.NumCentroids}") {
       ivfTrains += 1
       Similarity.trainIvfCentroids(s, dir,
         Similarity.KMeansIters, Similarity.TrainMod, Similarity.NumCentroids)
@@ -69,9 +75,9 @@ object AnnModels {
 
   /** The trained PQ codebook (m, cent_id, cent) for `dir`. */
   def pqCodebook(s: SparkSession, dir: String): DataFrame =
-    ensure(s, key(s, dir, "pq", table = "embeddings",
+    ensure(s, dir, "pq", table = "embeddings",
         params =
-        s"i=${Similarity.PqIters},m=${Similarity.TrainMod},k=${Similarity.PqCentroids},s=${Similarity.PqSubspaces}x${Similarity.PqSubDims}")) {
+        s"i=${Similarity.PqIters},m=${Similarity.TrainMod},k=${Similarity.PqCentroids},s=${Similarity.PqSubspaces}x${Similarity.PqSubDims}") {
       pqTrains += 1
       Similarity.trainPqCodebook(s, dir)
     }
@@ -82,24 +88,26 @@ object AnnModels {
     * `text_quality_model` and `pipeline_curate_model` all read the
     * artifact instead of re-counting the corpus (CCNet's deployment shape:
     * the LM trains once and serves the filter for months). Counts are
-    * exact integers, so artifact-served scores are bit-identical. */
+    * exact integers, so artifact-served scores are bit-identical. All
+    * three relations live under ONE artifact directory gated by a single
+    * marker, so a partially-written trio can never serve. */
   def bigramLm(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     synchronized {
-      val names = Seq("c2", "c1", "vocab").map(k => key(s, dir, s"lm-$k", "n=2"))
-      val hconf = s.sparkContext.hadoopConfiguration
-      def ok(name: String): Boolean = {
-        val p = new Path(new Path(root(s), name), "_SUCCESS")
-        p.getFileSystem(hconf).exists(p)
-      }
-      if (!names.forall(ok)) {
+      val p = new Path(root(s), key(dir, "lm", "n=2"))
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val fp = fingerprint(s, dir, "documents")
+      val parts = Seq("c2", "c1", "vocab")
+      if (!complete(fs, p, fp)) {
         lmTrains += 1
+        fs.delete(markerPath(p), false)
         val (c2, c1, vocab) = TextOps.trainBigramLmOf(
           graft.sources.Tables.load(s, dir, "documents"))
-        Seq(c2, c1, vocab).zip(names).foreach { case (df, name) =>
-          df.write.mode("overwrite").parquet(new Path(root(s), name).toString)
+        Seq(c2, c1, vocab).zip(parts).foreach { case (df, part) =>
+          df.coalesce(1).write.mode("overwrite").parquet(new Path(p, part).toString)
         }
+        commitIfFresh(s, fs, p, fp, dir, "documents")
       }
-      val dfs = names.map(n => s.read.parquet(new Path(root(s), n).toString))
+      val dfs = parts.map(part => s.read.parquet(new Path(p, part).toString))
       (dfs(0), dfs(1), dfs(2))
     }
 
@@ -109,7 +117,7 @@ object AnnModels {
     * `TextOps.trainLangidCentroids`), so artifact-served scoring is
     * bit-identical to inline. */
   def langidCentroids(s: SparkSession, dir: String): DataFrame =
-    ensure(s, key(s, dir, "langid", s"b=${TextOps.LangidBuckets},half=even")) {
+    ensure(s, dir, "langid", s"b=${TextOps.LangidBuckets},half=even") {
       langidTrains += 1
       TextOps.trainLangidCentroids(graft.sources.Tables.load(s, dir, "documents"))
     }
@@ -121,7 +129,7 @@ object AnnModels {
     * deterministic (count argmax with lexical tie-break), so the artifact
     * is bit-identical to an inline train and the oracle can replay it. */
   def bpeMergeTable(s: SparkSession, dir: String): DataFrame =
-    ensure(s, key(s, dir, "bpe", s"k=${TextOps.BpeTrainMerges}")) {
+    ensure(s, dir, "bpe", s"k=${TextOps.BpeTrainMerges}") {
       bpeTrains += 1
       TextOps.bpeTrain(s, dir)
     }
@@ -132,8 +140,8 @@ object AnnModels {
     * `text_bpe_trained_ids_256` chain. Keyed on (k, batch) so the k=8
     * artifact and this one can never shadow each other. */
   def bpeMergeTableBig(s: SparkSession, dir: String): DataFrame =
-    ensure(s, key(s, dir, "bpebig",
-        s"k=${TextOps.BpeTrainMergesBig},b=${TextOps.BpeTrainBatch}")) {
+    ensure(s, dir, "bpebig",
+        s"k=${TextOps.BpeTrainMergesBig},b=${TextOps.BpeTrainBatch}") {
       bpeBigTrains += 1
       TextOps.bpeTrainBig(s, dir)
     }
@@ -144,8 +152,8 @@ object AnnModels {
     * Integer-exact training, so artifact-served scoring is bit-identical
     * to inline and the oracle can replay the fit from the raw corpus. */
   def qualityCentroids(s: SparkSession, dir: String): DataFrame =
-    ensure(s, key(s, dir, "qualcent",
-        s"feat=${TextOps.QualityFeatNames.size},half=even,cap=${TextOps.QmLenCap}")) {
+    ensure(s, dir, "qualcent",
+        s"feat=${TextOps.QualityFeatNames.size},half=even,cap=${TextOps.QmLenCap}") {
       qualityTrains += 1
       TextOps.trainQualityCentroids(s, dir)
     }
@@ -157,36 +165,45 @@ object AnnModels {
     * This is the admission-control deployment shape: the corpus trains
     * the model ONCE, the artifacts serve every ingest batch / stream as
     * static join sides (the lshIndex pattern applied to quality gating).
-    * Threshold is NULL when the corpus is empty (no corpus = no bar). */
+    * Threshold is NULL when the corpus is empty (no corpus = no bar).
+    *
+    * Consistency (ADVICE r10): all four relations train from ONE
+    * localCheckpointed corpus snapshot (a concurrent corpus edit cannot
+    * produce an LM from one state and a threshold from another), live
+    * under ONE artifact directory, and the completion marker is written
+    * LAST — and only if the corpus fingerprint is still the one the
+    * snapshot was taken under. A mid-train mutation therefore leaves the
+    * artifact unmarked and the next access retrains. */
   def ingestGate(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
     synchronized {
-      val names = Seq("c2", "c1", "vocab", "thr")
-        .map(k => key(s, dir, s"ig-$k", "n=2,keep=half,excl=src0"))
-      val hconf = s.sparkContext.hadoopConfiguration
-      def ok(name: String): Boolean = {
-        val p = new Path(new Path(root(s), name), "_SUCCESS")
-        p.getFileSystem(hconf).exists(p)
-      }
-      if (!names.forall(ok)) {
+      val p = new Path(root(s), key(dir, "ig", "n=2,keep=half,excl=src0"))
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val fp = fingerprint(s, dir, "documents")
+      val parts = Seq("c2", "c1", "vocab", "thr")
+      if (!complete(fs, p, fp)) {
         ingestGateTrains += 1
+        fs.delete(markerPath(p), false)
+        // ONE materialized corpus snapshot feeds every relation below
         val corpus = graft.sources.Tables.load(s, dir, "documents")
           .filter(org.apache.spark.sql.functions.col("source") =!= "src0")
+          .localCheckpoint()
         val (c2, c1, vocab) = TextOps.trainBigramLmOf(corpus)
         // thr derives from the LM relations; materialize them first so the
         // threshold pass reads the persisted LM instead of recounting
-        Seq(c2, c1, vocab).zip(names.take(3)).foreach { case (df, name) =>
-          df.coalesce(1).write.mode("overwrite").parquet(new Path(root(s), name).toString)
+        Seq(c2, c1, vocab).zip(parts.take(3)).foreach { case (df, part) =>
+          df.coalesce(1).write.mode("overwrite").parquet(new Path(p, part).toString)
         }
-        val lm = names.take(3).map(n => s.read.parquet(new Path(root(s), n).toString))
+        val lm = parts.take(3).map(part => s.read.parquet(new Path(p, part).toString))
         // the logits subtree feeds the census, the count AND the threshold
         // join — materialize the (doc_id, logit8) pairs once (16 B/row)
         val thr = TextOps.calibratedThresholdOf(
           TextOps.ingestLogits(corpus, lm(0), lm(1), lm(2)).localCheckpoint())
         thr.coalesce(1).write.mode("overwrite")
-          .parquet(new Path(root(s), names(3)).toString)
+          .parquet(new Path(p, parts(3)).toString)
+        commitIfFresh(s, fs, p, fp, dir, "documents")
       }
-      val dfs = names.map(n => s.read.parquet(new Path(root(s), n).toString))
+      val dfs = parts.map(part => s.read.parquet(new Path(p, part).toString))
       (dfs(0), dfs(1), dfs(2), dfs(3))
     }
 
@@ -197,25 +214,35 @@ object AnnModels {
     * source except `src0`, the ingest-batch convention the incremental
     * family established. Unlike the model artifacts this relation is
     * corpus-signature-sized, so it keeps its natural partitioning (no
-    * single-file coalesce). */
+    * single-file coalesce) — and the stable key matters most here: a
+    * nightly corpus edit re-uses the same store slot instead of
+    * accumulating one full index copy per edit. */
   def lshIndex(s: SparkSession, dir: String): DataFrame =
-    ensure(s, key(s, dir, "lshidx",
-        s"p=${Dedup.MinhashPerms},n=${Dedup.ShingleN},excl=src0"), coalesce1 = false) {
+    ensure(s, dir, "lshidx",
+        s"p=${Dedup.MinhashPerms},n=${Dedup.ShingleN},excl=src0", coalesce1 = false) {
       lshIndexBuilds += 1
       Dedup.lshIndexOf(graft.sources.Tables.load(s, dir, "documents")
         .filter(org.apache.spark.sql.functions.col("source") =!= "src0"))
     }
 
   /** Corpus-freshness fingerprint of the table backing an artifact: the
-    * sorted (name, length, mtime) triples of every file under
-    * `dir/table.parquet`, hashed. One `listStatus` per artifact access —
-    * no data scan — and any in-place mutation of the corpus (appended
-    * part file, rewritten file, touched bytes) changes it, so a stale
-    * model/index can never be served silently against a corpus edited at
-    * the same path. This matters most for the LSH index: without it,
-    * `dedup_incremental_lsh` and the streaming ingest probe would miss
-    * every corpus document added after index build — silent wrong
-    * answers, not just staleness. A missing table fingerprints as
+    * sorted (relative path, length, mtime) triples of every file under
+    * `dir/table.parquet`, RECURSIVELY (a partitioned/nested layout's leaf
+    * files under `key=value/` subdirectories are fingerprinted too —
+    * ADVICE r10), hashed into the completion marker. One recursive
+    * listing per artifact access — no data scan — and any in-place
+    * mutation of the corpus (appended part file, rewritten file, renamed
+    * subdirectory, touched bytes) changes it, so a stale model/index is
+    * not served against a corpus edited at the same path. This matters
+    * most for the LSH index: without it, `dedup_incremental_lsh` and the
+    * streaming ingest probe would miss every corpus document added after
+    * index build — silent wrong answers, not just staleness.
+    *
+    * Granularity caveat: a rewrite that preserves every file's relative
+    * path AND byte length within one filesystem mtime tick (1 ms on
+    * HDFS/local, 1 s on some object stores) is below this fingerprint's
+    * resolution — the standard mtime-based cache-validity trade, same as
+    * Spark's own FileStreamSource. A missing table fingerprints as
     * "absent" (the training query will surface the real error). */
   private def fingerprint(s: SparkSession, dir: String, table: String): String = {
     val p = new Path(dir, s"$table.parquet")
@@ -223,37 +250,80 @@ object AnnModels {
     if (!fs.exists(p)) "absent"
     else {
       val st = fs.getFileStatus(p)
-      val files =
-        if (st.isDirectory)
-          fs.listStatus(p).filter(_.isFile).map(f =>
-            s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-        else Array(s"${p.getName}:${st.getLen}:${st.getModificationTime}")
-      files.sorted.mkString("|")
+      if (st.isDirectory) {
+        val base = p.toUri.getPath
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next()
+          val rel = f.getPath.toUri.getPath.stripPrefix(base)
+          buf += s"$rel:${f.getLen}:${f.getModificationTime}"
+        }
+        buf.sorted.mkString("|")
+      } else s"${p.getName}:${st.getLen}:${st.getModificationTime}"
     }
   }
 
-  private def key(s: SparkSession, dir: String, kind: String, params: String,
-      table: String = "documents"): String = {
+  /** Stable artifact name: (dataset dir, training constants) only — the
+    * corpus fingerprint deliberately stays OUT of the name (it lives in
+    * the completion marker) so retraining overwrites in place. */
+  private def key(dir: String, kind: String, params: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"$dir|$params|${fingerprint(s, dir, table)}".getBytes("UTF-8"))
+    val h = md.digest(s"$dir|$params".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     s"$kind-$h"
   }
 
-  /** Serve `name` from the artifact store, training (and persisting)
-    * only when the artifact does not exist. The existence probe requires
-    * the committer's _SUCCESS marker, so a torn write never serves. */
-  private def ensure(s: SparkSession, name: String, coalesce1: Boolean = true)
+  private def markerPath(p: Path) = new Path(p, "_GRAFT_COMPLETE")
+
+  /** An artifact serves iff its marker exists and records the corpus's
+    * CURRENT fingerprint. The marker is written last (after every
+    * relation's parquet commit), so it also subsumes the torn-write
+    * guard the per-directory _SUCCESS probe used to provide. */
+  private def complete(fs: FileSystem, p: Path, fp: String): Boolean = {
+    val m = markerPath(p)
+    fs.exists(m) && {
+      val in = fs.open(m)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, "UTF-8") == fp
+      } finally in.close()
+    }
+  }
+
+  /** Mark the artifact complete — but only if the corpus still
+    * fingerprints as it did when training started. A mid-train corpus
+    * mutation leaves the artifact unmarked, so the next access retrains
+    * against the new state instead of serving a mixed one. */
+  private def commitIfFresh(s: SparkSession, fs: FileSystem, p: Path,
+      fp: String, dir: String, table: String): Unit =
+    if (fingerprint(s, dir, table) == fp) {
+      val out = fs.create(markerPath(p), true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+    }
+
+  /** Serve the (dir, kind, params) artifact from the store, training
+    * (and persisting) only when no fresh artifact exists. Retraining
+    * overwrites the same stable key — the store never accumulates
+    * per-corpus-edit copies. */
+  private def ensure(s: SparkSession, dir: String, kind: String, params: String,
+      table: String = "documents", coalesce1: Boolean = true)
       (train: => DataFrame): DataFrame =
     synchronized {
-      val p = new Path(root(s), name)
+      val p = new Path(root(s), key(dir, kind, params))
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new Path(p, "_SUCCESS"))) {
+      val fp = fingerprint(s, dir, table)
+      if (!complete(fs, p, fp)) {
+        fs.delete(markerPath(p), false)
         // A model is a handful of rows; one file keeps the artifact tidy.
         // Corpus-sized artifacts (the LSH index) keep their partitioning.
         val out = train
         (if (coalesce1) out.coalesce(1) else out)
           .write.mode("overwrite").parquet(p.toString)
+        commitIfFresh(s, fs, p, fp, dir, table)
       }
       s.read.parquet(p.toString)
     }

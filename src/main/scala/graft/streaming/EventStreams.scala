@@ -558,6 +558,7 @@ object EventStreams {
     * spec drives two drops across two steps). */
   def runIncrementalLshStep(s: SparkSession, indexDir: String, dropDir: String,
       checkpoint: String, outPath: String, glob: String = "*.parquet"): Unit = {
+    if (!hasDrops(s, dropDir, glob)) return // no drops tonight — no-op, not a crash
     val index = graft.operators.AnnModels.lshIndex(s, indexDir)
     val rawSchema = s.read.option("pathGlobFilter", glob).parquet(dropDir).schema
     val stream = s.readStream.schema(rawSchema).option("pathGlobFilter", glob)
@@ -651,27 +652,54 @@ object EventStreams {
     * nightly for years stays file-list-sized. A re-dropped file is never
     * re-scored; a re-dropped document in a NEW file scores again (each
     * drop is its own admission decision — admission is per-arrival, not
-    * per-identity; the dedup family owns identity). */
+    * per-identity; the dedup family owns identity).
+    *
+    * Sink idempotency (ADVICE r10): foreachBatch is at-least-once — a
+    * crash between the sink write and the checkpoint commit replays the
+    * micro-batch on restart. Verdicts therefore land in a
+    * `batch=<batchId>` partition under dynamic partition overwrite: a
+    * replayed batch OVERWRITES its own partition instead of appending a
+    * second copy, making the sink exactly-once end to end. The partition
+    * column doubles as provenance (which nightly trigger scored a doc).
+    * A missing or drop-free `dropDir` is a no-op, not a crash. */
   def runIngestGateStep(s: SparkSession, corpusDir: String, dropDir: String,
       checkpoint: String, outPath: String, glob: String = "*.parquet"): Unit = {
+    if (!hasDrops(s, dropDir, glob)) return // no drops tonight — no-op, not a crash
     val (c2, c1, vocab, thr) = graft.operators.AnnModels.ingestGate(s, corpusDir)
     val rawSchema = s.read.option("pathGlobFilter", glob).parquet(dropDir).schema
     val stream = s.readStream.schema(rawSchema).option("pathGlobFilter", glob)
       .parquet(dropDir)
     val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.TextOps
           .ingestLogits(batch.filter(col("source") === "src0"), c2, c1, vocab)
           .crossJoin(broadcast(thr))
           .select(col("doc_id"), col("logit8"),
-            when(col("thr").isNull || col("logit8") >= col("thr"), 1).otherwise(0).as("admit"))
-          .write.mode("append").parquet(outPath)
+            when(col("thr").isNull || col("logit8") >= col("thr"), 1).otherwise(0).as("admit"),
+            lit(batchId).as("batch"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch")
+          .parquet(outPath)
         ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** True iff `dropDir` exists and holds at least one file matching
+    * `glob` — the nightly steps' pre-flight (a night with no drops must
+    * no-op, not throw from the schema probe; ADVICE r10). One globStatus,
+    * no data scan. */
+  private def hasDrops(s: SparkSession, dropDir: String, glob: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dropDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val m = fs.globStatus(new org.apache.hadoop.fs.Path(p, glob))
+      m != null && m.nonEmpty
+    }
   }
 
   def startIngestGateStream(s: SparkSession, dir: String, name: String): StreamingQuery = {

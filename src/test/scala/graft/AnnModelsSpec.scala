@@ -193,6 +193,122 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("nested partitioned corpus layout: an in-place partition rewrite invalidates") {
+    val sp = spark
+    import sp.implicits._
+    // documents.parquet as a PARTITIONED directory — leaf files live under
+    // source=*/ subdirectories. A non-recursive fingerprint (ADVICE r10)
+    // sees only the top-level entries and misses a nested rewrite.
+    val base = java.nio.file.Files.createTempDirectory("graft-nested").toString
+    val dir = s"$base/corpus"
+    val table = s"$dir/documents.parquet"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (1L, "srcA", "unrelated corpus filler content nine ten eleven twelve"),
+      (10L, "src0", shared))
+      .toDF("doc_id", "source", "text")
+      .write.partitionBy("source").mode("overwrite").parquet(table)
+    AnnModels.withRoot(freshRoot("nested")) {
+      val b0 = AnnModels.lshIndexBuilds
+      val first = graft.streaming.EventStreams.incrementalVsIndex(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(first == Set((10L, 0L, 1)), s"no corpus copy of the probe text yet: $first")
+      assert(AnnModels.lshIndexBuilds == b0 + 1)
+      // mutate ONE nested partition in place: a leaf file with a copy of
+      // the shared text lands under source=srcA/ WITHOUT any top-level
+      // file changing (the directory entry itself is not a file, so the
+      // old non-recursive (name,len,mtime) listing fingerprints this
+      // layout identically before and after)
+      val tmp = s"$base/leaf"
+      Seq((5L, shared)).toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val leaf = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.move(leaf.toPath,
+        java.nio.file.Paths.get(table, "source=srcA", "part-backfill.parquet"))
+      val second = graft.streaming.EventStreams.incrementalVsIndex(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(AnnModels.lshIndexBuilds == b0 + 2,
+        "a nested partition rewrite must invalidate the persisted index")
+      assert(second == Set((10L, 1L, 0)),
+        s"retrained index must surface the rewritten partition's doc: $second")
+    }
+  }
+
+  test("stable keys: corpus mutations overwrite artifacts in place, never orphan them") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-gc").toString
+    val dir = s"$base/corpus"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def writeDocs(rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = s"$base/tmp"
+      rows.toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, "documents.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val root = freshRoot("gc")
+    AnnModels.withRoot(root) {
+      writeDocs(Seq(
+        (1L, "srcA", "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (10L, "src0", "probe text one two three four five six seven eight")))
+      graft.streaming.EventStreams.incrementalVsIndex(spark, dir).collect()
+      def artifacts(): Set[String] =
+        new java.io.File(root).listFiles().map(_.getName).toSet
+      val a1 = artifacts()
+      assert(a1.exists(_.startsWith("lshidx-")), s"index artifact persisted: $a1")
+      // three successive corpus edits: a fingerprint-keyed store would now
+      // hold three full index copies (ADVICE r10 unbounded growth)
+      for (i <- 2 to 4) {
+        writeDocs(Seq(
+          (1L, "srcA", "alpha beta gamma delta epsilon zeta eta theta iota"),
+          (i.toLong, "srcB", s"edit number $i adds this corpus document"),
+          (10L, "src0", "probe text one two three four five six seven eight")))
+        graft.streaming.EventStreams.incrementalVsIndex(spark, dir).collect()
+      }
+      assert(artifacts() == a1,
+        s"retrains must reuse the same store slots: ${artifacts().diff(a1)} appeared")
+    }
+  }
+
+  test("completion marker gates the artifact: no marker, no serve") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-marker").toString
+    val dir = s"$base/corpus"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    Seq((1L, "srcA", "the quick brown fox jumps over the lazy dog again"),
+        (10L, "src0", "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "source", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val root = freshRoot("marker")
+    AnnModels.withRoot(root) {
+      val t0 = AnnModels.ingestGateTrains
+      val first = rows(graft.streaming.EventStreams.ingestGateBatch(spark, dir))
+      assert(AnnModels.ingestGateTrains == t0 + 1)
+      // simulate a crash after the relations were written but before the
+      // completion marker: a partially-committed artifact must retrain,
+      // never serve (the mixed-state guard — ADVICE r10 atomicity)
+      val ig = new java.io.File(root).listFiles().find(_.getName.startsWith("ig-")).get
+      val marker = new java.io.File(ig, "_GRAFT_COMPLETE")
+      assert(marker.exists(), "training must leave a completion marker")
+      assert(marker.delete())
+      val second = rows(graft.streaming.EventStreams.ingestGateBatch(spark, dir))
+      assert(AnnModels.ingestGateTrains == t0 + 2,
+        "an unmarked artifact must retrain, not serve")
+      assert(second == first)
+      // and the four relations live under the ONE marker-gated directory
+      val parts = ig.listFiles().filter(_.isDirectory).map(_.getName).toSet
+      assert(parts == Set("c2", "c1", "vocab", "thr"),
+        s"all gate relations share one artifact directory: $parts")
+    }
+  }
+
   test("non-default training parameters bypass the artifact store") {
     AnnModels.withRoot(freshRoot("bypass")) {
       val t0 = AnnModels.ivfTrains

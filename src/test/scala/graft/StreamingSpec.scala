@@ -454,6 +454,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("nightly steps no-op on a missing or drop-free directory") {
+    val base = java.nio.file.Files.createTempDirectory("graft_nodrops").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-nodrops-models").toString
+    graft.operators.AnnModels.withRoot(root) {
+      // missing dropDir: neither step may throw or start a query
+      EventStreams.runIngestGateStep(spark, sf, s"$base/absent", s"$base/cp1", s"$base/out1")
+      EventStreams.runIncrementalLshStep(spark, sf, s"$base/absent", s"$base/cp2", s"$base/out2")
+      // existing but glob-empty dropDir (only a non-matching file)
+      val empty = s"$base/empty"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(empty))
+      java.nio.file.Files.write(java.nio.file.Paths.get(empty, "README.txt"),
+        "not a drop".getBytes)
+      EventStreams.runIngestGateStep(spark, sf, empty, s"$base/cp3", s"$base/out3")
+      assert(!new java.io.File(s"$base/out1").exists() &&
+        !new java.io.File(s"$base/out3").exists(),
+        "a no-drop night must leave no sink output")
+    }
+  }
+
+  test("ingest gate sink is idempotent: a replayed micro-batch never duplicates verdicts") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_igreplay").toString
+    val (corpusDir, dropDir, out) = (s"$base/corpus", s"$base/drops", s"$base/out")
+    def writeSingle(dir: String, fname: String, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = s"$base/tmp_$fname"
+      rows.toDF("doc_id", "source", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dir, fname))
+    }
+    writeSingle(corpusDir, "documents.parquet", Seq(
+      (1L, "srcA", "the quick brown fox jumps over the lazy dog and the cat"),
+      (2L, "srcA", "zz @@ ## !! ?? xx yy qq ww ee rr tt")))
+    writeSingle(dropDir, "d0.parquet", Seq(
+      (10L, "src0", "the quick brown fox jumps over the lazy dog and the cat"),
+      (11L, "src0", "@@ ## $$ %% ^^ && ** (( )) __ ++ ~~")))
+    val root = java.nio.file.Files.createTempDirectory("graft-igreplay-models").toString
+    graft.operators.AnnModels.withRoot(root) {
+      EventStreams.runIngestGateStep(spark, corpusDir, dropDir, s"$base/cp", out)
+      val first = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(first.map(_._1) == Set(10L, 11L), s"first pass scores the drop: $first")
+      // simulate the at-least-once window: the sink write committed but the
+      // checkpoint commit was lost (crash in between). A fresh checkpoint
+      // re-delivers the same file as the same batchId; the partitioned
+      // overwrite must replace, not append (ADVICE r10).
+      EventStreams.runIngestGateStep(spark, corpusDir, dropDir, s"$base/cp_replay", out)
+      val replayed = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(spark.read.parquet(out).count() == 2,
+        "a replayed micro-batch must overwrite its partition, not duplicate verdicts")
+      assert(replayed == first, s"replay must reproduce the same verdicts: $replayed")
+    }
+  }
+
   test("incremental probe checkpoint restart: re-dropped docs never re-emit claimed pairs") {
     val sp = spark
     import sp.implicits._
