@@ -140,7 +140,11 @@ object Scale {
       // registry-served; first-touch rows carry their one-time training)
       "text_bpe_trained_ids_256" -> (graft.operators.TextOps.bpeTrainedIdsBig _),
       "text_quality_trained" -> (graft.operators.TextOps.qualityTrained _),
-      "stream_ingest_gate" -> (graft.streaming.EventStreams.ingestGateBatch _))
+      "stream_ingest_gate" -> (graft.streaming.EventStreams.ingestGateBatch _),
+      // round 11: the ordered-dataset capstone — the calibrated manifest
+      // plus the chunk-granularity interleave rank; its extra cost over
+      // build_calibrated must stay manifest-sized (rows = corpus/2048)
+      "pipeline_build_ordered" -> (Pipeline.buildOrdered _))
 
   def main(args: Array[String]): Unit = {
     val outBase = args.headOption.getOrElse("/tmp/graft_scale")

@@ -162,7 +162,8 @@ object Pipeline {
   /** The two-level packing planner over ANY (source, doc_id, n_tok)
     * relation — `pack` feeds it the whole corpus, `build` the curated
     * survivor set. */
-  private[graft] def packOf(rel: DataFrame, packBlock: Int = PackBlock): DataFrame = {
+  private[graft] def packOf(rel: DataFrame, packBlock: Int = PackBlock,
+      baseOff: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ONE pass for the token counter: base feeds BOTH the block-local
     // cumsum and the block-subtotal offsets, and without a materialization
@@ -186,7 +187,15 @@ object Pipeline {
       .agg(sum(col("n_tok")).as("btot"))
       .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
       .select(col("source"), col("blk"), col("off"))
-    local.join(broadcast(offsets), Seq("source", "blk"))
+    // packDelta's continuation offsets: one (source, base_off) row per
+    // source — the already-packed corpus's token totals — broadcast like
+    // the level-2 offsets; absent sources start at 0 (a brand-new source)
+    val based = baseOff.fold(local) { b =>
+      local.join(broadcast(b), Seq("source"), "left")
+        .withColumn("lcum", col("lcum") + coalesce(col("base_off"), lit(0L)))
+        .drop("base_off")
+    }
+    based.join(broadcast(offsets), Seq("source", "blk"))
       .withColumn("cum", col("lcum") + col("off"))
       // chunk = which context window this doc STARTS in (integer division —
       // exact, engine-portable; docs can straddle a boundary by design in
@@ -358,6 +367,76 @@ object Pipeline {
       .agg(sum(col("copies")).as("n_emitted"))
       .select(col("source"), col("n_docs"), col("target_docs"),
         col("full_epochs"), col("n_emitted"))
+  }
+
+  /** Training-budget multiple for [[tokenBudget]]: the run plans
+    * `BudgetEpochs` × the corpus's total tokens — a multi-epoch budget, so
+    * the planner's epochs6 column exercises both the >1-pass (upsampled
+    * low-resource sources) and <1-pass (downsampled head) regimes. */
+  val BudgetEpochs = 3
+
+  /** TOKEN-space training-budget planner — [[mixTemperature]]'s tempered
+    * mixture recomputed over per-source TOKEN counts against an explicit
+    * training token budget (the data-budget table a Gopher/LLaMA-style run
+    * plans from): per source, its token total, tempered share
+    * (α = 1/2 in token space), the budget slice it receives, and the
+    * fixed-point epochs6 = millionths of a pass over the source that slice
+    * implies (epochs6 > 1e6 → the loader repeats the source; < 1e6 → it
+    * subsamples).
+    *
+    * Float discipline: one correctly-rounded IEEE sqrt per source,
+    * quantized to the 1e6 grid; everything after is integer arithmetic —
+    * the budget·share6 and target·1e6 products run through an exact
+    * quotient/remainder decomposition ((q·1e6+r)·x DIV 1e6 = q·x +
+    * r·x DIV 1e6 with half-rounding on the remainder term) so they never
+    * overflow 2^63 below ~9·10^12 tokens PER SOURCE (≈36 TB of text in one
+    * source) — documented bound, same style as mixTemperature's 10^12-doc
+    * bound. Scale: one map-side-combined groupBy over the corpus; the rest
+    * runs on the |sources|-row relation with the totals broadcast. */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val tc = graft.sources.Tables.load(s, dir, "documents")
+      .groupBy("source").agg(sum(wsTokenCount).as("n_toks"))
+    val ww = tc.withColumn("w",
+      floor(sqrt(col("n_toks").cast("double")) * 1e6 + 0.5).cast("long"))
+    val tot = ww.agg(sum(col("w")).as("tw"), sum(col("n_toks")).as("tot"))
+    ww.crossJoin(broadcast(tot))
+      .withColumn("share6", expr("(w * 1000000 + tw DIV 2) DIV greatest(tw, 1)"))
+      .withColumn("budget", expr(s"$BudgetEpochs * tot"))
+      .withColumn("target_toks", expr(
+        "(budget DIV 1000000) * share6 + ((budget % 1000000) * share6 + 500000) DIV 1000000"))
+      .withColumn("epochs6", expr(
+        "(target_toks DIV greatest(n_toks, 1)) * 1000000 + " +
+          "((target_toks % greatest(n_toks, 1)) * 1000000 + n_toks DIV 2) DIV greatest(n_toks, 1)"))
+      .select(col("source"), col("n_toks"), col("share6"),
+        col("target_toks"), col("epochs6"))
+  }
+
+  /** INCREMENTAL (delta) packing — the nightly continuation of
+    * [[pack]]'s manifest: documents with doc_id ≥ the split point (the
+    * corpus's top doc_id fifth — standing in for "tonight's appends"; the
+    * concat-and-chunk layout is append-only by construction, so new docs
+    * can only extend each source's token stream) are chunked WITHOUT
+    * re-running the cumsum over the already-packed corpus. The old corpus
+    * contributes exactly ONE aggregated row per source (its token total —
+    * a map-side-combined sum, the level-2 offset pattern one level up);
+    * the two-level prefix sum runs over the delta only. Chunk ids are
+    * bit-identical to the full pack's for every delta doc (spec + oracle:
+    * the oracle replays the full cumsum and filters), so a nightly
+    * deployment's manifest converges to the from-scratch one while paying
+    * O(delta + sources), not O(corpus), per night. */
+  def packDelta(s: SparkSession, dir: String, packBlock: Int = PackBlock): DataFrame = {
+    // one text scan: the compact (source, doc_id, n_tok) relation feeds
+    // the split point, the per-source base totals AND the delta cumsum
+    val d = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), wsTokenCount.as("n_tok"))
+      .localCheckpoint()
+    val sp = d.agg(expr("(max(doc_id) * 4) DIV 5").as("sp"))
+    val withSp = d.crossJoin(broadcast(sp))
+    val baseOff = withSp.filter(col("doc_id") < col("sp"))
+      .groupBy("source").agg(sum(col("n_tok")).as("base_off"))
+    val delta = withSp.filter(col("doc_id") >= col("sp"))
+      .select(col("source"), col("doc_id"), col("n_tok"))
+    packOf(delta, packBlock, baseOff = Some(baseOff))
   }
 
   /** Domain-mixture sampling: each source gets a deterministic keep-rate
@@ -609,6 +688,29 @@ object Pipeline {
       .join(dirty, Seq("doc_id"), "left_anti")
   }
 
+  /** The END-TO-END ORDERED dataset — the last mile a training job
+    * actually consumes (VERDICT r9 #8): [[buildCalibrated]]'s chunk
+    * manifest composed with [[interleave]]'s tempered-mixture loader order
+    * in a SINGLE output. Each manifest chunk takes the interleave priority
+    * key at CHUNK granularity — chunk_id is already the dense 0-based
+    * in-source packing rank (the pack cumsum numbers chunks consecutively
+    * per source), so key = (chunk_id+1)·1e9 DIV share6 streams source s's
+    * chunks with density ∝ its tempered share, evenly spread rather than
+    * block-concatenated, exactly as [[interleave]] does for documents.
+    * `load_pos` is the global read order via [[keyBlockPos]] — no global
+    * sort, no corpus-sized window: the rank runs over manifest rows
+    * (corpus/2048 of the document count) in bounded key blocks. Output:
+    * the manifest columns + load_pos, a dense 0-based permutation. */
+  def buildOrdered(s: SparkSession, dir: String): DataFrame = {
+    val manifest = buildCalibrated(s, dir)
+    val shares = mixTemperature(s, dir).select(col("source"), col("share6"))
+    val keyed = manifest.join(broadcast(shares), Seq("source"))
+      .withColumn("key", expr("((chunk_id + 1) * 1000000000) DIV greatest(share6, 1)"))
+    keyBlockPos(keyed, Seq(col("source"), col("chunk_id")), "load_pos")
+      .select(col("source"), col("chunk_id"), col("n_docs"), col("n_tokens"),
+        col("fill_ratio"), col("load_pos"))
+  }
+
   private[graft] def buildBaseDefault(s: SparkSession, dir: String): DataFrame =
     buildBase(s, dir,
       TextOps.qualityModel(s, dir).filter(col("model_keep") === 1).select("doc_id"))
@@ -625,8 +727,8 @@ object Pipeline {
     * flag — the same factored chains the standalone oracles run: survivor
     * labels (recursive CC), gopher flags, model gate, contamination grams,
     * then the pack cumsum over the filtered base. */
-  private def buildOracleSql(modelCte: String, modelFlag: String): String =
-    s"WITH RECURSIVE ${Dedup.survivorLabCtes}, " +
+  private def buildManifestCtes(modelCte: String, modelFlag: String): String =
+    s"${Dedup.survivorLabCtes}, " +
       s"g AS (${TextOps.gopherSql}), " +
       s"qm AS ($modelCte), " +
       s"bgrams AS (SELECT doc_id, unnest(list_distinct($shingles5Sql)) AS g5 FROM documents), " +
@@ -639,16 +741,21 @@ object Pipeline {
       "AND d.doc_id IN (SELECT DISTINCT cluster_id FROM lab) " +
       "AND d.doc_id NOT IN (SELECT doc_id FROM dirty)), " +
       "cumed AS (SELECT source, doc_id, n_tok, CAST(sum(n_tok) OVER " +
-      "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM bse) " +
-      "SELECT source, chunk_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+      "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM bse), " +
+      "manifest AS (SELECT source, chunk_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
       s"floor(CAST(sum(n_tok) AS DOUBLE) / $CtxTokens * 1000000 + 0.5) / 1000000 AS fill_ratio FROM " +
       s"(SELECT source, (cum - n_tok) // $CtxTokens AS chunk_id, n_tok FROM cumed) " +
-      "GROUP BY source, chunk_id"
+      "GROUP BY source, chunk_id)"
+
+  private def buildOracleSql(modelCte: String, modelFlag: String): String =
+    s"WITH RECURSIVE ${buildManifestCtes(modelCte, modelFlag)} " +
+      "SELECT source, chunk_id, n_docs, n_tokens, fill_ratio FROM manifest"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_build" -> (build _),
     "pipeline_build_calibrated" -> (buildCalibrated _),
     "pipeline_build_trained" -> (buildTrained _),
+    "pipeline_build_ordered" -> (buildOrdered _),
     "pipeline_interleave" -> (interleave _),
     "pipeline_curriculum" -> (curriculum _),
     "pipeline_curate" -> (curate _),
@@ -659,6 +766,8 @@ object Pipeline {
     "pipeline_decontaminate" -> (decontaminate _),
     "pipeline_decontaminate_fuzzy" -> (decontaminateFuzzy _),
     "pipeline_pack" -> ((s: SparkSession, dir: String) => pack(s, dir)),
+    "pipeline_pack_delta" -> ((s: SparkSession, dir: String) => packDelta(s, dir)),
+    "pipeline_token_budget" -> (tokenBudget _),
     "pipeline_pack_bpe" -> (packBpe _),
     "pipeline_pack_trained" -> (packTrained _),
     "pipeline_pack_trained_256" -> (packTrainedBig _),
@@ -686,12 +795,16 @@ object Pipeline {
     * tempered-mixture plan, the exact mirror of [[mixTemperatureOf]];
     * shared by the plan oracle and the manifest oracle so the tempering
     * arithmetic cannot drift. */
-  private val mixCtes: String =
-    "counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), " +
-      "ww AS (SELECT source, n_docs, CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w FROM counts), " +
-      "tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(sum(n_docs) AS BIGINT) AS tn FROM ww), " +
-      "sh AS (SELECT source, n_docs, (w * 1000000 + tw // 2) // tw AS share6, tn FROM ww CROSS JOIN tot), " +
-      "tg AS (SELECT source, n_docs, share6, (tn * share6 + 500000) // 1000000 AS target_docs FROM sh)"
+  /** `prefix` keeps these CTE names disjoint from other chains when
+    * composed (the build chain's `sh` would otherwise collide). */
+  private def mixCtesNamed(p: String): String =
+    s"${p}counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), " +
+      s"${p}ww AS (SELECT source, n_docs, CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w FROM ${p}counts), " +
+      s"${p}tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(sum(n_docs) AS BIGINT) AS tn FROM ${p}ww), " +
+      s"${p}sh AS (SELECT source, n_docs, (w * 1000000 + tw // 2) // tw AS share6, tn FROM ${p}ww CROSS JOIN ${p}tot), " +
+      s"${p}tg AS (SELECT source, n_docs, share6, (tn * share6 + 500000) // 1000000 AS target_docs FROM ${p}sh)"
+
+  private val mixCtes: String = mixCtesNamed("")
 
   private val shingles5Sql =
     "list_transform(generate_series(1, len(string_split(text, ' ')) - 4), i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))"
@@ -713,6 +826,29 @@ object Pipeline {
       Dedup.lshMatchOracle(idxPred = "doc_id < 10", batchPred = "doc_id >= 10"),
     "pipeline_pack" ->
       packOracleSql("CAST(len(string_split(text, ' ')) AS BIGINT)"),
+    "pipeline_pack_delta" ->
+      // the oracle replays the FULL cumsum and filters to the delta — the
+      // from-scratch manifest the incremental path must converge to
+      ("WITH spv AS (SELECT (max(doc_id) * 4) // 5 AS sp FROM documents), " +
+        "cumed AS (SELECT source, doc_id, n_tok, CAST(sum(n_tok) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM " +
+        "(SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents)) " +
+        "SELECT source, chunk_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+        s"floor(CAST(sum(n_tok) AS DOUBLE) / $CtxTokens * 1000000 + 0.5) / 1000000 AS fill_ratio FROM " +
+        s"(SELECT source, (cum - n_tok) // $CtxTokens AS chunk_id, n_tok " +
+        "FROM cumed CROSS JOIN spv WHERE doc_id >= sp) " +
+        "GROUP BY source, chunk_id"),
+    "pipeline_token_budget" ->
+      ("WITH tc AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks FROM documents GROUP BY source), " +
+        "tww AS (SELECT source, n_toks, CAST(floor(sqrt(CAST(n_toks AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w FROM tc), " +
+        "ttot AS (SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(sum(n_toks) AS BIGINT) AS tot FROM tww), " +
+        "tsh AS (SELECT source, n_toks, (w * 1000000 + tw // 2) // greatest(tw, 1) AS share6, " +
+        s"$BudgetEpochs * tot AS budget FROM tww CROSS JOIN ttot), " +
+        "ttg AS (SELECT source, n_toks, share6, " +
+        "(budget // 1000000) * share6 + ((budget % 1000000) * share6 + 500000) // 1000000 AS target_toks FROM tsh) " +
+        "SELECT source, n_toks, share6, target_toks, " +
+        "(target_toks // greatest(n_toks, 1)) * 1000000 + " +
+        "((target_toks % greatest(n_toks, 1)) * 1000000 + n_toks // 2) // greatest(n_toks, 1) AS epochs6 FROM ttg"),
     "pipeline_pack_bpe" ->
       packOracleSql(TextOps.bpeCountSql("text")),
     "pipeline_pack_trained" ->
@@ -756,6 +892,16 @@ object Pipeline {
       buildOracleSql(TextOps.qualityCalibratedSql, "calib_keep"),
     "pipeline_build_trained" ->
       buildOracleSql(TextOps.qualityTrainedSql, "trained_keep"),
+    "pipeline_build_ordered" ->
+      // the calibrated manifest chain + the interleave ordering, composed:
+      // chunk-granularity priority keys from the tempered mixture plan
+      (s"WITH RECURSIVE ${buildManifestCtes(TextOps.qualityCalibratedSql, "calib_keep")}, " +
+        s"${mixCtesNamed("mx")}, " +
+        "okeyed AS (SELECT m.source, m.chunk_id, m.n_docs, m.n_tokens, m.fill_ratio, " +
+        "((m.chunk_id + 1) * 1000000000) // greatest(t.share6, 1) AS key " +
+        "FROM manifest m JOIN mxtg t ON m.source = t.source) " +
+        "SELECT source, chunk_id, n_docs, n_tokens, fill_ratio, " +
+        "CAST(row_number() OVER (ORDER BY key, source, chunk_id) - 1 AS BIGINT) AS load_pos FROM okeyed"),
     "pipeline_interleave" ->
       (s"WITH $mixCtes, " +
         s"rr AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +

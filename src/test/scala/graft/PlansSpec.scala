@@ -460,6 +460,33 @@ class PlansSpec extends SparkSpec {
       s"census cumsum must partition by the value block:\n${pg.take(2000)}")
   }
 
+  test("ordered build: mixture-interleaved chunk manifest, broadcast shares, no global sort") {
+    val df = graft.operators.Pipeline.buildOrdered(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "no cartesian in the ordered build tail")
+    assert(!p.contains("rangepartitioning"),
+      "the loader order must come from the key-block rank, not a global sort")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tempered shares must broadcast onto the manifest:\n${p.take(2000)}")
+    val rows = df.collect()
+    // load_pos is a dense 0-based permutation of the manifest
+    assert(rows.map(_.getAs[Long]("load_pos")).sorted.toSeq ==
+      (0L until rows.length).toSeq, "load_pos must be a dense permutation")
+    // within a source, the loader reads chunks in packing order
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val byChunk = rs.sortBy(_.getAs[Long]("chunk_id")).map(_.getAs[Long]("load_pos"))
+      assert(byChunk.sorted.toSeq == byChunk.toSeq,
+        s"source $src chunks must stream in packing order: ${byChunk.mkString(",")}")
+    }
+    // the manifest itself is exactly the calibrated build's
+    val manifest = rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("chunk_id"),
+      r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toSet
+    val base = graft.operators.Pipeline.buildCalibrated(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toSet
+    assert(manifest == base, "ordering must not alter the manifest")
+  }
+
   test("trained-BPE id encoding is a shuffle-free scan pass") {
     // the merge table and vocab are collected at plan-build time; the
     // returned id-stream projection must be one codegen pass over the scan
