@@ -48,6 +48,7 @@ object AnnModels {
   @volatile private[graft] var qualityTrains = 0
   @volatile private[graft] var ingestGateTrains = 0
   @volatile private[graft] var lshIndexBuilds = 0
+  @volatile private[graft] var survivorBuilds = 0
 
   private var rootOverride: Option[String] = None
 
@@ -223,6 +224,23 @@ object AnnModels {
       lshIndexBuilds += 1
       Dedup.lshIndexOf(graft.sources.Tables.load(s, dir, "documents")
         .filter(org.apache.spark.sql.functions.col("source") =!= "src0"))
+    }
+
+  /** The persisted SURVIVOR LABELING (doc_id, cluster_id) — the verified
+    * near-dup CC relation (Dedup.survivorLabelsOf), the canonical-set
+    * table a dedup deployment persists nightly. The iterative CC chain
+    * (LSH candidates → Jaccard verify → min-label propagation) is the
+    * single most expensive sub-plan in the curation family and it feeds
+    * FOUR gated consumers (`dedup_survivors`, `pipeline_curate_neardup`,
+    * and the three `pipeline_build*` capstones) — serving it from the
+    * registry runs it once per corpus state instead of once per query.
+    * Corpus-sized, so it keeps its natural partitioning. */
+  def survivorLabels(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "cclab",
+        s"p=${Dedup.MinhashPerms},n=${Dedup.ShingleN},j=${Dedup.JaccardThreshold}",
+        coalesce1 = false) {
+      survivorBuilds += 1
+      Dedup.survivorLabelsOf(s, dir)
     }
 
   /** Corpus-freshness fingerprint of the table backing an artifact: the

@@ -559,7 +559,22 @@ object Dedup {
     * duplicate set always collapses to ONE survivor regardless of bucket
     * density. `clusterAssign` stays the candidate-graph view; this is the
     * verified corpus-level answer. */
-  def survivors(s: SparkSession, dir: String): DataFrame = {
+  def survivors(s: SparkSession, dir: String): DataFrame =
+    AnnModels.survivorLabels(s, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_repr"))
+      .select(col("cluster_id").as("doc_id"), col("n_repr"))
+
+  /** The verified-graph CC labeling behind [[survivors]] — (doc_id,
+    * cluster_id) for every document, edges = verified near-dup pairs ∪
+    * exact-hash stars. This is THE nightly persisted relation of a dedup
+    * deployment (the canonical-set table every downstream curation join
+    * consumes), so it lives in the model registry (AnnModels
+    * .survivorLabels): the iterative CC chain runs once per corpus state
+    * and `dedup_survivors`, `pipeline_curate_neardup` and all three build
+    * capstones read the artifact. Labeling is deterministic (min-label
+    * propagation to a fixpoint) and parquet round-trips longs exactly, so
+    * artifact-served output is bit-identical to inline (spec). */
+  private[operators] def survivorLabelsOf(s: SparkSession, dir: String): DataFrame = {
     val hx = docs(s, dir).select(col("doc_id"), md5Hex(col("text")).as("h"))
     val canon = hx.groupBy("h").agg(min(col("doc_id")).as("canon"))
     val exactPairs = hx.join(canon, Seq("h"))
@@ -567,8 +582,6 @@ object Dedup {
       .select(col("canon").as("doc_a"), col("doc_id").as("doc_b"))
     ccLabels(docs(s, dir).select(col("doc_id")),
       minhashVerified(s, dir).select(col("doc_a"), col("doc_b")).unionAll(exactPairs))
-      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_repr"))
-      .select(col("cluster_id").as("doc_id"), col("n_repr"))
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at

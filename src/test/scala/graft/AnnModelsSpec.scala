@@ -309,6 +309,21 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("survivor labeling trains once; all curation consumers serve the artifact") {
+    AnnModels.withRoot(freshRoot("cclab")) {
+      val b0 = AnnModels.survivorBuilds
+      val first = rows(Dedup.survivors(spark, sf))
+      assert(AnnModels.survivorBuilds == b0 + 1, "first access must run the CC chain")
+      // every other consumer of the canonical set serves the artifact
+      graft.operators.Pipeline.curateNearDup(spark, sf).collect()
+      graft.operators.Pipeline.build(spark, sf).collect()
+      val second = rows(Dedup.survivors(spark, sf))
+      assert(AnnModels.survivorBuilds == b0 + 1,
+        s"curation consumers re-ran CC: ${AnnModels.survivorBuilds - b0} passes")
+      assert(second == first, "artifact round-trip changed the survivor set")
+    }
+  }
+
   test("non-default training parameters bypass the artifact store") {
     AnnModels.withRoot(freshRoot("bypass")) {
       val t0 = AnnModels.ivfTrains
