@@ -487,6 +487,16 @@ class PlansSpec extends SparkSpec {
     assert(manifest == base, "ordering must not alter the manifest")
   }
 
+  test("delta pack: base offsets broadcast, no global sort, no cartesian") {
+    val p = plan(graft.operators.Pipeline.packDelta(spark, sf))
+    assert(!p.contains("rangepartitioning"),
+      "the delta cumsum must stay two-level, never a sampled global sort")
+    assert(!p.contains("CartesianProduct"),
+      "the scalar split point must broadcast, not cross-join raw relations")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source base offsets and level-2 offsets must broadcast:\n${p.take(2000)}")
+  }
+
   test("trained-BPE id encoding is a shuffle-free scan pass") {
     // the merge table and vocab are collected at plan-build time; the
     // returned id-stream projection must be one codegen pass over the scan
