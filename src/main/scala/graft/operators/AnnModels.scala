@@ -49,6 +49,7 @@ object AnnModels {
   @volatile private[graft] var ingestGateTrains = 0
   @volatile private[graft] var lshIndexBuilds = 0
   @volatile private[graft] var survivorBuilds = 0
+  @volatile private[graft] var tokenTotalTrains = 0
 
   private var rootOverride: Option[String] = None
 
@@ -241,6 +242,22 @@ object AnnModels {
         coalesce1 = false) {
       survivorBuilds += 1
       Dedup.survivorLabelsOf(s, dir)
+    }
+
+  /** Per-source corpus TOKEN totals (source, base_off) — the |sources|-row
+    * relation the nightly delta-pack step continues from
+    * (EventStreams.runPackDeltaStep): the already-packed corpus's token
+    * stream lengths, trained once per corpus state so the nightly step
+    * never re-scans the corpus (at 100 TB a per-night corpus pass is the
+    * cost this artifact exists to delete). Whitespace-token counts are
+    * exact integers — bit-identical round-trip. */
+  def tokenTotals(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "toktot", "tok=ws") {
+      tokenTotalTrains += 1
+      import org.apache.spark.sql.functions.{col, size, sum}
+      graft.sources.Tables.load(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(graft.functions.wsTokens(col("text"))).cast("long")).as("base_off"))
     }
 
   /** Corpus-freshness fingerprint of the table backing an artifact: the

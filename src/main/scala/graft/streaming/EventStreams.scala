@@ -689,6 +689,66 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** One restartable AvailableNow pass of the INCREMENTAL PACKER — the
+    * third nightly step, completing the ingest triad (admission gate →
+    * dedup probe → delta pack): resume from `checkpoint`, take any files
+    * under `dropDir` the checkpoint has not seen, and chunk their
+    * documents CONTINUING each source's token stream — the corpus's
+    * per-source token totals come from the registry
+    * (AnnModels.tokenTotals — trained once per corpus state, so the
+    * nightly step never re-scans the corpus), and earlier drops'
+    * contributions come from the manifest the step itself has already
+    * written (one tiny aggregation over prior batch partitions). Chunk
+    * ids therefore continue exactly where the corpus + all prior drops
+    * left off — the append-only concat-and-chunk model
+    * (Pipeline.packDelta's batch semantics, made restartable).
+    *
+    * Sink idempotency: the runIngestGateStep recipe — each micro-batch's
+    * manifest rows land in a `batch=<batchId>` partition under dynamic
+    * partition overwrite, and the prior-drops aggregation reads only
+    * partitions with batch < batchId, so a replayed micro-batch (the
+    * foreachBatch at-least-once window) neither double-writes nor
+    * double-counts its own crashed attempt. A chunk that straddles a
+    * batch boundary appears in both batches' partitions with its per-batch
+    * doc/token counts — readers aggregate by (source, chunk_id), the
+    * grouping the manifest is keyed on anyway. */
+  def runPackDeltaStep(s: SparkSession, corpusDir: String, dropDir: String,
+      checkpoint: String, outPath: String, glob: String = "*.parquet"): Unit = {
+    if (!hasDrops(s, dropDir, glob)) return // no drops tonight — no-op, not a crash
+    val corpusBase = graft.operators.AnnModels.tokenTotals(s, corpusDir)
+    val rawSchema = s.read.option("pathGlobFilter", glob).parquet(dropDir).schema
+    val stream = s.readStream.schema(rawSchema).option("pathGlobFilter", glob)
+      .parquet(dropDir)
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val fs = outP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val nTok = size(graft.functions.wsTokens(col("text"))).cast("long")
+        val delta = batch.select(col("source"), col("doc_id"), nTok.as("n_tok"))
+        val prior =
+          if (fs.exists(outP))
+            s.read.parquet(outPath).filter(col("batch") < batchId)
+              .groupBy("source").agg(sum(col("n_tokens")).as("prior_toks"))
+          else
+            corpusBase.select(col("source"), lit(0L).as("prior_toks")).limit(0)
+        val base = corpusBase.join(prior, Seq("source"), "full_outer")
+          .select(col("source"),
+            (coalesce(col("base_off"), lit(0L)) + coalesce(col("prior_toks"), lit(0L)))
+              .as("base_off"))
+        graft.operators.Pipeline.packOf(delta, baseOff = Some(base))
+          .withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch")
+          .parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** True iff `dropDir` exists and holds at least one file matching
     * `glob` — the nightly steps' pre-flight (a night with no drops must
     * no-op, not throw from the schema probe; ADVICE r10). One globStatus,

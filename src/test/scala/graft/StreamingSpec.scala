@@ -461,6 +461,7 @@ class StreamingSpec extends SparkSpec {
       // missing dropDir: neither step may throw or start a query
       EventStreams.runIngestGateStep(spark, sf, s"$base/absent", s"$base/cp1", s"$base/out1")
       EventStreams.runIncrementalLshStep(spark, sf, s"$base/absent", s"$base/cp2", s"$base/out2")
+      EventStreams.runPackDeltaStep(spark, sf, s"$base/absent", s"$base/cp4", s"$base/out4")
       // existing but glob-empty dropDir (only a non-matching file)
       val empty = s"$base/empty"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(empty))
@@ -508,6 +509,90 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(out).count() == 2,
         "a replayed micro-batch must overwrite its partition, not duplicate verdicts")
       assert(replayed == first, s"replay must reproduce the same verdicts: $replayed")
+    }
+  }
+
+  test("nightly delta pack: chunk ids continue the corpus stream across drops and restarts") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_packstep").toString
+    val (corpusDir, dropDir, cp, out) =
+      (s"$base/corpus", s"$base/drops", s"$base/cp", s"$base/out")
+    def writeSingle(dir: String, fname: String, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = s"$base/tmp_$fname"
+      rows.toDF("doc_id", "source", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dir, fname))
+    }
+    def words(n: Int): String = Seq.fill(n)("tok").mkString(" ")
+    // corpus: srcA has 800 tokens (chunk 1 of the 512-token grid is
+    // part-filled at 288), srcB has 100
+    writeSingle(corpusDir, "documents.parquet", Seq(
+      (1L, "srcA", words(500)), (2L, "srcA", words(300)), (3L, "srcB", words(100))))
+    def manifest(): Map[(String, Long), (Long, Long)] = {
+      if (!new java.io.File(out).exists()) Map.empty
+      else spark.read.parquet(out).groupBy("source", "chunk_id")
+        .agg(org.apache.spark.sql.functions.sum("n_docs").as("n_docs"),
+          org.apache.spark.sql.functions.sum("n_tokens").as("n_tokens"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-packstep-models").toString
+    graft.operators.AnnModels.withRoot(root) {
+      val t0 = graft.operators.AnnModels.tokenTotalTrains
+      // drop 1: srcA doc of 300 tokens — fills chunk 1 (cum 800→1100:
+      // starts at position 800, chunk 800 DIV 512 = 1)
+      writeSingle(dropDir, "d0.parquet", Seq((10L, "srcA", words(300))))
+      EventStreams.runPackDeltaStep(spark, corpusDir, dropDir, cp, out)
+      val m1 = manifest()
+      assert(m1 == Map(("srcA", 1L) -> (1L, 300L)),
+        s"drop 1 must continue srcA at chunk 1: $m1")
+      // snapshot the checkpoint BEFORE drop 2 — replaying from it later
+      // re-delivers drop 2 as the SAME batchId (the at-least-once crash
+      // window: sink write landed, checkpoint commit lost)
+      val cpSnap = s"$base/cp_snap"
+      val src = java.nio.file.Paths.get(cp)
+      java.nio.file.Files.walk(src).forEach { p =>
+        val dst = java.nio.file.Paths.get(cpSnap).resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst)
+      }
+      // drop 2: srcA 200 tokens (cum 1100→1300: starts inside chunk 2 —
+      // 1100 DIV 512 = 2) and a new source srcC (starts at chunk 0)
+      writeSingle(dropDir, "d1.parquet", Seq(
+        (11L, "srcA", words(200)), (12L, "srcC", words(50))))
+      EventStreams.runPackDeltaStep(spark, corpusDir, dropDir, cp, out)
+      val m2 = manifest()
+      assert(m2 == Map(
+        ("srcA", 1L) -> (1L, 300L), ("srcA", 2L) -> (1L, 200L),
+        ("srcC", 0L) -> (1L, 50L)),
+        s"drop 2 must continue from corpus + drop 1: $m2")
+      // ONE corpus token census served every step
+      assert(graft.operators.AnnModels.tokenTotalTrains == t0 + 1,
+        "the corpus totals must train once across nightly runs")
+      // the manifest equals the batch-analog: full pack over corpus+drops,
+      // restricted to dropped docs (delta ids follow corpus ids per source)
+      val allDir = s"$base/all"
+      writeSingle(allDir, "documents.parquet", Seq(
+        (1L, "srcA", words(500)), (2L, "srcA", words(300)), (3L, "srcB", words(100)),
+        (10L, "srcA", words(300)), (11L, "srcA", words(200)), (12L, "srcC", words(50))))
+      val full = graft.operators.Pipeline.pack(spark, allDir)
+        .filter(org.apache.spark.sql.functions.col("chunk_id") >= 0)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      // restrict the full manifest to chunks the drops touch, with only the
+      // drops' contributions (chunk 1 of srcA also holds corpus tokens)
+      assert(m2.forall { case (k @ (src, chunk), (_, toks)) =>
+        full.get(k).exists(_._2 >= toks) },
+        s"every delta chunk must exist in the full pack with >= tokens: $m2 vs $full")
+      // crash replay from the snapshot: batch 1 re-delivers with the SAME
+      // batchId against a sink that already holds its output; the
+      // partition overwrite plus the batch < batchId prior-filter must
+      // leave the manifest unchanged (no double-write, no double-count)
+      EventStreams.runPackDeltaStep(spark, corpusDir, dropDir, cpSnap, out)
+      assert(manifest() == m2, s"replay must not change the manifest: ${manifest()}")
     }
   }
 
