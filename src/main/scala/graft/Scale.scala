@@ -144,7 +144,11 @@ object Scale {
       // round 11: the ordered-dataset capstone — the calibrated manifest
       // plus the chunk-granularity interleave rank; its extra cost over
       // build_calibrated must stay manifest-sized (rows = corpus/2048)
-      "pipeline_build_ordered" -> (Pipeline.buildOrdered _))
+      "pipeline_build_ordered" -> (Pipeline.buildOrdered _),
+      // round 11: the nightly continuation pack (cost ∝ delta, the top
+      // doc_id fifth) and the token-budget census (one aggregation pass)
+      "pipeline_pack_delta" -> ((s: SparkSession, d: String) => Pipeline.packDelta(s, d)),
+      "pipeline_token_budget" -> (Pipeline.tokenBudget _))
 
   def main(args: Array[String]): Unit = {
     val outBase = args.headOption.getOrElse("/tmp/graft_scale")
