@@ -28,10 +28,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the artifact (the `_GRAFT_COMPLETE` marker, written last). A probe
   * serves the artifact only when the marker exists AND its fingerprint
   * matches the corpus's current one, so neither a constant bump nor an
-  * in-place corpus mutation serves a stale model, and a retrain
-  * OVERWRITES the same key instead of orphaning the old artifact — a
-  * long-lived store holds at most one copy per (dataset, constants)
-  * regardless of how often the corpus mutates (ADVICE r10). All path
+  * in-place corpus mutation serves a stale model. A retrain writes a
+  * NEW generation subdirectory under the same key and collects all but
+  * the previous one — a long-lived store holds at most TWO copies per
+  * (dataset, constants) regardless of how often the corpus mutates
+  * (ADVICE r10's unbounded growth, closed without the in-place
+  * overwrite that would break DataFrame handles live consumers still
+  * hold: a held handle stays readable across one retrain). All path
   * probes go through the Hadoop FileSystem for the path's scheme — an
   * object-store root works the same as a local one.
   */
@@ -96,20 +99,22 @@ object AnnModels {
   def bigramLm(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     synchronized {
       val p = new Path(root(s), key(dir, "lm", "n=2"))
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val fp = fingerprint(s, dir, "documents")
       val parts = Seq("c2", "c1", "vocab")
-      if (!complete(fs, p, fp)) {
+      val gen = ensureGen(s, p, dir, "documents") { genDir =>
         lmTrains += 1
-        fs.delete(markerPath(p), false)
-        val (c2, c1, vocab) = TextOps.trainBigramLmOf(
-          graft.sources.Tables.load(s, dir, "documents"))
-        Seq(c2, c1, vocab).zip(parts).foreach { case (df, part) =>
-          df.coalesce(1).write.mode("overwrite").parquet(new Path(p, part).toString)
-        }
-        commitIfFresh(s, fs, p, fp, dir, "documents")
+        // one cached corpus snapshot feeds all three relation writes (a
+        // mid-train corpus edit cannot yield a mixed trio; released after
+        // the writes — lineage stays intact, so this is safe to drop)
+        val corpus = graft.sources.Tables.load(s, dir, "documents").persist()
+        try {
+          val (c2, c1, vocab) = TextOps.trainBigramLmOf(corpus)
+          Seq(c2, c1, vocab).zip(parts).foreach { case (df, part) =>
+            df.coalesce(1).write.mode("overwrite")
+              .parquet(new Path(genDir, part).toString)
+          }
+        } finally corpus.unpersist(false)
       }
-      val dfs = parts.map(part => s.read.parquet(new Path(p, part).toString))
+      val dfs = parts.map(part => s.read.parquet(new Path(gen, part).toString))
       (dfs(0), dfs(1), dfs(2))
     }
 
@@ -180,32 +185,36 @@ object AnnModels {
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
     synchronized {
       val p = new Path(root(s), key(dir, "ig", "n=2,keep=half,excl=src0"))
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val fp = fingerprint(s, dir, "documents")
       val parts = Seq("c2", "c1", "vocab", "thr")
-      if (!complete(fs, p, fp)) {
+      val gen = ensureGen(s, p, dir, "documents") { genDir =>
         ingestGateTrains += 1
-        fs.delete(markerPath(p), false)
-        // ONE materialized corpus snapshot feeds every relation below
+        // ONE cached corpus snapshot feeds every relation below; released
+        // after the writes (cache, not a lineage-truncating checkpoint, so
+        // unpersist is safe and the corpus-sized copy never outlives the
+        // training pass)
         val corpus = graft.sources.Tables.load(s, dir, "documents")
           .filter(org.apache.spark.sql.functions.col("source") =!= "src0")
-          .localCheckpoint()
-        val (c2, c1, vocab) = TextOps.trainBigramLmOf(corpus)
-        // thr derives from the LM relations; materialize them first so the
-        // threshold pass reads the persisted LM instead of recounting
-        Seq(c2, c1, vocab).zip(parts.take(3)).foreach { case (df, part) =>
-          df.coalesce(1).write.mode("overwrite").parquet(new Path(p, part).toString)
-        }
-        val lm = parts.take(3).map(part => s.read.parquet(new Path(p, part).toString))
-        // the logits subtree feeds the census, the count AND the threshold
-        // join — materialize the (doc_id, logit8) pairs once (16 B/row)
-        val thr = TextOps.calibratedThresholdOf(
-          TextOps.ingestLogits(corpus, lm(0), lm(1), lm(2)).localCheckpoint())
-        thr.coalesce(1).write.mode("overwrite")
-          .parquet(new Path(p, parts(3)).toString)
-        commitIfFresh(s, fs, p, fp, dir, "documents")
+          .persist()
+        try {
+          val (c2, c1, vocab) = TextOps.trainBigramLmOf(corpus)
+          // thr derives from the LM relations; materialize them first so
+          // the threshold pass reads the persisted LM instead of recounting
+          Seq(c2, c1, vocab).zip(parts.take(3)).foreach { case (df, part) =>
+            df.coalesce(1).write.mode("overwrite")
+              .parquet(new Path(genDir, part).toString)
+          }
+          val lm = parts.take(3).map(part =>
+            s.read.parquet(new Path(genDir, part).toString))
+          // the logits subtree feeds the census, the count AND the
+          // threshold join — cache the (doc_id, logit8) pairs once
+          val logits = TextOps.ingestLogits(corpus, lm(0), lm(1), lm(2)).persist()
+          try {
+            TextOps.calibratedThresholdOf(logits).coalesce(1)
+              .write.mode("overwrite").parquet(new Path(genDir, parts(3)).toString)
+          } finally logits.unpersist(false)
+        } finally corpus.unpersist(false)
       }
-      val dfs = parts.map(part => s.read.parquet(new Path(p, part).toString))
+      val dfs = parts.map(part => s.read.parquet(new Path(gen, part).toString))
       (dfs(0), dfs(1), dfs(2), dfs(3))
     }
 
@@ -254,10 +263,13 @@ object AnnModels {
   def tokenTotals(s: SparkSession, dir: String): DataFrame =
     ensure(s, dir, "toktot", "tok=ws") {
       tokenTotalTrains += 1
-      import org.apache.spark.sql.functions.{col, size, sum}
+      import org.apache.spark.sql.functions.sum
       graft.sources.Tables.load(s, dir, "documents")
         .groupBy("source")
-        .agg(sum(size(graft.functions.wsTokens(col("text"))).cast("long")).as("base_off"))
+        // the ONE token counter the pack family budgets in — shared, so
+        // chunk-id continuity between census, delta pack and full pack
+        // cannot drift
+        .agg(sum(Pipeline.wsTokenCount).as("base_off"))
     }
 
   /** Corpus-freshness fingerprint of the table backing an artifact: the
@@ -311,55 +323,112 @@ object AnnModels {
 
   private def markerPath(p: Path) = new Path(p, "_GRAFT_COMPLETE")
 
-  /** An artifact serves iff its marker exists and records the corpus's
-    * CURRENT fingerprint. The marker is written last (after every
-    * relation's parquet commit), so it also subsumes the torn-write
-    * guard the per-directory _SUCCESS probe used to provide. */
-  private def complete(fs: FileSystem, p: Path, fp: String): Boolean = {
+  /** Generation directory for a fingerprint: retrains land in a NEW
+    * `g-<md5(fp)>` subdirectory of the stable artifact key instead of
+    * overwriting the served files in place — a DataFrame handle a live
+    * consumer already holds (e.g. a running stream's static join side)
+    * stays readable across ONE retrain. [[gcGenerations]] keeps exactly
+    * the current and previous generation, so the store stays bounded at
+    * two copies per (dataset, constants) regardless of corpus churn. */
+  private def genName(fp: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    "g-" + md.digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def readMarker(fs: FileSystem, p: Path): Option[String] = {
     val m = markerPath(p)
-    fs.exists(m) && {
+    if (!fs.exists(m)) None
+    else {
       val in = fs.open(m)
       try {
         val bytes = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](8192)
         var n = in.read(buf)
         while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        new String(bytes.toByteArray, "UTF-8") == fp
+        Some(new String(bytes.toByteArray, "UTF-8"))
       } finally in.close()
     }
   }
 
+  /** An artifact serves iff its marker exists and records the corpus's
+    * CURRENT fingerprint. The marker is written last (after every
+    * relation's parquet commit), so it also subsumes the torn-write
+    * guard the per-directory _SUCCESS probe used to provide. */
+  private def complete(fs: FileSystem, p: Path, fp: String): Boolean =
+    readMarker(fs, p).contains(fp)
+
   /** Mark the artifact complete — but only if the corpus still
     * fingerprints as it did when training started. A mid-train corpus
     * mutation leaves the artifact unmarked, so the next access retrains
-    * against the new state instead of serving a mixed one. */
+    * against the new state instead of serving a mixed one. Returns
+    * whether the marker was committed. */
   private def commitIfFresh(s: SparkSession, fs: FileSystem, p: Path,
-      fp: String, dir: String, table: String): Unit =
-    if (fingerprint(s, dir, table) == fp) {
+      fp: String, dir: String, table: String): Boolean =
+    fingerprint(s, dir, table) == fp && {
       val out = fs.create(markerPath(p), true)
       try out.write(fp.getBytes("UTF-8")) finally out.close()
+      true
+    }
+
+  /** Drop every generation directory except the just-committed one and
+    * the one the previous marker served (live readers of the PREVIOUS
+    * generation survive one retrain; older handles — and generations
+    * abandoned by mid-train corpus mutations — are collected). */
+  private def gcGenerations(fs: FileSystem, p: Path, keep: Set[String]): Unit =
+    if (fs.exists(p))
+      fs.listStatus(p).filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("g-") && !keep(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
+
+  /** The generation path serving `fp` under stable key `p`, training it
+    * first when absent or stale. Single-relation artifacts write the
+    * parquet directly at the generation dir; multi-relation artifacts
+    * pass `write` a generation dir to fill with part subdirectories.
+    * Retries once if the corpus mutates mid-train (the current caller
+    * then gets an artifact of the NEW state instead of a stale one);
+    * after two failed attempts the freshest attempt serves — the marker
+    * stays uncommitted, so the next access retrains. */
+  private def ensureGen(s: SparkSession, p: Path, dir: String, table: String)
+      (write: Path => Unit): Path =
+    synchronized {
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      var fp = fingerprint(s, dir, table)
+      if (!complete(fs, p, fp)) {
+        val prevGen = readMarker(fs, p).map(genName)
+        var attempts = 0
+        var committed = false
+        var fpWritten = fp
+        while (!committed && attempts < 2) {
+          attempts += 1
+          fpWritten = fp
+          write(new Path(p, genName(fpWritten)))
+          committed = commitIfFresh(s, fs, p, fpWritten, dir, table)
+          if (!committed) fp = fingerprint(s, dir, table)
+        }
+        if (committed)
+          gcGenerations(fs, p, Set(genName(fpWritten)) ++ prevGen)
+        fp = fpWritten // serve what was actually written
+      }
+      new Path(p, genName(fp))
     }
 
   /** Serve the (dir, kind, params) artifact from the store, training
     * (and persisting) only when no fresh artifact exists. Retraining
-    * overwrites the same stable key — the store never accumulates
-    * per-corpus-edit copies. */
+    * writes a NEW generation under the same stable key and collects all
+    * but the previous one — the store never accumulates per-corpus-edit
+    * copies, and live readers survive one retrain. */
   private def ensure(s: SparkSession, dir: String, kind: String, params: String,
       table: String = "documents", coalesce1: Boolean = true)
       (train: => DataFrame): DataFrame =
     synchronized {
       val p = new Path(root(s), key(dir, kind, params))
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val fp = fingerprint(s, dir, table)
-      if (!complete(fs, p, fp)) {
-        fs.delete(markerPath(p), false)
+      val gen = ensureGen(s, p, dir, table) { genDir =>
         // A model is a handful of rows; one file keeps the artifact tidy.
         // Corpus-sized artifacts (the LSH index) keep their partitioning.
         val out = train
         (if (coalesce1) out.coalesce(1) else out)
-          .write.mode("overwrite").parquet(p.toString)
-        commitIfFresh(s, fs, p, fp, dir, table)
+          .write.mode("overwrite").parquet(genDir.toString)
       }
-      s.read.parquet(p.toString)
+      s.read.parquet(gen.toString)
     }
 }

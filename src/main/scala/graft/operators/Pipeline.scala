@@ -151,7 +151,7 @@ object Pipeline {
     * passes `TextOps.bpeCount(col("text"))` instead (packBpe below) —
     * the counter is a per-row expression either way, so the distributed
     * prefix-sum shape is untouched. */
-  private def wsTokenCount: Column =
+  private[graft] def wsTokenCount: Column =
     size(graft.functions.wsTokens(col("text"))).cast("long")
 
   def pack(s: SparkSession, dir: String, packBlock: Int = PackBlock,
@@ -692,15 +692,18 @@ object Pipeline {
     * actually consumes (VERDICT r9 #8): [[buildCalibrated]]'s chunk
     * manifest composed with [[interleave]]'s tempered-mixture loader order
     * in a SINGLE output. Each manifest chunk takes the interleave priority
-    * key at CHUNK granularity — chunk_id is already the dense 0-based
-    * in-source packing rank (the pack cumsum numbers chunks consecutively
-    * per source), so key = (chunk_id+1)·1e9 DIV share6 streams source s's
-    * chunks with density ∝ its tempered share, evenly spread rather than
-    * block-concatenated, exactly as [[interleave]] does for documents.
-    * `load_pos` is the global read order via [[keyBlockPos]] — no global
-    * sort, no corpus-sized window: the rank runs over manifest rows
-    * (corpus/2048 of the document count) in bounded key blocks. Output:
-    * the manifest columns + load_pos, a dense 0-based permutation. */
+    * key at CHUNK granularity. chunk_id is the chunk's TOKEN-POSITION
+    * index (start-cum DIV CtxTokens — NOT a dense per-source rank: a
+    * document spanning whole windows leaves ids unmanifested, since no
+    * doc STARTS there), so key = (chunk_id+1)·1e9 DIV share6 spreads a
+    * source's chunks with density ∝ its tempered share measured in TOKEN
+    * space — the budget a loader actually spends — rather than in
+    * chunk-count space; within a source, packing order is preserved
+    * either way (chunk_id is monotone in cum). `load_pos` is the global
+    * read order via [[keyBlockPos]] — no global sort, no corpus-sized
+    * window: the rank runs over manifest rows (corpus/2048 of the
+    * document count) in bounded key blocks. Output: the manifest columns
+    * + load_pos, a dense 0-based permutation of the manifest. */
   def buildOrdered(s: SparkSession, dir: String): DataFrame = {
     val manifest = buildCalibrated(s, dir)
     val shares = mixTemperature(s, dir).select(col("source"), col("share6"))

@@ -723,10 +723,16 @@ object EventStreams {
     val fs = outP.getFileSystem(s.sparkContext.hadoopConfiguration)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val nTok = size(graft.functions.wsTokens(col("text"))).cast("long")
-        val delta = batch.select(col("source"), col("doc_id"), nTok.as("n_tok"))
+        val delta = batch.select(col("source"), col("doc_id"),
+          graft.operators.Pipeline.wsTokenCount.as("n_tok"))
+        // prior totals come from earlier batch PARTITIONS only — probing
+        // for batch= dirs (not just outPath) keeps a zero-row first night
+        // (which leaves _SUCCESS but no partitions) from wedging the read
+        val hasPrior = fs.exists(outP) &&
+          fs.listStatus(outP).exists(st =>
+            st.isDirectory && st.getPath.getName.startsWith("batch="))
         val prior =
-          if (fs.exists(outP))
+          if (hasPrior)
             s.read.parquet(outPath).filter(col("batch") < batchId)
               .groupBy("source").agg(sum(col("n_tokens")).as("prior_toks"))
           else
@@ -751,14 +757,24 @@ object EventStreams {
 
   /** True iff `dropDir` exists and holds at least one file matching
     * `glob` — the nightly steps' pre-flight (a night with no drops must
-    * no-op, not throw from the schema probe; ADVICE r10). One globStatus,
-    * no data scan. */
+    * no-op, not throw from the schema probe; ADVICE r10). RECURSIVE, and
+    * matched on the file NAME, mirroring exactly what the streaming file
+    * source's `pathGlobFilter` would discover — a partitioned drop
+    * layout (files under date=.../ subdirectories) counts as drops, not
+    * as an empty night. One listing, no data scan. */
   private def hasDrops(s: SparkSession, dropDir: String, glob: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dropDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.exists(p) && {
-      val m = fs.globStatus(new org.apache.hadoop.fs.Path(p, glob))
-      m != null && m.nonEmpty
+      val matcher = java.nio.file.FileSystems.getDefault
+        .getPathMatcher(s"glob:$glob")
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val name = it.next().getPath.getName
+        found = matcher.matches(java.nio.file.Paths.get(name))
+      }
+      found
     }
   }
 

@@ -262,6 +262,9 @@ class AnnModelsSpec extends SparkSpec {
         new java.io.File(root).listFiles().map(_.getName).toSet
       val a1 = artifacts()
       assert(a1.exists(_.startsWith("lshidx-")), s"index artifact persisted: $a1")
+      // a handle served BEFORE the edits — must stay readable across the
+      // next retrain (generational store: live readers survive one swap)
+      val held = AnnModels.lshIndex(spark, dir)
       // three successive corpus edits: a fingerprint-keyed store would now
       // hold three full index copies (ADVICE r10 unbounded growth)
       for (i <- 2 to 4) {
@@ -270,9 +273,16 @@ class AnnModelsSpec extends SparkSpec {
           (i.toLong, "srcB", s"edit number $i adds this corpus document"),
           (10L, "src0", "probe text one two three four five six seven eight")))
         graft.streaming.EventStreams.incrementalVsIndex(spark, dir).collect()
+        if (i == 2)
+          assert(held.count() >= 0, "a pre-edit handle must survive the first retrain")
       }
       assert(artifacts() == a1,
         s"retrains must reuse the same store slots: ${artifacts().diff(a1)} appeared")
+      // inside the stable key: at most TWO generations (current + previous)
+      val idx = new java.io.File(root).listFiles().find(_.getName.startsWith("lshidx-")).get
+      val gens = idx.listFiles().filter(_.isDirectory).map(_.getName).filter(_.startsWith("g-"))
+      assert(gens.length <= 2,
+        s"the store must keep at most current+previous generations: ${gens.mkString(",")}")
     }
   }
 
@@ -302,10 +312,12 @@ class AnnModelsSpec extends SparkSpec {
       assert(AnnModels.ingestGateTrains == t0 + 2,
         "an unmarked artifact must retrain, not serve")
       assert(second == first)
-      // and the four relations live under the ONE marker-gated directory
-      val parts = ig.listFiles().filter(_.isDirectory).map(_.getName).toSet
+      // and the four relations live under ONE marker-gated generation dir
+      val gens = ig.listFiles().filter(f => f.isDirectory && f.getName.startsWith("g-"))
+      assert(gens.nonEmpty, s"generation dir expected under ${ig.getName}")
+      val parts = gens.head.listFiles().filter(_.isDirectory).map(_.getName).toSet
       assert(parts == Set("c2", "c1", "vocab", "thr"),
-        s"all gate relations share one artifact directory: $parts")
+        s"all gate relations share one generation directory: $parts")
     }
   }
 

@@ -474,6 +474,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("nightly steps discover drops in partitioned/nested layouts") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_nesteddrops").toString
+    val (corpusDir, dropDir) = (s"$base/corpus", s"$base/drops")
+    def writeSingle(dir: String, fname: String, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = s"$base/tmp_${fname.replace('/', '_')}"
+      rows.toDF("doc_id", "source", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val dst = java.nio.file.Paths.get(dir, fname)
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.move(part.toPath, dst)
+    }
+    writeSingle(corpusDir, "documents.parquet", Seq(
+      (1L, "srcA", "the quick brown fox jumps over the lazy dog and the cat"),
+      (2L, "srcA", "zz @@ ## !! ?? xx yy qq ww ee rr tt")))
+    // the drop lands under a date partition subdirectory — the file source
+    // discovers it, and hasDrops must too (a non-recursive glob would
+    // silently no-op the whole night; code-review r11)
+    writeSingle(dropDir, "day=1/d0.parquet", Seq(
+      (10L, "src0", "the quick brown fox jumps over the lazy dog and the cat")))
+    val root = java.nio.file.Files.createTempDirectory("graft-nesteddrops-models").toString
+    graft.operators.AnnModels.withRoot(root) {
+      EventStreams.runIngestGateStep(spark, corpusDir, dropDir, s"$base/cp", s"$base/out")
+      assert(new java.io.File(s"$base/out").exists(),
+        "a nested drop must be scored, not skipped as an empty night")
+      val verdicts = spark.read.parquet(s"$base/out").collect()
+        .map(r => (r.getLong(0), r.getInt(2))).toMap
+      assert(verdicts == Map(10L -> 1), s"nested drop verdicts: $verdicts")
+    }
+  }
+
   test("ingest gate sink is idempotent: a replayed micro-batch never duplicates verdicts") {
     val sp = spark
     import sp.implicits._
