@@ -37,6 +37,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * hold: a held handle stays readable across one retrain). All path
   * probes go through the Hadoop FileSystem for the path's scheme — an
   * object-store root works the same as a local one.
+  *
+  * Concurrency: training and generation GC are serialized per JVM
+  * (`synchronized`); the store assumes a SINGLE WRITER process (the
+  * deployment shape — one nightly driver owns the registry). Concurrent
+  * writer processes sharing one SPARK_GRAFT_MODEL_DIR would race the
+  * GC against each other's in-flight generation writes; readers-only
+  * sharing is safe (they touch committed generations, which survive one
+  * further retrain).
   */
 object AnnModels {
 
