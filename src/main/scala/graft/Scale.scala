@@ -148,7 +148,11 @@ object Scale {
       // round 11: the nightly continuation pack (cost ∝ delta, the top
       // doc_id fifth) and the token-budget census (one aggregation pass)
       "pipeline_pack_delta" -> ((s: SparkSession, d: String) => Pipeline.packDelta(s, d)),
-      "pipeline_token_budget" -> (Pipeline.tokenBudget _))
+      "pipeline_token_budget" -> (Pipeline.tokenBudget _),
+      // round 11: DSIR importance selection — two corpus scans, one
+      // token-bounded (doc, bucket) shuffle, a 256-row model broadcast and
+      // the census order statistic; must scale ~linearly with corpus size
+      "text_importance_dsir" -> (graft.operators.TextOps.importanceDsir _))
 
   def main(args: Array[String]): Unit = {
     val outBase = args.headOption.getOrElse("/tmp/graft_scale")

@@ -52,12 +52,25 @@ final class BpeCoder(val merges: Seq[(String, String)]) extends Serializable {
   /** BPE symbol sequence of one word: seed with single characters, then
     * repeatedly merge ALL non-overlapping occurrences of the lowest-rank
     * adjacent pair, left to right (replace()'s match rule — BPE's
-    * within-rank greedy scan). */
+    * within-rank greedy scan).
+    *
+    * Seeds are CODE POINTS, not UTF-16 units: a charAt loop would split a
+    * supplementary character (emoji, mathematical alphanumerics — routine
+    * in web text) into two unpaired-surrogate symbols that can never
+    * re-merge and serialize as U+FFFD — while the SQL oracle, the regex
+    * seed path, and Spark's own string builtins all operate on code
+    * points. Caught by the round-11 unicode parity sweep. */
   def encode(word: String): Array[String] = {
     if (word.isEmpty) return Array.empty
-    val syms = new Array[String](word.length)
+    val syms = new Array[String](word.codePointCount(0, word.length))
     var i = 0
-    while (i < word.length) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    var k = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      syms(k) = new String(Character.toChars(cp))
+      k += 1
+      i += Character.charCount(cp)
+    }
     var n = syms.length
     var done = n < 2
     while (!done) {

@@ -20,18 +20,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * ShingleExpressions gives the dedup path.
   *
   * Bucket rule (shared verbatim with the SQL oracle):
-  * (codepoint(c_i) * 31 + codepoint(c_{i+1})) mod buckets, exactly
-  * ascii(substr(text, i, 1)) semantics for BMP text. */
+  * (codepoint(c_i) * 31 + codepoint(c_{i+1})) mod buckets — CODE POINTS,
+  * exactly the oracle's ascii(substr(text, i, 1)) over code-point
+  * positions. (A charAt loop would hash surrogate halves of
+  * supplementary characters and count UTF-16 positions, diverging from
+  * the oracle on any non-BMP text — caught by the round-11 unicode
+  * parity sweep. cp*31+cp' stays far below Int overflow: max code point
+  * 0x10FFFF gives ~34.7M.) */
 object LangidBytes {
   def bucketCounts(text: UTF8String, buckets: Int): GenericArrayData = {
     val s = text.toString
     val out = new Array[Long](buckets)
     var i = 0
-    val n = s.length - 1
-    while (i < n) {
-      val b = (s.charAt(i) * 31 + s.charAt(i + 1)) % buckets
-      out(b) += 1L
-      i += 1
+    var prev = -1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (prev >= 0) out((prev * 31 + cp) % buckets) += 1L
+      prev = cp
+      i += Character.charCount(cp)
     }
     new GenericArrayData(out)
   }

@@ -42,7 +42,12 @@ object Extras {
       .select(explode(split(col("text"), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
       .as[String]
-    val piped = words.rdd.pipe(Seq("tr", "a-z", "A-Z"))
+    // UTF-8 on the pipe explicitly: rdd.pipe defaults to the JVM's
+    // platform charset, which mangles every non-ASCII word to '?' when
+    // the platform default isn't UTF-8 (hadoop-streaming is byte/UTF-8
+    // oriented end to end). Caught by the round-11 unicode parity sweep.
+    val piped = words.rdd.pipe(Seq("tr", "a-z", "A-Z"),
+      Map[String, String](), null, null, false, 8192, "UTF-8")
     s.createDataset(piped).toDF("word_upper")
       .groupBy("word_upper").agg(count(lit(1)).as("cnt"))
   }
@@ -67,7 +72,9 @@ object Extras {
       .repartition(col("word"))
       .sortWithinPartitions("word")
       .as[String]
-    val piped = keyed.rdd.pipe(Seq("uniq", "-c"))
+    // UTF-8 on the pipe — see streamingPipe.
+    val piped = keyed.rdd.pipe(Seq("uniq", "-c"),
+      Map[String, String](), null, null, false, 8192, "UTF-8")
     // uniq -c lines are "<spaces><count> <word>" (word may be empty).
     val line = s.createDataset(piped).toDF("line")
     line.select(
@@ -274,9 +281,12 @@ object Extras {
         "ELSE 0.0 END AS fp_rate"
     },
     "mr_streaming_pipe" ->
-      ("SELECT upper(word) AS word_upper, count(*) AS cnt FROM " +
+      // translate(), not upper(): the pipe is `tr a-z A-Z` — ASCII-only
+      // case mapping. ICU upper() would also uppercase 'é'→'É' and expand
+      // 'ß'→'SS', changing word identity on non-ASCII corpora.
+      ("SELECT translate(word, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS word_upper, count(*) AS cnt FROM " +
         "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents) " +
-        "WHERE length(word) > 0 GROUP BY upper(word)"),
+        "WHERE length(word) > 0 GROUP BY 1"),
     "mr_streaming_pipe_reduce" ->
       ("SELECT word, count(*) AS cnt FROM " +
         "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents) " +

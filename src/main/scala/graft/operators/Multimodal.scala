@@ -103,9 +103,7 @@ object Multimodal {
         val start = (i * 41) % math.max(meta.n_bytes, 1)
         val len = math.min(64, meta.n_bytes - start)
         val slice = a.payload.slice(start, start + math.max(len, 0))
-        val fp = java.security.MessageDigest.getInstance("MD5").digest(slice)
-          .map("%02x".format(_)).mkString
-        (a.doc_id, i, fp)
+        (a.doc_id, i, md5OfHex(slice))
       }
     }.toDF("doc_id", "frame_idx", "frame_md5")
   }
@@ -409,6 +407,26 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5").digest(b)
       .map("%02x".format(_)).mkString
 
+  /** Byte-content fingerprint: md5 of the LOWERCASE-HEX rendering of `b`
+    * (not of the raw bytes). Hex is an injective ASCII transport for
+    * arbitrary bytes, so this is still an exact content hash — and it is
+    * the only form the SQL oracle can replay: DuckDB's md5()/substring()
+    * take VARCHAR only (no BLOB overloads), so the oracle fingerprints
+    * substr(lower(hex(encode(text))), ...) byte slices. md5-of-raw-bytes
+    * only agreed with a char-domain oracle on pure-ASCII payloads —
+    * caught by the round-11 unicode parity sweep. */
+  private[graft] def md5OfHex(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      val v = b(i) & 0xff
+      sb.append("0123456789abcdef".charAt(v >> 4))
+      sb.append("0123456789abcdef".charAt(v & 0xf))
+      i += 1
+    }
+    md5hex(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+  }
+
   /** Stub resample: ow·oh payload bytes sampled at pos(i) = i·n DIV (ow·oh)
     * — a deterministic byte-domain stand-in with the real output SHAPE
     * (the resized grid's size), oracle-replayable as substr/ascii over the
@@ -424,7 +442,7 @@ object Multimodal {
       buf(i) = a.payload(((i.toLong * n) / total).toInt)
       i += 1
     }
-    (a.doc_id, ow, oh, md5hex(buf))
+    (a.doc_id, ow, oh, md5OfHex(buf))
   }
 
   /** The resample dispatch, mirroring [[decodeAsset]]/[[phashAsset]]: real
@@ -435,7 +453,7 @@ object Multimodal {
     decodePng(a) match {
       case Some(img) =>
         val (ow, oh) = outDims(img.getWidth, img.getHeight)
-        (a.doc_id, ow, oh, md5hex(poolLuminance(img, ow, oh)))
+        (a.doc_id, ow, oh, md5OfHex(poolLuminance(img, ow, oh)))
       case None => resampleStub(a)
     }
 
@@ -480,41 +498,57 @@ object Multimodal {
   /** Segment sums replay as ascii() sums over substr slices; the signed
     * 64-bit assembles as a sum of BIGINT bit values (bit 63 contributes
     * -2^63 — the two's-complement identity, so no HUGEINT wrap needed). */
+  /** Oracle fragment: value of payload byte #`pos` (1-based SQL expr),
+    * parsed from the shared `hx` column — the lowercase hex rendering of
+    * the utf8 payload, the oracle's byte-domain view of the binary. */
+  private def hexByteSql(pos: String): String =
+    s"((strpos('0123456789abcdef', substr(hx, CAST(2 * ($pos) - 1 AS INT), 1)) - 1) * 16 + " +
+      s"(strpos('0123456789abcdef', substr(hx, CAST(2 * ($pos) AS INT), 1)) - 1))"
+
+  /** Shared base CTE: byte length + hex view of the utf8 payload. */
+  private val hxBase =
+    "base AS (SELECT doc_id, lower(hex(encode(text))) AS hx, strlen(text) AS n FROM documents)"
+
   private val phashCtes =
-    "base AS (SELECT doc_id, text, strlen(text) AS n FROM documents), " +
-      "tot AS (SELECT doc_id, text, n, coalesce(list_sum(list_transform(generate_series(1, n), " +
-      "i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))), 0) AS total FROM base), " +
-      "seg AS (SELECT doc_id, text, n, total, j, (j * n) // 64 AS lo, ((j + 1) * n) // 64 AS hi " +
+    s"$hxBase, " +
+      "tot AS (SELECT doc_id, hx, n, coalesce(list_sum(list_transform(generate_series(1, n), " +
+      s"i -> CAST(${hexByteSql("i")} AS BIGINT))), 0) AS total FROM base), " +
+      "seg AS (SELECT doc_id, hx, n, total, j, (j * n) // 64 AS lo, ((j + 1) * n) // 64 AS hi " +
       "FROM tot CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)), " +
       "bits AS (SELECT doc_id, n, CASE WHEN coalesce(list_sum(list_transform(generate_series(lo + 1, hi), " +
-      "i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))), 0) * n > total * (hi - lo) " +
+      s"i -> CAST(${hexByteSql("i")} AS BIGINT))), 0) * n > total * (hi - lo) " +
       "THEN (CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT) ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END) " +
       "ELSE CAST(0 AS BIGINT) END AS b FROM seg)"
 
-  /** The stub codec is pure arithmetic over the payload bytes, and the
-    * payload is utf8(text) with ASCII-only test documents — so byte length
-    * is strlen(text), byte slices are substr, and byte values are ascii().
-    * That makes every mm_* query oracle-replayable TODAY; swapping in a real
-    * native codec later is exactly when these revert to rows-only checks. */
+  /** The stub codec is pure arithmetic over the payload BYTES. The oracle
+    * replays it byte-exactly from lower(hex(encode(text))): byte length is
+    * strlen(text), byte #i is a two-hex-digit parse ([[hexByteSql]]), and
+    * byte-slice fingerprints are md5 over the hex substring — which is why
+    * the engine fingerprints are defined as md5-of-hex ([[md5OfHex]]).
+    * (The previous char-domain mirror — substr/ascii over `text` — only
+    * agreed on pure-ASCII payloads; the round-11 unicode sweep broke it on
+    * every multibyte document.) Swapping in a real native codec is exactly
+    * when these revert to rows-only checks. */
   def oracles: Map[String, String] = Map(
     "mm_decode" ->
-      ("SELECT doc_id, CAST(n AS INT) AS n_bytes, CAST(16 + n % 624 AS INT) AS width, " +
+      (s"WITH $hxBase " +
+        "SELECT doc_id, CAST(n AS INT) AS n_bytes, CAST(16 + n % 624 AS INT) AS width, " +
         "CAST(16 + (n * 7 + b0) % 464 AS INT) AS height, CAST(3 AS INT) AS channels, " +
         "CAST(1 + n % 24 AS INT) AS n_frames FROM " +
-        "(SELECT doc_id, strlen(text) AS n, " +
-        "CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS b0 FROM documents)"),
+        s"(SELECT doc_id, n, CASE WHEN n > 0 THEN ${hexByteSql("1")} ELSE 0 END AS b0 FROM base)"),
     "mm_frame_sample" ->
       // idxs = (0 until n_frames by 8).take(4) with n_frames <= 24 is always
-      // a subset of {0, 8, 16}; start/len mirror the Scala slice arithmetic.
-      ("WITH base AS (SELECT doc_id, text, strlen(text) AS n, 1 + strlen(text) % 24 AS nf FROM documents), " +
-        "fr AS (SELECT doc_id, text, n, nf, unnest([0, 8, 16]) AS fi FROM base) " +
+      // a subset of {0, 8, 16}; byte start/len mirror the Scala slice
+      // arithmetic, applied at 2x on the hex view (md5-of-hex fingerprint).
+      (s"WITH $hxBase, " +
+        "fr AS (SELECT doc_id, hx, n, 1 + n % 24 AS nf, unnest([0, 8, 16]) AS fi FROM base) " +
         "SELECT doc_id, CAST(fi AS INT) AS frame_idx, " +
-        "md5(substr(text, CAST((fi * 41) % greatest(n, 1) AS INT) + 1, " +
-        "CAST(least(64, n - (fi * 41) % greatest(n, 1)) AS INT))) AS frame_md5 " +
+        "md5(substr(hx, CAST(2 * ((fi * 41) % greatest(n, 1)) AS INT) + 1, " +
+        "CAST(2 * least(64, n - (fi * 41) % greatest(n, 1)) AS INT))) AS frame_md5 " +
         "FROM fr WHERE fi < nf"),
     "mm_resize" ->
-      ("WITH m AS (SELECT doc_id, CAST(strlen(text) AS INT) AS n, " +
-        "CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS b0 FROM documents), " +
+      (s"WITH $hxBase, " +
+        s"m AS (SELECT doc_id, CAST(n AS INT) AS n, CASE WHEN n > 0 THEN ${hexByteSql("1")} ELSE 0 END AS b0 FROM base), " +
         "d AS (SELECT doc_id, CAST(16 + n % 624 AS INT) AS w, CAST(16 + (n * 7 + b0) % 464 AS INT) AS h FROM m), " +
         s"r AS (SELECT doc_id, w, h, CAST(CASE WHEN greatest(w, h) <= $MaxSide THEN w " +
         s"WHEN w >= h THEN $MaxSide ELSE greatest(1, (w * $MaxSide) // h) END AS INT) AS out_w, " +
@@ -524,19 +558,19 @@ object Multimodal {
         s"CAST(((out_w + ${Patch - 1}) // $Patch) * ((out_h + ${Patch - 1}) // $Patch) AS INT) AS n_patches FROM r"),
     "mm_resize_sample" ->
       // stub resample replay: resizePlan geometry, then the i·n DIV (ow·oh)
-      // byte picks rendered as substr chars (ASCII payload: byte == char),
-      // md5 over the assembled sample string
-      ("WITH m AS (SELECT doc_id, text, CAST(strlen(text) AS INT) AS n, " +
-        "CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS b0 FROM documents), " +
-        "d AS (SELECT doc_id, text, n, CAST(16 + n % 624 AS INT) AS w, CAST(16 + (n * 7 + b0) % 464 AS INT) AS h FROM m), " +
-        s"r AS (SELECT doc_id, text, n, CAST(CASE WHEN greatest(w, h) <= $MaxSide THEN w " +
+      // byte picks as two-hex-digit slices of the hex view, md5 over the
+      // assembled hex string (md5-of-hex fingerprint)
+      (s"WITH $hxBase, " +
+        s"m AS (SELECT doc_id, hx, CAST(n AS INT) AS n, CASE WHEN n > 0 THEN ${hexByteSql("1")} ELSE 0 END AS b0 FROM base), " +
+        "d AS (SELECT doc_id, hx, n, CAST(16 + n % 624 AS INT) AS w, CAST(16 + (n * 7 + b0) % 464 AS INT) AS h FROM m), " +
+        s"r AS (SELECT doc_id, hx, n, CAST(CASE WHEN greatest(w, h) <= $MaxSide THEN w " +
         s"WHEN w >= h THEN $MaxSide ELSE greatest(1, (w * $MaxSide) // h) END AS INT) AS out_w, " +
         s"CAST(CASE WHEN greatest(w, h) <= $MaxSide THEN h " +
         s"WHEN w >= h THEN greatest(1, (h * $MaxSide) // w) ELSE $MaxSide END AS INT) AS out_h FROM d) " +
         "SELECT doc_id, out_w, out_h, " +
         "md5(CASE WHEN n = 0 THEN '' ELSE array_to_string(list_transform(" +
         "generate_series(0, out_w * out_h - 1), " +
-        "i -> substr(text, CAST((i * n) // (out_w * out_h) AS INT) + 1, 1)), '') END) AS resample_md5 FROM r"),
+        "i -> substr(hx, CAST(2 * ((i * n) // (out_w * out_h)) AS INT) + 1, 2)), '') END) AS resample_md5 FROM r"),
     "mm_phash" ->
       (s"WITH $phashCtes " +
         "SELECT doc_id, CAST(n AS INT) AS n_bytes, CAST(sum(b) AS BIGINT) AS phash " +
@@ -550,12 +584,12 @@ object Multimodal {
     "mm_audio_windows" ->
       // starts = (0 until max(n-255,1) by 128).take(8): inclusive stop is
       // min(max(n-256,0), 896); energy sums (byte-128)^2 over the window.
-      ("WITH base AS (SELECT doc_id, text, strlen(text) AS n FROM documents), " +
-        "w AS (SELECT doc_id, text, n, unnest(generate_series(0, least(greatest(n - 256, 0), 896), 128)) AS st FROM base) " +
+      (s"WITH $hxBase, " +
+        "w AS (SELECT doc_id, hx, n, unnest(generate_series(0, least(greatest(n - 256, 0), 896), 128)) AS st FROM base) " +
         "SELECT doc_id, CAST(st // 128 AS INT) AS window_idx, " +
         "CAST(least(st + 256, n) - st AS INT) AS n_samples, " +
         "CAST(coalesce(list_sum(list_transform(generate_series(st + 1, least(st + 256, n)), " +
-        "j -> (CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT) - 128) * " +
-        "(CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT) - 128))), 0) AS BIGINT) AS energy " +
+        s"j -> (CAST(${hexByteSql("j")} AS BIGINT) - 128) * " +
+        s"(CAST(${hexByteSql("j")} AS BIGINT) - 128))), 0) AS BIGINT) AS energy " +
         "FROM w"))
 }

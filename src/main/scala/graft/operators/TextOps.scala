@@ -1141,6 +1141,91 @@ object TextOps {
           .otherwise("tail").as("ppl_bucket"))
   }
 
+  /** Hashed feature-space size for [[importanceDsir]] — the paper uses
+    * 10^4 hashed n-gram buckets at web scale; 256 keeps every model
+    * relation broadcastable while still separating the test corpora. */
+  val DsirBuckets = 256L
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — hashed bag-of-words
+    * importance weights): estimate a TARGET unigram distribution p and the
+    * RAW-corpus distribution q over [[DsirBuckets]] hashed word buckets,
+    * weight each document by the PER-TOKEN mean log importance
+    * (Σ_b occ_b · ln(p(b)/q(b))) / n_tokens (add-one smoothed; the
+    * per-token mean removes the length confound a raw log-sum ranking
+    * has), and keep the top importance QUARTILE — the
+    * "rank by importance weight" selection variant. The target sample is
+    * the corpus's own Gopher-seed documents — passing >=
+    * [[QualitySeedMinFlags]] of the 7 rules, the same deterministic
+    * label-free seed rule the trained quality gate uses (full 7/7
+    * consensus is empty whenever one rule is globally unattainable on a
+    * corpus, which would collapse the target to pure smoothing) — exactly
+    * the trusted-subset shape the paper instantiates with formal text.
+    *
+    * Float discipline (the perplexity recipe): bucket counts are exact
+    * integers; each bucket's log-ratio is ONE ln() over identically
+    * computed doubles, rounded once to 6 places and summed as DECIMAL —
+    * order-independent, engine-portable; the per-doc weight surfaces as
+    * 1e6 fixed-point (logw6). Threshold selection is the shared
+    * [[Analytics.cumulativeCensus]] order statistic — no global sort; ties
+    * at the threshold are kept, so >= ceil(N/4) documents survive on ANY
+    * corpus.
+    *
+    * Scale: two corpus scans (token stream + the fused Gopher flag scan),
+    * one (doc, bucket) shuffle bounded by the token count, a 256-row model
+    * relation broadcast back, and the census over the materialized
+    * (doc_id, logw6) pairs (16 B/row, the calibrated-gate checkpoint
+    * pattern). Nothing pairwise, nothing driver-side. */
+  def importanceDsir(s: SparkSession, dir: String): DataFrame =
+    importanceDsirOf(docs(s, dir))
+
+  private[graft] def importanceDsirOf(d: DataFrame): DataFrame = {
+    // one row per (doc, hashed bucket) with multiplicity — feeds the model
+    // counts AND the scoring join; materialized once (id-sized rows)
+    val wt = d.select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
+      .select(col("doc_id"), pmod(hash52(col("w")), lit(DsirBuckets)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("occ"))
+      .join(gopherRulesOf(d).select(col("doc_id"),
+        when(GopherFlagNames.map(col).reduce(_ + _) >= QualitySeedMinFlags, 1)
+          .otherwise(0).as("tgt")), Seq("doc_id"))
+      .localCheckpoint()
+    val bstats = wt.groupBy("b").agg(
+      sum(col("occ")).as("cr"),
+      sum(col("occ") * col("tgt")).as("ct"))
+    val tot = bstats.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    // lr(b) = round(ln(p/q), 6) with p = (ct+1)/(nt+B), q = (cr+1)/(nr+B);
+    // the argument is assembled double-by-double in the exact order the
+    // oracle replays, so the single ln() sees identical bits
+    val lr = bstats.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log(((col("ct") + 1).cast("double") * (col("nr") + lit(DsirBuckets)).cast("double")) /
+          ((col("cr") + 1).cast("double") * (col("nt") + lit(DsirBuckets)).cast("double"))), 6)
+          .cast("decimal(18,6)").as("lr"))
+    // per-TOKEN mean log-ratio (sum DIV token count), not the raw sum: the
+    // sum scales with document length, so ranking on it selects long
+    // documents rather than target-like ones (measured on the shipped
+    // corpus: the raw-sum quartile UNDER-represents the seed class, the
+    // per-token mean enriches it 0.57 -> 0.63). DIV truncates toward zero
+    // in both engines; sum(occ) >= 1 because split() yields >= 1 token.
+    val s6 = wt.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg((sum(col("occ") * col("lr")) * lit(1000000L)).cast("long").as("sumw6"),
+        sum(col("occ")).as("ntok"))
+      .select(col("doc_id"), expr("sumw6 DIV ntok").as("logw6"))
+      .localCheckpoint()
+    val census = Analytics.cumulativeCensus(s6.select(col("logw6").as("v")))
+    val target = broadcast(s6.agg(count(lit(1)).as("n"))
+      .withColumn("keep_n", expr("(n + 3) DIV 4"))
+      .withColumn("target", col("n") - col("keep_n") + 1)
+      .select(col("target")))
+    val thr = census.join(target,
+        col("cum") >= col("target") && (col("cum") - col("cnt")) < col("target"))
+      .agg(min(col("v")).as("thr"))
+    s6.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("logw6"),
+        when(col("logw6") >= col("thr"), 1).otherwise(0).as("dsir_keep"))
+  }
+
   /** Character-level entropy audit — the degenerate-text signal of the
     * Gopher/C4 filter family that token-level ratios miss: binary spew,
     * single-character runs and keyboard mashing have near-zero or
@@ -1501,6 +1586,7 @@ object TextOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_model" -> (qualityModel _),
     "text_quality_calibrated" -> (qualityCalibrated _),
+    "text_importance_dsir" -> (importanceDsir _),
     "text_normalize" -> (normalize _),
     "text_langid" -> (langid _),
     "text_langid_confusion" -> (langidConfusion _),
@@ -1613,6 +1699,29 @@ object TextOps {
         "GROUP BY wh.lang, wh.source"),
     "text_quality_model" -> qualityModelSql,
     "text_quality_calibrated" -> qualityCalibratedSql,
+    "text_importance_dsir" ->
+      // full train->weight->select replay: hashed unigram buckets, add-one
+      // smoothed target/raw log-ratios (6-dec DECIMAL), census threshold
+      (s"WITH g AS (SELECT doc_id, CASE WHEN ${GopherFlagNames.mkString(" + ")} >= $QualitySeedMinFlags " +
+        s"THEN 1 ELSE 0 END AS tgt FROM ($gopherSql)), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+        s"occ AS (SELECT doc_id, ${hash52Sql("w")} % $DsirBuckets AS b, count(*) AS occ FROM tok GROUP BY 1, 2), " +
+        "wt AS (SELECT o.doc_id, o.b, o.occ, g.tgt FROM occ o JOIN g ON o.doc_id = g.doc_id), " +
+        "bs AS (SELECT b, sum(occ) AS cr, sum(occ * tgt) AS ct FROM wt GROUP BY 1), " +
+        "tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bs), " +
+        s"lr AS (SELECT b, CAST(round(ln(((ct + 1)::DOUBLE * (nr + $DsirBuckets)::DOUBLE) / " +
+        s"((cr + 1)::DOUBLE * (nt + $DsirBuckets)::DOUBLE)), 6) AS DECIMAL(18,6)) AS lr FROM bs, tot), " +
+        // outer CAST: DuckDB sum() is HUGEINT, so the quotient must come
+        // back to BIGINT to hash/compare as int64 against the Spark column
+        "s6 AS (SELECT wt.doc_id, CAST(CAST(sum(wt.occ * lr.lr) * 1000000 AS BIGINT) // sum(wt.occ) AS BIGINT) AS logw6 " +
+        "FROM wt JOIN lr ON wt.b = lr.b GROUP BY 1), " +
+        "nn AS (SELECT count(*) AS n, (count(*) + 3) // 4 AS keep_n FROM s6), " +
+        "tt AS (SELECT n - keep_n + 1 AS target FROM nn), " +
+        "cc AS (SELECT logw6, cnt, sum(cnt) OVER (ORDER BY logw6) AS cum FROM " +
+        "(SELECT logw6, count(*) AS cnt FROM s6 GROUP BY 1)), " +
+        "thr AS (SELECT min(cc.logw6) AS thr FROM cc, tt WHERE cc.cum >= tt.target AND cc.cum - cc.cnt < tt.target) " +
+        "SELECT s6.doc_id, s6.logw6, CASE WHEN s6.logw6 >= thr.thr THEN 1 ELSE 0 END AS dsir_keep " +
+        "FROM s6 CROSS JOIN thr"),
     "text_normalize" ->
       ("SELECT doc_id, cleaned AS text_norm, " +
         "CASE WHEN cleaned <> text THEN 1 ELSE 0 END AS was_changed, " +

@@ -33,6 +33,35 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("supplementary characters seed as ONE symbol (code points, not UTF-16 units)") {
+    // an emoji (U+1F642, a surrogate pair in UTF-16) must seed one BPE
+    // symbol; the old charAt loop seeded two unpaired-surrogate symbols
+    // that serialized as U+FFFD — the round-11 unicode sweep's failure
+    val coder = new BpeCoder(Seq(("a", "b")))
+    val syms = coder.encode("🙂x𝕊")
+    assert(syms.toSeq == Seq("🙂", "x", "𝕊"))
+    assert(coder.countWord("🙂") == 1L)
+    // no replacement chars can appear in the re-assembled stream
+    val txt = org.apache.spark.unsafe.types.UTF8String.fromString("mixed 🙂 emoji")
+    assert(!coder.encodeText(txt).toString.contains('�'))
+  }
+
+  test("unicode text: fold, SQL seeds, and native coder agree (code points)") {
+    // fold = Spark builtins (code-point semantics); the native coder must
+    // match on CJK (no spaces), accents, and supplementary characters
+    val d = Seq((1L, "mixed 🙂 ascii 🙃 emoji"),
+        (2L, "café naïve résumé"),
+        (3L, "数据处理引擎"),
+        (4L, "𝕊𝕡𝕒𝕣𝕜 data"))
+      .toDF("doc_id", "text")
+      .select(TextOps.bpeCount(col("text")).as("native"),
+        TextOps.bpeCountFold(col("text")).as("fold"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    d.foreach { case (native, fold) =>
+      assert(native == fold, s"unicode token diverged: native=$native fold=$fold")
+    }
+  }
+
   test("native BPE count equals the Catalyst fold on the corpus (toy table)") {
     val d = graft.sources.Tables.load(spark, sf, "documents")
       .select(col("doc_id"),

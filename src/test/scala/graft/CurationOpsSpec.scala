@@ -239,6 +239,44 @@ class CurationOpsSpec extends SparkSpec {
       "a fully-tied distribution must keep every document")
   }
 
+  test("DSIR importance selection keeps the top quartile and enriches the target") {
+    val out = TextOps.importanceDsir(spark, sf)
+      .select("doc_id", "logw6", "dsir_keep").collect()
+    val n = out.length
+    assert(n == graft.sources.Tables.load(spark, sf, "documents").count(),
+      "every document must be scored (split(' ') yields >= 1 token per doc)")
+    // brute-force the order statistic: threshold = ceil(N/4)-th largest
+    // weight, ties kept
+    val w = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keepN = (n + 3) / 4
+    val thr = w.values.toSeq.sorted.apply(n - keepN)
+    val kept = out.filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+    assert(kept == w.filter(_._2 >= thr).keySet,
+      "keep set must be exactly the >=threshold docs")
+    assert(kept.size >= keepN, s"must keep at least ceil(N/4), got ${kept.size}")
+    // importance weighting must ENRICH the target distribution: the
+    // seed-rate (>= QualitySeedMinFlags of 7 Gopher rules — the target
+    // definition) among selected docs exceeds the corpus-wide rate
+    // (that is the whole point of the importance weights)
+    val gk = TextOps.gopherRules(spark, sf)
+      .select(col("doc_id"), when(TextOps.GopherFlagNames.map(col).reduce(_ + _)
+        >= TextOps.QualitySeedMinFlags, 1).otherwise(0).as("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val selRate = kept.toSeq.map(gk).sum.toDouble / kept.size
+    val allRate = gk.values.sum.toDouble / gk.size
+    assert(selRate > allRate,
+      f"selected Gopher-pass rate $selRate%.3f must exceed corpus rate $allRate%.3f")
+
+    // fully-tied corpus: identical texts -> identical weights -> the
+    // threshold IS the common value and every document survives
+    val ss2 = spark
+    import ss2.implicits._
+    val ties = (1L to 40L).map(i => (i, "the same text here", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(TextOps.importanceDsirOf(ties).filter(col("dsir_keep") === 1).count() == 40L,
+      "a fully-tied importance distribution must keep every document")
+  }
+
   test("delta pack converges to the full pack and never cumsum-scans the old corpus") {
     // per-doc chunk assignment under the delta path must equal the full
     // pack's for every delta doc: compare manifests restricted to delta

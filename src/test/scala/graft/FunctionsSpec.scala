@@ -386,4 +386,31 @@ class FunctionsSpec extends SparkSpec {
       .collect().head.getAs[Array[Byte]](0)
     assert(rec.length == 100 && rec.sameElements(GensortLcg.record(0L)))
   }
+
+  test("langid bigram buckets hash CODE POINTS (non-BMP parity with the oracle)") {
+    // "𝕊a": code points [0x1D54A, 'a'] -> exactly ONE bigram in the
+    // oracle's (ascii(c_i)*31 + ascii(c_{i+1})) % buckets rule. The old
+    // charAt loop hashed the two surrogate halves as separate "characters"
+    // (two bigrams, wrong buckets) — round-11 unicode sweep failure.
+    val buckets = graft.operators.TextOps.LangidBuckets
+    val cnt = LangidBytes.bucketCounts(
+      org.apache.spark.unsafe.types.UTF8String.fromString("𝕊a"), buckets)
+    val total = (0 until buckets).map(cnt.getLong).sum
+    assert(total == 1L, s"expected one code-point bigram, got $total")
+    assert(cnt.getLong((0x1D54A * 31 + 'a'.toInt) % buckets) == 1L)
+    // ASCII behavior unchanged: "ab" lands in (97*31+98) % buckets
+    val ab = LangidBytes.bucketCounts(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ab"), buckets)
+    assert(ab.getLong((97 * 31 + 98) % buckets) == 1L)
+  }
+
+  test("mm byte fingerprints are md5 over the lowercase-hex byte rendering") {
+    // md5OfHex(bytes) must equal md5 of the hex STRING — the only form
+    // DuckDB can replay for arbitrary (non-UTF-8-safe) payload slices
+    val bytes = Array[Byte](0x00, 0x7f, -1, 0x20)
+    val viaHex = java.security.MessageDigest.getInstance("MD5")
+      .digest("007fff20".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .map("%02x".format(_)).mkString
+    assert(graft.operators.Multimodal.md5OfHex(bytes) == viaHex)
+  }
 }

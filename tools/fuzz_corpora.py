@@ -150,7 +150,51 @@ def gen_embeddings(base):
     print(f'wrote {base}/{{emb_degen,emb_cluster}}')
 
 
+def gen_unicode(base):
+    """Unicode-heavy corpus (round 11): multibyte and multi-codepoint
+    shapes the shipped (ASCII-only) corpus never exercises — CJK text
+    without spaces, accented Latin, Turkish dotted/dotless I (locale-
+    sensitive case mapping), combining diacritics vs precomposed forms,
+    emoji (incl. ZWJ sequences and surrogate-pair code points), RTL
+    scripts, and non-ASCII whitespace (NBSP, ideographic space). Stresses
+    char-vs-byte counting, lower()/upper() parity (Java vs ICU), regex
+    classes, shingling, BPE seeds, and md5-of-UTF-8 hashing."""
+    rnd = random.Random(99)
+    cjk = ['数据处理引擎在大规模集群上运行', '分散処理フレームワークの性能測定',
+           '데이터 중복 제거 파이프라인', '全文検索と類似度計算']
+    accents = ['café naïve résumé Zürich Köln', 'mañana über straße',
+               'ÀÉÎÕÜ àéîõü ÆØÅ æøå', 'ĞÜŞİÖÇ ğüşıöç']
+    tricky = ['İstanbul ISPARTA ıı İİ',             # Turkish I case pairs
+              'élève élève',  # combining vs precomposed
+              'ẞ ß SS ss ẞ',                   # sharp s case pairs
+              'ﬁle ﬂow ﬁﬂ']               # ligature code points
+    emoji = ['🚀 data 🔥 pipeline 🧪', '👨‍👩‍👧‍👦 family 🏳️‍🌈 flags',
+             '𝕊𝕡𝕒𝕣𝕜 𝐃𝐚𝐭𝐚 𝔼𝕟𝕘𝕚𝕟𝕖',                  # surrogate-pair letters
+             'mixed 🙂 ascii 🙃 emoji']
+    rtl = ['محرك معالجة البيانات', 'מנוע עיבוד נתונים',
+           'mixed عربي and English', 'שלום spark עולם']
+    ws = ['nbsp separated words', 'ideo　space　here',
+          'thin space zero​width', 'tab\tmix nl']
+    fams = [cjk, accents, tricky, emoji, rtl, ws]
+    rows = []
+    for i in range(500):
+        k = i % 8
+        if k < 6:
+            fam = fams[k]
+            t_ = fam[i % len(fam)]
+            if i % 3 == 0:  # splice unicode into ASCII word streams
+                t_ = text(10, 9000 + i) + ' ' + t_ + ' ' + text(10, 9500 + i)
+        elif k == 6:  # long CJK run, no whitespace at all
+            t_ = ''.join(rnd.choice(cjk) for _ in range(5))
+        else:
+            t_ = text(15 + i % 30, 8000 + i)
+        rows.append((i, t_, LANGS[i % 4], f'src{i % 20}'))
+    d = f'{base}/uni'; mkdir_with_tables(d); write_docs(d, rows)
+    print(f'wrote {base}/uni')
+
+
 if __name__ == '__main__':
     base = sys.argv[1] if len(sys.argv) > 1 else '/tmp/graft_fuzz'
     gen(base)
     gen_embeddings(base)
+    gen_unicode(base)
