@@ -151,8 +151,14 @@ object Scale {
       "pipeline_token_budget" -> (Pipeline.tokenBudget _),
       // round 11: DSIR importance selection — two corpus scans, one
       // token-bounded (doc, bucket) shuffle, a 256-row model broadcast and
-      // the census order statistic; must scale ~linearly with corpus size
-      "text_importance_dsir" -> (graft.operators.TextOps.importanceDsir _))
+      // the census order statistic; registry-served, so first-touch rows
+      // carry the one-time model fit and served rows are the scoring pass
+      "text_importance_dsir" -> (graft.operators.TextOps.importanceDsir _),
+      // round 11: perceptual dedup CC — pairs stay pigeonhole-bucketed and
+      // salt-capped, CC state bounded by edge-touched assets; must stay
+      // far from quadratic even when the generated corpus has phash
+      // near-pairs
+      "mm_phash_dedup" -> (graft.operators.Multimodal.phashDedup _))
 
   def main(args: Array[String]): Unit = {
     val outBase = args.headOption.getOrElse("/tmp/graft_scale")

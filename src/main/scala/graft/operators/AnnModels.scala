@@ -61,6 +61,7 @@ object AnnModels {
   @volatile private[graft] var lshIndexBuilds = 0
   @volatile private[graft] var survivorBuilds = 0
   @volatile private[graft] var tokenTotalTrains = 0
+  @volatile private[graft] var dsirTrains = 0
 
   private var rootOverride: Option[String] = None
 
@@ -278,6 +279,43 @@ object AnnModels {
         // chunk-id continuity between census, delta pack and full pack
         // cannot drift
         .agg(sum(Pipeline.wsTokenCount).as("base_off"))
+    }
+
+  /** The DSIR importance-selection model — TWO persisted relations: the
+    * <= DsirBuckets-row per-bucket log-ratio table (the hashed importance
+    * weights between the corpus's Gopher-seed target and the raw corpus)
+    * and the 1-row calibrated keep threshold (the corpus's own top-quartile
+    * logw6 bar). Trained once per corpus state; `text_importance_dsir`
+    * serves both as broadcast join sides — the train-once / score-many
+    * deployment shape of data selection (the ingestGate pattern applied
+    * to importance weighting).
+    *
+    * Consistency: both relations derive from ONE localCheckpointed
+    * (doc, bucket, occ, tgt) relation — the threshold is computed from
+    * scores under the PERSISTED log-ratio table (read back before the
+    * scoring pass), so the pair can never mix corpus states, and the
+    * completion marker commits last (ensureGen). Training is
+    * integer/DECIMAL-exact and decimal(18,6) parquet round-trips exactly,
+    * so artifact-served selection is bit-identical to the inline fit. */
+  def dsirModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    synchronized {
+      val p = new Path(root(s), key(dir, "dsir",
+        s"b=${TextOps.DsirBuckets},keep=quarter,seed=${TextOps.QualitySeedMinFlags}"))
+      val gen = ensureGen(s, p, dir, "documents") { genDir =>
+        dsirTrains += 1
+        val wt = TextOps.dsirWt(
+          graft.sources.Tables.load(s, dir, "documents")).localCheckpoint()
+        TextOps.dsirLr(wt).coalesce(1)
+          .write.mode("overwrite").parquet(new Path(genDir, "lr").toString)
+        val lr = s.read.parquet(new Path(genDir, "lr").toString)
+        import org.apache.spark.sql.functions.col
+        val s6 = TextOps.dsirScores(
+          wt.select(col("doc_id"), col("b"), col("occ")), lr).localCheckpoint()
+        TextOps.dsirThr(s6).coalesce(1)
+          .write.mode("overwrite").parquet(new Path(genDir, "thr").toString)
+      }
+      (s.read.parquet(new Path(gen, "lr").toString),
+        s.read.parquet(new Path(gen, "thr").toString))
     }
 
   /** Corpus-freshness fingerprint of the table backing an artifact: the

@@ -307,8 +307,9 @@ object Dedup {
     ccLabels(docs(s, dir).select(col("doc_id")), minhashLsh(s, dir))
 
   /** Min-label connected components over an undirected candidate-pair list
-    * (the engine behind `clusterAssign` and `survivors`). */
-  private def ccLabels(d: DataFrame, pairs: DataFrame): DataFrame = {
+    * (the engine behind `clusterAssign` and `survivors`; Multimodal's
+    * phash dedup runs the same engine over perceptual-hash pairs). */
+  private[operators] def ccLabels(d: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()

@@ -354,6 +354,56 @@ object Multimodal {
   def phashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.hammingPairs(phash(s, dir).select(col("doc_id"), col("phash").as("h")))
 
+  /** Perceptual-hash image DEDUP — the image half of a multimodal
+    * curation pipeline (the DataComp/LAION near-duplicate removal step:
+    * cluster perceptual-hash neighbors, keep one canonical asset per
+    * cluster): connected components over [[phashPairs]] via the shared
+    * min-label CC engine (`Dedup.ccLabels` — one labeling engine for text
+    * LSH pairs, semantic pairs AND perceptual pairs), reported as one row
+    * per surviving canonical asset with its representation count — the
+    * `dedup_survivors` shape on the phash column.
+    *
+    * Scale: pairs are pigeonhole-bucketed and salt-capped (never
+    * all-pairs), the CC loop's state is bounded by edge-touched assets
+    * (singleton images never enter the iteration), and the output is one
+    * row per cluster. */
+  def phashDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.ccLabels(
+        Tables.load(s, dir, "documents").select(col("doc_id")),
+        phashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_repr"))
+      .select(col("cluster_id").as("doc_id"), col("n_repr"))
+
+  /** Asset-gate thresholds (the LAION/DataComp image pre-filter family:
+    * drop tiny images, extreme aspect ratios, and byte-trivial payloads
+    * before any expensive decode/embed stage). Integer-exact. */
+  val MinImgSide = 64
+  val MaxAspect = 3
+  val MinAssetBytes = 32
+
+  /** Multimodal curation gate over the DECODE metadata — the cheap
+    * metadata pre-filter every image pipeline runs before embedding
+    * (LAION-5B filters on original width/height and aspect; DataComp's
+    * pools are built behind the same rule shape): per-asset integer
+    * flags for minimum side ([[MinImgSide]]), bounded aspect ratio
+    * (neither side more than [[MaxAspect]]x the other — the comparison is
+    * cross-multiplied, no division) and minimum payload size
+    * ([[MinAssetBytes]]), plus the conjunction `mm_keep`.
+    *
+    * Scale: a pure map over [[decode]]'s partition-parallel metadata —
+    * no shuffle anywhere (plan-asserted); at 100 TB this is the gate that
+    * runs FIRST, so everything downstream sees only surviving assets. */
+  def mmFilter(s: SparkSession, dir: String): DataFrame =
+    decode(s, dir).select(col("doc_id"), col("width"), col("height"),
+      when(least(col("width"), col("height")) >= MinImgSide, 1)
+        .otherwise(0).as("ok_side"),
+      when(col("width") <= lit(MaxAspect) * col("height") &&
+        col("height") <= lit(MaxAspect) * col("width"), 1)
+        .otherwise(0).as("ok_aspect"),
+      when(col("n_bytes") >= MinAssetBytes, 1).otherwise(0).as("ok_bytes"))
+      .withColumn("mm_keep",
+        col("ok_side") * col("ok_aspect") * col("ok_bytes"))
+
   val MaxSide = 224
   val Patch = 16
 
@@ -493,7 +543,9 @@ object Multimodal {
     "mm_resize" -> (resizePlan _),
     "mm_resize_sample" -> (resizeSample _),
     "mm_phash" -> (phash _),
-    "mm_phash_pairs" -> (phashPairs _))
+    "mm_phash_pairs" -> (phashPairs _),
+    "mm_phash_dedup" -> (phashDedup _),
+    "mm_filter" -> (mmFilter _))
 
   /** Segment sums replay as ascii() sums over substr slices; the signed
     * 64-bit assembles as a sum of BIGINT bit values (bit 63 contributes
@@ -575,6 +627,34 @@ object Multimodal {
       (s"WITH $phashCtes " +
         "SELECT doc_id, CAST(n AS INT) AS n_bytes, CAST(sum(b) AS BIGINT) AS phash " +
         "FROM bits GROUP BY doc_id, n"),
+    "mm_phash_dedup" ->
+      // the dedup_survivors recipe on the phash column: hamming pairs
+      // (shared pigeonhole/salt mirror), reachability CC, one row per
+      // canonical asset
+      (s"WITH RECURSIVE $phashCtes, " +
+        "php AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS h FROM bits GROUP BY doc_id), " +
+        s"${Dedup.hammingPairsCtes("php")}, " +
+        s"ppairs AS (${Dedup.hammingPairsSelect}), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM ppairs " +
+        "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM ppairs), " +
+        "reach(src, dst) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+        "lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src) " +
+        "SELECT cluster_id AS doc_id, count(*) AS n_repr FROM lab GROUP BY cluster_id"),
+    "mm_filter" ->
+      // decode-metadata gate replay: the mm_decode width/height/n_bytes
+      // arithmetic, then the three integer flags and their conjunction
+      (s"WITH $hxBase, " +
+        s"m AS (SELECT doc_id, n, CASE WHEN n > 0 THEN ${hexByteSql("1")} ELSE 0 END AS b0 FROM base), " +
+        "d AS (SELECT doc_id, CAST(n AS INT) AS n_bytes, CAST(16 + n % 624 AS INT) AS width, " +
+        "CAST(16 + (n * 7 + b0) % 464 AS INT) AS height FROM m) " +
+        s"SELECT doc_id, width, height, " +
+        s"CASE WHEN least(width, height) >= $MinImgSide THEN 1 ELSE 0 END AS ok_side, " +
+        s"CASE WHEN width <= $MaxAspect * height AND height <= $MaxAspect * width THEN 1 ELSE 0 END AS ok_aspect, " +
+        s"CASE WHEN n_bytes >= $MinAssetBytes THEN 1 ELSE 0 END AS ok_bytes, " +
+        s"(CASE WHEN least(width, height) >= $MinImgSide THEN 1 ELSE 0 END) * " +
+        s"(CASE WHEN width <= $MaxAspect * height AND height <= $MaxAspect * width THEN 1 ELSE 0 END) * " +
+        s"(CASE WHEN n_bytes >= $MinAssetBytes THEN 1 ELSE 0 END) AS mm_keep FROM d"),
     "mm_phash_pairs" ->
       // The SAME hamming-pair CTE mirror the dedup_simhash_pairs oracle
       // uses, over the phash relation — one engine path, one SQL mirror.

@@ -1175,56 +1175,99 @@ object TextOps {
     * one (doc, bucket) shuffle bounded by the token count, a 256-row model
     * relation broadcast back, and the census over the materialized
     * (doc_id, logw6) pairs (16 B/row, the calibrated-gate checkpoint
-    * pattern). Nothing pairwise, nothing driver-side. */
-  def importanceDsir(s: SparkSession, dir: String): DataFrame =
-    importanceDsirOf(docs(s, dir))
+    * pattern). Nothing pairwise, nothing driver-side.
+    *
+    * Deployment shape: the MODEL — the 256-row log-ratio table plus the
+    * calibrated keep threshold — is registry-persisted
+    * (AnnModels.dsirModel, trained once per corpus state, the ingestGate
+    * two-relation pattern), and the gated query SERVES it: one scoring
+    * scan joins the broadcast artifact and compares to the persisted
+    * bar. Training is integer/DECIMAL-exact and the decimal(18,6)
+    * log-ratios parquet round-trip exactly, so artifact-served output is
+    * bit-identical to the inline fit (spec) and the oracle replays the
+    * whole train→weight→select chain from the raw corpus. */
+  def importanceDsir(s: SparkSession, dir: String): DataFrame = {
+    val (lr, thr) = AnnModels.dsirModel(s, dir)
+    dsirSelect(dsirScores(dsirOcc(docs(s, dir)), lr), thr)
+  }
 
+  /** The inline (no-registry) form of [[importanceDsir]] — the full fit +
+    * selection over an arbitrary documents relation; the registry trainer
+    * and the foreign-corpus specs run exactly this chain. */
   private[graft] def importanceDsirOf(d: DataFrame): DataFrame = {
     // one row per (doc, hashed bucket) with multiplicity — feeds the model
     // counts AND the scoring join; materialized once (id-sized rows)
-    val wt = d.select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
+    val wt = dsirWt(d).localCheckpoint()
+    val s6 = dsirScores(wt.select(col("doc_id"), col("b"), col("occ")),
+      dsirLr(wt)).localCheckpoint()
+    dsirSelect(s6, dsirThr(s6))
+  }
+
+  /** (doc_id, b, occ): hashed-bucket token counts per document — the
+    * scoring-side relation (one corpus scan, one token-bounded shuffle). */
+  private[graft] def dsirOcc(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
       .select(col("doc_id"), pmod(hash52(col("w")), lit(DsirBuckets)).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("occ"))
+
+  /** [[dsirOcc]] + the per-document target flag (Gopher-seed membership)
+    * — the training-side relation. */
+  private[graft] def dsirWt(d: DataFrame): DataFrame =
+    dsirOcc(d)
       .join(gopherRulesOf(d).select(col("doc_id"),
         when(GopherFlagNames.map(col).reduce(_ + _) >= QualitySeedMinFlags, 1)
           .otherwise(0).as("tgt")), Seq("doc_id"))
-      .localCheckpoint()
+
+  /** The <= [[DsirBuckets]]-row importance model: per-bucket add-one
+    * smoothed log-ratio between the target and raw distributions.
+    * lr(b) = round(ln(p/q), 6) with p = (ct+1)/(nt+B), q = (cr+1)/(nr+B);
+    * the argument is assembled double-by-double in the exact order the
+    * oracle replays, so the single ln() sees identical bits. */
+  private[graft] def dsirLr(wt: DataFrame): DataFrame = {
     val bstats = wt.groupBy("b").agg(
       sum(col("occ")).as("cr"),
       sum(col("occ") * col("tgt")).as("ct"))
     val tot = bstats.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
-    // lr(b) = round(ln(p/q), 6) with p = (ct+1)/(nt+B), q = (cr+1)/(nr+B);
-    // the argument is assembled double-by-double in the exact order the
-    // oracle replays, so the single ln() sees identical bits
-    val lr = bstats.crossJoin(broadcast(tot))
+    bstats.crossJoin(broadcast(tot))
       .select(col("b"),
         round(log(((col("ct") + 1).cast("double") * (col("nr") + lit(DsirBuckets)).cast("double")) /
           ((col("cr") + 1).cast("double") * (col("nt") + lit(DsirBuckets)).cast("double"))), 6)
           .cast("decimal(18,6)").as("lr"))
-    // per-TOKEN mean log-ratio (sum DIV token count), not the raw sum: the
-    // sum scales with document length, so ranking on it selects long
-    // documents rather than target-like ones (measured on the shipped
-    // corpus: the raw-sum quartile UNDER-represents the seed class, the
-    // per-token mean enriches it 0.57 -> 0.63). DIV truncates toward zero
-    // in both engines; sum(occ) >= 1 because split() yields >= 1 token.
-    val s6 = wt.join(broadcast(lr), Seq("b"))
+  }
+
+  /** (doc_id, logw6): per-TOKEN mean log-ratio (sum DIV token count) in
+    * 1e6 fixed point — NOT the raw sum: the sum scales with document
+    * length, so ranking on it selects long documents rather than
+    * target-like ones (measured on the shipped corpus: the raw-sum
+    * quartile UNDER-represents the seed class, the per-token mean
+    * enriches it 0.57 -> 0.63). DIV truncates toward zero in both
+    * engines; sum(occ) >= 1 because split() yields >= 1 token. */
+  private[graft] def dsirScores(occ: DataFrame, lr: DataFrame): DataFrame =
+    occ.join(broadcast(lr), Seq("b"))
       .groupBy("doc_id")
       .agg((sum(col("occ") * col("lr")) * lit(1000000L)).cast("long").as("sumw6"),
         sum(col("occ")).as("ntok"))
       .select(col("doc_id"), expr("sumw6 DIV ntok").as("logw6"))
-      .localCheckpoint()
+
+  /** The 1-row calibrated keep bar: the ceil(N/4)-th largest logw6,
+    * selected via the shared cumulative census (no global sort). */
+  private[graft] def dsirThr(s6: DataFrame): DataFrame = {
     val census = Analytics.cumulativeCensus(s6.select(col("logw6").as("v")))
     val target = broadcast(s6.agg(count(lit(1)).as("n"))
       .withColumn("keep_n", expr("(n + 3) DIV 4"))
       .withColumn("target", col("n") - col("keep_n") + 1)
       .select(col("target")))
-    val thr = census.join(target,
+    census.join(target,
         col("cum") >= col("target") && (col("cum") - col("cnt")) < col("target"))
       .agg(min(col("v")).as("thr"))
+  }
+
+  /** Final selection: ties at the bar are kept, so >= ceil(N/4) docs
+    * survive on ANY corpus. */
+  private def dsirSelect(s6: DataFrame, thr: DataFrame): DataFrame =
     s6.crossJoin(broadcast(thr))
       .select(col("doc_id"), col("logw6"),
         when(col("logw6") >= col("thr"), 1).otherwise(0).as("dsir_keep"))
-  }
 
   /** Character-level entropy audit — the degenerate-text signal of the
     * Gopher/C4 filter family that token-level ratios miss: binary spew,

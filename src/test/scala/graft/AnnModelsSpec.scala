@@ -336,6 +336,24 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("DSIR model trains once; artifact-served selection is bit-identical to the inline fit") {
+    AnnModels.withRoot(freshRoot("dsir")) {
+      val t0 = AnnModels.dsirTrains
+      val served = rows(graft.operators.TextOps.importanceDsir(spark, sf))
+      assert(AnnModels.dsirTrains == t0 + 1, "first access must train")
+      // DECIMAL(18,6) log-ratios and long thresholds parquet round-trip
+      // exactly, so the artifact-served chain must reproduce the inline
+      // fit bit for bit — the property that lets the oracle replay
+      // training from the raw corpus while the engine serves the registry
+      val inline = rows(graft.operators.TextOps.importanceDsirOf(
+        graft.sources.Tables.load(spark, sf, "documents")))
+      assert(served == inline, "artifact-served selection diverged from the inline fit")
+      graft.operators.TextOps.importanceDsir(spark, sf).collect()
+      assert(AnnModels.dsirTrains == t0 + 1,
+        "second access must serve the artifact, not retrain")
+    }
+  }
+
   test("non-default training parameters bypass the artifact store") {
     AnnModels.withRoot(freshRoot("bypass")) {
       val t0 = AnnModels.ivfTrains

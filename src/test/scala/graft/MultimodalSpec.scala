@@ -283,4 +283,52 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.nonEmpty && stub == Multimodal.audioWindowsOf(
       Multimodal.Asset(4L, corrupt)), "corrupt RIFF must fall back deterministically")
   }
+
+  test("mm_filter flags replay the decode metadata exactly; the plan is shuffle-free") {
+    val df = Multimodal.mmFilter(spark, sf)
+    // the metadata gate is a pure map over the decode pass — any Exchange
+    // here would shuffle the corpus for per-row arithmetic
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mm_filter must not shuffle:\n$plan")
+    val meta = Multimodal.decode(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    val rows = df.collect()
+    assert(rows.length == meta.size)
+    rows.foreach { r =>
+      val (nb, w, h) = meta(r.getLong(0))
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      val okSide = if (math.min(w, h) >= Multimodal.MinImgSide) 1 else 0
+      val okAspect = if (w <= Multimodal.MaxAspect * h && h <= Multimodal.MaxAspect * w) 1 else 0
+      val okBytes = if (nb >= Multimodal.MinAssetBytes) 1 else 0
+      assert(r.getInt(3) == okSide && r.getInt(4) == okAspect && r.getInt(5) == okBytes &&
+        r.getInt(6) == okSide * okAspect * okBytes, s"flag mismatch for doc ${r.getLong(0)}")
+    }
+    // the gate must be a real split on the shipped corpus, not a constant
+    val kept = rows.count(_.getInt(6) == 1)
+    assert(kept > 0 && kept < rows.length, s"degenerate gate: $kept/${rows.length}")
+  }
+
+  test("mm_phash_dedup merges identical payloads and conserves the asset count") {
+    // fixture corpus: three byte-identical assets (hamming 0 by
+    // construction) + three structurally different ones
+    val tmp = java.nio.file.Files.createTempDirectory("graft-phashdedup").toString
+    val sp = spark
+    import sp.implicits._
+    val same = "the very same payload bytes travel three times " * 3
+    val docs = Seq(
+      (1L, same), (2L, same), (3L, same),
+      (4L, "abcdefghijklmnopqrstuvwxyz0123456789 once over"),
+      (5L, ("low " * 20) + ("HIGH! " * 20)),
+      (6L, ("HIGH! " * 20) + ("low " * 20)))
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Multimodal.phashDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.sum == 6L, s"n_repr must conserve assets: $out")
+    // the identical triple collapses to ONE cluster, canonical = min id
+    assert(out.getOrElse(1L, 0L) >= 3L, s"identical payloads must merge under doc 1: $out")
+    assert(!out.contains(2L) && !out.contains(3L),
+      s"merged members must not survive as canonicals: $out")
+  }
 }
