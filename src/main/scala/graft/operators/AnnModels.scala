@@ -298,17 +298,32 @@ object AnnModels {
     * integer/DECIMAL-exact and decimal(18,6) parquet round-trips exactly,
     * so artifact-served selection is bit-identical to the inline fit. */
   def dsirModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    dsirArtifact(s, dir, "dsir", excludeSrc0 = false)
+
+  /** The DSIR ADMISSION model — the same two relations as [[dsirModel]],
+    * trained on the corpus WITHOUT the ingest batch (source <> 'src0',
+    * the incremental-family convention): the corpus fits the importance
+    * weights and calibrates the bar against its OWN score distribution,
+    * and every ingest batch / stream is scored against the broadcast
+    * artifact (EventStreams.ingestDsirBatch / runIngestDsirStep). */
+  def dsirGate(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    dsirArtifact(s, dir, "dsirig", excludeSrc0 = true)
+
+  private def dsirArtifact(s: SparkSession, dir: String, kind: String,
+      excludeSrc0: Boolean): (DataFrame, DataFrame) =
     synchronized {
-      val p = new Path(root(s), key(dir, "dsir",
-        s"b=${TextOps.DsirBuckets},keep=quarter,seed=${TextOps.QualitySeedMinFlags}"))
+      val excl = if (excludeSrc0) ",excl=src0" else ""
+      val p = new Path(root(s), key(dir, kind,
+        s"b=${TextOps.DsirBuckets},keep=quarter,seed=${TextOps.QualitySeedMinFlags}$excl"))
       val gen = ensureGen(s, p, dir, "documents") { genDir =>
         dsirTrains += 1
-        val wt = TextOps.dsirWt(
-          graft.sources.Tables.load(s, dir, "documents")).localCheckpoint()
+        import org.apache.spark.sql.functions.col
+        val base = graft.sources.Tables.load(s, dir, "documents")
+        val corpus = if (excludeSrc0) base.filter(col("source") =!= "src0") else base
+        val wt = TextOps.dsirWt(corpus).localCheckpoint()
         TextOps.dsirLr(wt).coalesce(1)
           .write.mode("overwrite").parquet(new Path(genDir, "lr").toString)
         val lr = s.read.parquet(new Path(genDir, "lr").toString)
-        import org.apache.spark.sql.functions.col
         val s6 = TextOps.dsirScores(
           wt.select(col("doc_id"), col("b"), col("occ")), lr).localCheckpoint()
         TextOps.dsirThr(s6).coalesce(1)

@@ -1218,8 +1218,13 @@ object TextOps {
         when(GopherFlagNames.map(col).reduce(_ + _) >= QualitySeedMinFlags, 1)
           .otherwise(0).as("tgt")), Seq("doc_id"))
 
-  /** The <= [[DsirBuckets]]-row importance model: per-bucket add-one
-    * smoothed log-ratio between the target and raw distributions.
+  /** The [[DsirBuckets]]-row importance model: per-bucket add-one
+    * smoothed log-ratio between the target and raw distributions, over
+    * the FULL bucket domain — add-one smoothing defines lr for buckets
+    * the training corpus never emitted (ct = cr = 0), and the ingest
+    * deployment scores batches that can contain exactly those buckets;
+    * a model restricted to observed buckets would silently drop their
+    * tokens from the admission score.
     * lr(b) = round(ln(p/q), 6) with p = (ct+1)/(nt+B), q = (cr+1)/(nr+B);
     * the argument is assembled double-by-double in the exact order the
     * oracle replays, so the single ln() sees identical bits. */
@@ -1227,8 +1232,13 @@ object TextOps {
     val bstats = wt.groupBy("b").agg(
       sum(col("occ")).as("cr"),
       sum(col("occ") * col("tgt")).as("ct"))
-    val tot = bstats.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
-    bstats.crossJoin(broadcast(tot))
+    val tot = bstats.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"),
+      coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    wt.sparkSession.range(DsirBuckets).select(col("id").as("b"))
+      .join(bstats, Seq("b"), "left")
+      .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+      .crossJoin(broadcast(tot))
       .select(col("b"),
         round(log(((col("ct") + 1).cast("double") * (col("nr") + lit(DsirBuckets)).cast("double")) /
           ((col("cr") + 1).cast("double") * (col("nt") + lit(DsirBuckets)).cast("double"))), 6)
@@ -2002,6 +2012,44 @@ object TextOps {
     * smooth to count 0), and the admit compare (NULL threshold admits).
     * The per-set quality/repetition CTEs reuse the gated SQL strings with
     * the source relation swapped in. */
+  /** Oracle for the DSIR admission gate: replay the importance fit on the
+    * CORPUS (source <> 'src0') over the FULL bucket domain (left join +
+    * add-one smoothing — ingest batches can carry buckets the corpus
+    * never emitted), calibrate the bar on the corpus's own top-quartile
+    * logw6, then score and gate the ingest batch (source = 'src0'). */
+  private[graft] lazy val ingestDsirSql: String = {
+    require(gopherSql.sliding("FROM documents".length).count(_ == "FROM documents") == 1,
+      "corp swap expects exactly one documents reference in gopherSql")
+    val gopherCorp = gopherSql.replace("FROM documents", "FROM corp")
+    val B = DsirBuckets
+    "WITH corp AS (SELECT * FROM documents WHERE source <> 'src0'), " +
+      "ing AS (SELECT * FROM documents WHERE source = 'src0'), " +
+      s"g AS (SELECT doc_id, CASE WHEN ${GopherFlagNames.mkString(" + ")} >= $QualitySeedMinFlags " +
+      s"THEN 1 ELSE 0 END AS tgt FROM ($gopherCorp)), " +
+      "ctok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corp), " +
+      s"cocc AS (SELECT doc_id, ${graft.functions.hash52Sql("w")} % $B AS b, count(*) AS occ FROM ctok GROUP BY 1, 2), " +
+      "wt AS (SELECT o.doc_id, o.b, o.occ, g.tgt FROM cocc o JOIN g ON o.doc_id = g.doc_id), " +
+      "bs AS (SELECT b, sum(occ) AS cr, sum(occ * tgt) AS ct FROM wt GROUP BY 1), " +
+      "tot AS (SELECT coalesce(sum(cr), 0) AS nr, coalesce(sum(ct), 0) AS nt FROM bs), " +
+      s"dom AS (SELECT unnest(generate_series(0, ${B - 1})) AS b), " +
+      s"lr AS (SELECT dom.b, CAST(round(ln(((coalesce(bs.ct, 0) + 1)::DOUBLE * (tot.nr + $B)::DOUBLE) / " +
+      s"((coalesce(bs.cr, 0) + 1)::DOUBLE * (tot.nt + $B)::DOUBLE)), 6) AS DECIMAL(18,6)) AS lr " +
+      "FROM dom LEFT JOIN bs ON dom.b = bs.b CROSS JOIN tot), " +
+      "cs6 AS (SELECT wt.doc_id, CAST(CAST(sum(wt.occ * lr.lr) * 1000000 AS BIGINT) // sum(wt.occ) AS BIGINT) AS logw6 " +
+      "FROM wt JOIN lr ON wt.b = lr.b GROUP BY 1), " +
+      "nn AS (SELECT count(*) AS n, (count(*) + 3) // 4 AS keep_n FROM cs6), " +
+      "tt AS (SELECT n - keep_n + 1 AS target FROM nn), " +
+      "cc AS (SELECT logw6, cnt, sum(cnt) OVER (ORDER BY logw6) AS cum FROM " +
+      "(SELECT logw6, count(*) AS cnt FROM cs6 GROUP BY 1)), " +
+      "thr AS (SELECT min(cc.logw6) AS thr FROM cc, tt WHERE cc.cum >= tt.target AND cc.cum - cc.cnt < tt.target), " +
+      "itok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM ing), " +
+      s"iocc AS (SELECT doc_id, ${graft.functions.hash52Sql("w")} % $B AS b, count(*) AS occ FROM itok GROUP BY 1, 2), " +
+      "is6 AS (SELECT iocc.doc_id, CAST(CAST(sum(iocc.occ * lr.lr) * 1000000 AS BIGINT) // sum(iocc.occ) AS BIGINT) AS logw6 " +
+      "FROM iocc JOIN lr ON iocc.b = lr.b GROUP BY 1) " +
+      "SELECT i.doc_id, i.logw6, CASE WHEN t.thr IS NULL OR i.logw6 >= t.thr THEN 1 ELSE 0 END AS admit " +
+      "FROM is6 i CROSS JOIN thr t"
+  }
+
   private[graft] lazy val ingestGateSql: String = {
     def onSet(tag: String, src: String): String = {
       // the swap contract: each gated SQL names the table EXACTLY once —

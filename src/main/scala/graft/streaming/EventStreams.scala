@@ -592,6 +592,73 @@ object EventStreams {
         when(col("thr").isNull || col("logit8") >= col("thr"), 1).otherwise(0).as("admit"))
   }
 
+  /** DSIR ADMISSION GATE — importance resampling as admission control,
+    * the data-selection twin of [[ingestGateBatch]]: the corpus (source
+    * <> 'src0') trains the hashed importance model ONCE (the full-domain
+    * log-ratio table + the corpus's own top-quartile bar, persisted by
+    * AnnModels.dsirGate), and every ingest batch is scored against the
+    * broadcast artifact — admit iff the batch document's per-token mean
+    * log importance meets the corpus's bar (NULL bar — empty corpus —
+    * admits everything). The batch-side cost is one scan + one
+    * token-bounded (doc, bucket) shuffle; nothing about the corpus is
+    * re-read at admission time. This batch analog is the gated,
+    * oracle-replayed form; [[runIngestDsirStep]] is the restartable
+    * nightly streaming form over the same scoring path. */
+  def ingestDsirBatch(s: SparkSession, dir: String): DataFrame = {
+    val (lr, thr) = graft.operators.AnnModels.dsirGate(s, dir)
+    dsirVerdicts(
+      Tables.load(s, dir, "documents").filter(col("source") === "src0"), lr, thr)
+  }
+
+  /** The ONE DSIR admission scoring path (batch analog and nightly step
+    * share it — no drift): score `batch` under the persisted log-ratio
+    * table, gate on the persisted bar. */
+  private def dsirVerdicts(batch: DataFrame, lr: DataFrame,
+      thr: DataFrame): DataFrame =
+    graft.operators.TextOps.dsirScores(
+        graft.operators.TextOps.dsirOcc(batch), lr)
+      .crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("logw6"),
+        when(col("thr").isNull || col("logw6") >= col("thr"), 1).otherwise(0).as("admit"))
+
+  /** One restartable AvailableNow pass of the DSIR admission gate — the
+    * [[runIngestGateStep]] recipe applied to importance selection:
+    * resume from `checkpoint`, score any files under `dropDir` the
+    * checkpoint has not seen against `corpusDir`'s registry-served
+    * importance model, and land each micro-batch's verdicts in a
+    * `batch=<batchId>` partition under dynamic partition overwrite (a
+    * replayed batch OVERWRITES its own partition — exactly-once end to
+    * end; the partition doubles as scoring provenance). Scoring runs per
+    * micro-batch through foreachBatch on the SHARED batch path
+    * ([[dsirVerdicts]]) — stateless by construction: the DSIR score
+    * needs two chained aggregations (per-bucket counts, then the
+    * per-document mean), which Structured Streaming's incremental
+    * planner cannot run in one query anyway; the only durable state is
+    * the file-source checkpoint. A missing or drop-free `dropDir` is a
+    * no-op, not a crash. */
+  def runIngestDsirStep(s: SparkSession, corpusDir: String, dropDir: String,
+      checkpoint: String, outPath: String, glob: String = "*.parquet"): Unit = {
+    if (!hasDrops(s, dropDir, glob)) return // no drops tonight — no-op, not a crash
+    val (lr, thr) = graft.operators.AnnModels.dsirGate(s, corpusDir)
+    val rawSchema = s.read.option("pathGlobFilter", glob).parquet(dropDir).schema
+    val stream = s.readStream.schema(rawSchema).option("pathGlobFilter", glob)
+      .parquet(dropDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        dsirVerdicts(batch.filter(col("source") === "src0").toDF(), lr, thr)
+          .withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch")
+          .parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** True-stream form of the admission gate: ONE streaming aggregation —
     * the per-row (non-LM) logit part rides the bigram explode
     * (TextOps.logitBaseCol), the bigrams join the persisted LM
@@ -803,6 +870,7 @@ object EventStreams {
     "stream_dedup_lsh" -> ((s, dir) => dedupLshNovelty(Tables.load(s, dir, "documents"))),
     "stream_dedup_incremental" -> ((s, dir) => incrementalVsIndex(s, dir)),
     "stream_ingest_gate" -> (ingestGateBatch _),
+    "stream_ingest_dsir" -> (ingestDsirBatch _),
     "stream_sketch_distinct" -> ((s, dir) => windowDistinctSketch(Tables.load(s, dir, "events"))),
     "stream_topk" -> ((s, dir) => windowTopKBatch(Tables.load(s, dir, "events"))))
 
@@ -845,6 +913,7 @@ object EventStreams {
       graft.operators.Dedup.lshMatchOracle(
         idxPred = "source <> 'src0'", batchPred = "source = 'src0'"),
     "stream_ingest_gate" -> graft.operators.TextOps.ingestGateSql,
+    "stream_ingest_dsir" -> graft.operators.TextOps.ingestDsirSql,
     "stream_sketch_distinct" -> {
       import graft.operators.Extras.{KmvK, Two52}
       val hex13 = graft.functions.hexIntSql("md5(CAST(user_id AS VARCHAR))", 1, 13)

@@ -454,6 +454,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("DSIR admission: nightly step scores each drop once and equals the batch analog") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dsir_step").toString
+    val (corpusDir, dropDir, cp, out) =
+      (s"$base/corpus", s"$base/drops", s"$base/cp", s"$base/out")
+    def writeSingle(dir: String, fname: String, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = s"$base/tmp_$fname"
+      rows.toDF("doc_id", "source", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dir, fname))
+    }
+    val corpusRows = Seq(
+      (1L, "srcA", "the quick brown fox jumps over the lazy dog and the cat"),
+      (2L, "srcA", "the data table holds the value rows and the key columns"),
+      (3L, "srcA", "zz @@ ## !! ?? xx yy qq ww ee rr tt"),
+      (4L, "srcA", "aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa"))
+    writeSingle(corpusDir, "documents.parquet", corpusRows)
+    val dropRows0 = Seq(
+      (10L, "src0", "the quick brown fox jumps over the lazy dog and the cat"),
+      (11L, "src0", "@@ ## $$ %% ^^ && ** (( )) __ ++ ~~"))
+    val dropRows1 = Seq(
+      (12L, "src0", "the data table holds the value rows and the key columns"))
+    def verdicts(): Map[Long, Int] = {
+      if (!new java.io.File(out).exists()) Map.empty
+      else spark.read.parquet(out).collect()
+        .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-dsir-step-models").toString
+    graft.operators.AnnModels.withRoot(root) {
+      val t0 = graft.operators.AnnModels.dsirTrains
+      writeSingle(dropDir, "d0.parquet", dropRows0)
+      EventStreams.runIngestDsirStep(spark, corpusDir, dropDir, cp, out)
+      val a1 = verdicts()
+      assert(a1.keySet == Set(10L, 11L), s"run 1 scores the first drop: $a1")
+      // run 2: the processed file must NOT re-score (exactly-once over files)
+      writeSingle(dropDir, "d1.parquet", dropRows1)
+      EventStreams.runIngestDsirStep(spark, corpusDir, dropDir, cp, out)
+      val a2 = verdicts()
+      assert(a2.keySet == Set(10L, 11L, 12L), s"run 2 adds only the new drop: $a2")
+      assert(spark.read.parquet(out).count() == 3,
+        "processed files must never re-score (no duplicate verdicts)")
+      assert(graft.operators.AnnModels.dsirTrains == t0 + 1,
+        "the registry importance model must train once across nightly runs")
+      // nightly verdicts equal the batch analog over the same drops — the
+      // gated, oracle-replayed path (one scoring implementation, no drift)
+      val batchDir = s"$base/all"
+      writeSingle(batchDir, "documents.parquet", corpusRows ++ dropRows0 ++ dropRows1)
+      val batch = EventStreams.ingestDsirBatch(spark, batchDir).collect()
+        .map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(batch == a2, s"nightly verdicts must equal the batch analog: $batch vs $a2")
+      assert(batch.values.toSet == Set(0, 1),
+        s"the corpus bar must actually split the drops: $batch")
+    }
+  }
+
   test("nightly steps no-op on a missing or drop-free directory") {
     val base = java.nio.file.Files.createTempDirectory("graft_nodrops").toString
     val root = java.nio.file.Files.createTempDirectory("graft-nodrops-models").toString
@@ -462,6 +520,7 @@ class StreamingSpec extends SparkSpec {
       EventStreams.runIngestGateStep(spark, sf, s"$base/absent", s"$base/cp1", s"$base/out1")
       EventStreams.runIncrementalLshStep(spark, sf, s"$base/absent", s"$base/cp2", s"$base/out2")
       EventStreams.runPackDeltaStep(spark, sf, s"$base/absent", s"$base/cp4", s"$base/out4")
+      EventStreams.runIngestDsirStep(spark, sf, s"$base/absent", s"$base/cp5", s"$base/out5")
       // existing but glob-empty dropDir (only a non-matching file)
       val empty = s"$base/empty"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(empty))
