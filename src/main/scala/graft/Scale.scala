@@ -158,7 +158,10 @@ object Scale {
       // salt-capped, CC state bounded by edge-touched assets; must stay
       // far from quadratic even when the generated corpus has phash
       // near-pairs
-      "mm_phash_dedup" -> (graft.operators.Multimodal.phashDedup _))
+      "mm_phash_dedup" -> (graft.operators.Multimodal.phashDedup _),
+      // round 11: DSIR admission — first-touch carries the corpus fit,
+      // served rows are the batch-sized scoring pass (cost ∝ batch)
+      "stream_ingest_dsir" -> (graft.streaming.EventStreams.ingestDsirBatch _))
 
   def main(args: Array[String]): Unit = {
     val outBase = args.headOption.getOrElse("/tmp/graft_scale")
