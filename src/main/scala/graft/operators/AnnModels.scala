@@ -320,14 +320,24 @@ object AnnModels {
         import org.apache.spark.sql.functions.col
         val base = graft.sources.Tables.load(s, dir, "documents")
         val corpus = if (excludeSrc0) base.filter(col("source") =!= "src0") else base
-        val wt = TextOps.dsirWt(corpus).localCheckpoint()
-        TextOps.dsirLr(wt).coalesce(1)
-          .write.mode("overwrite").parquet(new Path(genDir, "lr").toString)
-        val lr = s.read.parquet(new Path(genDir, "lr").toString)
-        val s6 = TextOps.dsirScores(
-          wt.select(col("doc_id"), col("b"), col("occ")), lr).localCheckpoint()
-        TextOps.dsirThr(s6).coalesce(1)
-          .write.mode("overwrite").parquet(new Path(genDir, "thr").toString)
+        // ONE cached (doc, bucket) relation feeds the model counts AND the
+        // threshold's scoring pass; cache (not a lineage-truncating
+        // checkpoint, same discipline as the ingest-gate trainer) released
+        // after the writes, so the corpus-scale copy never outlives
+        // training. Mid-train corpus-edit consistency is commitIfFresh's
+        // job, not the cache's.
+        val wt = TextOps.dsirWt(corpus).persist()
+        try {
+          TextOps.dsirLr(wt).coalesce(1)
+            .write.mode("overwrite").parquet(new Path(genDir, "lr").toString)
+          val lr = s.read.parquet(new Path(genDir, "lr").toString)
+          val s6 = TextOps.dsirScores(
+            wt.select(col("doc_id"), col("b"), col("occ")), lr).persist()
+          try {
+            TextOps.dsirThr(s6).coalesce(1)
+              .write.mode("overwrite").parquet(new Path(genDir, "thr").toString)
+          } finally s6.unpersist(false)
+        } finally wt.unpersist(false)
       }
       (s.read.parquet(new Path(gen, "lr").toString),
         s.read.parquet(new Path(gen, "thr").toString))

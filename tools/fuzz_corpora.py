@@ -181,7 +181,10 @@ def gen_unicode(base):
         k = i % 8
         if k < 6:
             fam = fams[k]
-            t_ = fam[i % len(fam)]
+            # i // 8 decorrelates the element pick from k = i % 8 (4
+            # divides 8, so fam[i % 4] would pin each family to ONE fixed
+            # element and leave 18 of the 24 curated shapes dead)
+            t_ = fam[(i // 8) % len(fam)]
             if i % 3 == 0:  # splice unicode into ASCII word streams
                 t_ = text(10, 9000 + i) + ' ' + t_ + ' ' + text(10, 9500 + i)
         elif k == 6:  # long CJK run, no whitespace at all
