@@ -374,6 +374,28 @@ object Multimodal {
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_repr"))
       .select(col("cluster_id").as("doc_id"), col("n_repr"))
 
+  /** [[phashDedup]] with the KEEP-BEST-COPY rule a crawl pipeline actually
+    * applies (near-duplicate images differ in resolution/re-encode
+    * quality; the survivor should be the best available copy, not an
+    * arbitrary id): within each perceptual cluster keep the LARGEST
+    * asset (max payload bytes — the byte-domain stand-in for highest
+    * resolution), ties to the smallest doc_id. The argmax is a
+    * hash-aggregate `max(struct(...))` on integer keys — no per-cluster
+    * window sort — exactly the `dedup_semantic_keep` recipe applied to
+    * the perceptual column. */
+  def phashKeep(s: SparkSession, dir: String): DataFrame = {
+    val ph = phash(s, dir)
+    val lab = Dedup.ccLabels(ph.select(col("doc_id")),
+      Dedup.hammingPairs(ph.select(col("doc_id"), col("phash").as("h")))
+        .select(col("doc_a"), col("doc_b")))
+    lab.join(ph.select(col("doc_id"), col("n_bytes")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_repr"),
+        max(struct(col("n_bytes"), (-col("doc_id")).as("nv"))).as("k"))
+      .select((-col("k.nv")).as("doc_id"), col("k.n_bytes").as("n_bytes"),
+        col("n_repr"))
+  }
+
   /** Asset-gate thresholds (the LAION/DataComp image pre-filter family:
     * drop tiny images, extreme aspect ratios, and byte-trivial payloads
     * before any expensive decode/embed stage). Integer-exact. */
@@ -545,6 +567,7 @@ object Multimodal {
     "mm_phash" -> (phash _),
     "mm_phash_pairs" -> (phashPairs _),
     "mm_phash_dedup" -> (phashDedup _),
+    "mm_phash_keep" -> (phashKeep _),
     "mm_filter" -> (mmFilter _))
 
   /** Segment sums replay as ascii() sums over substr slices; the signed
@@ -641,6 +664,24 @@ object Multimodal {
         "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
         "lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src) " +
         "SELECT cluster_id AS doc_id, count(*) AS n_repr FROM lab GROUP BY cluster_id"),
+    "mm_phash_keep" ->
+      // same labeling chain; the survivor per cluster is the LARGEST
+      // asset (byte-domain best copy), ties to the smallest doc_id
+      (s"WITH RECURSIVE $phashCtes, " +
+        "php AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS h FROM bits GROUP BY doc_id), " +
+        s"${Dedup.hammingPairsCtes("php")}, " +
+        s"ppairs AS (${Dedup.hammingPairsSelect}), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM ppairs " +
+        "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM ppairs), " +
+        "reach(src, dst) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+        "lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src), " +
+        "pn AS (SELECT doc_id, CAST(n AS INT) AS n_bytes FROM base), " +
+        "kk AS (SELECT lab.doc_id, pn.n_bytes, " +
+        "row_number() OVER (PARTITION BY lab.cluster_id ORDER BY pn.n_bytes DESC, lab.doc_id ASC) AS rn, " +
+        "count(*) OVER (PARTITION BY lab.cluster_id) AS n_repr " +
+        "FROM lab JOIN pn ON pn.doc_id = lab.doc_id) " +
+        "SELECT doc_id, n_bytes, n_repr FROM kk WHERE rn = 1"),
     "mm_filter" ->
       // decode-metadata gate replay: the mm_decode width/height/n_bytes
       // arithmetic, then the three integer flags and their conjunction

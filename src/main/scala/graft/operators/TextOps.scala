@@ -965,6 +965,30 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe"),
       bpeCount(col("text")).as("n_bpe_real"))
 
+  /** Tokenizer FERTILITY audit — the standard tokenizer-evaluation table
+    * (fertility = subword tokens per word; compression = bytes per token
+    * — multilingual tokenizer papers report exactly these per language,
+    * because a tokenizer that fragments one language inflates its
+    * training cost and shrinks its effective context): per language,
+    * document count, whitespace-word and BPE-token totals, fertility and
+    * bytes-per-token in 1e6 fixed point (integer sums, one DIV — exact,
+    * engine-portable). Token counts use the production native counter
+    * ([[bpeCount]], one codegen'd plan node); byte totals are UTF-8
+    * octets, so multibyte scripts weigh their real storage cost.
+    *
+    * Scale: one corpus scan, map-side-combined aggregation onto
+    * |languages| rows — nothing else shuffles. */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(wsTokens(col("text"))).cast("long")).as("n_words"),
+        sum(bpeCount(col("text"))).as("n_bpe"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+        expr("(n_bpe * 1000000) DIV n_words").as("fertility6"),
+        expr("(n_bytes * 1000000) DIV n_bpe").as("bytes_per_token6"))
+
   /** Document fingerprinting: content hash + min-shingle-hash (winnowing's
     * selection rule over the whole doc window). */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
@@ -1651,6 +1675,7 @@ object TextOps {
     "text_gopher_rules" -> (gopherRules _),
     "text_corpus_stats" -> (corpusStats _),
     "text_tokens" -> (tokens _),
+    "text_bpe_fertility" -> (bpeFertility _),
     "text_bpe_train" -> (bpeTrain _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_bpe_vocab" -> (bpeVocab _),
@@ -1785,6 +1810,17 @@ object TextOps {
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe, " +
         s"${bpeCountSql("text")} AS n_bpe_real FROM documents"),
+    "text_bpe_fertility" ->
+      // per-language fertility/compression over the same per-doc counts
+      // the text_tokens oracle replays; ratios as integer DIVs of the sums
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words, " +
+        s"CAST(sum(${bpeCountSql("text")}) AS BIGINT) AS n_bpe, " +
+        s"CAST(CAST(sum(${bpeCountSql("text")}) AS BIGINT) * 1000000 // " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS BIGINT) AS fertility6, " +
+        "CAST(CAST(sum(octet_length(encode(text))) AS BIGINT) * 1000000 // " +
+        s"CAST(sum(${bpeCountSql("text")}) AS BIGINT) AS BIGINT) AS bytes_per_token6 " +
+        "FROM documents GROUP BY lang"),
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_trained_ids" -> bpeTrainedIdsSql,
     "text_bpe_train_256" -> bpeTrainBigSql,

@@ -308,4 +308,26 @@ class BpeSpec extends SparkSpec {
     // "the" and "and" are single symbols under the toy table; empty words 0
     assert(got == Seq(2L, 1L, 1L, 0L))
   }
+
+  test("fertility audit aggregates the per-document counters exactly") {
+    import org.apache.spark.sql.functions._
+    val perDoc = graft.operators.TextOps.tokens(spark, sf)
+      .join(graft.sources.Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), col("lang"), octet_length(col("text")).as("nb")),
+        Seq("doc_id"))
+      .collect()
+      .groupBy(_.getAs[String]("lang"))
+      .map { case (lang, rows) =>
+        val (w, b, by) = (rows.map(_.getAs[Int]("n_ws").toLong).sum,
+          rows.map(_.getAs[Long]("n_bpe_real")).sum,
+          rows.map(_.getAs[Int]("nb").toLong).sum)
+        lang -> ((rows.size.toLong, w, b, b * 1000000L / w, by * 1000000L / b))
+      }
+    val got = graft.operators.TextOps.bpeFertility(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == perDoc, s"fertility table must equal the per-doc rollup: $got vs $perDoc")
+    // a word is never fewer than one BPE token, so fertility >= 1.0
+    assert(got.values.forall(_._4 >= 1000000L), s"fertility below 1.0: $got")
+  }
 }

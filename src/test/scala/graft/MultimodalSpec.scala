@@ -308,6 +308,33 @@ class MultimodalSpec extends SparkSpec {
     assert(kept > 0 && kept < rows.length, s"degenerate gate: $kept/${rows.length}")
   }
 
+  test("mm_phash_keep keeps the largest member of each perceptual cluster") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-phashkeep").toString
+    val sp = spark
+    import sp.implicits._
+    val same = "the very same payload bytes travel three times " * 3
+    // constant-byte payloads hash to phash 0 regardless of length (every
+    // segment mean equals the total mean, strict > never fires), so docs
+    // 7 and 8 pair at hamming 0 while DIFFERING in size — the keep rule's
+    // discriminating case
+    val docs = Seq(
+      (1L, same), (2L, same), (3L, same),
+      (7L, "a" * 50), (8L, "a" * 80),
+      (9L, "abcdefghijklmnopqrstuvwxyz0123456789 once over"))
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Multimodal.phashKeep(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out.values.map(_._2).sum == 6L, s"n_repr must conserve assets: $out")
+    // equal-size identical triple: tie breaks to the smallest doc_id
+    assert(out.get(1L).exists(_._2 == 3L), s"triple survivor must be doc 1: $out")
+    // size-differing pair: the LARGER asset survives, not the smaller id
+    assert(out.get(8L).exists(v => v._1 == 80 && v._2 == 2L),
+      s"doc 8 (80 bytes) must beat doc 7 (50 bytes): $out")
+    assert(out.contains(9L) && !out.contains(7L) && !out.contains(2L), s"$out")
+  }
+
   test("mm_phash_dedup merges identical payloads and conserves the asset count") {
     // fixture corpus: three byte-identical assets (hamming 0 by
     // construction) + three structurally different ones
