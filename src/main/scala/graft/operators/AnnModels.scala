@@ -290,11 +290,13 @@ object AnnModels {
     * deployment shape of data selection (the ingestGate pattern applied
     * to importance weighting).
     *
-    * Consistency: both relations derive from ONE localCheckpointed
-    * (doc, bucket, occ, tgt) relation — the threshold is computed from
-    * scores under the PERSISTED log-ratio table (read back before the
-    * scoring pass), so the pair can never mix corpus states, and the
-    * completion marker commits last (ensureGen). Training is
+    * Consistency: both relations derive from ONE cached (doc, bucket,
+    * occ, tgt) relation (persist, released after the writes — never a
+    * lineage-truncating checkpoint, the registry-trainer discipline) —
+    * the threshold is computed from scores under the PERSISTED log-ratio
+    * table (read back before the scoring pass), so the pair can never
+    * mix corpus states; mid-train corpus edits are commitIfFresh's job,
+    * and the completion marker commits last (ensureGen). Training is
     * integer/DECIMAL-exact and decimal(18,6) parquet round-trips exactly,
     * so artifact-served selection is bit-identical to the inline fit. */
   def dsirModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =

@@ -384,7 +384,12 @@ object Multimodal {
     * window sort — exactly the `dedup_semantic_keep` recipe applied to
     * the perceptual column. */
   def phashKeep(s: SparkSession, dir: String): DataFrame = {
-    val ph = phash(s, dir)
+    // Materialize the hashes ONCE (the minhashVerified pattern): the CC
+    // seed, the pairing input and the n_bytes join side all consume this
+    // relation, and column pruning cannot reach through the mapPartitions
+    // codec barrier — uncached, each branch would re-decode and re-hash
+    // the whole asset corpus.
+    val ph = phash(s, dir).localCheckpoint()
     val lab = Dedup.ccLabels(ph.select(col("doc_id")),
       Dedup.hammingPairs(ph.select(col("doc_id"), col("phash").as("h")))
         .select(col("doc_a"), col("doc_b")))

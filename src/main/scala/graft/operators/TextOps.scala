@@ -970,9 +970,11 @@ object TextOps {
     * — multilingual tokenizer papers report exactly these per language,
     * because a tokenizer that fragments one language inflates its
     * training cost and shrinks its effective context): per language,
-    * document count, whitespace-word and BPE-token totals, fertility and
-    * bytes-per-token in 1e6 fixed point (integer sums, one DIV — exact,
-    * engine-portable). Token counts use the production native counter
+    * document count, NON-EMPTY whitespace-word and BPE-token totals,
+    * fertility and bytes-per-token in 1e6 fixed point (integer sums, one
+    * guarded DIV — exact, engine-portable; NULL on an all-whitespace
+    * group). Fertility >= 1.0 whenever words exist — every non-empty
+    * word is at least one token. Token counts use the production native counter
     * ([[bpeCount]], one codegen'd plan node); byte totals are UTF-8
     * octets, so multibyte scripts weigh their real storage cost.
     *
@@ -982,12 +984,21 @@ object TextOps {
     docs(s, dir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(wsTokens(col("text"))).cast("long")).as("n_words"),
+        // NON-EMPTY words only: whitespace runs make split() emit empty
+        // tokens that carry zero BPE symbols — counting them would deflate
+        // fertility below its >= 1.0 floor (each real word is >= 1 token)
+        sum(size(filter(wsTokens(col("text")), w => length(w) > 0)).cast("long"))
+          .as("n_words"),
         sum(bpeCount(col("text"))).as("n_bpe"),
         sum(octet_length(col("text")).cast("long")).as("n_bytes"))
       .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
-        expr("(n_bpe * 1000000) DIV n_words").as("fertility6"),
-        expr("(n_bytes * 1000000) DIV n_bpe").as("bytes_per_token6"))
+        // NULL ratios on an all-whitespace language group (zero words =>
+        // zero tokens): ANSI mode makes an unguarded DIV a runtime crash,
+        // and DuckDB's // yields NULL there — the guard keeps parity
+        expr("CASE WHEN n_words > 0 THEN (n_bpe * 1000000) DIV n_words END")
+          .as("fertility6"),
+        expr("CASE WHEN n_bpe > 0 THEN (n_bytes * 1000000) DIV n_bpe END")
+          .as("bytes_per_token6"))
 
   /** Document fingerprinting: content hash + min-shingle-hash (winnowing's
     * selection rule over the whole doc window). */
@@ -1812,14 +1823,18 @@ object TextOps {
         s"${bpeCountSql("text")} AS n_bpe_real FROM documents"),
     "text_bpe_fertility" ->
       // per-language fertility/compression over the same per-doc counts
-      // the text_tokens oracle replays; ratios as integer DIVs of the sums
+      // the text_tokens oracle replays; NON-EMPTY word counts, ratios as
+      // guarded integer DIVs of the sums (NULL on a zero denominator —
+      // the engine's ANSI-safe CASE mirror)
       ("SELECT lang, count(*) AS n_docs, " +
-        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words, " +
+        "CAST(sum(len(list_filter(string_split(text, ' '), w -> len(w) > 0))) AS BIGINT) AS n_words, " +
         s"CAST(sum(${bpeCountSql("text")}) AS BIGINT) AS n_bpe, " +
-        s"CAST(CAST(sum(${bpeCountSql("text")}) AS BIGINT) * 1000000 // " +
-        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS BIGINT) AS fertility6, " +
-        "CAST(CAST(sum(octet_length(encode(text))) AS BIGINT) * 1000000 // " +
-        s"CAST(sum(${bpeCountSql("text")}) AS BIGINT) AS BIGINT) AS bytes_per_token6 " +
+        "CAST(CASE WHEN sum(len(list_filter(string_split(text, ' '), w -> len(w) > 0))) > 0 THEN " +
+        s"CAST(sum(${bpeCountSql("text")}) AS BIGINT) * 1000000 // " +
+        "CAST(sum(len(list_filter(string_split(text, ' '), w -> len(w) > 0))) AS BIGINT) END AS BIGINT) AS fertility6, " +
+        s"CAST(CASE WHEN sum(${bpeCountSql("text")}) > 0 THEN " +
+        "CAST(sum(octet_length(encode(text))) AS BIGINT) * 1000000 // " +
+        s"CAST(sum(${bpeCountSql("text")}) AS BIGINT) END AS BIGINT) AS bytes_per_token6 " +
         "FROM documents GROUP BY lang"),
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_trained_ids" -> bpeTrainedIdsSql,

@@ -313,12 +313,15 @@ class BpeSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val perDoc = graft.operators.TextOps.tokens(spark, sf)
       .join(graft.sources.Tables.load(spark, sf, "documents")
-        .select(col("doc_id"), col("lang"), octet_length(col("text")).as("nb")),
+        .select(col("doc_id"), col("lang"), octet_length(col("text")).as("nb"),
+          // non-empty words — the audit's denominator (empty split tokens
+          // carry zero BPE symbols and are excluded on both sides)
+          size(filter(split(col("text"), " "), w => length(w) > 0)).as("nw")),
         Seq("doc_id"))
       .collect()
       .groupBy(_.getAs[String]("lang"))
       .map { case (lang, rows) =>
-        val (w, b, by) = (rows.map(_.getAs[Int]("n_ws").toLong).sum,
+        val (w, b, by) = (rows.map(_.getAs[Int]("nw").toLong).sum,
           rows.map(_.getAs[Long]("n_bpe_real")).sum,
           rows.map(_.getAs[Int]("nb").toLong).sum)
         lang -> ((rows.size.toLong, w, b, b * 1000000L / w, by * 1000000L / b))
@@ -327,7 +330,22 @@ class BpeSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))).toMap
     assert(got == perDoc, s"fertility table must equal the per-doc rollup: $got vs $perDoc")
-    // a word is never fewer than one BPE token, so fertility >= 1.0
+    // every non-empty word is at least one BPE token, so fertility >= 1.0
     assert(got.values.forall(_._4 >= 1000000L), s"fertility below 1.0: $got")
+    // the >= 1.0 floor survives whitespace runs (empty split tokens are
+    // excluded) and an all-whitespace group yields NULL ratios, not a
+    // divide-by-zero crash under ANSI mode
+    val sp = spark
+    import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fert").toString
+    Seq((1L, "a  b", "xx", "s", 4L), (2L, "   ", "yy", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val edge = graft.operators.TextOps.bpeFertility(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(edge("xx").getLong(2) == 2L && edge("xx").getLong(4) >= 1000000L,
+      s"double space must not deflate fertility: ${edge("xx")}")
+    assert(edge("yy").isNullAt(4) && edge("yy").isNullAt(5),
+      s"all-whitespace group must yield NULL ratios: ${edge("yy")}")
   }
 }
