@@ -613,4 +613,30 @@ class PlansSpec extends SparkSpec {
     assert(joined.filter(col("avg_nll").isNull || col("avg_nll") <= 0).count() == 0,
       "every add-one-smoothed nll must be positive")
   }
+
+  test("DSIR serving plans broadcast the model; no shuffle beyond the token rollup") {
+    val root = java.nio.file.Files.createTempDirectory("graft-plans-dsir").toString
+    graft.operators.AnnModels.withRoot(root) {
+      // selection: the 256-row log-ratio table joins as a BROADCAST side
+      // and the 1-row bar rides a broadcast nested-loop crossJoin — never
+      // a CartesianProduct, never a sampled global sort
+      val p = plan(graft.operators.TextOps.importanceDsir(spark, sf))
+      assert(p.contains("BroadcastHashJoin"),
+        s"the log-ratio model must broadcast into the scoring join:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"no cartesian in DSIR selection:\n${p.take(2000)}")
+      assert(!p.contains("rangepartitioning"), "no global sort in DSIR selection")
+      // admission: same contract on the gate's scoring pass
+      val pg = plan(graft.streaming.EventStreams.ingestDsirBatch(spark, sf))
+      assert(pg.contains("BroadcastHashJoin") && !pg.contains("CartesianProduct") &&
+        !pg.contains("rangepartitioning"), s"admission plan contract:\n${pg.take(2000)}")
+    }
+  }
+
+  test("mm gates plan without pair expansion") {
+    // the filter is a pure map (asserted shuffle-free in MultimodalSpec);
+    // the dedup/keep pair generators must never go cartesian
+    val p = plan(graft.operators.Multimodal.phashKeep(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"no cartesian in phash keep:\n${p.take(2000)}")
+    assert(!p.contains("rangepartitioning"), "no sampled global sort in phash keep")
+  }
 }
