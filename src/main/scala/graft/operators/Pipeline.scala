@@ -481,6 +481,54 @@ object Pipeline {
       .select(col("cent_id"), col("vec_id"))
   }
 
+  /** Sqrt-temperature coefficient for [[sampleCluster]]: quota_c =
+    * ceil(TempCoeff · sqrt(n_c)). On the test embeddings (8 clusters
+    * averaging ~62 members) quotas land ~17-45 — genuinely between
+    * "cap at 20" and "keep all", so the flattening discriminates. */
+  val TempCoeff = 4
+
+  /** TEMPERATURE-flattened cluster sampling — the density-proportional
+    * variant of [[sampleStratified]] (the cluster-balanced curation
+    * recipe: hierarchical k-means then flattened draws across clusters,
+    * Vo et al. 2024 "Automatic Data Curation for Self-Supervised
+    * Learning"; fixed caps over-prune mid-size clusters while sqrt
+    * flattening keeps per-cluster counts growing — just sublinearly, so
+    * dense clusters still stop dominating): per cluster keep the first
+    * ceil([[TempCoeff]]·sqrt(n_c)) members in deterministic md5-hash
+    * order. ONE IEEE sqrt per cluster then integer arithmetic (the
+    * mix_temperature float discipline — sqrt of an exact integer is
+    * correctly rounded and engine-portable, and ceil is exact).
+    *
+    * Scale contract: quotas vary per cluster, so a single TopKPerKey
+    * cannot express the cut — instead the bounded-heap plan caps every
+    * cluster at the GLOBAL max quota (a <= |clusters|-row census scalar,
+    * driver-read like the census thresholds), and the exact per-cluster
+    * rank then runs as a window over the CAPPED relation — partitions of
+    * at most maxQuota rows, never a corpus-sized window buffer. */
+  def sampleCluster(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (assign, _) = Similarity.ivfParts(s, dir)
+    val ranked = assign.select(col("vec_id"), col("cent_id"),
+      graft.functions.hash52(col("vec_id")).as("rk"))
+    val quota = ranked.groupBy("cent_id").agg(count(lit(1)).as("bn"))
+      .select(col("cent_id"),
+        ceil(lit(TempCoeff) * sqrt(col("bn").cast("double"))).cast("long").as("q"))
+      .localCheckpoint()
+    // model-sized scalar (<= |clusters| rows) — sizes the heap cap so no
+    // cluster's quota is ever silently truncated; NULL max = empty
+    // dataset, where any positive cap yields the correct empty result
+    val maxQRow = quota.agg(max(col("q"))).collect().head
+    val maxQ = if (maxQRow.isNullAt(0)) 1 else maxQRow.getLong(0).toInt
+    val capped = graft.plans.TopKPerKey.topKPerKey(
+      ranked, Seq("cent_id"), Seq(col("rk").asc, col("vec_id").asc), maxQ)
+    capped
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cent_id")).orderBy(col("rk"), col("vec_id"))))
+      .join(broadcast(quota), Seq("cent_id"))
+      .filter(col("rn") <= col("q"))
+      .select(col("cent_id"), col("vec_id"))
+  }
+
   /** Hash block width for the shuffle rank: top 24 bits of the 64-bit key
     * (2^40 per block) — ~16M ordered blocks, so the offset histogram stays
     * far smaller than the corpus while each block holds a bounded,
@@ -777,6 +825,7 @@ object Pipeline {
     "pipeline_shard" -> ((s: SparkSession, dir: String) => shard(s, dir)),
     "pipeline_sample_weighted" -> (sampleWeighted _),
     "pipeline_sample_stratified" -> (sampleStratified _),
+    "pipeline_sample_cluster" -> (sampleCluster _),
     "pipeline_shuffle" -> (shuffle _),
     "pipeline_mix_temperature" -> (mixTemperature _),
     "pipeline_mix_manifest" -> (mixManifest _))
@@ -923,6 +972,16 @@ object Pipeline {
         "rn AS (SELECT vec_id, cent_id, row_number() OVER " +
         "(PARTITION BY cent_id ORDER BY rk, vec_id) AS rn FROM r) " +
         s"SELECT cent_id, vec_id FROM rn WHERE rn <= $StratifiedCap"),
+    "pipeline_sample_cluster" ->
+      // same assignment replay + hash rank; the cut is the per-cluster
+      // sqrt-temperature quota (one IEEE sqrt of an exact integer, ceil)
+      (s"WITH ${Similarity.ivfAssignCtes}, " +
+        s"r AS (SELECT vec_id, cent_id, ${graft.functions.hash52Sql("vec_id")} AS rk FROM assign), " +
+        "cs AS (SELECT cent_id, count(*) AS bn FROM assign GROUP BY cent_id), " +
+        s"qt AS (SELECT cent_id, CAST(ceil($TempCoeff * sqrt(CAST(bn AS DOUBLE))) AS BIGINT) AS q FROM cs), " +
+        "rn AS (SELECT vec_id, cent_id, row_number() OVER " +
+        "(PARTITION BY cent_id ORDER BY rk, vec_id) AS rn FROM r) " +
+        "SELECT rn.cent_id, rn.vec_id FROM rn JOIN qt USING (cent_id) WHERE rn.rn <= qt.q"),
     "pipeline_curate_semantic" ->
       (s"WITH RECURSIVE ${Dedup.semanticLabCtes}, " +
         s"${Dedup.semanticKeepCte}, " +

@@ -201,6 +201,44 @@ class CurationOpsSpec extends SparkSpec {
     assert(perCluster.values.exists(_ > 1), "sample should retain multiple members somewhere")
   }
 
+  test("temperature sample keeps ceil(C*sqrt(n)) per cluster, exactly the window draw") {
+    // same assignment rebuild as the stratified spec (persisted centroids,
+    // ivfParts' exact tie-breaks)
+    val cent = AnnModels.ivfCentroids(spark, sf)
+    val assign = graft.sources.Tables.load(spark, sf, "embeddings")
+      .join(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        round(graft.functions.cosineSim(col("embedding"), col("cent_emb")), 4).as("ccos"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)))
+      .filter(col("arn") === 1)
+    val sizes = assign.groupBy("cent_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val quota = sizes.view.mapValues(n =>
+      math.ceil(Pipeline.TempCoeff * math.sqrt(n.toDouble)).toLong).toMap
+    val expected = assign
+      .withColumn("rk", graft.functions.hash52(col("vec_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cent_id")).orderBy(col("rk").asc, col("vec_id").asc)))
+      .collect()
+      .filter(r => r.getAs[Int]("rn") <= quota(r.getAs[Int]("cent_id")))
+      .map(r => (r.getAs[Int]("cent_id"), r.getAs[Long]("vec_id"))).toSet
+    val got = Pipeline.sampleCluster(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == expected, "two-stage heap+window draw must match the brute-force window")
+    // the flattening discriminates on the shipped corpus: every cluster is
+    // genuinely subsampled (quota < n) yet quotas differ with cluster size
+    val perCluster = got.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(perCluster == quota.filter { case (c, q) => q < sizes(c) }.toMap ++
+      perCluster.filter { case (c, n) => n == sizes(c) },
+      s"per-cluster counts must equal min(quota, size): $perCluster vs $quota / $sizes")
+    assert(perCluster.values.toSet.size > 1, s"quotas should vary with density: $perCluster")
+    // the cut runs heaps-then-bounded-window, never a corpus-keyed window
+    val plan = Pipeline.sampleCluster(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"per-cluster cap must run in the bounded-heap operator first:\n${plan.take(1500)}")
+  }
+
   test("calibrated quality gate keeps the top half of ANY logit distribution") {
     // brute force on the shipped corpus: threshold = the ceil(N/2)-th
     // largest logit8, ties kept
