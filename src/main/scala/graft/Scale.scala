@@ -161,7 +161,11 @@ object Scale {
       "mm_phash_dedup" -> (graft.operators.Multimodal.phashDedup _),
       // round 11: DSIR admission — first-touch carries the corpus fit,
       // served rows are the batch-sized scoring pass (cost ∝ batch)
-      "stream_ingest_dsir" -> (graft.streaming.EventStreams.ingestDsirBatch _))
+      "stream_ingest_dsir" -> (graft.streaming.EventStreams.ingestDsirBatch _),
+      // round 11: temperature sampling — assignment join (registry-served
+      // centroids) + bounded heaps + a capped-relation rank; must track
+      // the assignment scan, not the window
+      "pipeline_sample_cluster" -> (Pipeline.sampleCluster _))
 
   def main(args: Array[String]): Unit = {
     val outBase = args.headOption.getOrElse("/tmp/graft_scale")

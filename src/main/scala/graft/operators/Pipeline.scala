@@ -508,8 +508,13 @@ object Pipeline {
   def sampleCluster(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (assign, _) = Similarity.ivfParts(s, dir)
+    // Materialize the 3-narrow-column ranked relation ONCE: the quota
+    // census, the heap draw and the max-quota scalar all consume it, and
+    // uncached each would re-run the corpus-wide assignment join + its
+    // per-vector argmax window (the dominant cost) from scratch.
     val ranked = assign.select(col("vec_id"), col("cent_id"),
       graft.functions.hash52(col("vec_id")).as("rk"))
+      .localCheckpoint()
     val quota = ranked.groupBy("cent_id").agg(count(lit(1)).as("bn"))
       .select(col("cent_id"),
         ceil(lit(TempCoeff) * sqrt(col("bn").cast("double"))).cast("long").as("q"))

@@ -226,12 +226,17 @@ class CurationOpsSpec extends SparkSpec {
     val got = Pipeline.sampleCluster(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
     assert(got == expected, "two-stage heap+window draw must match the brute-force window")
-    // the flattening discriminates on the shipped corpus: every cluster is
-    // genuinely subsampled (quota < n) yet quotas differ with cluster size
+    // per-cluster counts must be exactly min(quota, size), computed purely
+    // from the independent census (never from the operator's own output —
+    // a self-referential expected value would pass on over-retention)
     val perCluster = got.groupBy(_._1).view.mapValues(_.size.toLong).toMap
-    assert(perCluster == quota.filter { case (c, q) => q < sizes(c) }.toMap ++
-      perCluster.filter { case (c, n) => n == sizes(c) },
-      s"per-cluster counts must equal min(quota, size): $perCluster vs $quota / $sizes")
+    val wanted = sizes.map { case (c, n) => c -> math.min(quota(c), n) }
+    assert(perCluster == wanted,
+      s"per-cluster counts must equal min(quota, size): $perCluster vs $wanted")
+    // the flattening discriminates on the shipped corpus: every cluster is
+    // genuinely subsampled, and quotas differ with cluster size
+    assert(sizes.forall { case (c, n) => quota(c) < n },
+      s"shipped clusters must all exceed their quotas: $quota vs $sizes")
     assert(perCluster.values.toSet.size > 1, s"quotas should vary with density: $perCluster")
     // the cut runs heaps-then-bounded-window, never a corpus-keyed window
     val plan = Pipeline.sampleCluster(spark, sf).queryExecution.executedPlan.toString

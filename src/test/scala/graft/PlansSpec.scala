@@ -634,9 +634,12 @@ class PlansSpec extends SparkSpec {
 
   test("mm gates plan without pair expansion") {
     // the filter is a pure map (asserted shuffle-free in MultimodalSpec);
-    // the dedup/keep pair generators must never go cartesian
-    val p = plan(graft.operators.Multimodal.phashKeep(spark, sf))
-    assert(!p.contains("CartesianProduct"), s"no cartesian in phash keep:\n${p.take(2000)}")
-    assert(!p.contains("rangepartitioning"), "no sampled global sort in phash keep")
+    // the pair GENERATOR must never go cartesian — assert on phashPairs,
+    // whose lineage is un-truncated (phashKeep/phashDedup localCheckpoint
+    // their inputs, so a cartesian there would execute before the plan
+    // string is ever rendered and the assert would be vacuous)
+    val p = plan(graft.operators.Multimodal.phashPairs(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"no cartesian in phash pairing:\n${p.take(2000)}")
+    assert(!p.contains("rangepartitioning"), "no sampled global sort in phash pairing")
   }
 }
