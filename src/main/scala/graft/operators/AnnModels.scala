@@ -184,7 +184,7 @@ object AnnModels {
     * Threshold is NULL when the corpus is empty (no corpus = no bar).
     *
     * Consistency (ADVICE r10): all four relations train from ONE
-    * localCheckpointed corpus snapshot (a concurrent corpus edit cannot
+    * persisted (cached) corpus snapshot (a concurrent corpus edit cannot
     * produce an LM from one state and a threshold from another), live
     * under ONE artifact directory, and the completion marker is written
     * LAST — and only if the corpus fingerprint is still the one the
@@ -396,19 +396,38 @@ object AnnModels {
 
   private def markerPath(p: Path) = new Path(p, "_GRAFT_COMPLETE")
 
-  /** Generation directory for a fingerprint: retrains land in a NEW
-    * `g-<md5(fp)>` subdirectory of the stable artifact key instead of
-    * overwriting the served files in place — a DataFrame handle a live
-    * consumer already holds (e.g. a running stream's static join side)
-    * stays readable across ONE retrain. [[gcGenerations]] keeps exactly
-    * the current and previous generation, so the store stays bounded at
-    * two copies per (dataset, constants) regardless of corpus churn. */
+  /** Generation directory names: retrains land in a NEW `g-<md5(fp)>[-k]`
+    * subdirectory of the stable artifact key instead of overwriting the
+    * served files in place — a DataFrame handle a live consumer already
+    * holds (e.g. a running stream's static join side) stays readable
+    * across ONE retrain. [[gcGenerations]] keeps exactly the current and
+    * previous generation, so the store stays bounded at two copies per
+    * (dataset, constants) regardless of corpus churn. */
   private def genName(fp: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     "g-" + md.digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
   }
 
-  private def readMarker(fs: FileSystem, p: Path): Option[String] = {
+  /** A generation name NO retrain has used before under key `p`: the
+    * fingerprint hash, suffixed `-1`, `-2`, … past any directory that
+    * already exists. Uniqueness per retrain matters when a corpus REVERTS
+    * to an earlier fingerprint (A→B→A): a name reuse would retrain by
+    * overwriting gen(A) in place — the very directory kept as 'previous'
+    * that a live handle may still reference (ADVICE r11). The marker
+    * records which name actually serves, so lookup never recomputes it. */
+  private def freshGenName(fs: FileSystem, p: Path, fp: String): String = {
+    val base = genName(fp)
+    Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base-$i")
+      .find(n => !fs.exists(new Path(p, n)))
+      .get
+  }
+
+  /** The marker records (corpus fingerprint, serving generation name),
+    * newline-separated. Pre-r12 markers carried the fingerprint only —
+    * their generation name is recomputed as `genName(fp)` (the naming
+    * those rounds used), so an existing store keeps serving unchanged. */
+  private def readMarker(fs: FileSystem, p: Path): Option[(String, String)] = {
     val m = markerPath(p)
     if (!fs.exists(m)) None
     else {
@@ -418,7 +437,9 @@ object AnnModels {
         val buf = new Array[Byte](8192)
         var n = in.read(buf)
         while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(bytes.toByteArray, "UTF-8"))
+        val lines = new String(bytes.toByteArray, "UTF-8").split("\n", 2)
+        val fp = lines(0)
+        Some((fp, if (lines.length > 1 && lines(1).nonEmpty) lines(1) else genName(fp)))
       } finally in.close()
     }
   }
@@ -428,7 +449,7 @@ object AnnModels {
     * relation's parquet commit), so it also subsumes the torn-write
     * guard the per-directory _SUCCESS probe used to provide. */
   private def complete(fs: FileSystem, p: Path, fp: String): Boolean =
-    readMarker(fs, p).contains(fp)
+    readMarker(fs, p).exists(_._1 == fp)
 
   /** Mark the artifact complete — but only if the corpus still
     * fingerprints as it did when training started. A mid-train corpus
@@ -436,10 +457,10 @@ object AnnModels {
     * against the new state instead of serving a mixed one. Returns
     * whether the marker was committed. */
   private def commitIfFresh(s: SparkSession, fs: FileSystem, p: Path,
-      fp: String, dir: String, table: String): Boolean =
+      fp: String, gen: String, dir: String, table: String): Boolean =
     fingerprint(s, dir, table) == fp && {
       val out = fs.create(markerPath(p), true)
-      try out.write(fp.getBytes("UTF-8")) finally out.close()
+      try out.write(s"$fp\n$gen".getBytes("UTF-8")) finally out.close()
       true
     }
 
@@ -453,6 +474,36 @@ object AnnModels {
           st.getPath.getName.startsWith("g-") && !keep(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true))
 
+  /** Roots already swept by [[migrateLegacy]] this JVM. */
+  private val sweptRoots = scala.collection.mutable.Set.empty[String]
+
+  /** One-time store migration (ADVICE r11): pre-r11 artifact entries were
+    * keyed with the corpus FINGERPRINT in the directory name and gated by
+    * parquet `_SUCCESS` files — the generational restructure orphaned
+    * them (their keys are never generated again, so they are never
+    * served and never GC'd: retained garbage in a long-lived
+    * SPARK_GRAFT_MODEL_DIR). Sweep once per JVM per root: a child
+    * directory that looks like an artifact key (`kind-hexhash`) but has
+    * neither a `_GRAFT_COMPLETE` marker nor any `g-*` generation
+    * subdirectory cannot belong to the current layout — delete it.
+    * In-flight current-layout writes are not at risk: writes are
+    * serialized with this sweep per JVM, the store is single-writer
+    * across processes by documented contract, and an interrupted
+    * current-layout write leaves `g-*` subdirectories, which the
+    * predicate spares (its generations are collected by the normal GC on
+    * the next successful commit). */
+  private def migrateLegacy(fs: FileSystem, rootPath: Path): Unit =
+    if (sweptRoots.add(rootPath.toString) && fs.exists(rootPath)) {
+      val keyLike = "^[a-z0-9]+-[0-9a-f]{8,}$".r
+      fs.listStatus(rootPath).foreach { st =>
+        if (st.isDirectory && keyLike.matches(st.getPath.getName) &&
+            !fs.exists(markerPath(st.getPath)) &&
+            !fs.listStatus(st.getPath).exists(c =>
+              c.isDirectory && c.getPath.getName.startsWith("g-")))
+          fs.delete(st.getPath, true)
+      }
+    }
+
   /** The generation path serving `fp` under stable key `p`, training it
     * first when absent or stale. Single-relation artifacts write the
     * parquet directly at the generation dir; multi-relation artifacts
@@ -465,24 +516,26 @@ object AnnModels {
       (write: Path => Unit): Path =
     synchronized {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      migrateLegacy(fs, p.getParent)
       var fp = fingerprint(s, dir, table)
-      if (!complete(fs, p, fp)) {
-        val prevGen = readMarker(fs, p).map(genName)
-        var attempts = 0
-        var committed = false
-        var fpWritten = fp
-        while (!committed && attempts < 2) {
-          attempts += 1
-          fpWritten = fp
-          write(new Path(p, genName(fpWritten)))
-          committed = commitIfFresh(s, fs, p, fpWritten, dir, table)
-          if (!committed) fp = fingerprint(s, dir, table)
-        }
-        if (committed)
-          gcGenerations(fs, p, Set(genName(fpWritten)) ++ prevGen)
-        fp = fpWritten // serve what was actually written
+      readMarker(fs, p) match {
+        case Some((mfp, gen)) if mfp == fp => new Path(p, gen)
+        case prev =>
+          val prevGen = prev.map(_._2)
+          var attempts = 0
+          var committed = false
+          var gen = ""
+          while (!committed && attempts < 2) {
+            attempts += 1
+            gen = freshGenName(fs, p, fp)
+            write(new Path(p, gen))
+            committed = commitIfFresh(s, fs, p, fp, gen, dir, table)
+            if (!committed) fp = fingerprint(s, dir, table)
+          }
+          if (committed)
+            gcGenerations(fs, p, Set(gen) ++ prevGen)
+          new Path(p, gen) // serve what was actually written
       }
-      new Path(p, genName(fp))
     }
 
   /** Serve the (dir, kind, params) artifact from the store, training

@@ -394,8 +394,13 @@ object Pipeline {
     * bound. Scale: one map-side-combined groupBy over the corpus; the rest
     * runs on the |sources|-row relation with the totals broadcast. */
   def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    // materialize the |sources|-row totals ONCE: tc feeds both sides of the
+    // crossJoin below (the per-source rows AND the global sums), and
+    // unmaterialized the corpus scan + groupBy would run twice unless
+    // Catalyst's exchange reuse happens to fire (the packDelta discipline)
     val tc = graft.sources.Tables.load(s, dir, "documents")
       .groupBy("source").agg(sum(wsTokenCount).as("n_toks"))
+      .localCheckpoint()
     val ww = tc.withColumn("w",
       floor(sqrt(col("n_toks").cast("double")) * 1e6 + 0.5).cast("long"))
     val tot = ww.agg(sum(col("w")).as("tw"), sum(col("n_toks")).as("tot"))

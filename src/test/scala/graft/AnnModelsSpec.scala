@@ -354,6 +354,85 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint revert (A→B→A): retrain writes a FRESH generation, never " +
+      "rewrites a directory a prior marker served") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-revert").toString
+    val dir = s"$base/corpus"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // Pin the table file's mtime so the SAME rows reproduce the SAME
+    // fingerprint (name:len:mtime) — the revert scenario a config rollback
+    // or snapshot restore produces in a long-lived store.
+    def writeDocs(rows: Seq[(Long, String, String)], mtime: Long): Unit = {
+      val tmp = s"$base/tmp"
+      rows.toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val target = java.nio.file.Paths.get(dir, "documents.parquet")
+      java.nio.file.Files.move(part.toPath, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val stateA = Seq(
+      (1L, "srcA", "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (10L, "src0", "probe text one two three four five six seven eight"))
+    val stateB = Seq(
+      (1L, "srcA", "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "srcB", "state b adds this corpus document to the index now"),
+      (10L, "src0", "probe text one two three four five six seven eight"))
+    val root = freshRoot("revert")
+    AnnModels.withRoot(root) {
+      writeDocs(stateA, 1000000000000L)
+      val firstRows = rows(AnnModels.lshIndex(spark, dir))
+      def gens(): Set[String] = {
+        val idx = new java.io.File(root).listFiles()
+          .find(_.getName.startsWith("lshidx-")).get
+        idx.listFiles().filter(_.isDirectory).map(_.getName)
+          .filter(_.startsWith("g-")).toSet
+      }
+      val genA = gens().head
+      writeDocs(stateB, 2000000000000L)
+      AnnModels.lshIndex(spark, dir).collect()
+      // REVERT: byte-identical state A at the original mtime — same
+      // fingerprint, so genName(fp) collides with the already-served genA.
+      writeDocs(stateA, 1000000000000L)
+      val reverted = AnnModels.lshIndex(spark, dir)
+      assert(rows(reverted) == firstRows, "reverted corpus must serve state-A content")
+      val served = reverted.inputFiles.head
+      assert(!served.contains(s"/$genA/"),
+        s"retrain reused previously-served generation $genA: $served")
+      assert(gens().exists(_.startsWith(genA + "-")),
+        s"fingerprint collision must suffix past the served name, got ${gens()}")
+      assert(gens().size <= 2, s"store must stay bounded at two generations: ${gens()}")
+    }
+  }
+
+  test("legacy pre-generational store entries are swept on first access") {
+    val root = freshRoot("sweep")
+    // a pre-r11 artifact: fingerprint-keyed dir gated by parquet _SUCCESS,
+    // no _GRAFT_COMPLETE marker, no g-* generations — permanently orphaned
+    // under the generational layout (ADVICE r11: retained garbage)
+    val legacy = new java.io.File(root, "lm-0123456789abcdef")
+    assert(legacy.mkdirs())
+    java.nio.file.Files.write(new java.io.File(legacy, "_SUCCESS").toPath, Array[Byte]())
+    java.nio.file.Files.write(new java.io.File(legacy, "part-00000.parquet").toPath,
+      "stale".getBytes("UTF-8"))
+    // a non-artifact directory must be left alone (defensive: the sweep
+    // only touches names shaped like artifact keys)
+    val bystander = new java.io.File(root, "user-notes")
+    assert(bystander.mkdirs())
+    AnnModels.withRoot(root) {
+      AnnModels.ivfCentroids(spark, sf).collect()
+      assert(!legacy.exists(), "legacy _SUCCESS-gated entry must be swept")
+      assert(bystander.exists(), "non-key-shaped directories must survive the sweep")
+      // the freshly-trained current-layout artifact must of course survive
+      assert(new java.io.File(root).listFiles().exists(_.getName.startsWith("ivf-")))
+    }
+  }
+
   test("non-default training parameters bypass the artifact store") {
     AnnModels.withRoot(freshRoot("bypass")) {
       val t0 = AnnModels.ivfTrains
