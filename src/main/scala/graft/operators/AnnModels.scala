@@ -59,6 +59,7 @@ object AnnModels {
   @volatile private[graft] var qualityTrains = 0
   @volatile private[graft] var ingestGateTrains = 0
   @volatile private[graft] var lshIndexBuilds = 0
+  @volatile private[graft] var phashIndexBuilds = 0
   @volatile private[graft] var survivorBuilds = 0
   @volatile private[graft] var tokenTotalTrains = 0
   @volatile private[graft] var dsirTrains = 0
@@ -96,19 +97,23 @@ object AnnModels {
       Similarity.trainPqCodebook(s, dir)
     }
 
-  /** The add-one-smoothed bigram LM of `dir`'s documents as THREE
-    * persisted relations (bigram counts, prefix counts, vocab size) —
-    * trained at most once per dataset; `text_perplexity`,
-    * `text_quality_model` and `pipeline_curate_model` all read the
-    * artifact instead of re-counting the corpus (CCNet's deployment shape:
-    * the LM trains once and serves the filter for months). Counts are
-    * exact integers, so artifact-served scores are bit-identical. All
-    * three relations live under ONE artifact directory gated by a single
-    * marker, so a partially-written trio can never serve. */
-  def bigramLm(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+  /** The interpolated-trigram LM of `dir`'s documents as THREE persisted
+    * relations (trigram counts c3, bigram counts c2, unigram counts u —
+    * vocab size and token total derive from u at scoring time, exact
+    * integers in any engine) — trained at most once per dataset;
+    * `text_perplexity`, `text_quality_model` and `pipeline_curate_model`
+    * all read the artifact instead of re-counting the corpus (CCNet's
+    * deployment shape: the LM trains once and serves the filter for
+    * months). Counts are exact integers, so artifact-served scores are
+    * bit-identical. All three relations live under ONE artifact directory
+    * gated by a single marker, so a partially-written trio can never
+    * serve. The trigram relation is gram-vocabulary-sized (larger than
+    * the model artifacts but far below corpus size — distinct trigrams,
+    * not occurrences), so it keeps its natural partitioning. */
+  def trigramLm(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     synchronized {
-      val p = new Path(root(s), key(dir, "lm", "n=2"))
-      val parts = Seq("c2", "c1", "vocab")
+      val p = new Path(root(s), key(dir, "lm", "n=3,i=500/375/125"))
+      val parts = Seq("c3", "c2", "u")
       val gen = ensureGen(s, p, dir, "documents") { genDir =>
         lmTrains += 1
         // one cached corpus snapshot feeds all three relation writes (a
@@ -116,9 +121,9 @@ object AnnModels {
         // the writes — lineage stays intact, so this is safe to drop)
         val corpus = graft.sources.Tables.load(s, dir, "documents").persist()
         try {
-          val (c2, c1, vocab) = TextOps.trainBigramLmOf(corpus)
-          Seq(c2, c1, vocab).zip(parts).foreach { case (df, part) =>
-            df.coalesce(1).write.mode("overwrite")
+          val (c3, c2, u) = TextOps.trainNgramLmOf(corpus)
+          Seq(c3, c2, u).zip(parts).foreach { case (df, part) =>
+            df.write.mode("overwrite")
               .parquet(new Path(genDir, part).toString)
           }
         } finally corpus.unpersist(false)
@@ -175,9 +180,10 @@ object AnnModels {
     }
 
   /** The CORPUS-side ingest admission model — FOUR persisted relations:
-    * the bigram LM of the corpus (source != 'src0': bigram counts, prefix
-    * counts, vocab size) and the calibrated logit8 threshold (the
-    * ceil(N/2)-th largest corpus logit — the corpus's own top-half bar).
+    * the interpolated-trigram LM of the corpus (source != 'src0': trigram
+    * counts, bigram counts, unigram counts) and the calibrated logit8
+    * threshold (the ceil(N/2)-th largest corpus logit — the corpus's own
+    * top-half bar).
     * This is the admission-control deployment shape: the corpus trains
     * the model ONCE, the artifacts serve every ingest batch / stream as
     * static join sides (the lshIndex pattern applied to quality gating).
@@ -193,8 +199,8 @@ object AnnModels {
   def ingestGate(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
     synchronized {
-      val p = new Path(root(s), key(dir, "ig", "n=2,keep=half,excl=src0"))
-      val parts = Seq("c2", "c1", "vocab", "thr")
+      val p = new Path(root(s), key(dir, "ig", "n=3,i=500/375/125,keep=half,excl=src0"))
+      val parts = Seq("c3", "c2", "u", "thr")
       val gen = ensureGen(s, p, dir, "documents") { genDir =>
         ingestGateTrains += 1
         // ONE cached corpus snapshot feeds every relation below; released
@@ -205,11 +211,11 @@ object AnnModels {
           .filter(org.apache.spark.sql.functions.col("source") =!= "src0")
           .persist()
         try {
-          val (c2, c1, vocab) = TextOps.trainBigramLmOf(corpus)
+          val (c3, c2, u) = TextOps.trainNgramLmOf(corpus)
           // thr derives from the LM relations; materialize them first so
           // the threshold pass reads the persisted LM instead of recounting
-          Seq(c2, c1, vocab).zip(parts.take(3)).foreach { case (df, part) =>
-            df.coalesce(1).write.mode("overwrite")
+          Seq(c3, c2, u).zip(parts.take(3)).foreach { case (df, part) =>
+            df.write.mode("overwrite")
               .parquet(new Path(genDir, part).toString)
           }
           val lm = parts.take(3).map(part =>
@@ -262,6 +268,22 @@ object AnnModels {
       Dedup.survivorLabelsOf(s, dir)
     }
 
+  /** The persisted perceptual-hash INDEX — the multimodal half of the
+    * nightly ingest story (VERDICT r11 #2): the corpus's 3-block
+    * pigeonhole rows (band, h, doc_id, phash), built once per corpus
+    * state (Multimodal.phashIndexOf over source != 'src0', the
+    * ingest-batch convention), probed by `stream_ingest_phash` and the
+    * restartable nightly step (EventStreams.runPhashStep) instead of
+    * re-decoding and re-hashing the corpus per batch — the lshIndex
+    * deployment shape on the perceptual column. Corpus-sized (3 rows per
+    * asset), so it keeps its natural partitioning. */
+  def phashIndex(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "phidx", "blocks=3,excl=src0", coalesce1 = false) {
+      phashIndexBuilds += 1
+      Multimodal.phashIndexOf(graft.sources.Tables.load(s, dir, "documents")
+        .filter(org.apache.spark.sql.functions.col("source") =!= "src0"))
+    }
+
   /** Per-source corpus TOKEN totals (source, base_off) — the |sources|-row
     * relation the nightly delta-pack step continues from
     * (EventStreams.runPackDeltaStep): the already-packed corpus's token
@@ -302,6 +324,14 @@ object AnnModels {
   def dsirModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     dsirArtifact(s, dir, "dsir", excludeSrc0 = false)
 
+  /** [[dsirModel]] at the paper-realistic 8192-bucket feature width
+    * (VERDICT r11 #4) — a distinct store key (b=8192 in the params), so
+    * the two widths coexist; the artifact is 32× the 256-bucket one and
+    * still broadcast-sized. */
+  def dsirModel8k(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    dsirArtifact(s, dir, "dsir", excludeSrc0 = false,
+      buckets = TextOps.DsirBuckets8k)
+
   /** The DSIR ADMISSION model — the same two relations as [[dsirModel]],
     * trained on the corpus WITHOUT the ingest batch (source <> 'src0',
     * the incremental-family convention): the corpus fits the importance
@@ -312,11 +342,12 @@ object AnnModels {
     dsirArtifact(s, dir, "dsirig", excludeSrc0 = true)
 
   private def dsirArtifact(s: SparkSession, dir: String, kind: String,
-      excludeSrc0: Boolean): (DataFrame, DataFrame) =
+      excludeSrc0: Boolean,
+      buckets: Long = TextOps.DsirBuckets): (DataFrame, DataFrame) =
     synchronized {
       val excl = if (excludeSrc0) ",excl=src0" else ""
       val p = new Path(root(s), key(dir, kind,
-        s"b=${TextOps.DsirBuckets},keep=quarter,seed=${TextOps.QualitySeedMinFlags}$excl"))
+        s"b=$buckets,keep=quarter,seed=${TextOps.QualitySeedMinFlags}$excl"))
       val gen = ensureGen(s, p, dir, "documents") { genDir =>
         dsirTrains += 1
         import org.apache.spark.sql.functions.col
@@ -328,9 +359,9 @@ object AnnModels {
         // after the writes, so the corpus-scale copy never outlives
         // training. Mid-train corpus-edit consistency is commitIfFresh's
         // job, not the cache's.
-        val wt = TextOps.dsirWt(corpus).persist()
+        val wt = TextOps.dsirWt(corpus, buckets).persist()
         try {
-          TextOps.dsirLr(wt).coalesce(1)
+          TextOps.dsirLr(wt, buckets).coalesce(1)
             .write.mode("overwrite").parquet(new Path(genDir, "lr").toString)
           val lr = s.read.parquet(new Path(genDir, "lr").toString)
           val s6 = TextOps.dsirScores(

@@ -342,9 +342,17 @@ object Multimodal {
     }
 
   /** Perceptual-hash fingerprints, partition-parallel (no shuffle). */
-  def phash(s: SparkSession, dir: String): DataFrame = {
+  def phash(s: SparkSession, dir: String): DataFrame =
+    phashOf(Tables.load(s, dir, "documents"))
+
+  /** [[phash]] over ANY documents-shaped relation — the split the
+    * incremental family needs (hash the ingest batch alone; the corpus
+    * side comes from the persisted index, never a re-hash). */
+  def phashOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
     import s.implicits._
-    assets(s, dir).mapPartitions(_.map(phashAsset)).toDF("doc_id", "n_bytes", "phash")
+    d.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")).as[Asset]
+      .mapPartitions(_.map(phashAsset)).toDF("doc_id", "n_bytes", "phash")
   }
 
   /** Perceptual near-dup pairs: assets within hamming <= Dedup.MaxHamming
@@ -399,6 +407,54 @@ object Multimodal {
         max(struct(col("n_bytes"), (-col("doc_id")).as("nv"))).as("k"))
       .select((-col("k.nv")).as("doc_id"), col("k.n_bytes").as("n_bytes"),
         col("n_repr"))
+  }
+
+  /** The 3-block pigeonhole INDEX rows of a corpus's perceptual hashes —
+    * (band = block index, h = block value, doc_id, phash) — the relation
+    * AnnModels.phashIndex persists once per corpus state and every
+    * nightly/streaming ingest batch probes (the lshIndex deployment shape
+    * applied to the perceptual column; VERDICT r11 #2). Blocked at build
+    * time so the probe is a bare equijoin: 3 rows per asset, corpus-sized,
+    * natural partitioning. */
+  def phashIndexOf(d: DataFrame): DataFrame =
+    Dedup.hammingBlocked(phashOf(d).select(col("doc_id"), col("phash").as("h")))
+      .select(col("band"), col("h"), col("doc_id"), col("full").as("phash"))
+
+  /** Probe an ingest batch against a PERSISTED perceptual-hash index: the
+    * batch's assets hash partition-parallel (|batch| decodes, never a
+    * corpus re-hash), fan out to their 3 pigeonhole blocks, and equijoin
+    * the index under the shared salted dense-bucket policy
+    * (Dedup.saltedIndexSide / saltedProbeSide — identical capping to the
+    * text LSH probe, with both sides' full 64-bit hashes riding the join
+    * for the XOR-popcount verify at Dedup.MaxHamming). Output: per batch
+    * asset, the distinct-corpus-match count and a novelty flag — the
+    * incrementalLshMatch contract on the perceptual column. */
+  def phashIncrementalMatch(batch: DataFrame, index: DataFrame): DataFrame = {
+    val (idxBounded, dense) = Dedup.saltedIndexSide(
+      index.withColumnRenamed("phash", "hc"), keep = Seq("hc"))
+    val probes = Dedup.saltedProbeSide(
+      Dedup.hammingBlocked(phashOf(batch).select(col("doc_id"), col("phash").as("h")))
+        .withColumnRenamed("full", "hb"),
+      dense, keep = Seq("hb"))
+    val matches = probes.join(idxBounded, Seq("band", "h", "salt"))
+      .filter(col("doc_id") =!= col("corpus_id") &&
+        expr("CAST(bit_count(hb ^ hc) AS INT)") <= Dedup.MaxHamming)
+      .select(col("doc_id"), col("corpus_id")).distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("nm"))
+    batch.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nm"), lit(0L)).as("n_matches"),
+        when(col("nm").isNull, 1).otherwise(0).as("is_novel"))
+  }
+
+  /** Gated view of [[phashIncrementalMatch]]: batch = source 'src0',
+    * index = the rest (built in-query here; EventStreams.phashVsIndex is
+    * the artifact-served deployment form, same oracle). */
+  def phashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    phashIncrementalMatch(d.filter(col("source") === "src0"),
+      phashIndexOf(d.filter(col("source") =!= "src0")))
   }
 
   /** Asset-gate thresholds (the LAION/DataComp image pre-filter family:
@@ -573,6 +629,7 @@ object Multimodal {
     "mm_phash_pairs" -> (phashPairs _),
     "mm_phash_dedup" -> (phashDedup _),
     "mm_phash_keep" -> (phashKeep _),
+    "mm_phash_incremental" -> (phashIncremental _),
     "mm_filter" -> (mmFilter _))
 
   /** Segment sums replay as ascii() sums over substr slices; the signed
@@ -717,5 +774,22 @@ object Multimodal {
         "CAST(coalesce(list_sum(list_transform(generate_series(st + 1, least(st + 256, n)), " +
         s"j -> (CAST(${hexByteSql("j")} AS BIGINT) - 128) * " +
         s"(CAST(${hexByteSql("j")} AS BIGINT) - 128))), 0) AS BIGINT) AS energy " +
-        "FROM w"))
+        "FROM w"),
+    "mm_phash_incremental" -> phashIncrementalSql)
+
+  /** Replay of the perceptual ingest probe: the phash chain over ALL
+    * documents, split index/batch by source, then the shared
+    * salted-policy cross-probe mirror (Dedup.hammingMatchOracle) with the
+    * XOR-popcount verify. One oracle serves both the in-query form
+    * (`mm_phash_incremental`) and the artifact-served deployment form
+    * (`stream_ingest_phash` — AnnModels.phashIndex replays phashIndexOf
+    * bit-for-bit, deterministic hashes, parquet-exact longs). */
+  private[graft] val phashIncrementalSql: String =
+    s"WITH $phashCtes, " +
+      "php AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS h FROM bits GROUP BY doc_id), " +
+      "phsrc AS (SELECT p.doc_id, d.source, p.h FROM php p JOIN documents d USING (doc_id)), " +
+      s"${Dedup.hammingMatchOracle("phsrc", "source <> 'src0'", "source = 'src0'")} " +
+      "SELECT b.doc_id, coalesce(mc.n_matches, 0) AS n_matches, " +
+      "CASE WHEN mc.doc_id IS NULL THEN 1 ELSE 0 END AS is_novel " +
+      "FROM (SELECT doc_id FROM documents WHERE source = 'src0') b LEFT JOIN mc USING (doc_id)"
 }

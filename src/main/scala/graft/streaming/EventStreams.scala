@@ -495,6 +495,22 @@ object EventStreams {
       Tables.load(s, dir, "documents").filter(col("source") === "src0"),
       graft.operators.AnnModels.lshIndex(s, dir))
 
+  /** INCREMENTAL perceptual ingest probe vs the PERSISTED phash index —
+    * [[incrementalVsIndex]] on the multimodal column (the missing half of
+    * the nightly ingest story, VERDICT r11 #2): the corpus's pigeonhole
+    * index rows were decoded + hashed once at index-build time and persist
+    * as a parquet artifact (AnnModels.phashIndex); each ingest batch
+    * hashes only its OWN assets and equijoins the artifact under the
+    * shared salted-bucket policy with XOR-popcount verification.
+    * Identical result to `mm_phash_incremental` (the artifact replays
+    * phashIndexOf exactly — deterministic hashes, parquet-exact longs),
+    * but the deployment cost model is real: |batch| decodes + one
+    * artifact scan, never a corpus re-hash. */
+  def phashVsIndex(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.phashIncrementalMatch(
+      Tables.load(s, dir, "documents").filter(col("source") === "src0"),
+      graft.operators.AnnModels.phashIndex(s, dir))
+
   /** True-stream form of the incremental probe: the ingest stream explodes
     * to banded signatures and joins the persisted index as a STREAM-STATIC
     * join (stateless — the index never enters the state store), then
@@ -584,9 +600,9 @@ object EventStreams {
     * oracle-replayed form; [[startIngestGateStream]] is the same
     * computation as a streaming query. */
   def ingestGateBatch(s: SparkSession, dir: String): DataFrame = {
-    val (c2, c1, vocab, thr) = graft.operators.AnnModels.ingestGate(s, dir)
+    val (c3, c2, u, thr) = graft.operators.AnnModels.ingestGate(s, dir)
     val batch = Tables.load(s, dir, "documents").filter(col("source") === "src0")
-    graft.operators.TextOps.ingestLogits(batch, c2, c1, vocab)
+    graft.operators.TextOps.ingestLogits(batch, c3, c2, u)
       .crossJoin(broadcast(thr))
       .select(col("doc_id"), col("logit8"),
         when(col("thr").isNull || col("logit8") >= col("thr"), 1).otherwise(0).as("admit"))
@@ -660,9 +676,12 @@ object EventStreams {
   }
 
   /** True-stream form of the admission gate: ONE streaming aggregation —
-    * the per-row (non-LM) logit part rides the bigram explode
-    * (TextOps.logitBaseCol), the bigrams join the persisted LM
-    * stream-static (left joins: unseen bigrams smooth to count 0), and a
+    * the per-row (non-LM) logit part rides the trigram explode
+    * (TextOps.logitBaseCol), the trigrams join the persisted n-gram LM
+    * stream-static (left joins: unseen grams smooth to count 0 — the
+    * interpolated-mixture arithmetic is identical to
+    * TextOps.perplexityScore's, per-occurrence instead of
+    * multiplicity-weighted; DECIMAL sums make the totals equal), and a
     * per-doc_id aggregate rebuilds the exact fixed-point logit before the
     * broadcast threshold compare. State = one aggregate row per ingest
     * document SEEN BY THIS QUERY (never corpus-sized; the LM and
@@ -673,30 +692,45 @@ object EventStreams {
     * which is STATELESS by construction (foreachBatch + batch scoring; a
     * continuous always-on variant would add a processing-time window +
     * watermark, trading the batch-analog's whole-directory aggregation
-    * semantics for per-drop verdicts). Bigram-less documents ride a null
-    * sentinel row so they are gated too (nll term 0, the batch path's
-    * left-join miss). Update output mode: each doc's aggregate is
-    * complete within the trigger that read its file, so the memory sink
-    * sees one final row per doc (spec-compared to [[ingestGateBatch]]). */
-  private[graft] def ingestGateTransform(stream: DataFrame, c2: DataFrame,
-      c1: DataFrame, vocab: DataFrame, thr: DataFrame): DataFrame = {
-    val gs = wordShingles(wsTokens(col("text")), 2)
-    val nll = round(log((coalesce(col("c1"), lit(0L)) + col("v")).cast("double") /
-      (coalesce(col("c2"), lit(0L)) + 1)), 6)
+    * semantics for per-drop verdicts). Trigram-less documents (< 3
+    * tokens) ride a null sentinel row so they are gated too (nll term 0,
+    * the batch path's left-join miss). Update output mode: each doc's
+    * aggregate is complete within the trigger that read its file, so the
+    * memory sink sees one final row per doc (spec-compared to
+    * [[ingestGateBatch]]). */
+  private[graft] def ingestGateTransform(stream: DataFrame, c3: DataFrame,
+      c2: DataFrame, u: DataFrame, thr: DataFrame): DataFrame = {
+    val gs = wordShingles(wsTokens(col("text")), 3)
+    val stats = broadcast(u.agg(count(lit(1)).as("v"),
+      coalesce(sum(col("cu")), lit(0L)).as("ntok")))
+    val p3 = (coalesce(col("c3"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("c2p"), lit(0L)) + col("v"))
+    val p2 = (coalesce(col("c2s"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("cu2"), lit(0L)) + col("v"))
+    val p1 = (coalesce(col("cu3"), lit(0L)) + 1).cast("double") /
+      (col("ntok") + col("v"))
+    val nll = round(-log(lit(0.5) * p3 + lit(0.375) * p2 + lit(0.125) * p1), 6)
     val avg = floor(col("tot").cast("double") / col("nb") * 1e6 + 0.5) / 1e6
     stream.filter(col("source") === "src0")
       .select(col("doc_id"),
         graft.operators.TextOps.logitBaseCol.as("base"),
         explode(when(size(gs) > 0, gs)
-          .otherwise(array(lit(null).cast("string")))).as("g"))
-      .withColumn("w1", split(col("g"), " ").getItem(0))
-      .join(c2, Seq("g"), "left")
-      .join(c1, Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
+          .otherwise(array(lit(null).cast("string")))).as("g3"))
+      .withColumn("p", split(col("g3"), " "))
+      .withColumn("g2p", concat_ws(" ", col("p").getItem(0), col("p").getItem(1)))
+      .withColumn("g2s", concat_ws(" ", col("p").getItem(1), col("p").getItem(2)))
+      .withColumn("w2", col("p").getItem(1))
+      .withColumn("w3", col("p").getItem(2))
+      .join(c3, Seq("g3"), "left")
+      .join(c2.select(col("g").as("g2p"), col("c2").as("c2p")), Seq("g2p"), "left")
+      .join(c2.select(col("g").as("g2s"), col("c2").as("c2s")), Seq("g2s"), "left")
+      .join(u.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"), "left")
+      .join(u.select(col("w").as("w3"), col("cu").as("cu3")), Seq("w3"), "left")
+      .crossJoin(stats)
       .groupBy("doc_id")
       .agg(first(col("base")).as("base"),
-        count(col("g")).as("nb"),
-        sum(when(col("g").isNotNull, nll.cast("decimal(18,6)"))).as("tot"))
+        count(col("g3")).as("nb"),
+        sum(when(col("g3").isNotNull, nll.cast("decimal(18,6)"))).as("tot"))
       .select(col("doc_id"),
         (col("base") + lit(graft.operators.TextOps.QmNll) *
           coalesce(when(col("nb") > 0, floor(avg * 1e4 + 0.5).cast("long")), lit(0L)))
@@ -732,18 +766,54 @@ object EventStreams {
   def runIngestGateStep(s: SparkSession, corpusDir: String, dropDir: String,
       checkpoint: String, outPath: String, glob: String = "*.parquet"): Unit = {
     if (!hasDrops(s, dropDir, glob)) return // no drops tonight — no-op, not a crash
-    val (c2, c1, vocab, thr) = graft.operators.AnnModels.ingestGate(s, corpusDir)
+    val (c3, c2, u, thr) = graft.operators.AnnModels.ingestGate(s, corpusDir)
     val rawSchema = s.read.option("pathGlobFilter", glob).parquet(dropDir).schema
     val stream = s.readStream.schema(rawSchema).option("pathGlobFilter", glob)
       .parquet(dropDir)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.TextOps
-          .ingestLogits(batch.filter(col("source") === "src0"), c2, c1, vocab)
+          .ingestLogits(batch.filter(col("source") === "src0"), c3, c2, u)
           .crossJoin(broadcast(thr))
           .select(col("doc_id"), col("logit8"),
             when(col("thr").isNull || col("logit8") >= col("thr"), 1).otherwise(0).as("admit"),
             lit(batchId).as("batch"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch")
+          .parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One restartable AvailableNow pass of the PERCEPTUAL ingest probe —
+    * the multimodal member of the nightly triad (admission gate → text
+    * dedup probe → phash probe → delta pack): resume from `checkpoint`,
+    * take any drop files the checkpoint has not seen, hash their assets
+    * and probe them against the corpus's PERSISTED phash index
+    * (AnnModels.phashIndex — built once per corpus state, never a
+    * per-night corpus re-hash). Verdicts (doc_id, n_matches, is_novel)
+    * land in a `batch=<batchId>` partition under dynamic partition
+    * overwrite — the runIngestGateStep idempotency recipe, so a replayed
+    * micro-batch (the foreachBatch at-least-once window) overwrites its
+    * own partition instead of appending a second copy. A missing or
+    * drop-free `dropDir` is a no-op, not a crash. */
+  def runPhashStep(s: SparkSession, corpusDir: String, dropDir: String,
+      checkpoint: String, outPath: String, glob: String = "*.parquet"): Unit = {
+    if (!hasDrops(s, dropDir, glob)) return // no drops tonight — no-op, not a crash
+    val index = graft.operators.AnnModels.phashIndex(s, corpusDir)
+    val rawSchema = s.read.option("pathGlobFilter", glob).parquet(dropDir).schema
+    val stream = s.readStream.schema(rawSchema).option("pathGlobFilter", glob)
+      .parquet(dropDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Multimodal
+          .phashIncrementalMatch(batch.filter(col("source") === "src0"), index)
+          .withColumn("batch", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch")
@@ -770,15 +840,32 @@ object EventStreams {
     * left off — the append-only concat-and-chunk model
     * (Pipeline.packDelta's batch semantics, made restartable).
     *
+    * Prior-drop totals are O(|sources|), not O(history) (ADVICE r11):
+    * each batch folds its per-source token sums into a CUMULATIVE
+    * `<outPath>.totals/batch=<id>` sidecar (|sources| rows), and the next
+    * batch reads the newest sidecar generation with batch < batchId — one
+    * tiny read per night, never a re-aggregation of every prior manifest
+    * partition. Batches commit strictly in order (AvailableNow processes
+    * micro-batches sequentially; the checkpoint commits only after
+    * foreachBatch returns, i.e. after the sidecar write), so that one
+    * generation always covers ALL prior batches; generations older than
+    * the previous one are GC'd (the two-generation registry discipline).
+    * A store written before the sidecar existed falls back to the full
+    * manifest aggregation once, then converges.
+    *
     * Sink idempotency: the runIngestGateStep recipe — each micro-batch's
     * manifest rows land in a `batch=<batchId>` partition under dynamic
-    * partition overwrite, and the prior-drops aggregation reads only
-    * partitions with batch < batchId, so a replayed micro-batch (the
-    * foreachBatch at-least-once window) neither double-writes nor
-    * double-counts its own crashed attempt. A chunk that straddles a
-    * batch boundary appears in both batches' partitions with its per-batch
-    * doc/token counts — readers aggregate by (source, chunk_id), the
-    * grouping the manifest is keyed on anyway. */
+    * partition overwrite, and both the prior-totals sidecar pick and the
+    * fallback aggregation read only batch < batchId, so a replayed
+    * micro-batch (the foreachBatch at-least-once window) neither
+    * double-writes nor double-counts its own crashed attempt — a crash
+    * before the sidecar write replays against the previous generation; a
+    * crash after it replays with its own generation excluded by the
+    * batch < batchId guard and rewrites both partitions identically. A
+    * chunk that straddles a batch boundary appears in both batches'
+    * partitions with its per-batch doc/token counts — readers aggregate
+    * by (source, chunk_id), the grouping the manifest is keyed on
+    * anyway. */
   def runPackDeltaStep(s: SparkSession, corpusDir: String, dropDir: String,
       checkpoint: String, outPath: String, glob: String = "*.parquet"): Unit = {
     if (!hasDrops(s, dropDir, glob)) return // no drops tonight — no-op, not a crash
@@ -788,18 +875,30 @@ object EventStreams {
       .parquet(dropDir)
     val outP = new org.apache.hadoop.fs.Path(outPath)
     val fs = outP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val totalsPath = outPath + ".totals"
+    val totP = new org.apache.hadoop.fs.Path(totalsPath)
+    def batchDirs(p: org.apache.hadoop.fs.Path): Seq[Long] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("batch=") =>
+          st.getPath.getName.stripPrefix("batch=").toLong
+      }
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val delta = batch.select(col("source"), col("doc_id"),
           graft.operators.Pipeline.wsTokenCount.as("n_tok"))
-        // prior totals come from earlier batch PARTITIONS only — probing
-        // for batch= dirs (not just outPath) keeps a zero-row first night
-        // (which leaves _SUCCESS but no partitions) from wedging the read
-        val hasPrior = fs.exists(outP) &&
-          fs.listStatus(outP).exists(st =>
-            st.isDirectory && st.getPath.getName.startsWith("batch="))
+        // prior totals: the newest CUMULATIVE sidecar generation with
+        // batch < batchId (excluding own replayed generation) — an
+        // O(|sources|) read. Fallback for pre-sidecar stores only: one
+        // full aggregation over prior manifest partitions (probing for
+        // batch= dirs keeps a zero-row first night — _SUCCESS but no
+        // partitions — from wedging the read).
+        val priorGens = batchDirs(totP).filter(_ < batchId)
+        val hasPriorManifest = batchDirs(outP).exists(_ < batchId)
         val prior =
-          if (hasPrior)
+          if (priorGens.nonEmpty)
+            s.read.parquet(s"$totalsPath/batch=${priorGens.max}")
+          else if (hasPriorManifest)
             s.read.parquet(outPath).filter(col("batch") < batchId)
               .groupBy("source").agg(sum(col("n_tokens")).as("prior_toks"))
           else
@@ -814,6 +913,20 @@ object EventStreams {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch")
           .parquet(outPath)
+        // fold this batch into the cumulative sidecar (written AFTER the
+        // manifest, so a crash between the two replays from the previous
+        // generation and rewrites both identically), then GC generations
+        // older than the previous one
+        prior.join(delta.groupBy("source").agg(sum(col("n_tok")).as("btoks")),
+            Seq("source"), "full_outer")
+          .select(col("source"),
+            (coalesce(col("prior_toks"), lit(0L)) + coalesce(col("btoks"), lit(0L)))
+              .as("prior_toks"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$totalsPath/batch=$batchId")
+        if (priorGens.nonEmpty)
+          priorGens.filter(_ < priorGens.max).foreach(b =>
+            fs.delete(new org.apache.hadoop.fs.Path(totP, s"batch=$b"), true))
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -846,11 +959,11 @@ object EventStreams {
   }
 
   def startIngestGateStream(s: SparkSession, dir: String, name: String): StreamingQuery = {
-    val (c2, c1, vocab, thr) = graft.operators.AnnModels.ingestGate(s, dir)
+    val (c3, c2, u, thr) = graft.operators.AnnModels.ingestGate(s, dir)
     val rawSchema = s.read.option("pathGlobFilter", "documents.parquet").parquet(dir).schema
     val stream = s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    ingestGateTransform(stream, c2, c1, vocab, thr)
+    ingestGateTransform(stream, c3, c2, u, thr)
       .writeStream
       .outputMode("update")
       .format("memory")
@@ -869,6 +982,7 @@ object EventStreams {
     "stream_dedup" -> ((s, dir) => dedupBatch(Tables.load(s, dir, "events"))),
     "stream_dedup_lsh" -> ((s, dir) => dedupLshNovelty(Tables.load(s, dir, "documents"))),
     "stream_dedup_incremental" -> ((s, dir) => incrementalVsIndex(s, dir)),
+    "stream_ingest_phash" -> (phashVsIndex _),
     "stream_ingest_gate" -> (ingestGateBatch _),
     "stream_ingest_dsir" -> (ingestDsirBatch _),
     "stream_sketch_distinct" -> ((s, dir) => windowDistinctSketch(Tables.load(s, dir, "events"))),
@@ -912,6 +1026,11 @@ object EventStreams {
       // serves both the in-query and the persisted-index forms
       graft.operators.Dedup.lshMatchOracle(
         idxPred = "source <> 'src0'", batchPred = "source = 'src0'"),
+    "stream_ingest_phash" ->
+      // identical semantics to mm_phash_incremental — the artifact index
+      // replays phashIndexOf bit-for-bit, so the one oracle serves both
+      // the in-query and the persisted-index forms
+      graft.operators.Multimodal.phashIncrementalSql,
     "stream_ingest_gate" -> graft.operators.TextOps.ingestGateSql,
     "stream_ingest_dsir" -> graft.operators.TextOps.ingestDsirSql,
     "stream_sketch_distinct" -> {

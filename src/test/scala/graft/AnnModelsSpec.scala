@@ -61,7 +61,7 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
-  test("bigram LM trains once per dataset and artifact scores are bit-identical") {
+  test("trigram LM trains once per dataset and artifact scores are bit-identical") {
     AnnModels.withRoot(freshRoot("lm")) {
       val t0 = AnnModels.lmTrains
       val first = rows(graft.operators.TextOps.perplexity(spark, sf))
@@ -193,6 +193,55 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("phash index: builds once, serves the stream probe, retrains on corpus edit") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-phidx").toString
+    val dir = s"$base/corpus"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def writeDocs(rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = s"$base/stage"
+      rows.toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, "documents.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val shared = "identical payload bytes for the perceptual cluster " * 3
+    AnnModels.withRoot(freshRoot("phidx")) {
+      writeDocs(Seq(
+        (1L, "srcA", shared),
+        (2L, "srcA", "unrelated corpus asset content nine ten eleven twelve"),
+        (10L, "src0", shared)))
+      val b0 = AnnModels.phashIndexBuilds
+      val first = graft.streaming.EventStreams.phashVsIndex(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(first == Set((10L, 1L, 0)), s"probe matches the one corpus copy: $first")
+      assert(AnnModels.phashIndexBuilds == b0 + 1)
+      // artifact-served form == the in-query form, and serving never retrains
+      val inQuery = graft.operators.Multimodal.phashIncremental(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(inQuery == first, "artifact-served probe diverged from the in-query form")
+      graft.streaming.EventStreams.phashVsIndex(spark, dir).collect()
+      assert(AnnModels.phashIndexBuilds == b0 + 1, "second probe must serve the artifact")
+      // in-place corpus backfill: a second copy of the shared payload must
+      // retrain the index and surface in the next probe
+      writeDocs(Seq(
+        (1L, "srcA", shared),
+        (2L, "srcA", "unrelated corpus asset content nine ten eleven twelve"),
+        (5L, "srcB", shared),
+        (10L, "src0", shared)))
+      val second = graft.streaming.EventStreams.phashVsIndex(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(AnnModels.phashIndexBuilds == b0 + 2,
+        "in-place mutation must retrain the index")
+      assert(second == Set((10L, 2L, 0)),
+        s"retrained index must surface the backfilled corpus asset: $second")
+    }
+  }
+
   test("nested partitioned corpus layout: an in-place partition rewrite invalidates") {
     val sp = spark
     import sp.implicits._
@@ -316,7 +365,7 @@ class AnnModelsSpec extends SparkSpec {
       val gens = ig.listFiles().filter(f => f.isDirectory && f.getName.startsWith("g-"))
       assert(gens.nonEmpty, s"generation dir expected under ${ig.getName}")
       val parts = gens.head.listFiles().filter(_.isDirectory).map(_.getName).toSet
-      assert(parts == Set("c2", "c1", "vocab", "thr"),
+      assert(parts == Set("c3", "c2", "u", "thr"),
         s"all gate relations share one generation directory: $parts")
     }
   }
@@ -352,6 +401,104 @@ class AnnModelsSpec extends SparkSpec {
       assert(AnnModels.dsirTrains == t0 + 1,
         "second access must serve the artifact, not retrain")
     }
+  }
+
+  test("DSIR 8k width: own artifact key, inline parity, improved seed enrichment") {
+    import org.apache.spark.sql.functions._
+    AnnModels.withRoot(freshRoot("dsir8k")) {
+      val T = graft.operators.TextOps
+      val t0 = AnnModels.dsirTrains
+      val wide = T.importanceDsir8k(spark, sf)
+      val wideRows = rows(wide)
+      assert(AnnModels.dsirTrains == t0 + 1, "first 8k access must train")
+      // bit-identical to the inline fit at the same width (the oracle
+      // replays the full train, so this is what keeps the gate meaningful)
+      val inline = rows(T.importanceDsirOf(
+        graft.sources.Tables.load(spark, sf, "documents"), T.DsirBuckets8k))
+      assert(wideRows == inline, "8k artifact-served selection diverged from inline fit")
+      T.importanceDsir8k(spark, sf).collect()
+      assert(AnnModels.dsirTrains == t0 + 1, "second access must serve the artifact")
+      // the 256-bucket model lives under a DIFFERENT key: training it is a
+      // separate pass and the two widths coexist in one store
+      val narrow = T.importanceDsir(spark, sf)
+      narrow.collect()
+      assert(AnnModels.dsirTrains == t0 + 2, "the two widths must not share a key")
+      // realistic width must never REGRESS seed enrichment on the shipped
+      // corpus (measured: the shipped vocabulary does not alias at 256
+      // buckets, so the two selections coincide exactly — the strict
+      // aliasing win is demonstrated on the crafted corpus below)
+      val seed = T.dsirWt(graft.sources.Tables.load(spark, sf, "documents"))
+        .select(col("doc_id"), col("tgt")).distinct()
+      def enrichment(seedRel: org.apache.spark.sql.DataFrame)(
+          sel: org.apache.spark.sql.DataFrame): Double = {
+        val kept = sel.filter(col("dsir_keep") === 1).join(seedRel, "doc_id")
+        kept.filter(col("tgt") === 1).count().toDouble / kept.count()
+      }
+      val en = enrichment(seed) _
+      assert(en(wide) >= en(narrow),
+        s"8192-bucket selection must not regress seed enrichment: ${en(wide)} vs ${en(narrow)}")
+    }
+  }
+
+  test("DSIR 8k width strictly improves enrichment when 256 buckets alias " +
+      "seed and junk vocabulary") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val T = graft.operators.TextOps
+    // Hunt a deterministic hash collision: a seed word u and a junk word v
+    // that share a 256-bucket but not an 8192-bucket — the aliasing the
+    // paper's 10^4-bucket width exists to avoid.
+    val letters = 'a' to 'z'
+    val cands = (for (a <- letters; b <- letters; c <- letters) yield s"q$a$b$c").toSeq
+    val hm = cands.toDF("w").select(col("w"),
+        pmod(graft.functions.hash52(col("w")), lit(256L)).as("b256"),
+        pmod(graft.functions.hash52(col("w")), lit(8192L)).as("b8k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val stopBuckets = Seq("the", "of").toDF("w")
+      .select(pmod(graft.functions.hash52(col("w")), lit(256L)))
+      .collect().map(_.getLong(0)).toSet
+    val (u, v) = hm.groupBy(_._2).valuesIterator
+      .filter(g => g.length >= 2 && !stopBuckets(g.head._2) &&
+        g.map(_._3).distinct.length >= 2)
+      .map(g => (g(0)._1, g.find(_._3 != g(0)._3).get._1))
+      .next()
+    val bU = hm.find(_._1 == u).get._2
+    // background vocabulary and numeric filler: all OUTSIDE u's
+    // 256-bucket, so only the junk word aliases into the seed bucket
+    val bg = hm.filter(w => w._2 != bU && w._1 != v).map(_._1).take(256)
+    val nums = (100 to 999).map(_.toString).toDF("w")
+      .select(col("w"), pmod(graft.functions.hash52(col("w")), lit(256L)).as("b"))
+      .collect().collect { case r if r.getLong(1) != bU => r.getString(0) }.take(6)
+    // 32 docs → kept quartile = exactly 8 (scores tie only within a class):
+    //  - 8 seed docs: 7/7 Gopher flags, 50/52 tokens in u's bucket
+    //  - 8 junk docs: pure v (fails word-count + stopword rules) — EVERY
+    //    token rides u's 256-bucket via the collision
+    //  - 16 background docs: stopwords + ordinary words + numeric filler
+    //    (fails word-count + alpha-ratio) — they pull the stopword
+    //    buckets' importance DOWN, so a seed doc scores strictly below
+    //    the undiluted all-aliased junk doc at 256 buckets
+    val rows =
+      (1L to 8L).map(i => (i, "srcA", ("the of " + (s"$u " * 50)).trim)) ++
+      (11L to 18L).map(i => (i, "srcA", (s"$v " * (10 + (i % 5)).toInt).trim)) ++
+      (21L to 36L).map(i => (i, "srcA", ("the of " +
+        bg.slice(((i - 21) * 16).toInt, ((i - 21) * 16).toInt + 16).mkString(" ") +
+        " " + nums.mkString(" "))))
+    val corpus = rows.toDF("doc_id", "source", "text")
+    val seedRel = T.dsirWt(corpus).select(col("doc_id"), col("tgt")).distinct()
+    assert(seedRel.filter(col("tgt") === 1).count() == 8,
+      "construction check: exactly the 8 u-docs are Gopher seeds")
+    def en(sel: org.apache.spark.sql.DataFrame): Double = {
+      val kept = sel.filter(col("dsir_keep") === 1).join(seedRel, "doc_id")
+      kept.filter(col("tgt") === 1).count().toDouble / kept.count()
+    }
+    val e256 = en(T.importanceDsirOf(corpus, 256L))
+    val e8k = en(T.importanceDsirOf(corpus, T.DsirBuckets8k))
+    // at 256 buckets the junk docs ride the seed bucket's importance and
+    // fill the kept quartile ahead of the stopword-diluted seeds; at 8192
+    // the junk bucket is raw-only and scores far below the bar
+    assert(e8k > e256,
+      s"8192 buckets must strictly beat aliased 256 buckets: $e8k vs $e256")
   }
 
   test("fingerprint revert (A→B→A): retrain writes a FRESH generation, never " +

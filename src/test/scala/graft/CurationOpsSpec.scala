@@ -373,4 +373,42 @@ class CurationOpsSpec extends SparkSpec {
       assert(e == expect, s"epochs6 decomposition must be exact: $e vs $expect")
     }
   }
+
+  test("trigram LM separates templated text a bigram LM scores as fluent") {
+    // The corpus is a pivot family "<l> m <r>": every bigram the templated
+    // doc uses occurs in the corpus with the SAME counts as the fluent
+    // docs' bigrams, but its TRIPLE never occurs — the spam shape (slot-
+    // filled templates over fluent word pairs) that motivated the r12
+    // bigram→trigram upgrade (VERDICT r11 #1).
+    val corpus = Seq(
+      (1L, "srcA", "a m b"),
+      (2L, "srcA", "b m c"),
+      (3L, "srcA", "c m a")).toDF("doc_id", "source", "text")
+    val templated = Seq((4L, "srcA", "a m c")).toDF("doc_id", "source", "text")
+    val (c3, c2, u) = TextOps.trainNgramLmOf(corpus)
+    val scored = TextOps.perplexityScore(corpus.union(templated), c3, c2, u)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the trigram mixture separates: the templated doc is strictly more
+    // surprising than EVERY fluent doc
+    assert(Seq(1L, 2L, 3L).forall(id => scored(4L) > scored(id)),
+      s"trigram LM must rank the templated doc worst: $scored")
+    // ...while a pure bigram conditional over the same counts cannot:
+    // the templated doc's bigram set {a m, m c} carries the same counts
+    // as doc 1's {a m, m b}, so its bigram score TIES the fluent doc's
+    val stats = u.agg(count(lit(1)).as("v"),
+      coalesce(sum(col("cu")), lit(0L)).as("ntok"))
+    val bg = corpus.union(templated)
+      .select(col("doc_id"),
+        explode(graft.functions.wordShingles(graft.functions.wsTokens(col("text")), 2)).as("g"))
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .join(c2, Seq("g"), "left")
+      .join(u.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(avg(round(-log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+        (coalesce(col("cu1"), lit(0L)) + col("v"))), 6)).as("bg_nll"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(bg(4L) - bg(1L)) < 1e-9,
+      s"construction check: the bigram conditional must NOT separate (doc4 ${bg(4L)} vs doc1 ${bg(1L)})")
+  }
 }

@@ -391,4 +391,50 @@ class DedupSpec extends SparkSpec {
     assert(sampled.values.sum < full.values.sum,
       "the quadratic truth term must actually shrink under sampling")
   }
+  test("star-contraction CC labels match the propagation reference on adversarial graphs") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    def labels(nodes: Seq[Long], pairs: Seq[(Long, Long)]): (Set[(Long, Long)], Set[(Long, Long)]) = {
+      val d = nodes.toDF("doc_id")
+      val pr = pairs.toDF("doc_a", "doc_b")
+      val star = Dedup.ccLabels(d, pr).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prop = Dedup.ccLabelsPropagate(d, pr).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (star, prop)
+    }
+    // deep chain: diameter 300 — the shape that makes per-round full-edge
+    // propagation expensive and exercises many star rounds
+    val chain = (0L until 300L).map(i => (i, i + 1))
+    val (s1, p1) = labels(0L to 300L, chain)
+    assert(s1 == p1, "chain labels diverge")
+    assert(s1.forall(_._2 == 0L), "a chain is one component rooted at 0")
+    // clique (heavy-merge), reverse star (center is the LARGEST id), and
+    // two components + isolated nodes, in one graph
+    val clique = for (i <- 0L until 40L; j <- (i + 1) until 40L) yield (i, j)
+    val revStar = (100L until 140L).map(i => (i, 140L))
+    val mixed = clique ++ revStar
+    val (s2, p2) = labels((0L until 40L) ++ (100L to 140L) ++ Seq(500L, 501L), mixed)
+    assert(s2 == p2, "mixed-graph labels diverge")
+    assert(s2.contains((140L, 100L)) && s2.contains((500L, 500L)),
+      s"reverse star must root at its min id; isolated nodes self-label")
+    // hash-random graph over 400 nodes (duplicate and self pairs included
+    // deliberately: the engine must canonicalize them away)
+    val rnd = (0 until 600).map { k =>
+      val a = (k * 2654435761L) % 400
+      val b = (k * 40503L + 7) % 400
+      (a, b)
+    }
+    val (s3, p3) = labels(0L until 400L, rnd)
+    assert(s3 == p3, "random-graph labels diverge")
+    // corpus-level: the gated clusterAssign path itself (LSH pairs)
+    val star = Dedup.clusterAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prop = Dedup.ccLabelsPropagate(
+      graft.sources.Tables.load(spark, sf, "documents").select(col("doc_id")),
+      Dedup.minhashLsh(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == prop, "corpus LSH-pair labels diverge between engines")
+  }
 }

@@ -61,7 +61,7 @@ class FunctionsSpec extends SparkSpec {
 
   test("text_perplexity_bucket tertiles each language independently with integer quotas") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pplb").toString
-    // two languages, varied fluency; doc 13 has no bigrams and must not appear
+    // two languages, varied fluency; doc 13 has no trigrams and must not appear
     val docs = Seq(
       (1L, "src0", "en", "the cat sat on the mat and the dog sat on the rug"),
       (2L, "src0", "en", "the cat ran to the park and the dog ran to the gate"),
@@ -80,7 +80,7 @@ class FunctionsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rows = graft.operators.TextOps.perplexityBucket(ss, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
-    assert(!rows.exists(_._1 == 13L), "a doc with no bigrams has no perplexity bucket")
+    assert(!rows.exists(_._1 == 13L), "a doc with no trigrams has no perplexity bucket")
     rows.groupBy(_._2).foreach { case (lang, rs) =>
       val n = rs.length
       val byBucket = rs.groupBy(_._4).view.mapValues(_.map(_._3)).toMap

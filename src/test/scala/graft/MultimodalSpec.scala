@@ -358,4 +358,35 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.contains(2L) && !out.contains(3L),
       s"merged members must not survive as canonicals: $out")
   }
+
+  test("mm_phash_incremental matches a brute-force hamming probe of batch vs corpus") {
+    // fixture: two byte-identical corpus docs + one distinct; the batch
+    // carries a copy of each cluster plus a novel asset
+    val tmp = java.nio.file.Files.createTempDirectory("graft-phashinc").toString
+    val sp = spark
+    import sp.implicits._
+    val a = "aaa bbb ccc shared payload body " * 4
+    val b = "completely different corpus content over here " * 3
+    val docs = Seq(
+      (1L, a, "srcA"), (2L, a, "srcA"), (3L, b, "srcB"),
+      (10L, a, "src0"), (11L, "zzz yyy xxx qqq novel drop", "src0"), (12L, b, "src0"))
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Multimodal.phashIncremental(spark, tmp).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    // brute-force truth from the engine's own hashes (no bucket here nears
+    // the salt cap, so the policy loses nothing and brute force is exact)
+    val ph = Multimodal.phash(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val corpus = Seq(1L, 2L, 3L)
+    val expect = Seq(10L, 11L, 12L).map { id =>
+      val n = corpus.count(c =>
+        java.lang.Long.bitCount(ph(id) ^ ph(c)) <= graft.operators.Dedup.MaxHamming)
+      id -> ((n.toLong, if (n == 0) 1 else 0))
+    }.toMap
+    assert(out == expect, s"$out vs $expect")
+    assert(out(10L)._1 == 2L && out(11L)._2 == 1 && out(12L)._1 == 1L,
+      s"construction check (matches both copies / novel / one match): $out")
+  }
 }

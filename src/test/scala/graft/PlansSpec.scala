@@ -605,13 +605,13 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"cohort sizes should broadcast:\n$p")
   }
 
-  test("perplexity bigram counts line up with token counts (n_bigrams = n_ws - 1)") {
+  test("perplexity trigram counts line up with token counts (n_grams = n_ws - 2)") {
     import org.apache.spark.sql.functions._
     val joined = TextOps.perplexity(spark, sf)
       .join(TextOps.tokens(spark, sf), "doc_id")
-    assert(joined.filter(col("n_bigrams") =!= col("n_ws") - 1).count() == 0)
+    assert(joined.filter(col("n_grams") =!= col("n_ws") - 2).count() == 0)
     assert(joined.filter(col("avg_nll").isNull || col("avg_nll") <= 0).count() == 0,
-      "every add-one-smoothed nll must be positive")
+      "every add-one-smoothed interpolated nll must be positive")
   }
 
   test("DSIR serving plans broadcast the model; no shuffle beyond the token rollup") {

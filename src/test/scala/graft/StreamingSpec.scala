@@ -454,6 +454,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("phash probe: nightly step scores each drop once and equals the batch analog") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_phash_step").toString
+    val (corpusDir, dropDir, cp, out) =
+      (s"$base/corpus", s"$base/drops", s"$base/cp", s"$base/out")
+    def writeSingle(dir: String, fname: String, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = s"$base/tmp_$fname"
+      rows.toDF("doc_id", "source", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dir, fname))
+    }
+    val payloadA = "aaa bbb ccc shared corpus asset body " * 4
+    val payloadB = "ddd eee fff other corpus asset body " * 4
+    writeSingle(corpusDir, "documents.parquet", Seq(
+      (1L, "srcA", payloadA), (2L, "srcA", payloadB)))
+    def verdicts(): Map[Long, (Long, Int)] = {
+      if (!new java.io.File(out).exists()) Map.empty
+      else spark.read.parquet(out).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-phash-step-models").toString
+    graft.operators.AnnModels.withRoot(root) {
+      val b0 = graft.operators.AnnModels.phashIndexBuilds
+      writeSingle(dropDir, "d0.parquet", Seq(
+        (10L, "src0", payloadA), (11L, "src0", "novel drop payload one two three")))
+      EventStreams.runPhashStep(spark, corpusDir, dropDir, cp, out)
+      val v1 = verdicts()
+      assert(v1 == Map(10L -> ((1L, 0)), 11L -> ((0L, 1))),
+        s"run 1: copy matches, novel flagged: $v1")
+      // run 2: a new drop; the processed file must NOT re-score
+      writeSingle(dropDir, "d1.parquet", Seq((12L, "src0", payloadB)))
+      EventStreams.runPhashStep(spark, corpusDir, dropDir, cp, out)
+      val v2 = verdicts()
+      assert(v2 == Map(10L -> ((1L, 0)), 11L -> ((0L, 1)), 12L -> ((1L, 0))),
+        s"run 2 adds only the new drop: $v2")
+      assert(spark.read.parquet(out).count() == 3,
+        "processed files must never re-score (no duplicate verdicts)")
+      // ONE index build served both nightly runs
+      assert(graft.operators.AnnModels.phashIndexBuilds == b0 + 1,
+        "the persisted index must build once across nightly runs")
+      // the step's verdicts equal the batch analog over the same drops
+      val batchDir = s"$base/all"
+      writeSingle(batchDir, "documents.parquet", Seq(
+        (1L, "srcA", payloadA), (2L, "srcA", payloadB),
+        (10L, "src0", payloadA),
+        (11L, "src0", "novel drop payload one two three"),
+        (12L, "src0", payloadB)))
+      val batch = graft.operators.Multimodal.phashIncremental(spark, batchDir)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+      assert(batch == v2, s"nightly verdicts must equal the batch analog: $batch vs $v2")
+    }
+  }
+
   test("DSIR admission: nightly step scores each drop once and equals the batch analog") {
     val sp = spark
     import sp.implicits._
@@ -685,6 +741,30 @@ class StreamingSpec extends SparkSpec {
       // leave the manifest unchanged (no double-write, no double-count)
       EventStreams.runPackDeltaStep(spark, corpusDir, dropDir, cpSnap, out)
       assert(manifest() == m2, s"replay must not change the manifest: ${manifest()}")
+      // the cumulative running-totals sidecar (ADVICE r11: prior offsets
+      // are O(|sources|) per night, not O(history)) exists and is bounded
+      // to two generations
+      val totDir = new java.io.File(out + ".totals")
+      def gens() = totDir.listFiles().filter(f =>
+        f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+      assert(totDir.exists() && gens().nonEmpty && gens().size <= 2,
+        s"cumulative sidecar must exist with <= 2 generations: ${gens()}")
+      // pre-sidecar stores (no .totals dir) fall back to the one-time full
+      // manifest aggregation and converge: wipe the sidecar, drop again
+      totDir.listFiles().foreach(f => {
+        def rm(x: java.io.File): Unit = {
+          if (x.isDirectory) x.listFiles().foreach(rm); x.delete(); ()
+        }
+        rm(f)
+      })
+      writeSingle(dropDir, "d2.parquet", Seq((13L, "srcA", words(100))))
+      EventStreams.runPackDeltaStep(spark, corpusDir, dropDir, cp, out)
+      val m3 = manifest()
+      assert(m3 == Map(
+        ("srcA", 1L) -> (1L, 300L), ("srcA", 2L) -> (2L, 300L),
+        ("srcC", 0L) -> (1L, 50L)),
+        s"fallback aggregation must continue the stream exactly: $m3")
+      assert(gens().nonEmpty, "the sidecar must regenerate after the fallback")
     }
   }
 
