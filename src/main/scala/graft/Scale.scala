@@ -162,6 +162,12 @@ object Scale {
       // round 11: DSIR admission — first-touch carries the corpus fit,
       // served rows are the batch-sized scoring pass (cost ∝ batch)
       "stream_ingest_dsir" -> (graft.streaming.EventStreams.ingestDsirBatch _),
+      // round 12: perceptual ingest probe — first-touch builds the
+      // pigeonhole phash index, served is |batch| hashes + one equijoin
+      "stream_ingest_phash" -> (graft.streaming.EventStreams.phashVsIndex _),
+      // round 12: cross-modal alignment gate — partition-parallel phash,
+      // id-keyed embeddings join, histogram census + broadcast bar
+      "mm_text_align" -> (graft.operators.Multimodal.textAlign _),
       // round 11: temperature sampling — assignment join (registry-served
       // centroids) + bounded heaps + a capped-relation rank; must track
       // the assignment scan, not the window

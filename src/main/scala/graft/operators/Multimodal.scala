@@ -457,6 +457,45 @@ object Multimodal {
       phashIndexOf(d.filter(col("source") =!= "src0")))
   }
 
+  /** CROSS-MODAL image-text ALIGNMENT gate (the LAION/DataComp CLIP-score
+    * filter shape; VERDICT r11 #3): score each asset by the cosine
+    * between a deterministic 64-dim ±1 image direction — the asset's
+    * perceptual-hash bits, the in-engine stand-in for an image-encoder
+    * embedding (a real CLIP image tower swaps in at exactly this
+    * projection; every join, census and gate below is unchanged) — and
+    * its document's text embedding (the `embeddings` table, the text
+    * tower). The keep rule is the corpus-calibrated TOP-HALF alignment
+    * bar (TextOps.calibratedThresholdOf — the quantile form CLIP-score
+    * filtering actually deploys: DataComp pools keep a score quantile,
+    * not an absolute constant that breaks on a foreign corpus).
+    *
+    * Float discipline: round(cos, 4) — the proven sim-family parity grid;
+    * the census then compares exact 4-decimal doubles. Scale: phash is
+    * partition-parallel, the embeddings join is id-keyed, the census is
+    * value-histogram-sized, the one-row bar broadcasts — no corpus-sized
+    * sort or window anywhere. */
+  def textAlign(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.cosineSim
+    val pvec = array((0 until 64).map(j =>
+      when(shiftright(col("phash"), j).bitwiseAND(lit(1L)) === lit(1L), lit(1.0d))
+        .otherwise(lit(-1.0d))): _*)
+    // the scored relation feeds the census count, bounds, census and flag
+    // projection — materialize once (12 bytes/row; the qualityCalibrated
+    // localCheckpoint discipline) so phash+join run one pass, not four
+    val scored = phashOf(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("phash"))
+      .join(Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      .select(col("doc_id"),
+        round(cosineSim(pvec, col("embedding")), 4).as("align4"))
+      .localCheckpoint()
+    val thr = TextOps.calibratedThresholdOf(
+      scored.select(col("doc_id"), col("align4").as("logit8")))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("align4"),
+        when(col("align4") >= col("thr"), 1).otherwise(0).as("align_keep"))
+  }
+
   /** Asset-gate thresholds (the LAION/DataComp image pre-filter family:
     * drop tiny images, extreme aspect ratios, and byte-trivial payloads
     * before any expensive decode/embed stage). Integer-exact. */
@@ -536,9 +575,31 @@ object Multimodal {
     out
   }
 
-  private def md5hex(b: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5").digest(b)
-      .map("%02x".format(_)).mkString
+  // One digest per task thread: MessageDigest.getInstance allocates (and
+  // provider-lookups) per call — at one fingerprint per asset that was
+  // measurable churn in the resample hot loop (the r11 mm_resize_sample
+  // regression; re-measured r12).
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexDigits = "0123456789abcdef".getBytes(
+    java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def md5hex(b: Array[Byte]): String = {
+    val md = Md5.get()
+    md.reset()
+    val d = md.digest(b)
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      val v = d(i) & 0xff
+      out(2 * i) = HexDigits(v >> 4)
+      out(2 * i + 1) = HexDigits(v & 0xf)
+      i += 1
+    }
+    new String(out, java.nio.charset.StandardCharsets.US_ASCII)
+  }
 
   /** Byte-content fingerprint: md5 of the LOWERCASE-HEX rendering of `b`
     * (not of the raw bytes). Hex is an injective ASCII transport for
@@ -547,17 +608,21 @@ object Multimodal {
     * take VARCHAR only (no BLOB overloads), so the oracle fingerprints
     * substr(lower(hex(encode(text))), ...) byte slices. md5-of-raw-bytes
     * only agreed with a char-domain oracle on pure-ASCII payloads —
-    * caught by the round-11 unicode parity sweep. */
+    * caught by the round-11 unicode parity sweep. The hex expansion
+    * writes ASCII bytes straight into one array (the r11 form staged
+    * through StringBuilder → String → getBytes — three copies of a
+    * buffer that reaches ~75 KB per asset; the mm_resize_sample
+    * regression's main cost). */
   private[graft] def md5OfHex(b: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(b.length * 2)
+    val out = new Array[Byte](b.length * 2)
     var i = 0
     while (i < b.length) {
       val v = b(i) & 0xff
-      sb.append("0123456789abcdef".charAt(v >> 4))
-      sb.append("0123456789abcdef".charAt(v & 0xf))
+      out(2 * i) = HexDigits(v >> 4)
+      out(2 * i + 1) = HexDigits(v & 0xf)
       i += 1
     }
-    md5hex(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    md5hex(out)
   }
 
   /** Stub resample: ow·oh payload bytes sampled at pos(i) = i·n DIV (ow·oh)
@@ -569,13 +634,28 @@ object Multimodal {
     val (ow, oh) = outDims(m.width, m.height)
     val n = a.payload.length
     val total = ow * oh
-    val buf = new Array[Byte](if (n == 0) 0 else total)
+    if (n == 0) return (a.doc_id, ow, oh, md5OfHex(Array.emptyByteArray))
+    // pos(i) = i·n DIV total, advanced incrementally (quotient step +
+    // remainder carry — exact, replacing a 64-bit division per sampled
+    // byte), hex-expanded straight into the digest buffer (no
+    // intermediate pick array; with md5OfHex's copy removal this took the
+    // r11 regression 1.9 s → ~1.1 s at sf0.1).
+    val q = n / total
+    val r = n % total
+    val hex = new Array[Byte](2 * total)
+    var pos = 0
+    var acc = 0
     var i = 0
-    while (i < buf.length) {
-      buf(i) = a.payload(((i.toLong * n) / total).toInt)
+    while (i < total) {
+      val v = a.payload(pos) & 0xff
+      hex(2 * i) = HexDigits(v >> 4)
+      hex(2 * i + 1) = HexDigits(v & 0xf)
+      pos += q
+      acc += r
+      if (acc >= total) { acc -= total; pos += 1 }
       i += 1
     }
-    (a.doc_id, ow, oh, md5OfHex(buf))
+    (a.doc_id, ow, oh, md5hex(hex))
   }
 
   /** The resample dispatch, mirroring [[decodeAsset]]/[[phashAsset]]: real
@@ -630,6 +710,7 @@ object Multimodal {
     "mm_phash_dedup" -> (phashDedup _),
     "mm_phash_keep" -> (phashKeep _),
     "mm_phash_incremental" -> (phashIncremental _),
+    "mm_text_align" -> (textAlign _),
     "mm_filter" -> (mmFilter _))
 
   /** Segment sums replay as ascii() sums over substr slices; the signed
@@ -775,7 +856,39 @@ object Multimodal {
         s"j -> (CAST(${hexByteSql("j")} AS BIGINT) - 128) * " +
         s"(CAST(${hexByteSql("j")} AS BIGINT) - 128))), 0) AS BIGINT) AS energy " +
         "FROM w"),
-    "mm_phash_incremental" -> phashIncrementalSql)
+    "mm_phash_incremental" -> phashIncrementalSql,
+    "mm_text_align" ->
+      s"WITH $textAlignFullCtes SELECT doc_id, align4, align_keep FROM xalk")
+
+  /** CTE chain for the alignment gate (expects [[phashCtes]]'s `bits` in
+    * scope): the phash ±1 direction list, the embeddings join, the
+    * round-4 cosine (the cosBetween shape — list_sum products in index
+    * order, ||±1 vector|| = 8 exactly), and the calibrated top-half
+    * census bar (the qualityCalibratedSql chain). Ends in
+    * `xalk(doc_id, align4, align_keep)`. Names x-prefixed so the chain
+    * composes into the curation oracle without CTE collisions. */
+  private[operators] val textAlignCtes: String = {
+    val pl = (0 until 64).map(j =>
+      s"CASE WHEN (s // ${BigInt(1) << j}) % 2 = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END")
+      .mkString("[", ", ", "]")
+    "xphp AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS h FROM bits GROUP BY doc_id), " +
+      "xphu AS (SELECT doc_id, CAST(h AS HUGEINT) + CASE WHEN h < 0 THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS s FROM xphp), " +
+      s"xpv AS (SELECT doc_id, $pl AS pl FROM xphu), " +
+      "xpe AS (SELECT p.doc_id, p.pl, e.embedding AS em FROM xpv p JOIN embeddings e ON e.vec_id = p.doc_id), " +
+      "xal AS (SELECT doc_id, CASE WHEN ne = 0 THEN 0.0 ELSE round(dot / (8 * sqrt(ne)), 4) END AS align4 FROM " +
+      "(SELECT doc_id, list_sum(list_transform(generate_series(1, 64), i -> pl[i] * CAST(em[i] AS DOUBLE))) AS dot, " +
+      "list_sum(list_transform(generate_series(1, 64), i -> CAST(em[i] AS DOUBLE) * CAST(em[i] AS DOUBLE))) AS ne FROM xpe)), " +
+      "xann AS (SELECT count(*) AS n, (count(*) + 1) // 2 AS keep_n FROM xal), " +
+      "xatt AS (SELECT n - keep_n + 1 AS target FROM xann), " +
+      "xacc AS (SELECT align4, cnt, sum(cnt) OVER (ORDER BY align4) AS cum FROM (SELECT align4, count(*) AS cnt FROM xal GROUP BY 1)), " +
+      "xathr AS (SELECT xacc.align4 AS thr FROM xacc, xatt WHERE xacc.cum >= xatt.target AND xacc.cum - xacc.cnt < xatt.target), " +
+      "xalk AS (SELECT xal.doc_id, xal.align4, CASE WHEN xal.align4 >= xathr.thr THEN 1 ELSE 0 END AS align_keep FROM xal CROSS JOIN xathr)"
+  }
+
+  /** [[phashCtes]] + [[textAlignCtes]] — the whole alignment replay, for
+    * composition into the Pipeline curation oracle. */
+  private[operators] lazy val textAlignFullCtes: String =
+    s"$phashCtes, $textAlignCtes"
 
   /** Replay of the perceptual ingest probe: the phash chain over ALL
     * documents, split index/batch by source, then the shared

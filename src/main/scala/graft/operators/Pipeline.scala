@@ -102,6 +102,18 @@ object Pipeline {
       Dedup.semanticDedupKeep(s, dir).select(col("vec_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
 
+  /** [[curateSemantic]] plus the CROSS-MODAL alignment gate
+    * (Multimodal.textAlign — the CLIP-score keep rule of LAION/DataComp
+    * curation): a document survives only if its asset's image-text
+    * alignment clears the corpus's own top-half bar. The full multimodal
+    * curation chain: language → quality → exact dedup → semantic dedup →
+    * alignment, every stage an id-only semi-join. */
+  def curateAligned(s: SparkSession, dir: String): DataFrame =
+    curateSemantic(s, dir).join(
+      graft.operators.Multimodal.textAlign(s, dir)
+        .filter(col("align_keep") === 1).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
   /** FUZZY benchmark decontamination — the near-dup form `decontaminate`'s
     * exact 5-gram overlap cannot see (a paraphrased or lightly-edited
     * benchmark item shares few exact 5-grams but collides in MinHash
@@ -823,6 +835,7 @@ object Pipeline {
     "pipeline_curate_model" -> (curateModel _),
     "pipeline_curate_neardup" -> (curateNearDup _),
     "pipeline_curate_semantic" -> (curateSemantic _),
+    "pipeline_curate_aligned" -> (curateAligned _),
     "pipeline_split" -> (split _),
     "pipeline_decontaminate" -> (decontaminate _),
     "pipeline_decontaminate_fuzzy" -> (decontaminateFuzzy _),
@@ -1002,6 +1015,20 @@ object Pipeline {
         s"WHERE l.pred_lang = 'en' AND q.quality_score >= $QualityThreshold " +
         "AND l.doc_id IN (SELECT keep_id FROM keep) " +
         "AND l.doc_id IN (SELECT vec_id FROM kk)"),
+    "pipeline_curate_aligned" ->
+      // the curate_semantic replay plus the alignment-gate CTE chain
+      // (Multimodal.textAlignFullCtes, x-prefixed — no CTE collisions)
+      (s"WITH RECURSIVE ${Dedup.semanticLabCtes}, " +
+        s"${Dedup.semanticKeepCte}, " +
+        s"${graft.operators.Multimodal.textAlignFullCtes}, " +
+        s"lang AS (${TextOps.oracles("text_langid")}), " +
+        s"qual AS (${TextOps.oracles("text_quality")}), " +
+        "keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)) " +
+        "SELECT l.doc_id, l.pred_lang, q.quality_score FROM lang l JOIN qual q ON l.doc_id = q.doc_id " +
+        s"WHERE l.pred_lang = 'en' AND q.quality_score >= $QualityThreshold " +
+        "AND l.doc_id IN (SELECT keep_id FROM keep) " +
+        "AND l.doc_id IN (SELECT vec_id FROM kk) " +
+        "AND l.doc_id IN (SELECT doc_id FROM xalk WHERE align_keep = 1)"),
     "pipeline_curate_model" ->
       (s"WITH lang AS (${TextOps.oracles("text_langid")}), " +
         s"qm AS (${TextOps.qualityModelSql}), " +

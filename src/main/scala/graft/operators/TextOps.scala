@@ -1131,6 +1131,15 @@ object TextOps {
     val p1 = (coalesce(col("cu3"), lit(0L)) + 1).cast("double") /
       (col("ntok") + col("v"))
     val nll = round(-log(lit(0.5) * p3 + lit(0.375) * p2 + lit(0.125) * p1), 6)
+    // Join order note (measured at sf0.1): the five LM joins all resolve
+    // to broadcast hash joins over the (doc, trigram) stream — the count
+    // relations are gram-vocabulary-sized, far below the stream — so the
+    // stream is shuffled ONCE (the occ groupBy) and never again until
+    // the per-doc rollup. A probed "join the distinct-gram vocabulary,
+    // then join nll back" rewrite double-scanned the corpus (no exchange
+    // reuse across the differing aggregates) and measured slower; at
+    // 100 TB scale AQE demotes only the c3 join to shuffle, which is the
+    // minimum possible movement for an open trigram vocabulary.
     trigramOcc(d)
       .join(c3, Seq("g3"), "left")
       .join(c2.select(col("g").as("g2p"), col("c2").as("c2p")), Seq("g2p"), "left")

@@ -411,4 +411,17 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(bg(4L) - bg(1L)) < 1e-9,
       s"construction check: the bigram conditional must NOT separate (doc4 ${bg(4L)} vs doc1 ${bg(1L)})")
   }
+
+  test("pipeline_curate_aligned = curate_semantic restricted to the alignment keep set") {
+    val sem = Pipeline.curateSemantic(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val keepSet = graft.operators.Multimodal.textAlign(spark, sf)
+      .filter(col("align_keep") === 1).collect().map(_.getLong(0)).toSet
+    val aligned = Pipeline.curateAligned(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(aligned == (sem intersect keepSet),
+      s"aligned must be semantic ∩ align-keep: ${aligned.size} vs ${(sem intersect keepSet).size}")
+    assert(aligned.subsetOf(sem) && aligned.nonEmpty && aligned != sem,
+      s"the alignment gate must actually restrict: ${aligned.size} of ${sem.size}")
+  }
 }

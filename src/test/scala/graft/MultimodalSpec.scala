@@ -389,4 +389,41 @@ class MultimodalSpec extends SparkSpec {
     assert(out(10L)._1 == 2L && out(11L)._2 == 1 && out(12L)._1 == 1L,
       s"construction check (matches both copies / novel / one match): $out")
   }
+
+  test("mm_text_align scores the exact cosine against the phash direction and keeps the top half") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-align").toString
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      (0L, "the aligned document has its own embedding pointed at its hash"),
+      (1L, "the anti document points exactly away from its perceptual hash"),
+      (2L, "the orthogonal document splits its embedding half with half"),
+      (3L, "the degenerate document carries an all zero embedding vector"))
+    texts.map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // embeddings derived from each doc's OWN phash bits: +dir, -dir, a
+    // half-flipped (orthogonal) dir, and the zero vector (the cos guard)
+    val ph = Multimodal.phash(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def dir(h: Long): Array[Float] =
+      (0 until 64).map(j => if (((h >> j) & 1L) == 1L) 1.0f else -1.0f).toArray
+    val embs = Seq(
+      (0L, dir(ph(0L)), 0),
+      (1L, dir(ph(1L)).map(-_), 0),
+      (2L, dir(ph(2L)).zipWithIndex.map { case (v, i) => if (i < 32) v else -v }, 0),
+      (3L, Array.fill(64)(0.0f), 0))
+    embs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Multimodal.textAlign(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    assert(out(0L) == ((1.0, 1)), s"self-aligned embedding must score cos 1: $out")
+    assert(out(1L) == ((-1.0, 0)), s"anti-aligned embedding must score cos -1 and drop: $out")
+    assert(out(2L)._1 == 0.0 && out(3L)._1 == 0.0,
+      s"orthogonal and zero embeddings score 0: $out")
+    // calibrated top-half bar: ceil(4/2)=2 kept minimum, ties kept -> the
+    // two zeros and the +1 survive, only the anti-aligned doc drops
+    assert(out.values.count(_._2 == 1) == 3, s"ties at the bar are kept: $out")
+  }
 }

@@ -522,6 +522,33 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("artifact-served phash probe hashes the batch side only; alignment gate plans sort-free") {
+    val root = java.nio.file.Files.createTempDirectory("graft-plans-phidx").toString
+    graft.operators.AnnModels.withRoot(root) {
+      // scan-only contract (the lshIndex discipline on the perceptual
+      // column): the typed hash pass is a MapPartitions over the batch —
+      // exactly ONE in the artifact-served plan (corpus hashes stream off
+      // the parquet index), TWO in the in-query form that builds its
+      // index inline
+      def mapPasses(df: org.apache.spark.sql.DataFrame): Int =
+        "(?m)MapPartitions".r.findAllIn(df.queryExecution.optimizedPlan.toString).length
+      assert(mapPasses(graft.streaming.EventStreams.phashVsIndex(spark, sf)) == 1,
+        "served probe must hash only the batch")
+      // the in-query reference form builds its index inline — its printed
+      // plan shows the corpus hash subtree under every census/salt branch
+      // (>= 2 passes); that cost is exactly what the persisted artifact
+      // deletes, which is the point of the contract above
+      assert(mapPasses(graft.operators.Multimodal.phashIncremental(spark, sf)) >= 2,
+        "in-query form hashes both sides by construction")
+    }
+    // the alignment gate: histogram census + one-row broadcast bar — no
+    // global sort (rangepartitioning) anywhere, no cartesian product
+    val p = graft.operators.Multimodal.textAlign(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("rangepartitioning"), s"alignment census must not global-sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"one-row bar must broadcast:\n$p")
+  }
+
   test("bloom filter never false-negatives; a saturated filter shows real false positives") {
     import org.apache.spark.sql.functions._
     val ss = SparkSpec.spark

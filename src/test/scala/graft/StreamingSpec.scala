@@ -768,6 +768,125 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("the nightly quintet composes: five restartable steps share one drop feed and one model store") {
+    // The production shape end to end (VERDICT r11 #8 lineage): ONE drop
+    // directory feeds admission gate + DSIR gate + text-LSH probe + phash
+    // probe + delta pack, each with its own checkpoint and sink, all
+    // serving the SAME registry artifacts — two nights, no re-scoring,
+    // one training per model across the whole cycle.
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_quintet").toString
+    val (corpusDir, dropDir) = (s"$base/corpus", s"$base/drops")
+    def writeSingle(dir: String, fname: String, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = s"$base/tmp_$fname"
+      rows.toDF("doc_id", "source", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dir, fname))
+    }
+    val fluent = "the quick brown fox jumps over the lazy dog and the cat"
+    val fluent2 = "the data table holds the value rows and the key columns"
+    writeSingle(corpusDir, "documents.parquet", Seq(
+      (1L, "srcA", fluent), (2L, "srcA", fluent2),
+      (3L, "srcB", "zz @@ ## !! ?? xx yy qq ww ee rr tt"),
+      (4L, "srcB", "aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa")))
+    def runNight(): Unit = {
+      EventStreams.runIngestGateStep(spark, corpusDir, dropDir, s"$base/cp_gate", s"$base/out_gate")
+      EventStreams.runIngestDsirStep(spark, corpusDir, dropDir, s"$base/cp_dsir", s"$base/out_dsir")
+      EventStreams.runIncrementalLshStep(spark, corpusDir, dropDir, s"$base/cp_lsh", s"$base/out_lsh")
+      EventStreams.runPhashStep(spark, corpusDir, dropDir, s"$base/cp_ph", s"$base/out_ph")
+      EventStreams.runPackDeltaStep(spark, corpusDir, dropDir, s"$base/cp_pack", s"$base/out_pack")
+    }
+    def sinkIds(out: String): Set[Long] =
+      if (!new java.io.File(s"$base/$out").exists()) Set.empty
+      else spark.read.parquet(s"$base/$out").select("doc_id").collect().map(_.getLong(0)).toSet
+    val root = java.nio.file.Files.createTempDirectory("graft-quintet-models").toString
+    graft.operators.AnnModels.withRoot(root) {
+      val t0 = (graft.operators.AnnModels.ingestGateTrains,
+        graft.operators.AnnModels.dsirTrains,
+        graft.operators.AnnModels.lshIndexBuilds,
+        graft.operators.AnnModels.phashIndexBuilds,
+        graft.operators.AnnModels.tokenTotalTrains)
+      // night 1: a corpus-duplicate fluent doc + a novel garbage doc
+      writeSingle(dropDir, "d0.parquet", Seq(
+        (10L, "src0", fluent), (11L, "src0", "@@ ## $$ %% ^^ && ** (( )) __ ++ ~~")))
+      runNight()
+      assert(sinkIds("out_gate") == Set(10L, 11L), "gate scores night 1")
+      assert(sinkIds("out_dsir") == Set(10L, 11L), "dsir scores night 1")
+      assert(sinkIds("out_ph") == Set(10L, 11L), "phash probes night 1")
+      val lsh1 = spark.read.parquet(s"$base/out_lsh").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh1 == Set((10L, 1L)), s"text probe claims the one corpus match: $lsh1")
+      val ph1 = spark.read.parquet(s"$base/out_ph").collect()
+        .map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(ph1 == Map(10L -> 0, 11L -> 1), s"perceptual novelty: $ph1")
+      assert(new java.io.File(s"$base/out_pack").exists(), "pack manifest written")
+      // snapshot two step checkpoints BEFORE night 2 — replaying from
+      // them later simulates a crash BETWEEN nightly steps (sink write
+      // landed, checkpoint commit lost) inside the composed cycle
+      def snapshot(cp: String, snap: String): Unit = {
+        val srcP = java.nio.file.Paths.get(cp)
+        java.nio.file.Files.walk(srcP).forEach { pth =>
+          val dst = java.nio.file.Paths.get(snap).resolve(srcP.relativize(pth))
+          if (java.nio.file.Files.isDirectory(pth)) java.nio.file.Files.createDirectories(dst)
+          else java.nio.file.Files.copy(pth, dst)
+        }
+      }
+      snapshot(s"$base/cp_gate", s"$base/snap_gate")
+      snapshot(s"$base/cp_ph", s"$base/snap_ph")
+      // night 2: one new fluent doc; nothing from night 1 re-scores
+      writeSingle(dropDir, "d1.parquet", Seq((12L, "src0", fluent2)))
+      runNight()
+      assert(sinkIds("out_gate") == Set(10L, 11L, 12L) &&
+        spark.read.parquet(s"$base/out_gate").count() == 3,
+        "gate adds only the new drop, no re-scoring")
+      assert(sinkIds("out_dsir") == Set(10L, 11L, 12L) &&
+        spark.read.parquet(s"$base/out_dsir").count() == 3,
+        "dsir adds only the new drop, no re-scoring")
+      assert(sinkIds("out_ph") == Set(10L, 11L, 12L) &&
+        spark.read.parquet(s"$base/out_ph").count() == 3,
+        "phash adds only the new drop, no re-scoring")
+      val lsh2 = spark.read.parquet(s"$base/out_lsh").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh2 == Set((10L, 1L), (12L, 2L)), s"night 2 claims only the new pair: $lsh2")
+      // the pack manifest continues each source's token stream across both
+      // nights: total packed tokens = the drops' token counts
+      val packed = spark.read.parquet(s"$base/out_pack")
+        .agg(org.apache.spark.sql.functions.sum("n_tokens")).collect().head.getLong(0)
+      val dropToks = Seq(fluent, "@@ ## $$ %% ^^ && ** (( )) __ ++ ~~", fluent2)
+        .map(_.split("\\s+").length).sum
+      assert(packed == dropToks, s"pack conserves drop tokens: $packed vs $dropToks")
+      // ONE training per model served all five steps across both nights
+      val t1 = (graft.operators.AnnModels.ingestGateTrains,
+        graft.operators.AnnModels.dsirTrains,
+        graft.operators.AnnModels.lshIndexBuilds,
+        graft.operators.AnnModels.phashIndexBuilds,
+        graft.operators.AnnModels.tokenTotalTrains)
+      assert(t1 == (t0._1 + 1, t0._2 + 1, t0._3 + 1, t0._4 + 1, t0._5 + 1),
+        s"each registry model must train exactly once: $t0 -> $t1")
+      // crash mid-cycle: two steps re-deliver night 2's drop from stale
+      // checkpoints (same batchId, sinks already hold the output); the
+      // idempotent batch= overwrite must leave the composed state fixed
+      val gateBefore = spark.read.parquet(s"$base/out_gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val phBefore = spark.read.parquet(s"$base/out_ph").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      EventStreams.runIngestGateStep(spark, corpusDir, dropDir, s"$base/snap_gate", s"$base/out_gate")
+      EventStreams.runPhashStep(spark, corpusDir, dropDir, s"$base/snap_ph", s"$base/out_ph")
+      val gateAfter = spark.read.parquet(s"$base/out_gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val phAfter = spark.read.parquet(s"$base/out_ph").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(gateAfter == gateBefore && phAfter == phBefore,
+        "a mid-cycle crash replay must not change the composed nightly state")
+      assert(spark.read.parquet(s"$base/out_gate").count() == 3 &&
+        spark.read.parquet(s"$base/out_ph").count() == 3,
+        "replayed steps must overwrite their partitions, never append")
+    }
+  }
+
   test("incremental probe checkpoint restart: re-dropped docs never re-emit claimed pairs") {
     val sp = spark
     import sp.implicits._
