@@ -134,12 +134,11 @@ object Dedup {
     * on candidates only. */
   private[operators] def hammingPairs(hashed: DataFrame,
       maxBucket: Int = MaxBucket): DataFrame = {
-    val blocked = hashed
-      .select(col("doc_id"), col("h"), explode(array(
-        struct(lit(0).as("bi"), col("h").bitwiseAND(lit(4194303L)).as("bv")),
-        struct(lit(1).as("bi"), shiftright(col("h"), 22).bitwiseAND(lit(2097151L)).as("bv")),
-        struct(lit(2).as("bi"), shiftright(col("h"), 43).bitwiseAND(lit(2097151L)).as("bv")))).as("t"))
-      .select(col("doc_id"), col("h"), col("t.bi").as("bi"), col("t.bv").as("bv"))
+    // the ONE pigeonhole split (hammingBlocked) — the block constants
+    // live in exactly one Scala site plus the SQL mirror
+    val blocked = hammingBlocked(hashed)
+      .select(col("doc_id"), col("full").as("h"),
+        col("band").as("bi"), col("h").as("bv"))
     // Only buckets past the cap need a group count (ceil(bn/cap) = 1
     // otherwise), so the broadcast side is the dense outliers alone.
     val dense = blocked.groupBy("bi", "bv").agg(count(lit(1)).as("bn"))
@@ -389,6 +388,17 @@ object Dedup {
         coalesce(sum(col("a") + col("b")), lit(0L))).collect().head
       (r.getLong(0), r.getLong(1))
     }
+    // Release a superseded round's localCheckpoint storage explicitly:
+    // without this, every round's (shrinking) edge snapshot stays pinned
+    // in block storage until the driver GCs the unreferenced DataFrame —
+    // peak storage a multiple of the initial candidate list instead of
+    // ~2 generations. Safe: the next round is eagerly materialized and
+    // the convergence probe has run before the release, so nothing reads
+    // the truncated-lineage RDD again.
+    def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
     var prev = witness(edges)
     var converged = false
     var iter = 0
@@ -402,6 +412,7 @@ object Dedup {
         converged = next.unionAll(edges).groupBy("a", "b")
           .agg(count(lit(1)).as("c")).filter(col("c") === 1).isEmpty
       }
+      release(edges)
       edges = next
       prev = w
       iter += 1
