@@ -60,6 +60,7 @@ object AnnModels {
   @volatile private[graft] var ingestGateTrains = 0
   @volatile private[graft] var lshIndexBuilds = 0
   @volatile private[graft] var phashIndexBuilds = 0
+  @volatile private[graft] var phashLabelBuilds = 0
   @volatile private[graft] var survivorBuilds = 0
   @volatile private[graft] var tokenTotalTrains = 0
   @volatile private[graft] var dsirTrains = 0
@@ -282,6 +283,20 @@ object AnnModels {
       phashIndexBuilds += 1
       Multimodal.phashIndexOf(graft.sources.Tables.load(s, dir, "documents")
         .filter(org.apache.spark.sql.functions.col("source") =!= "src0"))
+    }
+
+  /** The persisted PERCEPTUAL cluster labeling (doc_id, cluster_id) —
+    * connected components over the phash hamming pairs (the
+    * survivorLabels pattern on the multimodal column, r12): the CC
+    * iteration is the expensive sub-plan behind BOTH `mm_phash_dedup`
+    * and `mm_phash_keep`, and a curation deployment persists the asset
+    * labeling nightly exactly like the text one. Corpus-sized, natural
+    * partitioning. */
+  def phashLabels(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "phlab", s"blocks=3,ham=${Dedup.MaxHamming}",
+        coalesce1 = false) {
+      phashLabelBuilds += 1
+      Multimodal.phashLabelsOf(s, dir)
     }
 
   /** Per-source corpus TOKEN totals (source, base_off) — the |sources|-row

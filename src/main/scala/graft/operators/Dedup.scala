@@ -340,10 +340,11 @@ object Dedup {
     * large-star: every node u connects its LARGER neighbors to
     * m = min(Γ(u) ∪ {u}); small-star: every node u connects its smaller
     * neighbors (and itself) to m = min(Γ⁻(u) ∪ {u}). Each phase is one
-    * groupBy-min plus one join on the current edge set; the driver loop
-    * reads only a (count, sum) convergence witness per round, with an
-    * exact set-equality probe before declaring the fixed point (the
-    * witness is necessary, the probe makes it sufficient). */
+    * groupBy-min plus one join on the current edge set; convergence is
+    * detected DIRECTLY (a canonical a<b edge set is the star-forest
+    * fixed point iff no node appears as both center and leaf — one
+    * semi-join probe per round), so the loop never spends a round
+    * re-deriving an unchanged edge set just to observe it. */
   private[graft] def ccLabels(d: DataFrame, pairs: DataFrame): DataFrame = {
     // canonical (a < b) undirected edge set — both phases re-establish it
     var edges = pairs
@@ -359,7 +360,11 @@ object Dedup {
     def sym(e: DataFrame): DataFrame =
       e.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-    // large-star: (v, m) for every v ∈ Γ(u) with v > u
+    // large-star: (v, m) for every v ∈ Γ(u) with v > u. NO distinct here:
+    // duplicate edges do not change smallStar's mins, and the round-end
+    // distinct (smallStar's) restores the canonical set — one shuffle per
+    // round saved (the star loop's cost at bench scale is per-round fixed
+    // overhead, not data volume).
     def largeStar(e: DataFrame): DataFrame = {
       val s = sym(e)
       val mins = s.groupBy("u")
@@ -369,7 +374,7 @@ object Dedup {
         .filter(col("v") > col("u"))
         .select(least(col("v"), col("m")).as("a"),
           greatest(col("v"), col("m")).as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
     }
     // small-star: orient each edge toward its larger endpoint; that node
     // connects all its smaller neighbors — and itself — to their min
@@ -383,11 +388,6 @@ object Dedup {
           greatest(col("a"), col("b")).as("b"))
         .filter(col("a") =!= col("b")).distinct()
     }
-    def witness(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(sum(col("a") + col("b")), lit(0L))).collect().head
-      (r.getLong(0), r.getLong(1))
-    }
     // Release a superseded round's localCheckpoint storage explicitly:
     // without this, every round's (shrinking) edge snapshot stays pinned
     // in block storage until the driver GCs the unreferenced DataFrame —
@@ -399,22 +399,21 @@ object Dedup {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
-    var prev = witness(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < 30) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      val w = witness(next)
-      if (w == prev) {
-        // witness collision is necessary but not sufficient — confirm the
-        // fixed point with an exact set-equality probe (runs once or twice,
-        // on the star-contracted edge set)
-        converged = next.unionAll(edges).groupBy("a", "b")
-          .agg(count(lit(1)).as("c")).filter(col("c") === 1).isEmpty
-      }
+      // DIRECT fixed-point detection: a canonical (a < b) edge set is a
+      // star forest — the alternation's fixed point, min-centered by
+      // canonicality — iff no node appears as both a center (a) and a
+      // leaf (b). One semi-join probe per round on the checkpointed set;
+      // no confirmation round, no witness, no set-equality re-derivation
+      // (the earlier witness+probe form spent one full extra round
+      // re-deriving an unchanged edge set just to observe the collision).
+      converged = next.select(col("b").as("x"))
+        .join(next.select(col("a").as("x")), Seq("x"), "left_semi").isEmpty
       release(edges)
       edges = next
-      prev = w
       iter += 1
     }
     // at the fixed point the edge set is a star forest centered on each

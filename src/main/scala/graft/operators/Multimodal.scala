@@ -376,11 +376,20 @@ object Multimodal {
     * (singleton images never enter the iteration), and the output is one
     * row per cluster. */
   def phashDedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.ccLabels(
-        Tables.load(s, dir, "documents").select(col("doc_id")),
-        phashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+    graft.operators.AnnModels.phashLabels(s, dir)
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_repr"))
       .select(col("cluster_id").as("doc_id"), col("n_repr"))
+
+  /** The perceptual CC labeling (doc_id, cluster_id) — ONE hash pass,
+    * hamming pairs, the shared star-contraction CC engine; persisted per
+    * corpus state by AnnModels.phashLabels (the survivorLabels shape) and
+    * served to both [[phashDedup]] and [[phashKeep]]. */
+  def phashLabelsOf(s: SparkSession, dir: String): DataFrame = {
+    val ph = phash(s, dir).localCheckpoint()
+    Dedup.ccLabels(ph.select(col("doc_id")),
+      Dedup.hammingPairs(ph.select(col("doc_id"), col("phash").as("h")))
+        .select(col("doc_a"), col("doc_b")))
+  }
 
   /** [[phashDedup]] with the KEEP-BEST-COPY rule a crawl pipeline actually
     * applies (near-duplicate images differ in resolution/re-encode
@@ -392,16 +401,10 @@ object Multimodal {
     * window sort — exactly the `dedup_semantic_keep` recipe applied to
     * the perceptual column. */
   def phashKeep(s: SparkSession, dir: String): DataFrame = {
-    // Materialize the hashes ONCE (the minhashVerified pattern): the CC
-    // seed, the pairing input and the n_bytes join side all consume this
-    // relation, and column pruning cannot reach through the mapPartitions
-    // codec barrier — uncached, each branch would re-decode and re-hash
-    // the whole asset corpus.
-    val ph = phash(s, dir).localCheckpoint()
-    val lab = Dedup.ccLabels(ph.select(col("doc_id")),
-      Dedup.hammingPairs(ph.select(col("doc_id"), col("phash").as("h")))
-        .select(col("doc_a"), col("doc_b")))
-    lab.join(ph.select(col("doc_id"), col("n_bytes")), Seq("doc_id"))
+    // Labels come from the registry (one CC run per corpus state); only
+    // the cheap partition-parallel n_bytes pass runs in-query.
+    val lab = graft.operators.AnnModels.phashLabels(s, dir)
+    lab.join(phash(s, dir).select(col("doc_id"), col("n_bytes")), Seq("doc_id"))
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_repr"),
         max(struct(col("n_bytes"), (-col("doc_id")).as("nv"))).as("k"))

@@ -242,6 +242,26 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("phash labels artifact: one CC run serves both phash dedup and keep-best-copy") {
+    AnnModels.withRoot(freshRoot("phlab")) {
+      val b0 = AnnModels.phashLabelBuilds
+      val dedup = graft.operators.Multimodal.phashDedup(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(AnnModels.phashLabelBuilds == b0 + 1, "first consumer must build the labeling")
+      graft.operators.Multimodal.phashKeep(spark, sf).collect()
+      assert(AnnModels.phashLabelBuilds == b0 + 1,
+        "the second consumer must serve the same artifact")
+      // served labels are bit-identical to the inline CC run
+      val inline = graft.operators.Multimodal.phashLabelsOf(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val served = AnnModels.phashLabels(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(served == inline, "artifact-served labeling diverged from the inline CC run")
+      assert(dedup.iterator.map(_._2).sum == served.size.toLong,
+        "n_repr must conserve the asset count")
+    }
+  }
+
   test("nested partitioned corpus layout: an in-place partition rewrite invalidates") {
     val sp = spark
     import sp.implicits._
