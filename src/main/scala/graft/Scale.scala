@@ -154,6 +154,10 @@ object Scale {
       // the census order statistic; registry-served, so first-touch rows
       // carry the one-time model fit and served rows are the scoring pass
       "text_importance_dsir" -> (graft.operators.TextOps.importanceDsir _),
+      // round 12: the paper-width DSIR form — same width-independent plan
+      // (broadcast model relation, token-bounded shuffle); the 8192-row
+      // artifact must stay broadcast-sized at every corpus scale
+      "text_importance_dsir_8k" -> (graft.operators.TextOps.importanceDsir8k _),
       // round 11: perceptual dedup CC — pairs stay pigeonhole-bucketed and
       // salt-capped, CC state bounded by edge-touched assets; must stay
       // far from quadratic even when the generated corpus has phash

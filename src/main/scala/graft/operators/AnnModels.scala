@@ -61,6 +61,8 @@ object AnnModels {
   @volatile private[graft] var lshIndexBuilds = 0
   @volatile private[graft] var phashIndexBuilds = 0
   @volatile private[graft] var phashLabelBuilds = 0
+  @volatile private[graft] var qualityLogitTrains = 0
+  @volatile private[graft] var trainedMarginTrains = 0
   @volatile private[graft] var survivorBuilds = 0
   @volatile private[graft] var tokenTotalTrains = 0
   @volatile private[graft] var dsirTrains = 0
@@ -283,6 +285,32 @@ object AnnModels {
       phashIndexBuilds += 1
       Multimodal.phashIndexOf(graft.sources.Tables.load(s, dir, "documents")
         .filter(org.apache.spark.sql.functions.col("source") =!= "src0"))
+    }
+
+  /** The corpus QUALITY-LOGIT relation (doc_id, logit8, logit,
+    * model_keep) — the learned gate's scores persisted once per corpus
+    * state (the survivorLabels pattern, r12): the LM-joined scoring pass
+    * is the dominant sub-plan behind `text_quality_model`,
+    * `text_quality_calibrated`, `pipeline_curate_model` and the build
+    * capstones' calibrated gates; serving it runs that pass once per
+    * corpus state instead of once per query. Every column is a
+    * fixed-point long or an exact double (logit8 < 2^53), so the parquet
+    * round-trip is bit-identical. Corpus-sized: natural partitioning. */
+  def qualityLogits(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "qlog", "lm=n3i,coef=qm1", coalesce1 = false) {
+      qualityLogitTrains += 1
+      TextOps.qualityModelInline(s, dir)
+    }
+
+  /** The TRAINED gate's scored relation (doc_id, margin8, trained_keep)
+    * — [[qualityLogits]]'s twin for the in-engine-trained Rocchio gate
+    * (feeds `text_quality_trained`, `pipeline_build_trained` and the
+    * trained pack family). Exact longs; corpus-sized, natural
+    * partitioning. */
+  def trainedMargins(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "qtm", "fit=rocchio6,lm=n3i", coalesce1 = false) {
+      trainedMarginTrains += 1
+      TextOps.qualityTrainedInline(s, dir)
     }
 
   /** The persisted PERCEPTUAL cluster labeling (doc_id, cluster_id) —

@@ -1457,7 +1457,14 @@ object TextOps {
     * shuffles are perplexity's LM aggregates and the doc_id feature joins
     * — at 100 TB the join keys are (doc_id, three longs), never text. */
   def qualityModel(s: SparkSession, dir: String): DataFrame =
-    // gated path: surprise features come from the artifact-backed LM
+    // gated path: the whole scored relation is REGISTRY-SERVED (r12 —
+    // one LM-joined scoring pass per corpus state; five gated consumers
+    // read the artifact). The trainer below is the inline chain.
+    AnnModels.qualityLogits(s, dir)
+
+  /** The full scoring chain (features + artifact-backed LM surprise) —
+    * what AnnModels.qualityLogits runs ONCE per corpus state. */
+  private[graft] def qualityModelInline(s: SparkSession, dir: String): DataFrame =
     qualityModelWith(docs(s, dir), perplexity(s, dir))
 
   private[graft] def qualityModelOf(d: DataFrame): DataFrame =
@@ -1568,6 +1575,13 @@ object TextOps {
     * class absent from the training half scores as the zero centroid
     * (deterministic, oracle-mirrored via coalesced aggregates). */
   def qualityTrained(s: SparkSession, dir: String): DataFrame =
+    // gated path: the trained gate's scored relation is REGISTRY-SERVED
+    // like the learned gate's (AnnModels.trainedMargins, r12)
+    AnnModels.trainedMargins(s, dir)
+
+  /** The full trained-gate chain (features + persisted centroids) — what
+    * AnnModels.trainedMargins runs ONCE per corpus state. */
+  private[graft] def qualityTrainedInline(s: SparkSession, dir: String): DataFrame =
     qualityTrainedWith(
       qualityFeaturesOf(docs(s, dir), perplexity(s, dir)),
       AnnModels.qualityCentroids(s, dir).collect())

@@ -262,6 +262,29 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("quality logits and trained margins: registry-served, bit-identical to inline") {
+    val T = graft.operators.TextOps
+    AnnModels.withRoot(freshRoot("qlog")) {
+      val a0 = AnnModels.qualityLogitTrains
+      val served = rows(T.qualityModel(spark, sf))
+      assert(AnnModels.qualityLogitTrains == a0 + 1, "first consumer must score the corpus")
+      assert(served == rows(T.qualityModelInline(spark, sf)),
+        "artifact-served logits diverged from the inline scoring chain")
+      T.qualityCalibrated(spark, sf).collect()
+      graft.operators.Pipeline.curateModel(spark, sf).collect()
+      assert(AnnModels.qualityLogitTrains == a0 + 1,
+        "calibrated gate and curation must serve the one scored relation")
+      val b0 = AnnModels.trainedMarginTrains
+      val servedT = rows(T.qualityTrained(spark, sf))
+      assert(AnnModels.trainedMarginTrains == b0 + 1)
+      assert(servedT == rows(T.qualityTrainedInline(spark, sf)),
+        "artifact-served margins diverged from the inline trained chain")
+      graft.operators.Pipeline.buildTrained(spark, sf).collect()
+      assert(AnnModels.trainedMarginTrains == b0 + 1,
+        "the build capstone must serve the trained relation")
+    }
+  }
+
   test("nested partitioned corpus layout: an in-place partition rewrite invalidates") {
     val sp = spark
     import sp.implicits._
