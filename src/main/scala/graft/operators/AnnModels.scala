@@ -63,6 +63,7 @@ object AnnModels {
   @volatile private[graft] var phashLabelBuilds = 0
   @volatile private[graft] var qualityLogitTrains = 0
   @volatile private[graft] var trainedMarginTrains = 0
+  @volatile private[graft] var shinglePairBuilds = 0
   @volatile private[graft] var survivorBuilds = 0
   @volatile private[graft] var tokenTotalTrains = 0
   @volatile private[graft] var dsirTrains = 0
@@ -300,6 +301,21 @@ object AnnModels {
     ensure(s, dir, "qlog", "lm=n3i,coef=qm1", coalesce1 = false) {
       qualityLogitTrains += 1
       TextOps.qualityModelInline(s, dir)
+    }
+
+  /** The corpus SHINGLE-PAIR STORE (doc_a, doc_b, na, nb, inter) — every
+    * shingle-sharing pair with its exact intersection count, the
+    * verified-pair table a dedup deployment persists nightly (r12): the
+    * posting-list expansion is the dominant sub-plan behind
+    * `dedup_ngram_jaccard`, `dedup_containment` and both LSH recall
+    * audits; serving it runs the expansion once per corpus state. Counts
+    * are exact integers. Pair-bounded by the salted census (never
+    * corpus²); natural partitioning. */
+  def shinglePairs(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "shpairs",
+        s"n=${Dedup.ShingleN},cap=${Dedup.MaxBucket}", coalesce1 = false) {
+      shinglePairBuilds += 1
+      Dedup.shingleInterPairsInline(s, dir)
     }
 
   /** The TRAINED gate's scored relation (doc_id, margin8, trained_keep)

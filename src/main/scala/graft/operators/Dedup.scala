@@ -275,6 +275,18 @@ object Dedup {
     * even self-pair a document); 2^-64 per pair keeps the ratios exact
     * modulo vanishing probability. The oracle hashes identically. */
   private def shingleInterPairs(s: SparkSession, dir: String,
+      sampleMod: Int = 1): DataFrame =
+    // the whole-corpus pair store is REGISTRY-SERVED (r12 — one
+    // posting-list expansion per corpus state; four gated consumers:
+    // jaccard, containment, both recall audits). The hash-sampled audit
+    // variants compute their subcorpus truth inline — a different
+    // relation, not a cache miss.
+    if (sampleMod <= 1) AnnModels.shinglePairs(s, dir)
+    else shingleInterPairsInline(s, dir, sampleMod)
+
+  /** The posting-list pair-verification engine — what
+    * AnnModels.shinglePairs runs ONCE per corpus state (sampleMod = 1). */
+  private[graft] def shingleInterPairsInline(s: SparkSession, dir: String,
       sampleMod: Int = 1): DataFrame = {
     // sampleMod > 1: the quadratic pair expansion runs on the hash-sampled
     // subcorpus only (both endpoints sampled) — the recall audits'

@@ -285,6 +285,24 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("shingle-pair store: one posting-list expansion serves all four verifiers") {
+    AnnModels.withRoot(freshRoot("shpairs")) {
+      val b0 = AnnModels.shinglePairBuilds
+      val jac = rows(Dedup.ngramJaccard(spark, sf))
+      assert(AnnModels.shinglePairBuilds == b0 + 1, "first consumer must build the store")
+      Dedup.containment(spark, sf).collect()
+      Dedup.lshRecall(spark, sf).collect()
+      Dedup.lshRecallBanded(spark, sf).collect()
+      assert(AnnModels.shinglePairBuilds == b0 + 1,
+        "all verifiers must serve the one pair store")
+      // served pairs are bit-identical to the inline expansion
+      assert(rows(AnnModels.shinglePairs(spark, sf)) ==
+        rows(Dedup.shingleInterPairsInline(spark, sf)),
+        "artifact-served pair store diverged from the inline expansion")
+      assert(jac.nonEmpty, "construction check: the corpus has jaccard pairs")
+    }
+  }
+
   test("nested partitioned corpus layout: an in-place partition rewrite invalidates") {
     val sp = spark
     import sp.implicits._
