@@ -64,6 +64,7 @@ object AnnModels {
   @volatile private[graft] var qualityLogitTrains = 0
   @volatile private[graft] var trainedMarginTrains = 0
   @volatile private[graft] var shinglePairBuilds = 0
+  @volatile private[graft] var pplScoreTrains = 0
   @volatile private[graft] var survivorBuilds = 0
   @volatile private[graft] var tokenTotalTrains = 0
   @volatile private[graft] var dsirTrains = 0
@@ -286,6 +287,18 @@ object AnnModels {
       phashIndexBuilds += 1
       Multimodal.phashIndexOf(graft.sources.Tables.load(s, dir, "documents")
         .filter(org.apache.spark.sql.functions.col("source") =!= "src0"))
+    }
+
+  /** The corpus PERPLEXITY relation (doc_id, n_grams, avg_nll) — the
+    * trigram LM's scores persisted once per corpus state (r12; CCNet's
+    * deployment shape end to end: the LM trains once, scores once, and
+    * the bucket split / curriculum / quality consumers read the scores).
+    * avg_nll sits on the 1e6 grid (an exact double), counts are longs —
+    * bit-identical round-trip. Corpus-sized: natural partitioning. */
+  def pplScores(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "ppl", "lm=n3i", coalesce1 = false) {
+      pplScoreTrains += 1
+      TextOps.perplexityInline(s, dir)
     }
 
   /** The corpus QUALITY-LOGIT relation (doc_id, logit8, logit,

@@ -1063,12 +1063,17 @@ object TextOps {
     * five hash joins of the per-doc trigram stream against the count
     * relations (gram-key shuffles, token-bounded) with the (V, N) scalars
     * broadcast. Nothing is driver-side. */
-  /** Gated path: the n-gram model comes from the PERSISTED artifact
-    * (AnnModels.trigramLm — trained at most once per dataset, the same
-    * registry pattern the ANN quantizers use; CCNet likewise trains its
-    * LM once and serves it). Counts are exact integers, so the artifact
-    * is bit-identical to inline training. */
-  def perplexity(s: SparkSession, dir: String): DataFrame = {
+  /** Gated path: the whole scored relation is REGISTRY-SERVED (r12 —
+    * CCNet's actual deployment persists exactly this: the LM scores the
+    * corpus once and the head/middle/tail consumers read the scores).
+    * avg_nll is a 6-decimal-grid double and the counts are longs, so the
+    * parquet round-trip is bit-identical. */
+  def perplexity(s: SparkSession, dir: String): DataFrame =
+    AnnModels.pplScores(s, dir)
+
+  /** The full scoring pass against the persisted LM trio — what
+    * AnnModels.pplScores runs ONCE per corpus state. */
+  private[graft] def perplexityInline(s: SparkSession, dir: String): DataFrame = {
     val (c3, c2, u) = AnnModels.trigramLm(s, dir)
     perplexityScore(docs(s, dir), c3, c2, u)
   }

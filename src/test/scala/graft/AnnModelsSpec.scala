@@ -303,6 +303,22 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("perplexity scores: one scoring pass serves the bucket, curriculum and gate consumers") {
+    val T = graft.operators.TextOps
+    AnnModels.withRoot(freshRoot("ppl")) {
+      val p0 = AnnModels.pplScoreTrains
+      val served = rows(T.perplexity(spark, sf))
+      assert(AnnModels.pplScoreTrains == p0 + 1, "first consumer must score the corpus")
+      assert(served == rows(T.perplexityInline(spark, sf)),
+        "artifact-served scores diverged from the inline scoring pass")
+      T.perplexityBucket(spark, sf).collect()
+      graft.operators.Pipeline.curriculum(spark, sf).collect()
+      T.qualityModel(spark, sf).collect()
+      assert(AnnModels.pplScoreTrains == p0 + 1,
+        "bucket, curriculum and quality consumers must serve the one scored relation")
+    }
+  }
+
   test("nested partitioned corpus layout: an in-place partition rewrite invalidates") {
     val sp = spark
     import sp.implicits._
