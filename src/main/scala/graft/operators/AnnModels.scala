@@ -65,9 +65,16 @@ object AnnModels {
   @volatile private[graft] var trainedMarginTrains = 0
   @volatile private[graft] var shinglePairBuilds = 0
   @volatile private[graft] var pplScoreTrains = 0
+
   @volatile private[graft] var survivorBuilds = 0
   @volatile private[graft] var tokenTotalTrains = 0
   @volatile private[graft] var dsirTrains = 0
+
+  /** The trigram LM's training constants, inlined into every key that
+    * depends on the LM's output (the registry's key discipline: change a
+    * constant → new key → retrain; an opaque version tag would let a
+    * persistent store serve stale-coefficient scores silently). */
+  private val LmParams = "n=3,i=500/375/125"
 
   private var rootOverride: Option[String] = None
 
@@ -105,19 +112,21 @@ object AnnModels {
   /** The interpolated-trigram LM of `dir`'s documents as THREE persisted
     * relations (trigram counts c3, bigram counts c2, unigram counts u —
     * vocab size and token total derive from u at scoring time, exact
-    * integers in any engine) — trained at most once per dataset;
-    * `text_perplexity`, `text_quality_model` and `pipeline_curate_model`
-    * all read the artifact instead of re-counting the corpus (CCNet's
-    * deployment shape: the LM trains once and serves the filter for
-    * months). Counts are exact integers, so artifact-served scores are
-    * bit-identical. All three relations live under ONE artifact directory
+    * integers in any engine) — trained at most once per dataset. Direct
+    * consumers (r12): the [[pplScores]] trainer (which serves every
+    * corpus-scoring gated query downstream — the chain is
+    * lm → ppl → qlog/qtm) and the streaming admission paths; because the
+    * downstream keys inline [[LmParams]], a change to the LM constants
+    * re-keys — and therefore retrains — the whole chain, never just this
+    * trio (CCNet's deployment shape: the LM trains once and serves the
+    * filter for months). Counts are exact integers, so artifact-served
+    * scores are bit-identical. All three relations live under ONE artifact directory
     * gated by a single marker, so a partially-written trio can never
     * serve. The trigram relation is gram-vocabulary-sized (larger than
     * the model artifacts but far below corpus size — distinct trigrams,
     * not occurrences), so it keeps its natural partitioning. */
-  def trigramLm(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
-    synchronized {
-      val p = new Path(root(s), key(dir, "lm", "n=3,i=500/375/125"))
+  def trigramLm(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+      val p = new Path(root(s), key(dir, "lm", LmParams))
       val parts = Seq("c3", "c2", "u")
       val gen = ensureGen(s, p, dir, "documents") { genDir =>
         lmTrains += 1
@@ -135,7 +144,7 @@ object AnnModels {
       }
       val dfs = parts.map(part => s.read.parquet(new Path(gen, part).toString))
       (dfs(0), dfs(1), dfs(2))
-    }
+  }
 
   /** The trained Rocchio language-ID centroids (lang, b, w) for `dir` —
     * the one trained model that previously re-trained per invocation
@@ -202,9 +211,8 @@ object AnnModels {
     * snapshot was taken under. A mid-train mutation therefore leaves the
     * artifact unmarked and the next access retrains. */
   def ingestGate(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) =
-    synchronized {
-      val p = new Path(root(s), key(dir, "ig", "n=3,i=500/375/125,keep=half,excl=src0"))
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      val p = new Path(root(s), key(dir, "ig", s"$LmParams,keep=half,excl=src0"))
       val parts = Seq("c3", "c2", "u", "thr")
       val gen = ensureGen(s, p, dir, "documents") { genDir =>
         ingestGateTrains += 1
@@ -236,7 +244,7 @@ object AnnModels {
       }
       val dfs = parts.map(part => s.read.parquet(new Path(gen, part).toString))
       (dfs(0), dfs(1), dfs(2), dfs(3))
-    }
+  }
 
   /** The persisted CORPUS LSH signature index (doc_id, band, h) — the
     * artifact `dedup_incremental_lsh` and the streaming ingest probe read
@@ -296,7 +304,7 @@ object AnnModels {
     * avg_nll sits on the 1e6 grid (an exact double), counts are longs —
     * bit-identical round-trip. Corpus-sized: natural partitioning. */
   def pplScores(s: SparkSession, dir: String): DataFrame =
-    ensure(s, dir, "ppl", "lm=n3i", coalesce1 = false) {
+    ensure(s, dir, "ppl", LmParams, coalesce1 = false) {
       pplScoreTrains += 1
       TextOps.perplexityInline(s, dir)
     }
@@ -311,7 +319,8 @@ object AnnModels {
     * fixed-point long or an exact double (logit8 < 2^53), so the parquet
     * round-trip is bit-identical. Corpus-sized: natural partitioning. */
   def qualityLogits(s: SparkSession, dir: String): DataFrame =
-    ensure(s, dir, "qlog", "lm=n3i,coef=qm1", coalesce1 = false) {
+    ensure(s, dir, "qlog", s"$LmParams,coef=${TextOps.QmBias}/${TextOps.QmStop}/${TextOps.QmRepUni}/${TextOps.QmRep3}/${TextOps.QmPunct}/${TextOps.QmNll}/${TextOps.QmLenPerTok}x${TextOps.QmLenCap}",
+        coalesce1 = false) {
       qualityLogitTrains += 1
       TextOps.qualityModelInline(s, dir)
     }
@@ -337,7 +346,9 @@ object AnnModels {
     * trained pack family). Exact longs; corpus-sized, natural
     * partitioning. */
   def trainedMargins(s: SparkSession, dir: String): DataFrame =
-    ensure(s, dir, "qtm", "fit=rocchio6,lm=n3i", coalesce1 = false) {
+    ensure(s, dir, "qtm",
+        s"fit=rocchio,feat=${TextOps.QualityFeatNames.size},half=even,cap=${TextOps.QmLenCap},seed=${TextOps.QualitySeedMinFlags},$LmParams",
+        coalesce1 = false) {
       trainedMarginTrains += 1
       TextOps.qualityTrainedInline(s, dir)
     }
@@ -415,8 +426,7 @@ object AnnModels {
 
   private def dsirArtifact(s: SparkSession, dir: String, kind: String,
       excludeSrc0: Boolean,
-      buckets: Long = TextOps.DsirBuckets): (DataFrame, DataFrame) =
-    synchronized {
+      buckets: Long = TextOps.DsirBuckets): (DataFrame, DataFrame) = {
       val excl = if (excludeSrc0) ",excl=src0" else ""
       val p = new Path(root(s), key(dir, kind,
         s"b=$buckets,keep=quarter,seed=${TextOps.QualitySeedMinFlags}$excl"))
@@ -616,9 +626,27 @@ object AnnModels {
     * after two failed attempts the freshest attempt serves — the marker
     * stays uncommitted, so the next access retrains. */
   private def ensureGen(s: SparkSession, p: Path, dir: String, table: String)
-      (write: Path => Unit): Path =
+      (write: Path => Unit): Path = {
+    // LOCK-FREE serve path (r12 review): the marker protocol makes an
+    // unlocked freshness check safe — the marker is written LAST, names
+    // the serving generation, and GC always keeps that generation plus
+    // the previous one — so the common case (a fresh artifact exists)
+    // never waits behind another artifact's corpus-scale training under
+    // the global monitor. Training, the re-check that guards it, and the
+    // legacy sweep still serialize globally. Test roots stay safe: suites
+    // run sequentially in the forked test JVM, so a withRoot swap can
+    // never interleave with an unlocked read.
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fp0 = fingerprint(s, dir, table)
+    readMarker(fs, p) match {
+      case Some((mfp, gen)) if mfp == fp0 => new Path(p, gen)
+      case _ => ensureGenLocked(s, fs, p, dir, table)(write)
+    }
+  }
+
+  private def ensureGenLocked(s: SparkSession, fs: FileSystem, p: Path,
+      dir: String, table: String)(write: Path => Unit): Path =
     synchronized {
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       migrateLegacy(fs, p.getParent)
       var fp = fingerprint(s, dir, table)
       readMarker(fs, p) match {
@@ -648,8 +676,7 @@ object AnnModels {
     * copies, and live readers survive one retrain. */
   private def ensure(s: SparkSession, dir: String, kind: String, params: String,
       table: String = "documents", coalesce1: Boolean = true)
-      (train: => DataFrame): DataFrame =
-    synchronized {
+      (train: => DataFrame): DataFrame = {
       val p = new Path(root(s), key(dir, kind, params))
       val gen = ensureGen(s, p, dir, table) { genDir =>
         // A model is a handful of rows; one file keeps the artifact tidy.

@@ -1186,11 +1186,12 @@ object TextOps {
   def perplexityBucket(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir).select(col("doc_id"), col("lang"))
-    // One scoring pass: the LM-scored relation feeds the per-language
-    // histogram AND the final bucket join — unmaterialized, the whole
-    // perplexity chain (documents + three LM artifact scans) re-runs for
-    // each (probed: 8 documents scans in pipeline_curriculum's plan).
-    // Checkpoint rows are (doc_id, lang, avg_nll, n6): id-sized.
+    // The scored relation feeds the per-language histogram AND the final
+    // bucket join. Since r12 perplexity() is a single parquet scan of the
+    // served pplScores artifact, so the checkpoint no longer guards a
+    // corpus re-score — it keeps the id-sized (doc_id, lang, avg_nll, n6)
+    // rows hot for the two census passes instead of re-reading + re-
+    // joining the artifact and documents scans twice. Cheap either way.
     val a = perplexity(s, dir).join(d, Seq("doc_id"))
       .withColumn("n6", floor(col("avg_nll") * 1e6 + 0.5).cast("long"))
       .localCheckpoint()
@@ -1678,11 +1679,13 @@ object TextOps {
     qualityCalibratedOf(qualityModel(s, dir))
 
   private[graft] def qualityCalibratedOf(model: DataFrame): DataFrame = {
-    // The model subtree (three feature joins + LM scoring over the full
-    // corpus) feeds the count, the census bounds, the census itself, AND
-    // the final flag projection — materialize the (doc_id, logit8) pairs
-    // once (16 bytes/row at any scale; the dedup-CC localCheckpoint reuse
-    // pattern) so the corpus-expensive pipeline runs ONE pass, not four.
+    // The model relation feeds the count, the census bounds, the census
+    // itself, AND the final flag projection. Since r12 qualityModel() is
+    // a single parquet scan of the served qualityLogits artifact, so the
+    // checkpoint guards four artifact re-scans rather than four scoring
+    // passes — still the right call for the id-sized rows, but no longer
+    // load-bearing for correctness-of-cost the way the pre-serving
+    // four-pass scoring chain was.
     // (At sf0.1 the query's ~4 s is sequential job-scheduling latency
     // across the census/threshold stages, not repeated work — measured;
     // the checkpoint is for the 100 TB shape, where four corpus passes
