@@ -417,13 +417,19 @@ object Dedup {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       // DIRECT fixed-point detection: a canonical (a < b) edge set is a
       // star forest — the alternation's fixed point, min-centered by
-      // canonicality — iff no node appears as both a center (a) and a
-      // leaf (b). One semi-join probe per round on the checkpointed set;
-      // no confirmation round, no witness, no set-equality re-derivation
-      // (the earlier witness+probe form spent one full extra round
-      // re-deriving an unchanged edge set just to observe the collision).
-      converged = next.select(col("b").as("x"))
-        .join(next.select(col("a").as("x")), Seq("x"), "left_semi").isEmpty
+      // canonicality — iff (1) no node appears as both a center (a) and a
+      // leaf (b) AND (2) every leaf appears in exactly one edge. Condition
+      // (1) alone is UNSOUND: a leaf attached to two distinct centers
+      // (e.g. edges {(1,5),(2,5)} mid-contraction of one component) passes
+      // it while the set is not yet a star forest, and stopping there
+      // splits the component. Both conditions fold into ONE aggregation
+      // probe per round: per node, count leaf and center appearances;
+      // violation ⇔ leafCount > 1 ∨ (leafCount ≥ 1 ∧ centerCount ≥ 1).
+      val probe = next.select(col("b").as("x"), lit(1L).as("l"), lit(0L).as("c"))
+        .unionAll(next.select(col("a").as("x"), lit(0L).as("l"), lit(1L).as("c")))
+        .groupBy("x").agg(sum(col("l")).as("l"), sum(col("c")).as("c"))
+      converged = probe
+        .filter(col("l") > 1 || (col("l") >= 1 && col("c") >= 1)).isEmpty
       release(edges)
       edges = next
       iter += 1

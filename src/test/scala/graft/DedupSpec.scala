@@ -428,6 +428,23 @@ class DedupSpec extends SparkSpec {
     }
     val (s3, p3) = labels(0L until 400L, rnd)
     assert(s3 == p3, "random-graph labels diverge")
+    // the soundness counterexample for the weaker "no node both center and
+    // leaf" probe: after one star round these four edges become
+    // {(1,5),(2,5),(1,10),(2,11)} — centers {1,2} and leaves {5,10,11} are
+    // disjoint, but leaf 5 hangs under TWO centers, so stopping there
+    // splits the single component {1,2,5,10,11} into {1,5,10} / {2,11}.
+    // The strengthened probe (each leaf exactly once) must keep iterating.
+    val torn = Seq((1L, 10L), (5L, 10L), (5L, 11L), (2L, 11L))
+    val (s4, p4) = labels(Seq(1L, 2L, 5L, 10L, 11L), torn)
+    assert(s4 == p4, "counterexample-graph labels diverge")
+    assert(s4 == Set((1L, 1L), (2L, 1L), (5L, 1L), (10L, 1L), (11L, 1L)),
+      "the two-center-leaf graph is ONE component rooted at 1")
+    // same shape embedded in a larger graph, shifted ids (center ≠ global min)
+    val torn2 = torn.map { case (a, b) => (a + 50, b + 50) } ++ Seq((200L, 201L))
+    val (s5, p5) = labels(Seq(51L, 52L, 55L, 60L, 61L, 200L, 201L, 300L), torn2)
+    assert(s5 == p5, "shifted counterexample labels diverge")
+    assert(s5.filter(_._1 <= 61L).forall(_._2 == 51L),
+      "shifted two-center-leaf graph must be one component rooted at 51")
     // corpus-level: the gated clusterAssign path itself (LSH pairs)
     val star = Dedup.clusterAssign(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
