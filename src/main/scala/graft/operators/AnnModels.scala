@@ -572,8 +572,21 @@ object AnnModels {
   private def commitIfFresh(s: SparkSession, fs: FileSystem, p: Path,
       fp: String, gen: String, dir: String, table: String): Boolean =
     fingerprint(s, dir, table) == fp && {
-      val out = fs.create(markerPath(p), true)
+      // Write-then-RENAME, never truncate-in-place: an in-place overwrite
+      // leaves a window where a lock-free reader (same or another process)
+      // sees a torn marker — fp line intact, generation line missing — and
+      // resolves to a generation name GC may have deleted. Rename is atomic
+      // on the FileSystems the engine targets (local, HDFS). Some
+      // implementations refuse to clobber the destination, so the stale
+      // marker is dropped first; a reader in that gap sees NO marker and
+      // falls through to the locked path — a spurious retrain at worst,
+      // never a torn read.
+      val tmp = new Path(p, "_GRAFT_COMPLETE.tmp")
+      val out = fs.create(tmp, true)
       try out.write(s"$fp\n$gen".getBytes("UTF-8")) finally out.close()
+      val m = markerPath(p)
+      if (fs.exists(m)) fs.delete(m, false)
+      fs.rename(tmp, m)
       true
     }
 
@@ -599,12 +612,16 @@ object AnnModels {
     * directory that looks like an artifact key (`kind-hexhash`) but has
     * neither a `_GRAFT_COMPLETE` marker nor any `g-*` generation
     * subdirectory cannot belong to the current layout — delete it.
-    * In-flight current-layout writes are not at risk: writes are
-    * serialized with this sweep per JVM, the store is single-writer
-    * across processes by documented contract, and an interrupted
-    * current-layout write leaves `g-*` subdirectories, which the
-    * predicate spares (its generations are collected by the normal GC on
-    * the next successful commit). */
+    * The delete requires POSITIVE old-layout evidence — a parquet
+    * `_SUCCESS` file in the entry or one level down — not merely the
+    * absence of current-layout structure: a second JVM mid-first-train
+    * (key dir created, first `g-*` not yet written) or a foreign
+    * directory that happens to match the key pattern in a shared model
+    * dir has neither marker nor generations, and keying the delete on
+    * that absence alone would destroy it. An interrupted current-layout
+    * write leaves `g-*` subdirectories, which the predicate spares (its
+    * generations are collected by the normal GC on the next successful
+    * commit). */
   private def migrateLegacy(fs: FileSystem, rootPath: Path): Unit =
     if (sweptRoots.add(rootPath.toString) && fs.exists(rootPath)) {
       val keyLike = "^[a-z0-9]+-[0-9a-f]{8,}$".r
@@ -612,7 +629,10 @@ object AnnModels {
         if (st.isDirectory && keyLike.matches(st.getPath.getName) &&
             !fs.exists(markerPath(st.getPath)) &&
             !fs.listStatus(st.getPath).exists(c =>
-              c.isDirectory && c.getPath.getName.startsWith("g-")))
+              c.isDirectory && c.getPath.getName.startsWith("g-")) &&
+            (fs.exists(new Path(st.getPath, "_SUCCESS")) ||
+              fs.listStatus(st.getPath).exists(c => c.isDirectory &&
+                fs.exists(new Path(c.getPath, "_SUCCESS")))))
           fs.delete(st.getPath, true)
       }
     }
@@ -639,7 +659,13 @@ object AnnModels {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val fp0 = fingerprint(s, dir, table)
     readMarker(fs, p) match {
-      case Some((mfp, gen)) if mfp == fp0 => new Path(p, gen)
+      // Belt-and-braces with the rename-commit: serve lock-free only when
+      // the named generation directory actually exists — a marker that
+      // names a collected or never-written generation (torn legacy marker,
+      // foreign tampering) falls through to the locked path, which
+      // re-checks under the monitor and retrains if needed.
+      case Some((mfp, gen)) if mfp == fp0 && fs.exists(new Path(p, gen)) =>
+        new Path(p, gen)
       case _ => ensureGenLocked(s, fs, p, dir, table)(write)
     }
   }
@@ -650,7 +676,8 @@ object AnnModels {
       migrateLegacy(fs, p.getParent)
       var fp = fingerprint(s, dir, table)
       readMarker(fs, p) match {
-        case Some((mfp, gen)) if mfp == fp => new Path(p, gen)
+        case Some((mfp, gen)) if mfp == fp && fs.exists(new Path(p, gen)) =>
+          new Path(p, gen)
         case prev =>
           val prevGen = prev.map(_._2)
           var attempts = 0

@@ -657,6 +657,55 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("sweep spares key-shaped dirs without old-layout evidence") {
+    val root = freshRoot("sweep2")
+    // the two shapes the absence-only predicate would have destroyed
+    // (ADVICE r12): a second writer mid-FIRST-train — key dir created,
+    // first g-* generation not yet written — and a foreign directory
+    // that happens to match the key pattern in a shared model dir
+    val midTrain = new java.io.File(root, "lm-feedfacefeedface")
+    assert(midTrain.mkdirs())
+    val foreign = new java.io.File(root, "backup-0123456789ab")
+    assert(foreign.mkdirs())
+    java.nio.file.Files.write(new java.io.File(foreign, "data.bin").toPath,
+      "not ours".getBytes("UTF-8"))
+    AnnModels.withRoot(root) {
+      AnnModels.ivfCentroids(spark, sf).collect()
+      assert(midTrain.exists(),
+        "a marker-less, generation-less, _SUCCESS-less key dir must survive the sweep")
+      assert(foreign.exists(), "foreign key-shaped dirs without old-layout markers must survive")
+    }
+  }
+
+  test("marker commit is atomic (rename), and a marker naming a missing " +
+      "generation falls back to retrain instead of serving a dead path") {
+    val root = freshRoot("atomic")
+    AnnModels.withRoot(root) {
+      val first = rows(AnnModels.ivfCentroids(spark, sf))
+      val key = new java.io.File(root).listFiles().find(_.getName.startsWith("ivf-")).get
+      // rename-based commit leaves no temp residue next to the marker
+      assert(!new java.io.File(key, "_GRAFT_COMPLETE.tmp").exists(),
+        "commit must rename the temp marker into place, not leave it behind")
+      val marker = new java.io.File(key, "_GRAFT_COMPLETE")
+      assert(marker.exists())
+      // Simulate the torn-read / stale-marker aftermath the atomic rename
+      // prevents going FORWARD, for stores written by the in-place-write
+      // code: fp line intact, generation line pointing at a collected dir.
+      val fp = new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+        .split("\n")(0)
+      java.nio.file.Files.write(marker.toPath,
+        s"$fp\ng-deadbeefdeadbeef".getBytes("UTF-8"))
+      // the raw write above bypasses Hadoop's ChecksumFileSystem — drop the
+      // stale sidecar so the tampered marker is readable, as a plain-FS
+      // writer's would be
+      new java.io.File(key, "._GRAFT_COMPLETE.crc").delete()
+      val again = AnnModels.ivfCentroids(spark, sf)
+      assert(rows(again) == first,
+        "a marker naming a missing generation must retrain, not serve a dead path")
+      again.collect() // the served path must actually be readable
+    }
+  }
+
   test("non-default training parameters bypass the artifact store") {
     AnnModels.withRoot(freshRoot("bypass")) {
       val t0 = AnnModels.ivfTrains
