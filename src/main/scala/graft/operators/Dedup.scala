@@ -813,8 +813,14 @@ object Dedup {
     val g = docs(s, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"),
-        explode(wordShingles(wsTokens(col("text")), SubstrGram)).as("g"))
-      .select(col("doc_id"), md5Hex(col("g")).as("gh"))
+        explode(ShingleExpressions.shingles(col("text"), SubstrGram)).as("g"))
+      // xxhash64 (codegen'd, 8-byte keys): the hash never reaches the
+      // output — it only DEFINES window-equality groups, so any injective-
+      // in-practice hash yields the oracle's groups (the oracle keys on
+      // md5; both collapse iff the texts are equal). One-sided risk, same
+      // as the minhash band hashes: a 64-bit collision over-marks a window
+      // as duplicated at ~2^-64 per pair.
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
     // Materialize the compact per-(doc, window) relation once
     // (localCheckpoint, as in minhashVerified): both the census and the
     // join-back consume it, and without the cut Spark re-runs the
@@ -840,28 +846,43 @@ object Dedup {
     * duplicated passages are (license headers, navigation chrome,
     * syndicated text) before `substringRemove` excises them.
     *
-    * Scale: the census is `substringDup`'s hash-keyed aggregate (windows
-    * shuffle as md5 with map-side pre-aggregation; a corpus-wide window is
-    * ONE census row); the global top-k plans as TakeOrderedAndProject —
-    * bounded per-partition heaps merged on the driver, never a full sort
-    * of the census; and only the K winning hashes resolve to text, via a
-    * broadcast semi-join that filters the window stream map-side before a
-    * distinct that can ship at most K rows per partition. Ranking ties
-    * break on the hash, so the report is deterministic. */
+    * Scale: ONE heavy corpus pass (r13; the join-back form scanned and
+    * re-shingled the full corpus three times — exchange reuse does not
+    * fire across its differing projections). The pass is hash-only and
+    * fully HashAggregate (every key and buffer fixed-width or 32-char;
+    * carrying the window TEXT through either aggregate — as a first/min
+    * BUFFER or as a group KEY — measured ~2x slower: the former demotes
+    * the chain to three full SortAggregate passes, the latter doubles
+    * hash-map and shuffle bytes). Text is resolved AFTERWARDS from
+    * exemplar documents: the census records min(doc_id) per window (a
+    * fixed-width buffer), the K winners' exemplar ids — a bounded,
+    * ≤K-element driver value, same discipline as the broadcast model
+    * artifacts — become a pushed-down In filter on a second documents
+    * scan that re-shingles only those ≤K documents. The global top-k
+    * plans as TakeOrderedAndProject — bounded per-partition heaps merged
+    * on the driver, never a full sort of the census. Ranking ties break
+    * on the hash, so the report is deterministic. */
   def boilerplateTopK(s: SparkSession, dir: String): DataFrame = {
-    val g = docs(s, dir)
+    val perDoc = docs(s, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"),
-        explode(wordShingles(wsTokens(col("text")), SubstrGram)).as("g"))
-    val perDoc = g.select(col("doc_id"), md5Hex(col("g")).as("gh"))
+        explode(ShingleExpressions.shingles(col("text"), SubstrGram)).as("g"))
+      .select(col("doc_id"), md5Hex(col("g")).as("gh"))
       .groupBy("doc_id", "gh").agg(count(lit(1)).as("occ"))
+    // K rows; localCheckpoint so the exemplar-id read and the final join
+    // share ONE census execution
     val top = perDoc.groupBy("gh")
-      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occurrences"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occurrences"),
+        min(col("doc_id")).as("exdoc"))
       .filter(col("n_docs") >= 2)
       .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gh").asc)
       .limit(BoilerplateK)
-    val winText = g.select(md5Hex(col("g")).as("gh"), col("g").as("win_text"))
-      .join(broadcast(top.select("gh")), Seq("gh"), "left_semi")
+      .localCheckpoint()
+    val exIds = top.select("exdoc").distinct().collect().map(_.getLong(0))
+    val winText = docs(s, dir)
+      .filter(col("doc_id").isin(exIds.toSeq: _*))
+      .select(explode(ShingleExpressions.shingles(col("text"), SubstrGram)).as("g"))
+      .select(md5Hex(col("g")).as("gh"), col("g").as("win_text"))
       .distinct()
     top.join(winText, Seq("gh"))
       .select(col("win_text"), col("n_docs"), col("n_occurrences"))
@@ -884,12 +905,12 @@ object Dedup {
     * codegen'd filter over the token array — text never shuffles. */
   def substringRemove(s: SparkSession, dir: String): DataFrame = {
     val w = SubstrGram
-    val toks = wsTokens(col("text"))
     val g = docs(s, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"),
-        posexplode(wordShingles(toks, w)).as(Seq("p0", "g")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), md5Hex(col("g")).as("gh"))
+        posexplode(ShingleExpressions.shingles(col("text"), w)).as(Seq("p0", "g")))
+      // xxhash64: group-defining only (never output) — see substringDup
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), xxhash64(col("g")).as("gh"))
       .localCheckpoint() // census + position join-back both consume it
     // perDoc-distinct then count(*) == docs-per-window (substringDup's rule)
     val dupG = g.select(col("doc_id"), col("gh")).distinct()
@@ -898,15 +919,21 @@ object Dedup {
       .select("gh")
     val dps = g.join(dupG, Seq("gh"), "left_semi")
       .groupBy("doc_id").agg(sort_array(collect_set(col("pos"))).as("dps"))
-    // token j (1-based) survives iff no duplicated window start i covers it
+    // token j (1-based) survives iff no duplicated window start i covers it.
+    // toks is a MATERIALIZED column: higher-order functions are interpreted,
+    // so an element_at(split(...), j) lambda body would re-split the whole
+    // document once per surviving token — O(tokens^2) per doc.
+    val toks = col("toks")
     val dcol = coalesce(col("dps"), array().cast("array<int>"))
-    val kept = filter(sequence(lit(1), size(toks)),
-      j => !exists(dcol, i => i <= j && j <= i + lit(w - 1)))
     docs(s, dir).join(dps, Seq("doc_id"), "left")
+      .withColumn("toks", wsTokens(col("text")))
+      .withColumn("kept", filter(sequence(lit(1), size(toks)),
+        j => !exists(dcol, i => i <= j && j <= i + lit(w - 1))))
       .select(col("doc_id"),
         size(toks).as("n_tokens"),
-        (size(toks) - size(kept)).as("n_removed"),
-        array_join(transform(kept, j => element_at(toks, j)), " ").as("text_clean"))
+        (size(toks) - size(col("kept"))).as("n_removed"),
+        array_join(transform(col("kept"), j => element_at(toks, j)), " ")
+          .as("text_clean"))
   }
 
   /** Incremental ingestion dedup: which docs in the new batch (source

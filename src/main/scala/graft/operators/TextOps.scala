@@ -212,7 +212,7 @@ object TextOps {
   def repetition(s: SparkSession, dir: String): DataFrame = repetitionOf(docs(s, dir))
 
   private[graft] def repetitionOf(d: DataFrame): DataFrame = {
-    val sh = wordShingles(wsTokens(col("text")), 3)
+    val sh = ShingleExpressions.shingles(col("text"), 3)
     d.select(
       col("doc_id"),
       size(sh).as("n_grams"),
@@ -1003,7 +1003,7 @@ object TextOps {
   /** Document fingerprinting: content hash + min-shingle-hash (winnowing's
     * selection rule over the whole doc window). */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val sh = wordShingles(wsTokens(col("text")), 3)
+    val sh = ShingleExpressions.shingles(col("text"), 3)
     docs(s, dir).select(
       col("doc_id"),
       md5Hex(col("text")).as("content_md5"),
@@ -1093,7 +1093,7 @@ object TextOps {
     * identical to summing per occurrence (the bigram-era measurement:
     * ~1/3 faster than the per-occurrence formulation). */
   private def trigramOcc(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), explode(wordShingles(wsTokens(col("text")), 3)).as("g3"))
+    d.select(col("doc_id"), explode(ShingleExpressions.shingles(col("text"), 3)).as("g3"))
       .groupBy("doc_id", "g3").agg(count(lit(1)).as("occ"))
       .withColumn("p", split(col("g3"), " "))
       .select(col("doc_id"), col("g3"), col("occ"),
@@ -1109,9 +1109,9 @@ object TextOps {
     * time, identically in any engine, so they need no relation of their
     * own. */
   private[graft] def trainNgramLmOf(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val c3 = d.select(explode(wordShingles(wsTokens(col("text")), 3)).as("g3"))
+    val c3 = d.select(explode(ShingleExpressions.shingles(col("text"), 3)).as("g3"))
       .groupBy("g3").agg(count(lit(1)).as("c3"))
-    val c2 = d.select(explode(wordShingles(wsTokens(col("text")), 2)).as("g"))
+    val c2 = d.select(explode(ShingleExpressions.shingles(col("text"), 2)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c2"))
     val u = d.select(explode(wsTokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cu"))

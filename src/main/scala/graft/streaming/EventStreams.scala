@@ -700,7 +700,7 @@ object EventStreams {
     * [[ingestGateBatch]]). */
   private[graft] def ingestGateTransform(stream: DataFrame, c3: DataFrame,
       c2: DataFrame, u: DataFrame, thr: DataFrame): DataFrame = {
-    val gs = wordShingles(wsTokens(col("text")), 3)
+    val gs = ShingleExpressions.shingles(col("text"), 3)
     val stats = broadcast(u.agg(count(lit(1)).as("v"),
       coalesce(sum(col("cu")), lit(0L)).as("ntok")))
     val p3 = (coalesce(col("c3"), lit(0L)) + 1).cast("double") /
