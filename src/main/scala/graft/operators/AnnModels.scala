@@ -69,6 +69,9 @@ object AnnModels {
   @volatile private[graft] var survivorBuilds = 0
   @volatile private[graft] var tokenTotalTrains = 0
   @volatile private[graft] var dsirTrains = 0
+  @volatile private[graft] var alignScoreTrains = 0
+  @volatile private[graft] var ivfAssignTrains = 0
+  @volatile private[graft] var semanticLabelTrains = 0
 
   /** The trigram LM's training constants, inlined into every key that
     * depends on the LM's output (the registry's key discipline: change a
@@ -367,6 +370,57 @@ object AnnModels {
       Multimodal.phashLabelsOf(s, dir)
     }
 
+  /** The corpus IVF ASSIGNMENT (vec_id, cent_id, ccos) — every vector's
+    * list under the trained coarse quantizer, with its round-4 cosine to
+    * that centroid (r13): the broadcast-join + per-vector argmax window
+    * behind it is the dominant sub-plan of every list-probing consumer
+    * (the ANN family, SemDeDup, prototype prune, the stratified/cluster
+    * samplers), so it assigns once per corpus state. ccos is an exact
+    * round-4 double, ids are longs — bit-identical round-trip.
+    * Corpus-sized: natural partitioning. */
+  def ivfAssign(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "ivfasn",
+        s"i=${Similarity.KMeansIters},m=${Similarity.TrainMod},k=${Similarity.NumCentroids},round=4",
+        table = "embeddings", coalesce1 = false) {
+      ivfAssignTrains += 1
+      Similarity.ivfAssignInline(s, dir)
+    }
+
+  /** The persisted SEMANTIC cluster labeling (doc_id, cluster_id) —
+    * connected components over the within-list thresholded cosine pairs
+    * (the survivorLabels pattern on the embedding column, r13): the
+    * salted pair join + CC iteration is the expensive sub-plan behind
+    * `dedup_semantic`, `dedup_semantic_keep` and both curation capstones
+    * that gate on them, and a SemDeDup deployment persists the vector
+    * labeling nightly exactly like the text one. Corpus-sized, natural
+    * partitioning. */
+  def semanticLabels(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "semlab",
+        s"i=${Similarity.KMeansIters},m=${Similarity.TrainMod},k=${Similarity.NumCentroids},cap=${Dedup.LabelCap},cos=${Dedup.CosineThreshold}",
+        table = "embeddings", coalesce1 = false) {
+      semanticLabelTrains += 1
+      Dedup.semanticLabInline(s, dir)
+    }
+
+  /** The corpus ALIGNMENT-SCORE relation (doc_id, align4, align_keep) —
+    * the cross-modal image-text gate's scores persisted once per corpus
+    * state (r13, closing the serving gap VERDICT r12 named the most
+    * expensive avoidable stage): the in-query chain decodes and
+    * perceptually hashes the ASSET corpus and joins the text embeddings —
+    * the heaviest per-query work in the multimodal family — and it feeds
+    * TWO gated consumers (`mm_text_align`, `pipeline_curate_aligned`)
+    * plus any future curation chain. align4 sits on the round-4 grid (an
+    * exact double), the flag is an int — bit-identical round-trip. Keyed
+    * on BOTH source tables: a documents OR embeddings edit retrains.
+    * Corpus-sized: natural partitioning. */
+  def alignScores(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "align",
+        "dims=64,round=4,bar=ceilhalf",
+        table = "documents,embeddings", coalesce1 = false) {
+      alignScoreTrains += 1
+      Multimodal.textAlignInline(s, dir)
+    }
+
   /** Per-source corpus TOKEN totals (source, base_off) — the |sources|-row
     * relation the nightly delta-pack step continues from
     * (EventStreams.runPackDeltaStep): the already-packed corpus's token
@@ -477,7 +531,16 @@ object AnnModels {
     * resolution — the standard mtime-based cache-validity trade, same as
     * Spark's own FileStreamSource. A missing table fingerprints as
     * "absent" (the training query will surface the real error). */
-  private def fingerprint(s: SparkSession, dir: String, table: String): String = {
+  /** Corpus-state fingerprint over one or more tables (comma-separated):
+    * an artifact derived from several relations (e.g. the alignment
+    * scores: documents × embeddings) must retrain when ANY of them
+    * changes, so their per-table fingerprints concatenate into one key. */
+  private def fingerprint(s: SparkSession, dir: String, table: String): String =
+    if (table.indexOf(',') >= 0)
+      table.split(",").map(t => fingerprintOne(s, dir, t)).mkString("||")
+    else fingerprintOne(s, dir, table)
+
+  private def fingerprintOne(s: SparkSession, dir: String, table: String): String = {
     val p = new Path(dir, s"$table.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) "absent"

@@ -736,16 +736,21 @@ object Dedup {
     * corpus shares `CosineThreshold` so the synthetic embeddings yield a
     * non-trivial pair set for the oracle parity check. */
   def semanticDedup(s: SparkSession, dir: String): DataFrame =
-    semanticLab(s, dir)._1
+    AnnModels.semanticLabels(s, dir)
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_repr"))
       .select(col("cluster_id").as("vec_id"), col("n_repr"))
 
-  /** The shared SemDeDup core: (CC labels over within-cluster near-dup
-    * pairs, the quantizer's corpus assignment incl. `ccos`). `semanticDedup`
-    * reads the labels; `semanticDedupKeep` additionally ranks members by
-    * centroid proximity. */
-  private[graft] def semanticLab(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val (assign, _) = Similarity.ivfParts(s, dir)
+  /** The SemDeDup labeling trainer — CC labels over within-cluster
+    * verified near-dup pairs. Gated queries serve the registry artifact
+    * ([[AnnModels.semanticLabels]], r13 — the survivorLabels pattern on
+    * the embedding column): this chain is the trainer, spec-pinned
+    * bit-identical to the served form. The salted pair join reads the
+    * SERVED assignment (narrow — no embedding column) and re-attaches
+    * vectors by id-equijoin only where the cosine needs them. */
+  private[graft] def semanticLabInline(s: SparkSession, dir: String): DataFrame = {
+    val assign = AnnModels.ivfAssign(s, dir)
+      .join(Tables.load(s, dir, "embeddings"), Seq("vec_id"))
+      .select(col("vec_id"), col("cent_id"), col("embedding"))
     val dense = assign.groupBy("cent_id").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > LabelCap)
     val salted = assign.join(broadcast(dense), Seq("cent_id"), "left")
@@ -762,9 +767,8 @@ object Dedup {
         round(cosineSim(col("a.embedding"), col("b.embedding")), 4).as("cos"))
       .filter(col("cos") >= CosineThreshold)
       .select(col("doc_a"), col("doc_b"))
-    val lab = ccLabels(
+    ccLabels(
       Tables.load(s, dir, "embeddings").select(col("vec_id").as("doc_id")), pairs)
-    (lab, assign)
   }
 
   /** SemDeDup with the PAPER'S keep rule (Abbas et al. 2023 §2 keep the
@@ -779,9 +783,8 @@ object Dedup {
     * ordering engine-portable, no -0.0/double-comparator edge), ties to
     * the smallest vec_id via the negated id. */
   def semanticDedupKeep(s: SparkSession, dir: String): DataFrame = {
-    val (lab, assign) = semanticLab(s, dir)
-    lab.join(
-      assign.select(col("vec_id").as("doc_id"),
+    AnnModels.semanticLabels(s, dir).join(
+      AnnModels.ivfAssign(s, dir).select(col("vec_id").as("doc_id"),
         floor(col("ccos") * 1e4 + 0.5).cast("long").as("cc4")), Seq("doc_id"))
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_repr"),

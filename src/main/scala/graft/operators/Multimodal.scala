@@ -476,8 +476,16 @@ object Multimodal {
     * the census then compares exact 4-decimal doubles. Scale: phash is
     * partition-parallel, the embeddings join is id-keyed, the census is
     * value-histogram-sized, the one-row bar broadcasts — no corpus-sized
-    * sort or window anywhere. */
-  def textAlign(s: SparkSession, dir: String): DataFrame = {
+    * sort or window anywhere.
+    *
+    * Gated queries serve the REGISTRY artifact ([[AnnModels.alignScores]],
+    * r13): the asset decode + hash + embedding join is the most expensive
+    * avoidable per-query stage in the engine, it is corpus-state-keyed
+    * (documents × embeddings), and it feeds two gated consumers — so it
+    * scores once per corpus state and reads many, like every other
+    * multi-consumer corpus-scored relation. This inline chain is the
+    * trainer (spec-pinned bit-identical to the served form). */
+  private[graft] def textAlignInline(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.cosineSim
     val pvec = array((0 until 64).map(j =>
       when(shiftright(col("phash"), j).bitwiseAND(lit(1L)) === lit(1L), lit(1.0d))
@@ -498,6 +506,10 @@ object Multimodal {
       .select(col("doc_id"), col("align4"),
         when(col("align4") >= col("thr"), 1).otherwise(0).as("align_keep"))
   }
+
+  /** Registry-served [[textAlignInline]] — see that chain's Scaladoc. */
+  def textAlign(s: SparkSession, dir: String): DataFrame =
+    AnnModels.alignScores(s, dir)
 
   /** Asset-gate thresholds (the LAION/DataComp image pre-filter family:
     * drop tiny images, extreme aspect ratios, and byte-trivial payloads

@@ -490,8 +490,8 @@ object Pipeline {
     * never a `row_number() OVER (PARTITION BY cent_id)` window, whose
     * sort would buffer the densest cluster on one task at corpus scale. */
   def sampleStratified(s: SparkSession, dir: String): DataFrame = {
-    val (assign, _) = Similarity.ivfParts(s, dir)
-    val ranked = assign.select(col("vec_id"), col("cent_id"),
+    // narrow consumer: the SERVED assignment (no embedding column needed)
+    val ranked = AnnModels.ivfAssign(s, dir).select(col("vec_id"), col("cent_id"),
       graft.functions.hash52(col("vec_id")).as("rk"))
     graft.plans.TopKPerKey.topKPerKey(
         ranked, Seq("cent_id"), Seq(col("rk").asc, col("vec_id").asc), StratifiedCap)
@@ -524,13 +524,12 @@ object Pipeline {
     * at most maxQuota rows, never a corpus-sized window buffer. */
   def sampleCluster(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (assign, _) = Similarity.ivfParts(s, dir)
-    // Materialize the 3-narrow-column ranked relation ONCE: the quota
-    // census, the heap draw and the max-quota scalar all consume it, and
-    // uncached each would re-run the corpus-wide assignment join + its
-    // per-vector argmax window (the dominant cost) from scratch.
-    val ranked = assign.select(col("vec_id"), col("cent_id"),
-      graft.functions.hash52(col("vec_id")).as("rk"))
+    // Narrow consumer of the SERVED assignment. Still materialized once:
+    // the quota census, the heap draw and the max-quota scalar all consume
+    // it, and uncached each would re-scan the artifact.
+    val ranked = AnnModels.ivfAssign(s, dir)
+      .select(col("vec_id"), col("cent_id"),
+        graft.functions.hash52(col("vec_id")).as("rk"))
       .localCheckpoint()
     val quota = ranked.groupBy("cent_id").agg(count(lit(1)).as("bn"))
       .select(col("cent_id"),

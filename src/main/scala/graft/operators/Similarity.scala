@@ -165,18 +165,18 @@ object Similarity {
       if (iters == KMeansIters && trainMod == TrainMod && numCentroids == NumCentroids)
         AnnModels.ivfCentroids(s, dir)
       else trainIvfCentroids(s, dir, iters, trainMod, numCentroids).localCheckpoint()
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id").asc)
-    // `ccos` (similarity to the OWN assigned centroid) rides along: the
-    // SemDeDup keep rule (Dedup.semanticDedupKeep) ranks cluster members by
-    // centroid proximity, and recomputing it there would re-broadcast the
-    // model for a value this pass already produced.
-    val assign = e.join(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        round(cosineSim(col("embedding"), col("cent_emb")), 4).as("ccos"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"), col("ccos"))
+    // Default constants → the corpus ASSIGNMENT is itself a registry
+    // artifact (r13): the broadcast-join + per-vector argmax window is the
+    // dominant sub-plan of every list-probing consumer (ANN family,
+    // SemDeDup, prototype prune, the cluster samplers), so it runs once
+    // per corpus state and consumers re-attach the embedding column with
+    // an id-equijoin against the corpus table — scan + join, no window.
+    val assign =
+      if (iters == KMeansIters && trainMod == TrainMod && numCentroids == NumCentroids)
+        AnnModels.ivfAssign(s, dir).join(e, Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"), col("cent_id"), col("ccos"))
+      else ivfAssignWith(e, cent).join(e, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("cent_id"), col("ccos"))
     val probes = e.filter(col("vec_id") < NumQueries).join(broadcast(cent))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cent_id"),
         round(cosineSim(col("embedding"), col("cent_emb")), 4).as("ccos"))
@@ -186,6 +186,26 @@ object Similarity {
       .select(col("query_id"), col("q_emb"), col("cent_id"))
     (assign, probes)
   }
+
+  /** The corpus→list assignment of `e` under quantizer `cent` —
+    * (vec_id, cent_id, ccos), ccos = round-4 cosine to the OWN centroid
+    * (the SemDeDup keep rule and prototype prune rank by it; computing it
+    * here means the one assignment pass serves every proximity consumer).
+    * Narrow (no embedding column): the registry persists exactly this. */
+  private[graft] def ivfAssignWith(e: DataFrame, cent: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    e.join(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        round(cosineSim(col("embedding"), col("cent_emb")), 4).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cent_id"), col("ccos"))
+  }
+
+  /** Inline trainer for [[AnnModels.ivfAssign]] (default constants). */
+  private[graft] def ivfAssignInline(s: SparkSession, dir: String): DataFrame =
+    ivfAssignWith(emb(s, dir), AnnModels.ivfCentroids(s, dir))
 
   /** The IVF coarse-quantizer training loop (`KMeansIters` deterministic
     * Lloyd's rounds over the `vec_id % trainMod` sample — see `annIvf`'s
@@ -526,8 +546,8 @@ object Similarity {
     * tie count); quota arithmetic is pure integer, so any engine replays
     * it bit for bit. */
   def prototypePrune(s: SparkSession, dir: String): DataFrame = {
-    val (assign, _) = ivfParts(s, dir)
-    val a = assign.select(col("vec_id"), col("cent_id"),
+    // narrow consumer: reads the SERVED assignment (no embedding needed)
+    val a = AnnModels.ivfAssign(s, dir).select(col("vec_id"), col("cent_id"),
       floor(col("ccos") * 1e4 + 0.5).cast("long").as("cc4"))
     val hist = a.groupBy("cent_id", "cc4").agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy(col("cent_id")).orderBy(col("cc4").asc)

@@ -657,6 +657,62 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("ivf assignment and semantic labels: registry-served, bit-identical " +
+      "to inline, one training pass across all consumers") {
+    AnnModels.withRoot(freshRoot("semserve")) {
+      val (a0, l0) = (AnnModels.ivfAssignTrains, AnnModels.semanticLabelTrains)
+      // consumers: the dedup pair, both narrow assignment readers, a sampler
+      Dedup.semanticDedup(spark, sf).collect()
+      Dedup.semanticDedupKeep(spark, sf).collect()
+      Similarity.prototypePrune(spark, sf).collect()
+      Similarity.annIvf(spark, sf).collect()
+      assert(AnnModels.ivfAssignTrains == a0 + 1,
+        s"expected ONE assignment pass, got ${AnnModels.ivfAssignTrains - a0}")
+      assert(AnnModels.semanticLabelTrains == l0 + 1,
+        s"expected ONE semantic labeling, got ${AnnModels.semanticLabelTrains - l0}")
+      assert(rows(AnnModels.ivfAssign(spark, sf)) ==
+        rows(Similarity.ivfAssignInline(spark, sf)),
+        "served assignment diverges from inline")
+      assert(rows(AnnModels.semanticLabels(spark, sf)) ==
+        rows(Dedup.semanticLabInline(spark, sf)),
+        "served semantic labels diverge from inline")
+    }
+  }
+
+  test("alignment scores: registry-served, bit-identical to inline; an " +
+      "embeddings-table edit alone retrains (two-table fingerprint)") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-align").toString
+    val dir = s"$base/corpus"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def cp(table: String): Unit = {
+      val src = java.nio.file.Paths.get(sf, s"$table.parquet")
+      java.nio.file.Files.copy(src, java.nio.file.Paths.get(dir, s"$table.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    cp("documents"); cp("embeddings")
+    AnnModels.withRoot(freshRoot("align")) {
+      val t0 = AnnModels.alignScoreTrains
+      val served = rows(graft.operators.Multimodal.textAlign(spark, dir))
+      assert(AnnModels.alignScoreTrains == t0 + 1, "first access must train")
+      assert(served == rows(graft.operators.Multimodal.textAlignInline(spark, dir)),
+        "served alignment scores diverge from inline")
+      graft.SparkEntry.queries("pipeline_curate_aligned")(spark, dir).collect()
+      assert(AnnModels.alignScoreTrains == t0 + 1,
+        "the curation consumer must serve the artifact, not retrain")
+      // touch ONLY the embeddings table: the documents fingerprint is
+      // unchanged, but the artifact depends on both — must retrain
+      val embFile = java.nio.file.Paths.get(dir, "embeddings.parquet")
+      java.nio.file.Files.setLastModifiedTime(embFile,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(embFile).toMillis + 60000))
+      graft.operators.Multimodal.textAlign(spark, dir).collect()
+      assert(AnnModels.alignScoreTrains == t0 + 2,
+        "an embeddings-only edit must invalidate the alignment artifact")
+    }
+  }
+
   test("sweep spares key-shaped dirs without old-layout evidence") {
     val root = freshRoot("sweep2")
     // the two shapes the absence-only predicate would have destroyed

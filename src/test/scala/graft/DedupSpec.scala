@@ -299,8 +299,9 @@ class DedupSpec extends SparkSpec {
     // Independent JVM-side replay: from the labeling and the assignment's
     // own ccos, the expected keeper per cluster is argmax on
     // (floor(ccos*1e4+0.5), then min vec_id) — exactly the paper's rule.
-    val (lab, assign) = Dedup.semanticLab(spark, sf)
-    val ccos = assign.select("vec_id", "ccos").collect()
+    val lab = Dedup.semanticLabInline(spark, sf)
+    val ccos = graft.operators.Similarity.ivfAssignInline(spark, sf)
+      .select("vec_id", "ccos").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val expected = lab.collect().map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._2).map { case (_, members) =>

@@ -180,8 +180,9 @@ class SimilaritySpec extends SparkSpec {
     val kept = Similarity.prototypePrune(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(kept.nonEmpty)
-    // recompute every member's assignment independently of the pruning path
-    val all = graft.operators.Dedup.semanticLab(spark, sf)._2
+    // recompute every member's assignment independently of the pruning
+    // path (inline trainer, not the served artifact the pruner reads)
+    val all = Similarity.ivfAssignInline(spark, sf)
       .select(col("vec_id"), col("cent_id"), floor(col("ccos") * 1e4 + 0.5).cast("long"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     val keptByC = kept.groupBy(_._2)
