@@ -71,6 +71,7 @@ object AnnModels {
   @volatile private[graft] var dsirTrains = 0
   @volatile private[graft] var alignScoreTrains = 0
   @volatile private[graft] var ivfAssignTrains = 0
+  @volatile private[graft] var lrMarginTrains = 0
   @volatile private[graft] var semanticLabelTrains = 0
 
   /** The trigram LM's training constants, inlined into every key that
@@ -368,6 +369,19 @@ object AnnModels {
         coalesce1 = false) {
       phashLabelBuilds += 1
       Multimodal.phashLabelsOf(s, dir)
+    }
+
+  /** The LOGISTIC gate's scored relation (doc_id, zlr10, lr_keep) —
+    * [[trainedMargins]]'s successor (r13): fixed-K batch-gradient
+    * logistic regression over the same hashed quality features against
+    * the same Gopher-seed labels, fit and scored once per corpus state.
+    * Exact longs; corpus-sized, natural partitioning. */
+  def lrMargins(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "qlr",
+        s"fit=lr,k=${TextOps.QualityLrIters},eta=${TextOps.QualityLrEtaNum}/${TextOps.QualityLrEtaDen},ctr=mean-clamp1e4,feat=${TextOps.QualityFeatNames.size},half=even,seed=${TextOps.QualitySeedMinFlags},$LmParams",
+        coalesce1 = false) {
+      lrMarginTrains += 1
+      TextOps.qualityLrInline(s, dir)
     }
 
   /** The corpus IVF ASSIGNMENT (vec_id, cent_id, ccos) — every vector's

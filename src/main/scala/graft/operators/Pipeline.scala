@@ -734,6 +734,15 @@ object Pipeline {
     buildWith(s, dir,
       TextOps.qualityTrained(s, dir).filter(col("trained_keep") === 1).select("doc_id"))
 
+  /** [[build]] with the LOGISTIC quality gate (r13): the model slot holds
+    * `text_quality_lr` — a fixed-K batch-gradient logistic fit against
+    * Gopher seed labels, served from the registry — the production
+    * classifier shape (CCNet/DataComp/FineWeb train a linear classifier
+    * on labeled seeds). Same plan contract as [[build]]. */
+  def buildLr(s: SparkSession, dir: String): DataFrame =
+    buildWith(s, dir,
+      TextOps.qualityLr(s, dir).filter(col("lr_keep") === 1).select("doc_id"))
+
   private def buildWith(s: SparkSession, dir: String, model: DataFrame): DataFrame =
     packOf(buildBase(s, dir, model))
 
@@ -827,6 +836,7 @@ object Pipeline {
     "pipeline_build" -> (build _),
     "pipeline_build_calibrated" -> (buildCalibrated _),
     "pipeline_build_trained" -> (buildTrained _),
+    "pipeline_build_lr" -> (buildLr _),
     "pipeline_build_ordered" -> (buildOrdered _),
     "pipeline_interleave" -> (interleave _),
     "pipeline_curriculum" -> (curriculum _),
@@ -966,6 +976,8 @@ object Pipeline {
       buildOracleSql(TextOps.qualityCalibratedSql, "calib_keep"),
     "pipeline_build_trained" ->
       buildOracleSql(TextOps.qualityTrainedSql, "trained_keep"),
+    "pipeline_build_lr" ->
+      buildOracleSql(TextOps.qualityLrSql, "lr_keep"),
     "pipeline_build_ordered" ->
       // the calibrated manifest chain + the interleave ordering, composed:
       // chunk-granularity priority keys from the tempered mixture plan

@@ -1607,6 +1607,122 @@ object TextOps {
       when(margin >= 0, 1).otherwise(0).as("trained_keep"))
   }
 
+  /** Batch-gradient rounds for the LOGISTIC quality classifier — fixed
+    * so the fit is a deterministic, oracle-unrollable program rather than
+    * a convergence loop. */
+  val QualityLrIters = 16
+
+  /** Learning rate (num/den) for [[qualityLrFit]]'s update
+    * w6 += (EtaNum · gradient) DIV (EtaDen · n · 1e4). Features are
+    * mean-centered and clamped to the ±1 grid, so the per-coordinate
+    * curvature is O(E[x²]) ≤ 1 and η = 1/2 descends without the
+    * oscillation raw unscaled features produce (measured: the raw-f_nll
+    * coordinate sits ~3e4 off-grid and η=2 diverges on it; centered, the
+    * spectral bound is ~E[x²]·σ' ≤ 1/4 so η=8 still descends — and the
+    * non-centroid-separable spec needs the extra step size to place the
+    * boundary inside the corridor within K rounds). */
+  val QualityLrEtaNum = 8L
+  val QualityLrEtaDen = 1L
+
+  /** Train the LOGISTIC quality classifier — fixed-K batch gradient
+    * descent over the mean-centered fixed-point features against the
+    * Gopher-seed labels (the production successor to the Rocchio centroid
+    * gate: CCNet/DataComp/FineWeb-style curation trains a linear
+    * classifier on labeled seeds; a centroid gate provably cannot
+    * separate classes whose means coincide — spec-witnessed). Returns
+    * (mu, w): the training-half integer feature means, and the 7 fitted
+    * weights (bias +: features) on the 1e6 grid.
+    *
+    * Standardization, integer-exact: x_j = clamp(f_j − mu_j, ±1e4) with
+    * mu_j = (Σ_train f_j) DIV n — centering removes the bias-feature
+    * coupling (f_nll rides ~3e4 above the grid as a near-constant
+    * offset) and the clamp bounds any single document's pull on ±1.
+    *
+    * Determinism discipline (the DSIR recipe, iterated): the logit
+    * z = w6_b·1e4 + Σ w6_j·x_j is EXACT long arithmetic; the one
+    * transcendental per (doc, round) — the sigmoid — quantizes
+    * immediately to the 1e6 grid (floor(1e6/(1+exp(-z/1e10))+0.5), the
+    * argument a single correctly-rounded division, so both engines' exp
+    * sees identical bits); residuals, gradients and updates are exact
+    * longs with truncating division. The oracle unrolls the identical K
+    * rounds as CTEs (the BPE merge-loop pattern). Gradient sums are
+    * bounded by n·1e10 — fine in int64 up to ~1e8 training docs; beyond
+    * that the aggregate moves to DECIMAL unchanged.
+    *
+    * Scale: each round is ONE map-side aggregate over the (checkpointed,
+    * 8-narrow-column) training half — K scans of a compact relation, no
+    * shuffle beyond the 1-row aggregate; the collected state is 13 longs
+    * (model-sized, the broadcast-artifact discipline). */
+  private[graft] def qualityLrFit(feats: DataFrame, labels: DataFrame,
+      iters: Int = QualityLrIters, etaNum: Long = QualityLrEtaNum,
+      etaDen: Long = QualityLrEtaDen): (Array[Long], Array[Long]) = {
+    val half = feats.join(labels, Seq("doc_id"))
+      .filter(col("doc_id") % 2 === 0)
+      .localCheckpoint()
+    val muRow = half.agg(count(lit(1)).as("n"),
+      QualityFeatNames.map(f => sum(col(f)).as(s"m$f")): _*).collect().head
+    val n0 = muRow.getLong(0)
+    val mu = QualityFeatNames.indices
+      .map(i => if (n0 > 0) muRow.getLong(i + 1) / n0 else 0L).toArray
+    val tr = half.select(col("cls") +:
+      QualityFeatNames.zipWithIndex.map { case (f, i) =>
+        greatest(least(col(f) - lit(mu(i)), lit(10000L)), lit(-10000L)).as(f)
+      }: _*)
+    val w = Array.fill(QualityFeatNames.size + 1)(0L)
+    for (_ <- 1 to iters) {
+      val z = QualityFeatNames.zipWithIndex
+        .map { case (f, i) => col(f) * lit(w(i + 1)) }
+        .reduce(_ + _) + lit(w(0) * 10000L)
+      val p6 = floor(lit(1000000.0) /
+        (lit(1.0) + exp(-(z.cast("double") / lit(1e10)))) + lit(0.5)).cast("long")
+      val resid = col("cls") * lit(1000000L) - p6
+      val gcols = sum(resid * lit(10000L)).as("g0") +:
+        QualityFeatNames.zipWithIndex.map { case (f, i) =>
+          sum(resid * col(f)).as(s"g${i + 1}") }
+      val row = tr.agg(count(lit(1)).as("n"), gcols: _*).collect().head
+      val n = row.getLong(0)
+      if (n > 0) {
+        var j = 0
+        while (j < w.length) {
+          w(j) += (etaNum * row.getLong(j + 1)) / (etaDen * n * 10000L)
+          j += 1
+        }
+      }
+    }
+    (mu, w)
+  }
+
+  /** Score `feats` under LR fit (mu, w): zlr10 = the exact long logit on
+    * the 1e10 grid over the SAME centered-clamped projection training
+    * used, lr_keep = sign gate (σ(z) >= 1/2 ⇔ z >= 0). */
+  private[graft] def qualityLrScoreWith(feats: DataFrame,
+      mu: Array[Long], w: Array[Long]): DataFrame = {
+    val z = QualityFeatNames.zipWithIndex
+      .map { case (f, i) =>
+        greatest(least(col(f) - lit(mu(i)), lit(10000L)), lit(-10000L)) *
+          lit(w(i + 1)) }
+      .reduce(_ + _) + lit(w(0) * 10000L)
+    feats.select(col("doc_id"), z.as("zlr10"),
+      when(z >= 0, 1).otherwise(0).as("lr_keep"))
+  }
+
+  /** The full LR-gate chain (features + seed labels + K-round fit +
+    * scoring) — what AnnModels.lrMargins runs ONCE per corpus state. */
+  private[graft] def qualityLrInline(s: SparkSession, dir: String): DataFrame = {
+    val feats = qualityFeaturesOf(docs(s, dir), perplexity(s, dir)).localCheckpoint()
+    val flagSum = GopherFlagNames.map(col).reduce(_ + _)
+    val labels = gopherRulesOf(docs(s, dir)).select(col("doc_id"),
+      when(flagSum >= QualitySeedMinFlags, 1).otherwise(0).as("cls"))
+    val (mu, w) = qualityLrFit(feats, labels)
+    qualityLrScoreWith(feats, mu, w)
+  }
+
+  /** The TRAINED LOGISTIC quality gate — registry-served scores
+    * (AnnModels.lrMargins): the trained-margin family's third member
+    * (heuristic coefficients → Rocchio centroids → logistic fit). */
+  def qualityLr(s: SparkSession, dir: String): DataFrame =
+    AnnModels.lrMargins(s, dir)
+
   /** The per-row (non-LM) part of the quality logit as ONE column over
     * `text` — every term of [[qualityModelWith]]'s logit8 except the
     * QmNll surprise term, computed from the row itself with the SAME
@@ -1754,6 +1870,7 @@ object TextOps {
     "text_tfidf" -> (tfidf _),
     "text_quality" -> (quality _),
     "text_quality_trained" -> (qualityTrained _),
+    "text_quality_lr" -> (qualityLr _),
     "text_gopher_rules" -> (gopherRules _),
     "text_corpus_stats" -> (corpusStats _),
     "text_tokens" -> (tokens _),
@@ -1847,6 +1964,7 @@ object TextOps {
         "floor(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang) * 1000000 + 0.5) / 1000000 AS label_share FROM cells"),
     "text_quality" -> qualitySql,
     "text_quality_trained" -> qualityTrainedSql,
+    "text_quality_lr" -> qualityLrSql,
     "text_gopher_rules" -> gopherSql,
     "text_corpus_stats" ->
       (s"WITH g AS ($gopherSql), " +
@@ -2136,6 +2254,63 @@ object TextOps {
       "SELECT doc_id, margin8, CASE WHEN margin8 >= 0 THEN 1 ELSE 0 END AS trained_keep FROM " +
       s"(SELECT ft.doc_id, CAST(2 * ($dot) - ((${sq("c1")}) - (${sq("c0")})) AS BIGINT) AS margin8 " +
       "FROM ft CROSS JOIN c0 CROSS JOIN c1)"
+  }
+
+  /** SQL mirror of [[qualityLr]] — the ENTIRE logistic fit replayed from
+    * the raw corpus: the shared feature/label CTEs, then the K
+    * batch-gradient rounds UNROLLED as w0..wK CTEs (the BPE merge-loop
+    * pattern): each round's sigmoid quantizes to the 1e6 grid before the
+    * exact-integer gradient and truncating-division update, so both
+    * engines replay the identical weight trajectory. */
+  private[operators] lazy val qualityLrSql: String = {
+    val fs = QualityFeatNames
+    // z under the round-k weights (w0 = bias rides feature value 1e4)
+    def zSql(w: String): String =
+      s"$w.w0 * 10000 + " +
+        fs.zipWithIndex.map { case (f, i) => s"$w.w${i + 1} * $f" }.mkString(" + ")
+    val rounds = (1 to QualityLrIters).map { k =>
+      val pw = s"w${k - 1}"
+      val p6 = s"CAST(floor(1000000.0 / (1.0 + exp(-((${zSql("w")})::DOUBLE / 10000000000.0))) + 0.5) AS BIGINT)"
+      val grads = s"CAST(sum((cls * 1000000 - p6) * 10000) AS BIGINT) AS g0, " +
+        fs.zipWithIndex.map { case (f, i) =>
+          s"CAST(sum((cls * 1000000 - p6) * $f) AS BIGINT) AS g${i + 1}" }.mkString(", ")
+      val upd = (0 to fs.size).map(j =>
+        s"w.w$j + ($QualityLrEtaNum * g.g$j) // ($QualityLrEtaDen * g.n * 10000) AS w$j")
+        .mkString(", ")
+      // MATERIALIZED: DuckDB inlines plain CTEs, and w_k references
+      // w_{k-1} twice (directly and through g_k) — unmaterialized, the
+      // expansion is 2^K copies of the whole feature chain
+      s"g$k AS MATERIALIZED (SELECT count(*) AS n, $grads FROM " +
+        s"(SELECT tr.*, $p6 AS p6 FROM tr CROSS JOIN $pw w)), " +
+        s"w$k AS MATERIALIZED (SELECT $upd FROM $pw w CROSS JOIN g$k g)"
+    }.mkString(", ")
+    val featSel =
+      "SELECT q.doc_id, " +
+        "CAST(floor(q.stopword_ratio * 10000 + 0.5) AS BIGINT) AS f_stop, " +
+        "CAST(floor(q.repetition_ratio * 10000 + 0.5) AS BIGINT) AS f_rep, " +
+        "CAST(floor(q.punct_ratio * 10000 + 0.5) AS BIGINT) AS f_punct, " +
+        "CAST(floor(r.rep_ratio * 10000 + 0.5) AS BIGINT) AS f_rep3, " +
+        "coalesce(CAST(floor(p.avg_nll * 10000 + 0.5) AS BIGINT), 0) AS f_nll, " +
+        s"CAST(least(q.n_tokens, $QmLenCap) AS BIGINT) * 10000 // $QmLenCap AS f_len " +
+        "FROM qual q JOIN rep r ON q.doc_id = r.doc_id LEFT JOIN ppl p ON q.doc_id = p.doc_id"
+    // centered-clamped projection x_j = clamp(f_j − mu_j, ±1e4), shared by
+    // the training relation and the final scoring
+    def ctrSql(rel: String): String = fs.map(f =>
+      s"greatest(least($rel.$f - mu.m_$f, 10000), -10000) AS $f").mkString(", ")
+    val muSel = fs.map(f => s"CAST(sum($f) AS BIGINT) // count(*) AS m_$f").mkString(", ")
+    s"WITH qual AS ($qualitySql), rep AS ($repetitionSql), ppl AS ($perplexitySql), " +
+      s"ft AS MATERIALIZED ($featSel), " +
+      s"gp AS (SELECT doc_id, CASE WHEN ${GopherFlagNames.mkString(" + ")} >= $QualitySeedMinFlags " +
+      s"THEN 1 ELSE 0 END AS cls FROM ($gopherSql)), " +
+      s"mu AS MATERIALIZED (SELECT $muSel FROM ft WHERE doc_id % 2 = 0), " +
+      s"tr AS MATERIALIZED (SELECT gp.cls, ${ctrSql("ft")} FROM ft JOIN gp ON ft.doc_id = gp.doc_id " +
+      "CROSS JOIN mu WHERE ft.doc_id % 2 = 0), " +
+      s"w0 AS (SELECT ${(0 to fs.size).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}), " +
+      s"$rounds, " +
+      s"sc AS (SELECT ft.doc_id, ${ctrSql("ft")} FROM ft CROSS JOIN mu) " +
+      s"SELECT sc.doc_id, CAST(${zSql("w")} AS BIGINT) AS zlr10, " +
+      s"CASE WHEN ${zSql("w")} >= 0 THEN 1 ELSE 0 END AS lr_keep " +
+      s"FROM sc CROSS JOIN w$QualityLrIters w"
   }
 
   /** SQL mirror of EventStreams.ingestGateBatch — the FULL admission

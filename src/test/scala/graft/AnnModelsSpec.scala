@@ -657,6 +657,20 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("logistic margins: registry-served, bit-identical to inline, one " +
+      "fit across the gate and build consumers") {
+    AnnModels.withRoot(freshRoot("qlr")) {
+      val t0 = AnnModels.lrMarginTrains
+      val served = rows(graft.operators.TextOps.qualityLr(spark, sf))
+      assert(AnnModels.lrMarginTrains == t0 + 1, "first access must fit")
+      graft.SparkEntry.queries("pipeline_build_lr")(spark, sf).collect()
+      assert(AnnModels.lrMarginTrains == t0 + 1,
+        "the build consumer must serve the artifact, not refit")
+      assert(served == rows(graft.operators.TextOps.qualityLrInline(spark, sf)),
+        "served logistic margins diverge from inline")
+    }
+  }
+
   test("ivf assignment and semantic labels: registry-served, bit-identical " +
       "to inline, one training pass across all consumers") {
     AnnModels.withRoot(freshRoot("semserve")) {

@@ -424,4 +424,57 @@ class CurationOpsSpec extends SparkSpec {
     assert(aligned.subsetOf(sem) && aligned.nonEmpty && aligned != sem,
       s"the alignment gate must actually restrict: ${aligned.size} of ${sem.size}")
   }
+
+  test("logistic gate beats the Rocchio margin on a corpus the centroid " +
+      "midpoint cannot separate") {
+    // A class-0 outlier cluster drags c0 far below the main class-0 mass,
+    // so the equidistant Rocchio hyperplane lands INSIDE class 0 and
+    // mislabels its entire main cluster (50% accuracy). The logistic fit
+    // places the boundary inside the true corridor — at the SHIPPED
+    // constants (QualityLrIters/Eta), not a spec-only configuration.
+    val sp = spark
+    import sp.implicits._
+    val rows = (0 until 80).map(i => (i.toLong * 2, 1, 9900L)) ++
+      (0 until 100).map(i => (200L + i * 2, 0, 8700L)) ++
+      (0 until 20).map(i => (500L + i * 2, 0, 500L))
+    val wide = rows.toDF("doc_id", "cls", "f_punct")
+      .select(col("doc_id"), col("cls"), lit(5000L).as("f_stop"),
+        lit(5000L).as("f_rep"), col("f_punct"), lit(5000L).as("f_rep3"),
+        lit(5000L).as("f_nll"), lit(5000L).as("f_len"))
+    val labels = wide.select("doc_id", "cls")
+    val feats = wide.drop("cls")
+    def acc(scored: org.apache.spark.sql.DataFrame, keepCol: String): Double =
+      scored.join(labels, Seq("doc_id"))
+        .select(avg(when(col(keepCol) === col("cls"), 1.0).otherwise(0.0)))
+        .collect().head.getDouble(0)
+    // Rocchio on the same matrix: the same integer-mean centroid recipe
+    // trainQualityCentroidsOf applies, over the same even-id half
+    val cent = wide.filter(col("doc_id") % 2 === 0).groupBy("cls")
+      .agg(count(lit(1)).as("n"),
+        TextOps.QualityFeatNames.map(f => sum(col(f)).as(s"s$f")): _*)
+      .select(col("cls") +: col("n") +:
+        TextOps.QualityFeatNames.map(f =>
+          expr(s"s$f DIV n").as(f.replaceFirst("f_", "w_"))): _*)
+    val rocAcc = acc(TextOps.qualityTrainedWith(feats, cent.collect()), "trained_keep")
+    val (mu, w) = TextOps.qualityLrFit(feats, labels)
+    val lrAcc = acc(TextOps.qualityLrScoreWith(feats, mu, w), "lr_keep")
+    assert(rocAcc <= 0.51, s"the corpus must defeat the centroid midpoint, got $rocAcc")
+    assert(lrAcc == 1.0, s"the logistic fit must separate the corridor, got $lrAcc")
+    // and on the shipped corpus the gate is non-degenerate and seed-faithful
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    val realFeats = TextOps.qualityFeaturesOf(d, TextOps.perplexity(spark, sf))
+      .localCheckpoint()
+    val flagSum = TextOps.GopherFlagNames.map(col).reduce(_ + _)
+    val realLabels = TextOps.gopherRulesOf(d).select(col("doc_id"),
+      when(flagSum >= TextOps.QualitySeedMinFlags, 1).otherwise(0).as("cls"))
+    val (rmu, rw) = TextOps.qualityLrFit(realFeats, realLabels)
+    val realScored = TextOps.qualityLrScoreWith(realFeats, rmu, rw)
+    val keeps = realScored.agg(sum(col("lr_keep"))).collect().head.getLong(0)
+    val n = realScored.count()
+    assert(keeps > 0 && keeps < n, s"degenerate gate: $keeps of $n kept")
+    val realAcc = realScored.join(realLabels, Seq("doc_id"))
+      .select(avg(when(col("lr_keep") === col("cls"), 1.0).otherwise(0.0)))
+      .collect().head.getDouble(0)
+    assert(realAcc >= 0.95, s"seed agreement regressed: $realAcc")
+  }
 }
