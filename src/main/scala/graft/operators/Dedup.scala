@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
 import graft.sources.Tables
@@ -939,6 +940,62 @@ object Dedup {
           .as("text_clean"))
   }
 
+  /** MAXIMAL duplicated-SPAN audit (r13, the observability surface of Lee
+    * et al. 2022 §4.1's ExactSubstr: the suffix-array formulation removes
+    * maximal duplicated spans of any length — this reports exactly those
+    * spans from the window-coverage union [[substringRemove]] already
+    * computes): per document, the duplicated w-gram windows' coverage
+    * intervals [p, p+w−1] merge into maximal spans (two windows merge iff
+    * the later start is within w of the earlier — overlapping OR abutting
+    * coverage), and the report is span count, longest span length, total
+    * covered tokens and the covered share (1e6 grid). covered_tokens is
+    * BY CONSTRUCTION substringRemove's n_removed (the same union —
+    * spec-asserted), so a data engineer reads WHAT the removal took
+    * before running it.
+    *
+    * Scale: the census side is substringDup's shape; the span merge is
+    * one lag + running-sum window PARTITIONED BY doc_id over duplicated
+    * POSITIONS only — bounded by the doc's own window count, never
+    * corpus-sized. */
+  def substringSpans(s: SparkSession, dir: String): DataFrame = {
+    val w = SubstrGram
+    val g = docs(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(ShingleExpressions.shingles(col("text"), w)).as(Seq("p0", "g")))
+      // xxhash64: group-defining only (never output) — see substringDup
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), xxhash64(col("g")).as("gh"))
+      .localCheckpoint() // census + span join-back both consume it
+    val dupG = g.select(col("doc_id"), col("gh")).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("gh")
+    val dps = g.join(dupG, Seq("gh"), "left_semi")
+      .select("doc_id", "pos").distinct()
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dps
+      .withColumn("prev", lag(col("pos"), 1).over(wOrd))
+      .withColumn("ns",
+        when(col("prev").isNull || col("pos") - col("prev") > w, 1).otherwise(0))
+      .withColumn("span_id",
+        sum(col("ns")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "span_id")
+      .agg((max(col("pos")) - min(col("pos")) + w).as("span_len"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        max(col("span_len")).cast("int").as("max_span_len"),
+        sum(col("span_len")).cast("int").as("covered_tokens"))
+    docs(s, dir)
+      .select(col("doc_id"), size(wsTokens(col("text"))).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("max_span_len"), lit(0)).as("max_span_len"),
+        coalesce(col("covered_tokens"), lit(0)).as("covered_tokens"))
+      .withColumn("covered_share6",
+        expr("CAST(covered_tokens AS BIGINT) * 1000000 DIV n_tokens"))
+  }
+
   /** Incremental ingestion dedup: which docs in the new batch (source
     * 'src0') are NOT already in the corpus (all other sources)? Anti-join
     * on content hash — the nightly-ingest shape: the corpus side reduces
@@ -1077,6 +1134,7 @@ object Dedup {
     "dedup_substring" -> (substringDup _),
     "dedup_boilerplate" -> (boilerplateTopK _),
     "dedup_substring_rm" -> (substringRemove _),
+    "dedup_substring_spans" -> (substringSpans _),
     "dedup_semantic" -> (semanticDedup _),
     "dedup_semantic_keep" -> (semanticDedupKeep _),
     "dedup_embedding" -> (embeddingNearDup _),
@@ -1420,6 +1478,25 @@ object Dedup {
         "SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, CAST(len(toks) - len(kp) AS INT) AS n_removed, " +
         // array_to_string([]) is NULL in DuckDB but '' in Spark's array_join
         "coalesce(array_to_string(list_transform(kp, j -> toks[j]), ' '), '') AS text_clean FROM k"
+    },
+    "dedup_substring_spans" -> {
+      val w = SubstrGram
+      s"WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        s"gp AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - ${w - 1}), " +
+        s"i -> {'pos': i, 'gh': md5(array_to_string(toks[i:i+${w - 1}], ' '))})) AS wn FROM t), " +
+        "g AS (SELECT doc_id, wn.pos AS pos, wn.gh AS gh FROM gp), " +
+        "dup AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh) WHERE nd >= 2), " +
+        "dpos AS (SELECT DISTINCT doc_id, pos FROM g JOIN dup USING (gh)), " +
+        "brk AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL " +
+        s"OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $w THEN 1 ELSE 0 END AS ns FROM dpos), " +
+        "sp AS (SELECT doc_id, pos, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM brk), " +
+        s"spans AS (SELECT doc_id, span_id, max(pos) - min(pos) + $w AS span_len FROM sp GROUP BY 1, 2), " +
+        "pd AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans, CAST(max(span_len) AS INT) AS max_span_len, " +
+        "CAST(sum(span_len) AS INT) AS covered_tokens FROM spans GROUP BY 1) " +
+        "SELECT t.doc_id, CAST(len(toks) AS INT) AS n_tokens, coalesce(pd.n_spans, 0) AS n_spans, " +
+        "coalesce(pd.max_span_len, 0) AS max_span_len, coalesce(pd.covered_tokens, 0) AS covered_tokens, " +
+        "CAST(coalesce(pd.covered_tokens, 0) AS BIGINT) * 1000000 // len(toks) AS covered_share6 " +
+        "FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id"
     },
     "dedup_embedding" ->
       // Salt mirror: ceil(bn/cap) computed for ALL labels (== 1 below the

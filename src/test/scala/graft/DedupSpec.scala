@@ -392,6 +392,44 @@ class DedupSpec extends SparkSpec {
     assert(sampled.values.sum < full.values.sum,
       "the quadratic truth term must actually shrink under sampling")
   }
+  test("maximal-span audit: covered tokens equal the removal's union, " +
+      "abutting windows merge into one span") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // the union-coverage identity on the shipped corpus: what the spans
+    // report as covered is exactly what substringRemove excises
+    val spans = Dedup.substringSpans(spark, sf)
+      .select("doc_id", "covered_tokens").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val removed = Dedup.substringRemove(spark, sf)
+      .select("doc_id", "n_removed").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(spans == removed, "span coverage diverges from the removal union")
+    assert(spans.values.exists(_ > 0), "the shipped corpus must exercise spans")
+    // crafted: two duplicated 5-gram windows whose coverage abuts (starts
+    // 1 and 6 -> [1,5]+[6,10]) merge into ONE 10-token span; a far window
+    // (start 13 -> [13,17]) stays its own span
+    val dir = java.nio.file.Files.createTempDirectory("graft_spans").toString
+    val shared1 = "a b c d e"
+    val shared2 = "f g h i j"
+    val shared3 = "x y z w v"
+    val doc0 = s"$shared1 $shared2 q r $shared3"  // 17 tokens
+    Seq(
+      (0L, "src1", doc0),
+      (1L, "src2", s"$shared1 k1 k2 k3 k4 k5"),
+      (2L, "src2", s"$shared2 m1 m2 m3 m4 m5"),
+      (3L, "src2", s"$shared3 n1 n2 n3 n4 n5"))
+      .toDF("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Dedup.substringSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got(0L) == ((2, 10, 15)),
+      s"doc0 must merge the abutting windows into one 10-token span: ${got(0L)}")
+    assert(got(1L) == ((1, 5, 5)) && got(3L) == ((1, 5, 5)),
+      s"single shared window docs must report one 5-token span: ${got(1L)}, ${got(3L)}")
+  }
+
   test("star-contraction CC labels match the propagation reference on adversarial graphs") {
     val sp = spark
     import sp.implicits._
