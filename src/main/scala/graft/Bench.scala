@@ -80,7 +80,20 @@ object Bench {
       name -> Seq(w1, w2, timed(fn)).sorted.apply(1)
     }
     val results = base.map { case (name, _, c, w1, w2) => name -> ((c, math.min(w1, w2))) }
+    // CONTROL BLOCK (r13, VERDICT r12 #8): a fixed set of queries no round
+    // has touched since r11, re-measured best-of-3 at the END of the run
+    // (fully warm) and stamped into the artifact — so round-over-round
+    // comparison normalizes box drift from the artifact itself instead of
+    // reconstructing control numbers from session notes. Keep this list
+    // STABLE: its value is that the code behind it never changes.
+    val ControlQueries = Seq("mr_wordcount", "mr_sort", "q_local_supplier",
+      "q_join_salted", "q_waiting_suppliers", "sim_knn_graph")
+    val controls = ControlQueries.flatMap(n => SparkEntry.queries.get(n).map { fn =>
+      n -> Seq(timed(fn), timed(fn), timed(fn)).min
+    })
     def r3(d: Double): Double = math.round(d * 1000) / 1000.0
+    val ctlObj = controls
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     def obj(sel: ((Double, Double)) => Double): String = results
       .map { case (k, v) => s"\"" + k + "\":" + r3(sel(v)) }.mkString("{", ",", "}")
     val medObj = medians.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
@@ -93,7 +106,7 @@ object Bench {
     // artifact goes out first on stdout AND to a file, and the LAST line is
     // a compact, complete JSON — headline totals plus the heavy-tail
     // medians — guaranteed to fit the archived tail and parse.
-    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","load_avg_start":${r3(loadAvg)},"cold_total":${r3(coldTotal)},"queries_cold":${obj(_._1)},"queries":${obj(_._2)},"queries_median":$medObj,"median_heavy_total":${r3(medTotal)},"value":${r3(warmTotal)}}"""
+    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","load_avg_start":${r3(loadAvg)},"cold_total":${r3(coldTotal)},"queries_cold":${obj(_._1)},"queries":${obj(_._2)},"queries_median":$medObj,"median_heavy_total":${r3(medTotal)},"controls":$ctlObj,"controls_protocol":"best-of-3, end of run","value":${r3(warmTotal)}}"""
     println(full)
     val basePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
     // Self-defense: a contended run (load > 2.0 at start) must not clobber a
@@ -109,7 +122,7 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","value":${r3(warmTotal)},"cold_total":${r3(coldTotal)},"median_heavy_total":${r3(medTotal)},"load_avg_start":${r3(loadAvg)},"n_queries":${results.size},"full_artifact":"$fullPath","queries_median":$medObj}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","value":${r3(warmTotal)},"cold_total":${r3(coldTotal)},"median_heavy_total":${r3(medTotal)},"load_avg_start":${r3(loadAvg)},"n_queries":${results.size},"full_artifact":"$fullPath","controls":$ctlObj,"queries_median":$medObj}""")
     spark.stop()
   }
 }

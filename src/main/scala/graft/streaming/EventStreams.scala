@@ -935,6 +935,76 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** How many of the NEWEST `batch=` partitions a compaction pass leaves
+    * untouched: the two-generation registry discipline — the newest night
+    * may be mid-replay (the foreachBatch at-least-once window rewrites
+    * it), and its predecessor is what a crashed replay falls back to. */
+  val CompactKeepNights = 2
+
+  /** RESTARTABLE nightly COMPACTION of a `batch=`-partitioned sink (r13,
+    * VERDICT r12 #7): the gate/dsir/phash verdict sinks and the delta-pack
+    * manifest each grow one partition per night forever; this rewrites
+    * every partition older than the [[CompactKeepNights]] newest into ONE
+    * consolidated partition (named for the newest id it covers — so the
+    * delta packer's `batch < batchId` guards keep working), leaving the
+    * sink's ROW CONTENT exactly unchanged (readers aggregate by their own
+    * keys, never by the batch column).
+    *
+    * Crash protocol (the totals-sidecar discipline): the consolidated
+    * rows are STAGED at `<out>.compact/batch=<target>` and a
+    * `_COMPACT_COVERS` marker naming every covered partition is written
+    * LAST; only then are covered partitions deleted and the staged
+    * directory renamed into place. A crash before the marker recomputes
+    * the stage from the still-intact partitions; a crash mid-delete
+    * resumes from the marker (deletes are idempotent, the stage holds
+    * every covered row); a crash after the rename only needs the staging
+    * cleanup. One pass per night, O(covered partitions) I/O, no
+    * corpus-side reads. */
+  def runCompactionStep(s: SparkSession, outPath: String,
+      keepNights: Int = CompactKeepNights): Unit = {
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val fs = outP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(outP)) return
+    val staging = new org.apache.hadoop.fs.Path(outPath + ".compact")
+    val marker = new org.apache.hadoop.fs.Path(staging, "_COMPACT_COVERS")
+    def swap(covered: Seq[Long]): Unit = {
+      val target = covered.max
+      val stagedPart = new org.apache.hadoop.fs.Path(staging, s"batch=$target")
+      covered.foreach { b =>
+        val p = new org.apache.hadoop.fs.Path(outP, s"batch=$b")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      if (fs.exists(stagedPart))
+        fs.rename(stagedPart, new org.apache.hadoop.fs.Path(outP, s"batch=$target"))
+      fs.delete(staging, true)
+    }
+    if (fs.exists(marker)) {
+      // resume a crashed swap: the marker names the covered set and the
+      // stage holds every covered row — finish deletes + rename
+      val in = fs.open(marker)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      swap(txt.trim.split(",").map(_.toLong).toSeq)
+      return
+    }
+    val bs = fs.listStatus(outP).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("batch=") =>
+        st.getPath.getName.stripPrefix("batch=").toLong
+    }.sorted
+    val covered = bs.dropRight(keepNights)
+    if (covered.size < 2) return // nothing to consolidate tonight
+    val target = covered.max
+    fs.delete(staging, true)
+    // explicit partition-dir reads: the batch column lives in the dir
+    // name, so the staged files carry exactly the data columns and the
+    // renamed dir re-keys every row as batch=<target>
+    s.read.parquet(covered.map(b => s"$outPath/batch=$b"): _*)
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(staging, s"batch=$target").toString)
+    val out = fs.create(marker, true)
+    try out.write(covered.mkString(",").getBytes("UTF-8")) finally out.close()
+    swap(covered)
+  }
+
   /** True iff `dropDir` exists and holds at least one file matching
     * `glob` — the nightly steps' pre-flight (a night with no drops must
     * no-op, not throw from the schema probe; ADVICE r10). RECURSIVE, and

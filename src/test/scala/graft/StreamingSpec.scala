@@ -884,6 +884,58 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(s"$base/out_gate").count() == 3 &&
         spark.read.parquet(s"$base/out_ph").count() == 3,
         "replayed steps must overwrite their partitions, never append")
+
+      // nights 3 + 4: grow the sinks to four batch= partitions, then run
+      // the COMPACTION pass (r13) — the composed state must be unchanged
+      // while partitions older than the two newest consolidate into one
+      writeSingle(dropDir, "d2.parquet", Seq((13L, "src0", "night three text rows and keys")))
+      runNight()
+      writeSingle(dropDir, "d3.parquet", Seq((14L, "src0", "night four brings more data rows")))
+      runNight()
+      def gateRows(): Set[(Long, Long, Int)] = spark.read.parquet(s"$base/out_gate")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      def packAgg(): Set[(String, Long, Long)] = spark.read.parquet(s"$base/out_pack")
+        .groupBy("source", "chunk_id")
+        .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      def parts(out: String): Set[String] =
+        new java.io.File(s"$base/$out").listFiles().toSeq
+          .map(_.getName).filter(_.startsWith("batch=")).toSet
+      val (gBefore, pBefore) = (gateRows(), packAgg())
+      assert(parts("out_gate").size == 4, s"four nights, four partitions: ${parts("out_gate")}")
+      EventStreams.runCompactionStep(spark, s"$base/out_gate")
+      EventStreams.runCompactionStep(spark, s"$base/out_pack")
+      assert(gateRows() == gBefore, "compaction must not change the gate verdicts")
+      assert(packAgg() == pBefore, "compaction must not change the composed manifest")
+      assert(parts("out_gate") == Set("batch=1", "batch=2", "batch=3"),
+        s"batches 0+1 must consolidate into batch=1: ${parts("out_gate")}")
+      assert(!new java.io.File(s"$base/out_gate.compact").exists(),
+        "staging must be cleaned up after the swap")
+      // immediate re-run: only one partition is older than the keep window
+      // now — nothing to consolidate, state fixed
+      EventStreams.runCompactionStep(spark, s"$base/out_gate")
+      assert(gateRows() == gBefore && parts("out_gate").size == 3,
+        "a re-run with nothing to consolidate must be a no-op")
+      // crash-resume: rebuild the crashed-swap state by hand (stage +
+      // marker written, one covered partition already deleted) and re-run
+      // — the resume path must finish deletes + rename to the same state
+      val cov = Seq(1L, 2L)
+      spark.read.parquet(s"$base/out_gate/batch=1", s"$base/out_gate/batch=2")
+        .write.mode("overwrite").parquet(s"$base/out_gate.compact/batch=2")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/out_gate.compact/_COMPACT_COVERS"),
+        cov.mkString(",").getBytes("UTF-8"))
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmr); f.delete(); ()
+      }
+      rmr(new java.io.File(s"$base/out_gate/batch=1")) // the partial crash
+      EventStreams.runCompactionStep(spark, s"$base/out_gate")
+      assert(gateRows() == gBefore,
+        "crash-resumed compaction must restore the exact composed state")
+      assert(parts("out_gate") == Set("batch=2", "batch=3"),
+        s"resume must finish the swap: ${parts("out_gate")}")
+      assert(!new java.io.File(s"$base/out_gate.compact").exists(),
+        "resume must clean up staging")
     }
   }
 
