@@ -53,6 +53,8 @@ object AnnModels {
   @volatile private[graft] var ivfTrains = 0
   @volatile private[graft] var pqTrains = 0
   @volatile private[graft] var lmTrains = 0
+  @volatile private[graft] var lm5Trains = 0
+  @volatile private[graft] var ppl5ScoreTrains = 0
   @volatile private[graft] var langidTrains = 0
   @volatile private[graft] var bpeTrains = 0
   @volatile private[graft] var bpeBigTrains = 0
@@ -79,6 +81,7 @@ object AnnModels {
     * constant → new key → retrain; an opaque version tag would let a
     * persistent store serve stale-coefficient scores silently). */
   private val LmParams = "n=3,i=500/375/125"
+  private val Lm5Params = "n=5,kn,d=1/2"
 
   private var rootOverride: Option[String] = None
 
@@ -149,6 +152,42 @@ object AnnModels {
       val dfs = parts.map(part => s.read.parquet(new Path(gen, part).toString))
       (dfs(0), dfs(1), dfs(2))
   }
+
+  /** The 5-gram KNESER-NEY LM's five count relations (c5, c4, c3, c2, u)
+    * for `dir` (r13 depth probe, VERDICT r12 #6 — gated because the
+    * templated-pivot spec family shows strict separation gain: a corpus
+    * whose 4-gram type set ties the templated doc against the fluent ones
+    * still separates at order 5). The trigramLm recipe at order 5: one
+    * cached corpus snapshot feeds all five relation writes under one
+    * marker-gated generation. */
+  def kn5Lm(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val p = new Path(root(s), key(dir, "lm5", Lm5Params))
+    val parts = Seq("c5", "c4", "c3", "c2", "u")
+    val gen = ensureGen(s, p, dir, "documents") { genDir =>
+      lm5Trains += 1
+      val corpus = graft.sources.Tables.load(s, dir, "documents").persist()
+      try {
+        val (c5, c4, c3, c2, u) = TextOps.trainKn5LmOf(corpus)
+        Seq(c5, c4, c3, c2, u).zip(parts).foreach { case (df, part) =>
+          df.write.mode("overwrite").parquet(new Path(genDir, part).toString)
+        }
+      } finally corpus.unpersist(false)
+    }
+    val dfs = parts.map(part => s.read.parquet(new Path(gen, part).toString))
+    (dfs(0), dfs(1), dfs(2), dfs(3), dfs(4))
+  }
+
+  /** The corpus KN5 PERPLEXITY relation (doc_id, n_grams, avg_nll) — the
+    * 5-gram LM's scores persisted once per corpus state (the pplScores
+    * pattern at order 5: the eight-join scoring pass is the expensive
+    * sub-plan, the artifact is a cheap scan). avg_nll sits on the 1e6
+    * grid (an exact double) — bit-identical round-trip. */
+  def ppl5Scores(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "ppl5", Lm5Params, coalesce1 = false) {
+      ppl5ScoreTrains += 1
+      TextOps.perplexityKn5Inline(s, dir)
+    }
 
   /** The trained Rocchio language-ID centroids (lang, b, w) for `dir` —
     * the one trained model that previously re-trained per invocation

@@ -1118,6 +1118,135 @@ object TextOps {
     (c3, c2, u)
   }
 
+  /** The 5-gram KN model's count relations — the trigram trio extended
+    * with 4- and 5-gram counts. Continuation statistics (distinct
+    * left-extension counts, their totals, completion-type counts) all
+    * derive from these five relations' ROW SETS at scoring time, exactly
+    * alike in any engine, so they need no relations of their own. */
+  private[graft] def trainKn5LmOf(d: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val c5 = d.select(explode(ShingleExpressions.shingles(col("text"), 5)).as("g5"))
+      .groupBy("g5").agg(count(lit(1)).as("c5"))
+    val c4 = d.select(explode(ShingleExpressions.shingles(col("text"), 4)).as("g4"))
+      .groupBy("g4").agg(count(lit(1)).as("c4"))
+    val (c3, c2, u) = trainNgramLmOf(d)
+    (c5, c4, c3, c2, u)
+  }
+
+  /** Score documents against a 5-gram INTERPOLATED KNESER-NEY LM (Kneser
+    * & Ney 1995; Chen & Goodman 1999's interpolated form — the smoothing
+    * CCNet's KenLM artifact actually uses) with the discount D = 1/2, an
+    * exact binary fraction:
+    *
+    *   p5(w|h4)   = (max(c5(h4w) − D, 0) + D·N1+(h4·)·p4c) / c(h4·)
+    *   pk_c(w|h)  = (max(Nc(hw) − D, 0) + D·N1+(h·)·p(k−1)c) / Nc(h·)
+    *   p1c(w)     = (max(Nc(w) − D, 0) + D·U0/V) / T0    (uniform base)
+    *
+    * where each lower order uses CONTINUATION counts (distinct left
+    * extensions in the (k+1)-gram type set), a zero context denominator
+    * backs off entirely to the next order, and every count is an exact
+    * integer read off the five relations' row sets. Float discipline:
+    * the probability assembles bottom-up as one fixed expression tree of
+    * exact integers, the 0.5 literal and correctly-rounded IEEE ops, so
+    * both engines see identical bits; ONE ln() per 5-gram rounds to 6
+    * places (the trigram discipline) and sums as DECIMAL. Docs with
+    * fewer than 5 tokens have no 5-grams and are absent (the perplexity
+    * contract).
+    *
+    * Scale: the (doc, 5-gram) stream shuffles once (the occ groupBy);
+    * the eight model joins are gram-vocabulary-sized (broadcast at bench
+    * scale; AQE demotes the widest to shuffle at an open web vocabulary,
+    * the minimum possible movement). */
+  private[graft] def kn5Score(d: DataFrame, c5: DataFrame, c4: DataFrame,
+      c3: DataFrame, c2: DataFrame, u: DataFrame): DataFrame = {
+    def suffix(g: Column, from: Int): Column =
+      array_join(slice(split(g, " "), from, 5), " ")
+    // derived model relations — all bounded by gram-type counts
+    val g5p = c5.withColumn("p", split(col("g5"), " "))
+    val rx4 = g5p.groupBy(array_join(slice(col("p"), 1, 4), " ").as("h4"))
+      .agg(sum(col("c5")).as("x4"), count(lit(1)).as("u4"))
+    val rc4 = g5p.groupBy(array_join(slice(col("p"), 2, 4), " ").as("k4"))
+      .agg(count(lit(1)).as("cc4"))
+    val rt3 = rc4.withColumn("p", split(col("k4"), " "))
+      .groupBy(array_join(slice(col("p"), 1, 3), " ").as("h3"))
+      .agg(sum(col("cc4")).as("t3"), count(lit(1)).as("u3"))
+    val rc3 = c4.withColumn("p", split(col("g4"), " "))
+      .groupBy(array_join(slice(col("p"), 2, 3), " ").as("k3"))
+      .agg(count(lit(1)).as("cc3"))
+    val rt2 = rc3.withColumn("p", split(col("k3"), " "))
+      .groupBy(array_join(slice(col("p"), 1, 2), " ").as("h2"))
+      .agg(sum(col("cc3")).as("t2"), count(lit(1)).as("u2"))
+    val rc2 = c3.withColumn("p", split(col("g3"), " "))
+      .groupBy(array_join(slice(col("p"), 2, 2), " ").as("k2"))
+      .agg(count(lit(1)).as("cc2"))
+    val rt1 = rc2.withColumn("p", split(col("k2"), " "))
+      .groupBy(col("p").getItem(0).as("h1"))
+      .agg(sum(col("cc2")).as("t1"), count(lit(1)).as("u1"))
+    val rc1 = c2.withColumn("p", split(col("g"), " "))
+      .groupBy(col("p").getItem(1).as("k1"))
+      .agg(count(lit(1)).as("cc1"))
+    val stats = broadcast(
+      c2.agg(count(lit(1)).as("t0")).crossJoin(u.agg(count(lit(1)).as("v")))
+        .crossJoin(rc1.agg(count(lit(1)).as("u0"))))
+    // the (doc, 5-gram, occ) stream with every join key precomputed
+    val occ5 = d.select(col("doc_id"),
+        explode(ShingleExpressions.shingles(col("text"), 5)).as("g5"))
+      .groupBy("doc_id", "g5").agg(count(lit(1)).as("occ"))
+      .withColumn("h4", array_join(slice(split(col("g5"), " "), 1, 4), " "))
+      .withColumn("k4", suffix(col("g5"), 2))
+      .withColumn("h3", array_join(slice(split(col("g5"), " "), 2, 3), " "))
+      .withColumn("k3", suffix(col("g5"), 3))
+      .withColumn("h2", array_join(slice(split(col("g5"), " "), 3, 2), " "))
+      .withColumn("k2", suffix(col("g5"), 4))
+      .withColumn("h1", split(col("g5"), " ").getItem(3))
+      .withColumn("k1", split(col("g5"), " ").getItem(4))
+    val D = lit(0.5)
+    def z(c: Column): Column = coalesce(c, lit(0L))
+    val p1 = when(col("t0") > 0,
+      (greatest(z(col("cc1")).cast("double") - D, lit(0.0)) +
+        D * col("u0").cast("double") / col("v")) / col("t0"))
+      .otherwise(lit(1.0) / col("v"))
+    def lvl(cc: Column, t: Column, uu: Column, lower: Column): Column =
+      when(z(t) > 0,
+        (greatest(z(cc).cast("double") - D, lit(0.0)) +
+          D * z(uu).cast("double") * lower) / z(t))
+        .otherwise(lower)
+    val p2 = lvl(col("cc2"), col("t1"), col("u1"), p1)
+    val p3 = lvl(col("cc3"), col("t2"), col("u2"), p2)
+    val p4 = lvl(col("cc4"), col("t3"), col("u3"), p3)
+    val p5 = lvl(col("c5"), col("x4"), col("u4"), p4)
+    val nll = round(-log(p5), 6)
+    occ5
+      .join(c5, Seq("g5"), "left")
+      .join(rx4, Seq("h4"), "left")
+      .join(rc4, Seq("k4"), "left")
+      .join(rt3, Seq("h3"), "left")
+      .join(rc3, Seq("k3"), "left")
+      .join(rt2, Seq("h2"), "left")
+      .join(rc2, Seq("k2"), "left")
+      .join(rt1, Seq("h1"), "left")
+      .join(rc1, Seq("k1"), "left")
+      .crossJoin(stats)
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_grams"),
+        sum(col("occ") * nll.cast("decimal(18,6)")).as("total_nll_dec"))
+      .select(col("doc_id"), col("n_grams"),
+        (floor(col("total_nll_dec").cast("double") / col("n_grams") * 1e6 + 0.5) / 1e6)
+          .as("avg_nll"))
+  }
+
+  /** The full KN5 chain (persisted LM relations + the eight-join scoring
+    * pass) — what AnnModels.ppl5Scores runs ONCE per corpus state. */
+  private[graft] def perplexityKn5Inline(s: SparkSession, dir: String): DataFrame = {
+    val (c5, c4, c3, c2, u) = AnnModels.kn5Lm(s, dir)
+    kn5Score(docs(s, dir), c5, c4, c3, c2, u)
+  }
+
+  /** Gated 5-gram KN perplexity — registry-served scores (the pplScores
+    * pattern at order 5). */
+  def perplexityKn5(s: SparkSession, dir: String): DataFrame =
+    AnnModels.ppl5Scores(s, dir)
+
   /** Score any document set against an n-gram LM (the corpus's own, or a
     * FOREIGN one — grams the LM never saw coalesce to count 0, standard
     * add-one smoothing, so the SAME scorer serves the gated self-score
@@ -1871,6 +2000,7 @@ object TextOps {
     "text_quality" -> (quality _),
     "text_quality_trained" -> (qualityTrained _),
     "text_quality_lr" -> (qualityLr _),
+    "text_perplexity_kn5" -> (perplexityKn5 _),
     "text_gopher_rules" -> (gopherRules _),
     "text_corpus_stats" -> (corpusStats _),
     "text_tokens" -> (tokens _),
@@ -1965,6 +2095,7 @@ object TextOps {
     "text_quality" -> qualitySql,
     "text_quality_trained" -> qualityTrainedSql,
     "text_quality_lr" -> qualityLrSql,
+    "text_perplexity_kn5" -> kn5Sql,
     "text_gopher_rules" -> gopherSql,
     "text_corpus_stats" ->
       (s"WITH g AS ($gopherSql), " +
@@ -2220,6 +2351,62 @@ object TextOps {
   private val perplexitySql: String =
     s"WITH ${lmCtesSql("documents")}, ${pplScoreSql("tks", "")} " +
       "SELECT doc_id, n_grams, avg_nll FROM ppl"
+
+  /** SQL mirror of [[perplexityKn5]] — the full 5-gram interpolated-KN
+    * train → score replay: the five count relations, every continuation
+    * relation derived from their row sets, and the bottom-up probability
+    * chain as the IDENTICAL expression tree (same parenthesization, same
+    * coalesce/greatest steps) so both engines see the same doubles into
+    * the one rounded ln(). */
+  private[operators] lazy val kn5Sql: String = {
+    def grams(n: Int, as: String): String =
+      s"SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${n - 1}), " +
+        s"i -> array_to_string(tk[i:i+${n - 1}], ' '))) AS $as FROM tks"
+    val p1 = "CASE WHEN st.t0 > 0 THEN " +
+      "(greatest(coalesce(rc1.cc1, 0)::DOUBLE - 0.5, 0.0) + 0.5 * st.u0::DOUBLE / st.v) / st.t0 " +
+      "ELSE 1.0 / st.v END"
+    def lvl(cc: String, t: String, uu: String, lower: String): String =
+      s"CASE WHEN coalesce($t, 0) > 0 THEN " +
+        s"(greatest(coalesce($cc, 0)::DOUBLE - 0.5, 0.0) + 0.5 * coalesce($uu, 0)::DOUBLE * ($lower)) / $t " +
+        s"ELSE ($lower) END"
+    val p2 = lvl("rc2.cc2", "rt1.t1", "rt1.u1", p1)
+    val p3 = lvl("rc3.cc3", "rt2.t2", "rt2.u2", p2)
+    val p4 = lvl("rc4.cc4", "rt3.t3", "rt3.u3", p3)
+    val p5 = lvl("c5.c5", "rx4.x4", "rx4.u4", p4)
+    "WITH tks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+      s"c5 AS (SELECT g5, count(*) AS c5 FROM (${grams(5, "g5")}) GROUP BY g5), " +
+      s"c4 AS (SELECT g4, count(*) AS c4 FROM (${grams(4, "g4")}) GROUP BY g4), " +
+      s"c3 AS (SELECT g3, count(*) AS c3 FROM (${grams(3, "g3")}) GROUP BY g3), " +
+      s"c2 AS (SELECT g, count(*) AS c2 FROM (${grams(2, "g")}) GROUP BY g), " +
+      "ug AS (SELECT w, count(*) AS cu FROM (SELECT unnest(tk) AS w FROM tks) GROUP BY w), " +
+      "rx4 AS (SELECT array_to_string((string_split(g5, ' '))[1:4], ' ') AS h4, " +
+      "CAST(sum(c5) AS BIGINT) AS x4, count(*) AS u4 FROM c5 GROUP BY 1), " +
+      "rc4 AS (SELECT array_to_string((string_split(g5, ' '))[2:5], ' ') AS k4, count(*) AS cc4 FROM c5 GROUP BY 1), " +
+      "rt3 AS (SELECT array_to_string((string_split(k4, ' '))[1:3], ' ') AS h3, " +
+      "CAST(sum(cc4) AS BIGINT) AS t3, count(*) AS u3 FROM rc4 GROUP BY 1), " +
+      "rc3 AS (SELECT array_to_string((string_split(g4, ' '))[2:4], ' ') AS k3, count(*) AS cc3 FROM c4 GROUP BY 1), " +
+      "rt2 AS (SELECT array_to_string((string_split(k3, ' '))[1:2], ' ') AS h2, " +
+      "CAST(sum(cc3) AS BIGINT) AS t2, count(*) AS u2 FROM rc3 GROUP BY 1), " +
+      "rc2 AS (SELECT array_to_string((string_split(g3, ' '))[2:3], ' ') AS k2, count(*) AS cc2 FROM c3 GROUP BY 1), " +
+      "rt1 AS (SELECT (string_split(k2, ' '))[1] AS h1, " +
+      "CAST(sum(cc2) AS BIGINT) AS t1, count(*) AS u1 FROM rc2 GROUP BY 1), " +
+      "rc1 AS (SELECT (string_split(g, ' '))[2] AS k1, count(*) AS cc1 FROM c2 GROUP BY 1), " +
+      "st AS (SELECT (SELECT count(*) FROM c2) AS t0, (SELECT count(*) FROM ug) AS v, " +
+      "(SELECT count(*) FROM rc1) AS u0), " +
+      s"keyed AS (SELECT doc_id, g5, " +
+      "array_to_string(p[1:4], ' ') AS h4, array_to_string(p[2:5], ' ') AS k4, " +
+      "array_to_string(p[2:4], ' ') AS h3, array_to_string(p[3:5], ' ') AS k3, " +
+      "array_to_string(p[3:4], ' ') AS h2, array_to_string(p[4:5], ' ') AS k2, " +
+      "p[4] AS h1, p[5] AS k1 FROM " +
+      s"(SELECT doc_id, g5, string_split(g5, ' ') AS p FROM (${grams(5, "g5")}))), " +
+      s"scored AS (SELECT doc_id, CAST(round(-ln($p5), 6) AS DECIMAL(18,6)) AS nll FROM keyed " +
+      "LEFT JOIN c5 USING (g5) LEFT JOIN rx4 USING (h4) LEFT JOIN rc4 USING (k4) " +
+      "LEFT JOIN rt3 USING (h3) LEFT JOIN rc3 USING (k3) LEFT JOIN rt2 USING (h2) " +
+      "LEFT JOIN rc2 USING (k2) LEFT JOIN rt1 USING (h1) LEFT JOIN rc1 USING (k1) CROSS JOIN st) " +
+      "SELECT doc_id, count(*) AS n_grams, " +
+      "floor(CAST(sum(nll) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS avg_nll " +
+      "FROM scored GROUP BY doc_id"
+  }
 
   /** SQL mirror of [[qualityTrained]] — the ENTIRE fit replayed from the
     * raw corpus: the shared feature CTEs, gopher labels, per-class
