@@ -684,6 +684,56 @@ object Dedup {
         round(col("m").cast("double") / MinhashPerms, 4).as("est_jaccard"))
   }
 
+  /** tf-WEIGHTED Jaccard over the LSH candidate set — the multiset view
+    * the distinct-set verifier discards. For integer shingle counts a, b,
+    *   J_w = Σ_g min(a_g, b_g) / Σ_g max(a_g, b_g)
+    * is exactly the plain Jaccard of the replica-expanded sets (each
+    * shingle g repeated count(g) times), i.e. weighted resemblance in
+    * Broder's multiset formulation — the similarity boilerplate-heavy and
+    * template-heavy corpora actually need: a doc that repeats one shared
+    * paragraph five times looks near-identical to a single-copy partner
+    * under distinct-set Jaccard, while the multiset view discounts the
+    * unmatched replicas (min picks up 1 copy, max all 5).
+    *
+    * Scale shape = `minhashVerified`'s: candidates bound everything. The
+    * per-doc count relation (doc_id, g, c) materializes only for candidate
+    * docs (semi-join reduction), Σmax never materializes per-shingle —
+    * Σmax = tot_a + tot_b − Σmin with tot a per-doc scalar — and the pair
+    * join streams (pair, g) rows that the (doc_b, g) hash join prunes to
+    * the intersection, so per-pair cost is O(|doc|) narrow long rows, the
+    * same asymptotic bill as shipping the hashed arrays. Elements ship as
+    * full 64-bit hashes for the same collision budget as the set verifier. */
+  def weightedJaccard(s: SparkSession, dir: String): DataFrame = {
+    val p = minhashLsh(s, dir).localCheckpoint()
+    val candIds = p.select(col("doc_a").as("doc_id"))
+      .unionAll(p.select(col("doc_b").as("doc_id"))).distinct()
+    val cnt = docs(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), ShingleExpressions.shingles(col("text"), ShingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(col("sh")).as("x"))
+      .select(col("doc_id"), hash64(col("x")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = cnt.groupBy("doc_id").agg(sum(col("c")).as("tot"))
+    val summin = p
+      .join(cnt.select(col("doc_id").as("doc_a"), col("g"), col("c").as("ca")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("g"), col("c").as("cb")),
+        Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(sum(least(col("ca"), col("cb"))).as("summin"))
+    p.join(summin, Seq("doc_a", "doc_b"), "left")
+      .withColumn("summin", coalesce(col("summin"), lit(0L)))
+      .join(tot.select(col("doc_id").as("doc_a"), col("tot").as("tota")), Seq("doc_a"))
+      .join(tot.select(col("doc_id").as("doc_b"), col("tot").as("totb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("summin"),
+        // floor(x*1e4+0.5): house rounding rule (engine round() diverges
+        // on halves, and Σmin/Σmax is a small-int rational that can hit one)
+        (floor(col("summin").cast("double") /
+          (col("tota") + col("totb") - col("summin")) * 1e4 + 0.5) / 1e4)
+          .as("w_jaccard"))
+  }
+
   /** End-to-end dedup: the surviving corpus after exact AND near-dup
     * removal — one row per kept (canonical) document with the number of
     * documents it represents. Edges = VERIFIED near-dup pairs (exact
@@ -867,21 +917,9 @@ object Dedup {
     * on the driver, never a full sort of the census. Ranking ties break
     * on the hash, so the report is deterministic. */
   def boilerplateTopK(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = docs(s, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        explode(ShingleExpressions.shingles(col("text"), SubstrGram)).as("g"))
-      .select(col("doc_id"), md5Hex(col("g")).as("gh"))
-      .groupBy("doc_id", "gh").agg(count(lit(1)).as("occ"))
     // K rows; localCheckpoint so the exemplar-id read and the final join
     // share ONE census execution
-    val top = perDoc.groupBy("gh")
-      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occurrences"),
-        min(col("doc_id")).as("exdoc"))
-      .filter(col("n_docs") >= 2)
-      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gh").asc)
-      .limit(BoilerplateK)
-      .localCheckpoint()
+    val top = boilerplateCensusTop(s, dir).localCheckpoint()
     val exIds = top.select("exdoc").distinct().collect().map(_.getLong(0))
     val winText = docs(s, dir)
       .filter(col("doc_id").isin(exIds.toSeq: _*))
@@ -891,6 +929,24 @@ object Dedup {
     top.join(winText, Seq("gh"))
       .select(col("win_text"), col("n_docs"), col("n_occurrences"))
   }
+
+  /** The census top-K BEFORE materialization — the single heavy pass of
+    * [[boilerplateTopK]], exposed unmaterialized so the plan spec can
+    * assert the bounded-heap take (in the executed operator the
+    * localCheckpoint hides this stage behind a row scan). */
+  private[graft] def boilerplateCensusTop(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(ShingleExpressions.shingles(col("text"), SubstrGram)).as("g"))
+      .select(col("doc_id"), md5Hex(col("g")).as("gh"))
+      .groupBy("doc_id", "gh").agg(count(lit(1)).as("occ"))
+      .groupBy("gh")
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occurrences"),
+        min(col("doc_id")).as("exdoc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gh").asc)
+      .limit(BoilerplateK)
 
   /** Exact-substring REMOVAL — the operator the `substringDup` audit
     * prepares for (Lee et al. 2022 §4.1 ExactSubstr: "we remove from the
@@ -1127,6 +1183,7 @@ object Dedup {
     "dedup_containment" -> (containment _),
     "dedup_clusters" -> (clusterAssign _),
     "dedup_minhash_verified" -> (minhashVerified _),
+    "dedup_jaccard_weighted" -> (weightedJaccard _),
     "dedup_minhash_estimate" -> (minhashEstimate _),
     "dedup_survivors" -> (survivors _),
     "dedup_incremental" -> (incremental _),
@@ -1392,6 +1449,20 @@ object Dedup {
         "SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src"),
     "dedup_minhash_verified" ->
       (s"WITH $lshCtes, cand AS ($lshPairsSelect), $shdCte $verifiedSelectSql"),
+    "dedup_jaccard_weighted" ->
+      (s"WITH $lshCtes, cand AS ($lshPairsSelect), " +
+        // Multiset counts: the same shingle chain WITHOUT list_distinct.
+        s"mex AS (SELECT doc_id, unnest(sh) AS x FROM sh WHERE len(sh) > 0), " +
+        s"mcnt AS (SELECT doc_id, ${graft.functions.hash64Sql("x")} AS g, count(*) AS c FROM mex GROUP BY 1, 2), " +
+        "mtot AS (SELECT doc_id, sum(c) AS tot FROM mcnt GROUP BY 1), " +
+        "mint AS (SELECT p.doc_a, p.doc_b, sum(least(a.c, b.c)) AS summin " +
+        "FROM cand p JOIN mcnt a ON a.doc_id = p.doc_a " +
+        "JOIN mcnt b ON b.doc_id = p.doc_b AND b.g = a.g GROUP BY 1, 2) " +
+        "SELECT p.doc_a, p.doc_b, CAST(coalesce(m.summin, 0) AS BIGINT) AS summin, " +
+        "floor(CAST(coalesce(m.summin, 0) AS DOUBLE) / " +
+        "(ta.tot + tb.tot - coalesce(m.summin, 0)) * 1e4 + 0.5) / 1e4 AS w_jaccard " +
+        "FROM cand p LEFT JOIN mint m ON m.doc_a = p.doc_a AND m.doc_b = p.doc_b " +
+        "JOIN mtot ta ON ta.doc_id = p.doc_a JOIN mtot tb ON tb.doc_id = p.doc_b"),
     "dedup_source_overlap" ->
       (s"WITH $lshCtes, cand AS ($lshPairsSelect), $shdCte, " +
         s"ver AS ($verifiedSelectSql) " +

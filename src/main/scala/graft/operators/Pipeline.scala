@@ -114,6 +114,42 @@ object Pipeline {
         .filter(col("align_keep") === 1).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
 
+  /** Near-dup slack of the source-level gate, ppm: a source may exceed
+    * twice the corpus-wide near-duplicate share by up to this much before
+    * it drops — absorbs small-source quantization (1 dup among 25 docs is
+    * already 40000 ppm) without letting a mirror-heavy source through. */
+  val SourceDupSlackPpm = 10000L
+
+  /** SOURCE-LEVEL curation — the RefinedWeb/FineWeb discipline where whole
+    * domains/feeds drop BEFORE any per-document gate runs: a source passes
+    * when its Gopher keep rate holds at least HALF the corpus-wide rate
+    * AND its near-duplicate share (TextOps.sourceStats, served survivor
+    * labels) stays within twice the corpus-wide share plus
+    * [[SourceDupSlackPpm]]. Both bars are SELF-TUNING — they move with the
+    * corpus instead of hard-coding this corpus's numbers — and compare on
+    * the exact integer ppm grid (corpus ppm = Σkeep*1e6 DIV Σdocs: longs
+    * to 1e11 docs, no doubles in the decision). The output is every
+    * document of every passing source — source curation is the stage
+    * BEFORE per-document gates, so the doc-level batteries (curate,
+    * curateModel, …) compose downstream rather than being baked in here.
+    * Scale: the per-source relation is O(sources) and broadcasts;
+    * documents flow through one broadcast semi-join — no corpus-sized
+    * shuffle. */
+  def curateSource(s: SparkSession, dir: String): DataFrame = {
+    val st = TextOps.sourceStats(s, dir).localCheckpoint()
+    val bars = st.agg(
+      expr("sum(n_keep) * 1000000 DIV sum(n_docs)").as("ck_ppm"),
+      expr("sum(n_neardup) * 1000000 DIV sum(n_docs)").as("cn_ppm"))
+    val pass = st.crossJoin(broadcast(bars))
+      .filter(col("keep_ppm") * 2 >= col("ck_ppm") &&
+        col("neardup_ppm") <= col("cn_ppm") * 2 + lit(SourceDupSlackPpm))
+      .select(col("source"))
+    graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(pass), Seq("source"), "left_semi")
+      .select(col("doc_id"), col("source"))
+  }
+
   /** FUZZY benchmark decontamination — the near-dup form `decontaminate`'s
     * exact 5-gram overlap cannot see (a paraphrased or lightly-edited
     * benchmark item shares few exact 5-grams but collides in MinHash
@@ -843,6 +879,7 @@ object Pipeline {
     "pipeline_curate" -> (curate _),
     "pipeline_curate_model" -> (curateModel _),
     "pipeline_curate_neardup" -> (curateNearDup _),
+    "pipeline_curate_source" -> (curateSource _),
     "pipeline_curate_semantic" -> (curateSemantic _),
     "pipeline_curate_aligned" -> (curateAligned _),
     "pipeline_split" -> (split _),
@@ -1069,6 +1106,13 @@ object Pipeline {
         "FROM documents d JOIN plan p ON d.source = p.source " +
         "GROUP BY d.source, p.n_docs, p.target_docs, p.full_epochs"
     },
+    "pipeline_curate_source" ->
+      (s"WITH ${TextOps.sourceStatsCtes}, " +
+        "corp AS (SELECT sum(n_keep) * 1000000 // sum(n_docs) AS ck_ppm, " +
+        "sum(n_neardup) * 1000000 // sum(n_docs) AS cn_ppm FROM stp), " +
+        "pass AS (SELECT source FROM stp, corp WHERE keep_ppm * 2 >= ck_ppm " +
+        s"AND neardup_ppm <= cn_ppm * 2 + $SourceDupSlackPpm) " +
+        "SELECT d.doc_id, d.source FROM documents d JOIN pass USING (source)"),
     "pipeline_curate_neardup" ->
       (s"WITH RECURSIVE ${Dedup.survivorLabCtes}, " +
         s"lang AS (${TextOps.oracles("text_langid")}), " +

@@ -1984,6 +1984,37 @@ object TextOps {
         sum(col("keep").cast("long")).as("n_gopher_keep"))
   }
 
+  /** The SOURCE report card — the per-source (domain/crawl/feed) rollup a
+    * curation run issues before deciding source-level drops (the
+    * RefinedWeb/FineWeb discipline: whole domains are dropped before any
+    * document-level gate runs). Three signals per source: size (docs,
+    * whitespace tokens), document quality (Gopher keep count), and
+    * NEAR-duplicate mass — the share of documents that are non-canonical
+    * members of a verified near-dup cluster, read from the served
+    * survivor labeling (AnnModels.survivorLabels; `corpusStats` already
+    * reports the cheaper exact-dup census — templated/boilerplate sources
+    * are invisible to it). Rates are exact integer ppm (count*1e6 DIV
+    * n_docs): nothing to drift. Scale: per-doc relations join on doc_id,
+    * then one partial-aggregated groupBy over source keys — a giant
+    * source is map-side-combined, never a single-task hotspot. */
+  def sourceStats(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = d.select(col("doc_id"), col("source"),
+      size(wsTokens(col("text"))).cast("long").as("n_tok"))
+    val keepFlags = gopherRulesOf(d).select(col("doc_id"), col("keep"))
+    val nearDup = AnnModels.survivorLabels(s, dir)
+      .select(col("doc_id"), (col("cluster_id") =!= col("doc_id")).cast("long").as("nd"))
+    base.join(keepFlags, Seq("doc_id")).join(nearDup, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("keep").cast("long")).as("n_keep"),
+        sum(col("nd")).as("n_neardup"))
+      .withColumn("keep_ppm", expr("n_keep * 1000000 DIV n_docs"))
+      .withColumn("neardup_ppm", expr("n_neardup * 1000000 DIV n_docs"))
+  }
+
   // --- wiring --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2003,6 +2034,7 @@ object TextOps {
     "text_perplexity_kn5" -> (perplexityKn5 _),
     "text_gopher_rules" -> (gopherRules _),
     "text_corpus_stats" -> (corpusStats _),
+    "text_source_stats" -> (sourceStats _),
     "text_tokens" -> (tokens _),
     "text_bpe_fertility" -> (bpeFertility _),
     "text_bpe_train" -> (bpeTrain _),
@@ -2106,6 +2138,7 @@ object TextOps {
         "CAST(sum(g.keep) AS BIGINT) AS n_gopher_keep " +
         "FROM wh JOIN census ON wh.h = census.h JOIN g ON wh.doc_id = g.doc_id " +
         "GROUP BY wh.lang, wh.source"),
+    "text_source_stats" -> sourceStatsSql,
     "text_quality_model" -> qualityModelSql,
     "text_quality_calibrated" -> qualityCalibratedSql,
     "text_importance_dsir" -> dsirSelectSql(DsirBuckets),
@@ -2286,6 +2319,26 @@ object TextOps {
       "(SELECT doc_id, text, string_split(text, ' ') AS toks, " +
       "string_split(text, chr(10)) AS lines FROM documents))"
   }
+
+  /** Oracle mirror of [[sourceStats]] — the Gopher battery + the FULL
+    * survivor-labeling replay (Dedup.survivorLabCtes, WITH RECURSIVE)
+    * rolled up per source; `stp` is the terminal CTE so the source-level
+    * curation gate's oracle (Pipeline.curateSourceSql) can extend the same
+    * chain without re-deriving it. */
+  private[operators] val sourceStatsCtes: String =
+    s"RECURSIVE ${Dedup.survivorLabCtes}, " +
+      s"g AS ($gopherSql), " +
+      "tok AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents), " +
+      "st AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(g.keep) AS BIGINT) AS n_keep, " +
+      "CAST(sum(CASE WHEN lab.cluster_id <> tok.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup " +
+      "FROM tok JOIN g USING (doc_id) JOIN lab USING (doc_id) GROUP BY source), " +
+      "stp AS (SELECT source, n_docs, n_tokens, n_keep, n_neardup, " +
+      "n_keep * 1000000 // n_docs AS keep_ppm, " +
+      "n_neardup * 1000000 // n_docs AS neardup_ppm FROM st)"
+
+  private val sourceStatsSql: String =
+    s"WITH $sourceStatsCtes SELECT * FROM stp"
 
   private val qualitySql: String =
     "SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, " +

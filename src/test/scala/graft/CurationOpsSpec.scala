@@ -515,4 +515,45 @@ class CurationOpsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(realAcc >= 0.95, s"seed agreement regressed: $realAcc")
   }
+
+  test("source-level gate: junk and mirror-heavy sources drop whole; good sources keep gopher-passing docs") {
+    // Three crafted sources, each hitting a different bar:
+    //  - srcgood: 12 distinct Gopher-passing docs (cross-doc 3-gram
+    //    Jaccard 6/34 ~ 0.176 < 0.2 -> no verified near-dups);
+    //  - srcjunk: 12 two-word docs (fail r_word_count; no shingles at
+    //    all, so invisible to LSH) -> fails the keep-rate bar only;
+    //  - srcmirror: 12 Gopher-PASSING near-copies (pairwise Jaccard
+    //    17/23 ~ 0.74 -> one 12-doc cluster, 11 non-canonical) ->
+    //    passes the keep bar, fails the near-dup bar.
+    val dir = java.nio.file.Files.createTempDirectory("graft_srcgate").toString
+    val stop = "the of and that be to have with"
+    def goodDoc(i: Long) =
+      ((stop + " " + (0 until 12).map(j => s"topic${j}doc$i").mkString(" ") + " ") * 8).trim
+    def mirrorDoc(i: Long) =
+      ((stop + " " + (0 until 11).map(j => s"mirror$j").mkString(" ") + s" mark$i ") * 8).trim
+    val rows =
+      (0L until 12L).map(i => (i, "srcgood", goodDoc(i))) ++
+        (12L until 24L).map(i => (i, "srcjunk", s"junk$i stuff")) ++
+        (24L until 36L).map(i => (i, "srcmirror", mirrorDoc(i)))
+    rows.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val st = TextOps.sourceStats(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(st("srcgood").getAs[Long]("n_keep") == 12L &&
+      st("srcgood").getAs[Long]("n_neardup") == 0L,
+      s"srcgood must be clean: ${st("srcgood")}")
+    assert(st("srcjunk").getAs[Long]("n_keep") == 0L,
+      s"srcjunk must fail gopher wholesale: ${st("srcjunk")}")
+    assert(st("srcmirror").getAs[Long]("n_keep") == 12L &&
+      st("srcmirror").getAs[Long]("n_neardup") == 11L,
+      s"srcmirror must be one 12-doc near-dup cluster: ${st("srcmirror")}")
+    assert(st.values.map(_.getAs[Long]("n_docs")).sum == 36L,
+      "source stats must partition the corpus")
+    val out = Pipeline.curateSource(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.map(_._2).toSet == Set("srcgood"),
+      s"only srcgood may pass the source bars, got ${out.map(_._2).toSet}")
+    assert(out.map(_._1).toSet == (0L until 12L).toSet,
+      "every doc of a passing source must survive (doc gates compose downstream)")
+  }
 }

@@ -493,4 +493,53 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(star == prop, "corpus LSH-pair labels diverge between engines")
   }
+
+  test("weighted jaccard equals an independently recomputed multiset min/max on every candidate pair") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.weightedJaccard(spark, sf).collect()
+    assert(rows.nonEmpty, "no LSH candidate pairs on the test corpus")
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def counts(t: String): Map[String, Int] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < Dedup.ShingleN) Map.empty
+      else toks.sliding(Dedup.ShingleN).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (ca, cb) = (counts(texts(a)), counts(texts(b)))
+      val smin = ca.keysIterator.map(k => math.min(ca(k), cb.getOrElse(k, 0))).sum.toLong
+      val smax = ca.values.sum.toLong + cb.values.sum.toLong - smin
+      assert(r.getLong(2) == smin, s"pair ($a,$b): summin ${r.getLong(2)} want $smin")
+      val wj = math.floor(smin.toDouble / smax * 1e4 + 0.5) / 1e4
+      assert(r.getDouble(3) == wj, s"pair ($a,$b): got ${r.getDouble(3)} want $wj")
+    }
+  }
+
+  test("weighted jaccard discounts repeated shared content where the distinct-set view saturates") {
+    // doc 0 repeats one 4-word paragraph five times; doc 1 is a single
+    // copy. Distinct-set Jaccard sees 2 shared types of doc 0's 4 =
+    // 0.5 — "near-identical" — while the multiset view matches only one
+    // replica of each shared shingle: sum-min 2 of sum-max 18 = 0.1111.
+    val dir = java.nio.file.Files.createTempDirectory("graft_wj").toString
+    val s = spark
+    import s.implicits._
+    val p = "alpha beta gamma delta"
+    Seq(
+      (0L, "src0", Seq.fill(5)(p).mkString(" ")),
+      (1L, "src0", p))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(pairs(Dedup.minhashLsh(spark, dir)).contains((0L, 1L)),
+      "premise: the replica pair must be an LSH candidate")
+    val wj = Dedup.weightedJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(wj((0L, 1L)) == ((2L, 0.1111)),
+      s"multiset view must discount the unmatched replicas, got ${wj((0L, 1L))}")
+    val setJ = Dedup.minhashVerified(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(setJ((0L, 1L)) == 0.5, "distinct-set view saturates at 0.5")
+  }
 }
