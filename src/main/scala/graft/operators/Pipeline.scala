@@ -264,6 +264,70 @@ object Pipeline {
   def packBpe(s: SparkSession, dir: String): DataFrame =
     pack(s, dir, PackBlock, TextOps.bpeCount(col("text")))
 
+  /** Docs per id-window shard of the FFD packer. Wider than PackBlock on
+    * purpose: FFD bins are SHARD-LOCAL (unlike `pack`'s chunks, which
+    * cross block boundaries via the prefix sum), so the shard must hold
+    * enough documents to fill bins — at ~60-token docs and 512-token bins,
+    * a 64-id window leaves every bin a third full. 512 ids bounds the
+    * fold state (loads list + bin list) at 512 entries: still cache-sized,
+    * and at deployment one shard ≈ one packing writer task. */
+  val FfdBlock = 512
+
+  /** ATOMIC-document packing — first-fit-decreasing bin packing into
+    * `CtxTokens`-token context windows, the packing mode that never splits
+    * a document across windows (`pack`'s concat-and-chunk model truncates
+    * at every boundary; removing those mid-document cuts is the reason
+    * packers pay the padding). Per (source, id-window) shard: documents
+    * sort by token count descending (FFD's 11/9·OPT guarantee needs the
+    * decreasing order), then each drops into the FIRST bin it fits;
+    * documents longer than a window get a bin of their own, flagged
+    * `oversize` (a writer truncates or segments those explicitly rather
+    * than silently). Output is the bin manifest: docs, tokens, padding
+    * (the waste audit `pack` cannot produce — its chunks are full by
+    * construction), oversize flag.
+    *
+    * Scale: bins never span shards, so the whole fold is a per-group
+    * Catalyst `aggregate` HOF over a collect_list bounded by [[FfdBlock]]
+    * — one bounded-group shuffle, no window over the raw corpus, no
+    * driver loop; shards pack embarrassingly parallel exactly like the
+    * writer tasks they model. The fold state is (bin loads, assignment)
+    * lists ≤ FfdBlock entries; everything downstream is id-sized. */
+  def packFfd(s: SparkSession, dir: String, ffdBlock: Int = FfdBlock): DataFrame = {
+    val base = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), wsTokenCount.as("n_tok"))
+      .withColumn("blk", expr(s"doc_id DIV $ffdBlock"))
+    // First bin (1-based) the current doc fits into; 0 = none. Evaluated
+    // per step over the ≤FfdBlock-long loads list — the whole FFD is
+    // O(docs·bins) comparisons inside one codegen'd expression.
+    val pos = s"array_position(transform(st.loads, l -> l + x.tok <= $CtxTokens), true)"
+    val zero = "named_struct('loads', cast(array() as array<bigint>), " +
+      "'bins', cast(array() as array<int>))"
+    val step =
+      s"""(st, x) -> named_struct(
+         |  'loads', CASE WHEN $pos = 0 THEN concat(st.loads, array(x.tok))
+         |    ELSE transform(st.loads, (l, i) -> IF(i = cast($pos as int) - 1, l + x.tok, l)) END,
+         |  'bins', concat(st.bins, array(CASE WHEN $pos = 0
+         |    THEN cast(size(st.loads) + 1 as int) ELSE cast($pos as int) END)))""".stripMargin
+    base
+      .groupBy(col("source"), col("blk"))
+      // ascending (negtok, doc_id) = FFD's (n_tok desc, doc_id asc) order
+      .agg(sort_array(collect_list(struct((-col("n_tok")).as("negtok"),
+        col("doc_id").as("doc_id"), col("n_tok").as("tok")))).as("sorted"))
+      .withColumn("bins", expr(s"aggregate(sorted, $zero, $step).bins"))
+      .select(col("source"), col("blk"), col("sorted"),
+        posexplode(col("bins")).as(Seq("i", "bin")))
+      .withColumn("tok", expr("element_at(sorted, cast(i + 1 as int)).tok"))
+      .groupBy(col("source"), col("blk"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      // bin-per-shard count is bounded by docs-per-shard, so this id is
+      // unique per source and stable across re-partitions
+      .select(col("source"),
+        (col("blk") * ffdBlock + col("bin") - 1).as("bin_id"),
+        col("n_docs"), col("n_tokens"),
+        greatest(lit(CtxTokens.toLong) - col("n_tokens"), lit(0L)).as("padding"),
+        (col("n_tokens") > CtxTokens).cast("int").as("oversize"))
+  }
+
   /** `pack` with the TRAINED tokenizer's budget — the full deployment loop
     * closed: train (`text_bpe_train`) → persist (AnnModels.bpeMergeTable)
     * → count with the SAME table through the native expression → plan
@@ -880,6 +944,7 @@ object Pipeline {
     "pipeline_curate_model" -> (curateModel _),
     "pipeline_curate_neardup" -> (curateNearDup _),
     "pipeline_curate_source" -> (curateSource _),
+    "pipeline_pack_ffd" -> ((s: SparkSession, dir: String) => packFfd(s, dir)),
     "pipeline_curate_semantic" -> (curateSemantic _),
     "pipeline_curate_aligned" -> (curateAligned _),
     "pipeline_split" -> (split _),
@@ -926,6 +991,43 @@ object Pipeline {
       s"${p}tg AS (SELECT source, n_docs, share6, (tn * share6 + 500000) // 1000000 AS target_docs FROM ${p}sh)"
 
   private val mixCtes: String = mixCtesNamed("")
+
+  /** Oracle mirror of [[packFfd]]: the per-shard FFD fold replayed as a
+    * recursive CTE — iteration r assigns every shard's rank-r document,
+    * carrying the bin-loads list and the assignment list as CTE columns
+    * (recursion depth = max docs per shard ≤ FfdBlock). `posSql` is the
+    * same first-fit probe the Spark fold runs (DuckDB list_position
+    * returns NULL where Spark's array_position returns 0). */
+  private val packFfdSql: String = {
+    val pos = "coalesce(list_position(list_transform(f.loads, " +
+      s"l -> l + d.n_tok <= $CtxTokens), true), 0)"
+    s"WITH RECURSIVE base AS (SELECT source, doc_id // $FfdBlock AS blk, doc_id, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+      "rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY source, blk " +
+      "ORDER BY n_tok DESC, doc_id) AS BIGINT) AS r FROM base), " +
+      "sz AS (SELECT source, blk, count(*) AS n FROM rk GROUP BY 1, 2), " +
+      "fold(source, blk, r, loads, bins) AS (" +
+      "SELECT source, blk, CAST(0 AS BIGINT), CAST([] AS BIGINT[]), CAST([] AS INT[]) FROM sz " +
+      "UNION ALL SELECT f.source, f.blk, f.r + 1, " +
+      s"CASE WHEN $pos = 0 THEN list_append(f.loads, d.n_tok) " +
+      s"ELSE list_concat(list_concat(f.loads[1:$pos - 1], [f.loads[$pos] + d.n_tok]), " +
+      s"f.loads[$pos + 1:len(f.loads)]) END, " +
+      s"list_append(f.bins, CAST(CASE WHEN $pos = 0 THEN len(f.loads) + 1 " +
+      s"ELSE $pos END AS INT)) " +
+      "FROM fold f JOIN rk d ON d.source = f.source AND d.blk = f.blk AND d.r = f.r + 1), " +
+      "final AS (SELECT f.* FROM fold f JOIN sz ON sz.source = f.source " +
+      "AND sz.blk = f.blk AND f.r = sz.n), " +
+      "asg AS (SELECT source, blk, unnest(list_transform(generate_series(1, len(bins)), " +
+      "i -> {'r': i, 'bin': bins[i]})) AS u FROM final), " +
+      "perdoc AS (SELECT source, blk, CAST(u.r AS BIGINT) AS r, u.bin AS bin FROM asg), " +
+      "j AS (SELECT p.source, p.blk, p.bin, d.n_tok FROM perdoc p " +
+      "JOIN rk d ON d.source = p.source AND d.blk = p.blk AND d.r = p.r) " +
+      s"SELECT source, blk * $FfdBlock + bin - 1 AS bin_id, count(*) AS n_docs, " +
+      "CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+      s"greatest($CtxTokens - CAST(sum(n_tok) AS BIGINT), 0) AS padding, " +
+      s"CASE WHEN sum(n_tok) > $CtxTokens THEN 1 ELSE 0 END AS oversize " +
+      "FROM j GROUP BY source, blk, bin"
+  }
 
   private val shingles5Sql =
     "list_transform(generate_series(1, len(string_split(text, ' ')) - 4), i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))"
@@ -1106,6 +1208,7 @@ object Pipeline {
         "FROM documents d JOIN plan p ON d.source = p.source " +
         "GROUP BY d.source, p.n_docs, p.target_docs, p.full_epochs"
     },
+    "pipeline_pack_ffd" -> packFfdSql,
     "pipeline_curate_source" ->
       (s"WITH ${TextOps.sourceStatsCtes}, " +
         "corp AS (SELECT sum(n_keep) * 1000000 // sum(n_docs) AS ck_ppm, " +

@@ -556,4 +556,46 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(_._1).toSet == (0L until 12L).toSet,
       "every doc of a passing source must survive (doc gates compose downstream)")
   }
+
+  test("FFD packing: decreasing first-fit fills windows exactly, oversize docs isolate in flagged bins") {
+    // sorted desc: 600,300,300,212,212 -> FFD bins [600*],[300+212],[300+212]
+    // (arrival order would leave 300|300+212|212+600*: three part-full
+    // bins plus the same oversize; decreasing order zero-pads here)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ffd").toString
+    def docOf(n: Int) = ("w " * n).trim
+    Seq((0L, "s", 300), (1L, "s", 300), (2L, "s", 212), (3L, "s", 212), (4L, "s", 600))
+      .map { case (i, src, n) => (i, src, docOf(n)) }
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.packFfd(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))))
+      .toMap
+    assert(got == Map(
+      0L -> ((1L, 600L, 0L, 1)),
+      1L -> ((2L, 512L, 0L, 0)),
+      2L -> ((2L, 512L, 0L, 0))),
+      s"FFD manifest diverged: $got")
+  }
+
+  test("FFD packing equals a JVM replay of the per-shard fold on the corpus") {
+    val got = Pipeline.packFfd(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ", -1).length.toLong))
+    val want = docs.groupBy(d => (d._1, d._2 / Pipeline.FfdBlock)).flatMap {
+      case ((src, blk), ds) =>
+        val loads = scala.collection.mutable.ArrayBuffer[Long]()
+        val nd = scala.collection.mutable.ArrayBuffer[Long]()
+        ds.sortBy(d => (-d._3, d._2)).foreach { d =>
+          val i = loads.indexWhere(_ + d._3 <= Pipeline.CtxTokens)
+          if (i < 0) { loads += d._3; nd += 1L } else { loads(i) += d._3; nd(i) += 1 }
+        }
+        loads.indices.map(i =>
+          ((src, blk.toLong * Pipeline.FfdBlock + i), (nd(i), loads(i))))
+    }
+    assert(got == want.toMap, "Spark FFD fold diverged from the JVM replay")
+    assert(got.values.map(_._1).sum == docs.length.toLong,
+      "every document must land in exactly one bin")
+  }
 }
