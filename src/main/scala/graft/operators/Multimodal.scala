@@ -195,6 +195,74 @@ object Multimodal {
     }
   }
 
+  /** 64-bit AUDIO fingerprint — the Haitsma-Kalker shape (binarized
+    * band-energy pattern over hopping windows; "A Highly Robust Audio
+    * Fingerprinting System", 2002): the asset's 8 hopping windows (the
+    * [[audioWindows]] grid) each split into 8 EQUAL sub-bands of the
+    * window's actual span (integer boundaries lo_b = st + b·len/8 — the
+    * phash segment rule, so short assets keep 8 discriminating bands
+    * instead of degenerating into two fixed-width ones), and bit (w*8+b)
+    * is set iff sub-band b's energy exceeds its window's mean
+    * (8·S > E — integer cross-multiplied, exact). Identical audio collides
+    * exactly; re-encoded/lightly-clipped audio lands within a small
+    * hamming distance, so the simhash/phash pigeonhole pairing applies
+    * verbatim to this column. Real RIFF/WAVE payloads fingerprint DECODED
+    * PCM (spec-asserted re-container invariance); everything else
+    * fingerprints raw bytes (the stub), keeping the gated corpus
+    * oracle-exact — the audioWindows discipline. */
+  private[graft] def audioFingerprintOf(a: Asset): (Long, Long, Int) = {
+    val win = 256; val hop = 128
+    def bands(value: Int => Long, n: Int): Seq[Array[Long]] = {
+      val starts = (0 until math.max(n - win + 1, 1) by hop).take(8)
+      starts.map { st =>
+        val end = math.min(st + win, n)
+        val len = end - st
+        val subs = new Array[Long](8)
+        var b = 0
+        while (b < 8) {
+          var i = st + b * len / 8
+          val hi = st + (b + 1) * len / 8
+          while (i < hi) {
+            val c = value(i)
+            subs(b) += c * c
+            i += 1
+          }
+          b += 1
+        }
+        subs
+      }
+    }
+    val ws = decodeWavSamples(a) match {
+      case Some(samples) => bands(i => samples(i).toLong, samples.length)
+      case None =>
+        val b = a.payload
+        bands(i => ((b(i) & 0xff) - 128).toLong, b.length)
+    }
+    var fp = 0L
+    ws.zipWithIndex.foreach { case (subs, w) =>
+      val tot = subs.sum
+      var j = 0
+      while (j < 8) {
+        if (subs(j) * 8 > tot) fp |= 1L << (w * 8 + j)
+        j += 1
+      }
+    }
+    (a.doc_id, fp, ws.length)
+  }
+
+  def audioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).map(audioFingerprintOf _).toDF("doc_id", "afp", "n_windows")
+  }
+
+  /** Audio near-dup candidate pairs: hamming <= 2 over [[audioFingerprint]]
+    * via the SHARED pigeonhole-block engine (Dedup.hammingPairs — the
+    * simhash/phash path verbatim: 3 bucket rows per asset, salted census,
+    * XOR-popcount verification only on candidates; never all-pairs). */
+  def audioPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.hammingPairs(audioFingerprint(s, dir)
+      .select(col("doc_id"), col("afp").as("h")))
+
   /** aHash-style perceptual fingerprint over the payload (the image-dedup
     * primitive): the payload is cut into 64 equal byte segments and bit j
     * is set iff segment j's mean byte value exceeds the whole-payload mean
@@ -718,6 +786,8 @@ object Multimodal {
     "mm_decode" -> (decode _),
     "mm_frame_sample" -> (frameSample _),
     "mm_audio_windows" -> (audioWindows _),
+    "mm_audio_fingerprint" -> (audioFingerprint _),
+    "mm_audio_pairs" -> (audioPairs _),
     "mm_resize" -> (resizePlan _),
     "mm_resize_sample" -> (resizeSample _),
     "mm_phash" -> (phash _),
@@ -741,6 +811,30 @@ object Multimodal {
   /** Shared base CTE: byte length + hex view of the utf8 payload. */
   private val hxBase =
     "base AS (SELECT doc_id, lower(hex(encode(text))) AS hx, strlen(text) AS n FROM documents)"
+
+  /** Oracle mirror of [[audioFingerprintOf]]'s stub path, ending in
+    * `afpn(doc_id, afp, n_windows)`: the audioWindows start grid, per
+    * (window, sub-band) energies over hex bytes, the 8·S > E bit rule
+    * (bit 63 emitted as Long.MinValue — the phashCtes sign discipline),
+    * bits summed to the signed 64-bit fingerprint. */
+  private val audioFpCtes: String =
+    s"$hxBase, " +
+      "aw AS (SELECT doc_id, hx, n, st, least(st + 256, n) - st AS len " +
+      "FROM (SELECT doc_id, hx, n, unnest(generate_series(0, least(greatest(n - 256, 0), 896), 128)) AS st FROM base)), " +
+      "awb AS (SELECT doc_id, st // 128 AS w, b, " +
+      "coalesce(list_sum(list_transform(generate_series(st + (b * len) // 8 + 1, st + ((b + 1) * len) // 8), " +
+      s"i -> (CAST(${hexByteSql("i")} AS BIGINT) - 128) * (CAST(${hexByteSql("i")} AS BIGINT) - 128))), 0) AS se " +
+      "FROM aw CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b)), " +
+      "awe AS (SELECT doc_id, w, CAST(sum(se) AS BIGINT) AS e FROM awb GROUP BY 1, 2), " +
+      "awn AS (SELECT doc_id, count(*) AS nw FROM aw GROUP BY 1), " +
+      "abits AS (SELECT awb.doc_id, CASE WHEN 8 * awb.se > awe.e THEN " +
+      "(CASE WHEN awb.w * 8 + awb.b = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
+      "ELSE (CAST(1 AS BIGINT) << CAST(awb.w * 8 + awb.b AS INT)) END) " +
+      "ELSE CAST(0 AS BIGINT) END AS bv " +
+      "FROM awb JOIN awe ON awe.doc_id = awb.doc_id AND awe.w = awb.w), " +
+      "afpn AS (SELECT b.doc_id, CAST(coalesce(sum(b.bv), 0) AS BIGINT) AS afp, " +
+      "CAST(any_value(w.nw) AS INT) AS n_windows " +
+      "FROM abits b JOIN awn w ON w.doc_id = b.doc_id GROUP BY b.doc_id)"
 
   private val phashCtes =
     s"$hxBase, " +
@@ -871,6 +965,11 @@ object Multimodal {
         s"j -> (CAST(${hexByteSql("j")} AS BIGINT) - 128) * " +
         s"(CAST(${hexByteSql("j")} AS BIGINT) - 128))), 0) AS BIGINT) AS energy " +
         "FROM w"),
+    "mm_audio_fingerprint" ->
+      (s"WITH $audioFpCtes SELECT doc_id, afp, n_windows FROM afpn"),
+    "mm_audio_pairs" ->
+      (s"WITH $audioFpCtes, af AS (SELECT doc_id, afp AS h FROM afpn), " +
+        s"${Dedup.hammingPairsCtes("af")} ${Dedup.hammingPairsSelect}"),
     "mm_phash_incremental" -> phashIncrementalSql,
     "mm_text_align" ->
       s"WITH $textAlignFullCtes SELECT doc_id, align4, align_keep FROM xalk")

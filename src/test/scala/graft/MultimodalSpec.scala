@@ -182,6 +182,72 @@ class MultimodalSpec extends SparkSpec {
       s"disjoint payload must not pair: $got")
   }
 
+  test("audio fingerprint matches an independent band-energy recompute; PCM re-containering is invariant") {
+    // Byte-path recompute, independent loop over the raw UTF-8 payloads.
+    val fps = Multimodal.audioFingerprint(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8"))
+    assert(texts.nonEmpty && fps.size == texts.length)
+    texts.foreach { case (id, bytes) =>
+      val starts = (0 until math.max(bytes.length - 255, 1) by 128).take(8)
+      var fp = 0L
+      starts.zipWithIndex.foreach { case (st, w) =>
+        val len = math.min(st + 256, bytes.length) - st
+        val subs = (0 until 8).map { b =>
+          (st + b * len / 8 until st + (b + 1) * len / 8).map { i =>
+            val c = ((bytes(i) & 0xff) - 128).toLong; c * c
+          }.sum
+        }
+        val tot = subs.sum
+        (0 until 8).foreach(j => if (subs(j) * 8 > tot) fp |= 1L << (w * 8 + j))
+      }
+      assert(fps(id) == ((fp, starts.length)), s"doc $id fingerprint diverged")
+    }
+    // The 8·S > E bit rule is SCALE-FREE: the same PCM re-containered
+    // big-endian decodes to identical samples, so the fingerprint is
+    // bit-identical — the property that makes this a PERCEPTUAL id where
+    // the byte-domain phash stub is container-sensitive.
+    import javax.sound.sampled._
+    val samples = Array.tabulate(700)(i => ((i * 37 + 11) % 4001 - 2000).toShort)
+    def wavBytes(bigEndian: Boolean): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        val v = samples(i).toInt
+        if (bigEndian) { bytes(2 * i) = (v >> 8).toByte; bytes(2 * i + 1) = v.toByte }
+        else { bytes(2 * i) = v.toByte; bytes(2 * i + 1) = (v >> 8).toByte }
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, bigEndian)
+      val in = new AudioInputStream(new java.io.ByteArrayInputStream(bytes), fmt, samples.length)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val le = Multimodal.audioFingerprintOf(Multimodal.Asset(9L, wavBytes(bigEndian = false)))
+    val be = Multimodal.audioFingerprintOf(Multimodal.Asset(9L, wavBytes(bigEndian = true)))
+    assert(le == be, "container endianness must not change the fingerprint")
+    assert(le._3 == (0 until (700 - 256 + 1) by 128).take(8).length,
+      "window count must follow the audioWindows grid")
+  }
+
+  test("mm_audio_pairs pairs identical payloads at hamming 0 and skips disjoint ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_afp").toString
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "src0", "the same asset bytes exactly as shipped by the upstream crawler"),
+      (2L, "src0", "the same asset bytes exactly as shipped by the upstream crawler"),
+      (3L, "src0", "zq zz qz xx completely different content with other byte structure"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.audioPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.contains((1L, 2L, 0)), s"identical payloads must pair at hamming 0: $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+      s"disjoint payload must not pair: $got")
+  }
+
   test("mm_resize preserves bounds: long side capped, nothing upscaled, patch grid exact") {
     import org.apache.spark.sql.functions._
     val df = Multimodal.resizePlan(spark, sf)
