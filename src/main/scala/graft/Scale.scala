@@ -175,7 +175,24 @@ object Scale {
       // round 11: temperature sampling — assignment join (registry-served
       // centroids) + bounded heaps + a capped-relation rank; must track
       // the assignment scan, not the window
-      "pipeline_sample_cluster" -> (Pipeline.sampleCluster _))
+      "pipeline_sample_cluster" -> (Pipeline.sampleCluster _),
+      // round 13: multiset verification — same candidate-bounded shape as
+      // minhash_verified (the pair join streams (pair, gram) rows pruned
+      // by the hash join), must track the candidate count, never corpus²
+      "dedup_jaccard_weighted" -> (Dedup.weightedJaccard _),
+      // round 13: atomic FFD packing — ONE bounded-group shuffle; the fold
+      // state is ≤ FfdBlock entries per shard regardless of corpus size
+      "pipeline_pack_ffd" -> ((s: SparkSession, d: String) => Pipeline.packFfd(s, d)),
+      // round 13: source-level gate — the per-source rollup rides the
+      // served survivor labels; the gate itself is O(sources) + broadcast
+      "pipeline_curate_source" -> (Pipeline.curateSource _),
+      // round 13: LR admission — first-touch carries the one-time fit
+      // (bounded driver-side rounds over the even-id half), served rows
+      // are one feature pass over the batch
+      "stream_ingest_lr" -> (graft.streaming.EventStreams.ingestLrBatch _),
+      // round 13: audio fingerprint pairing — pigeonhole-bucketed and
+      // salt-capped like simhash/phash; linear in assets by construction
+      "mm_audio_pairs" -> (graft.operators.Multimodal.audioPairs _))
 
   def main(args: Array[String]): Unit = {
     val outBase = args.headOption.getOrElse("/tmp/graft_scale")

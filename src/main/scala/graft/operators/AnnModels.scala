@@ -68,6 +68,8 @@ object AnnModels {
   @volatile private[graft] var shinglePairBuilds = 0
   @volatile private[graft] var pplScoreTrains = 0
 
+  @volatile private[graft] var lrGateTrains = 0
+  @volatile private[graft] var verifiedPairBuilds = 0
   @volatile private[graft] var survivorBuilds = 0
   @volatile private[graft] var tokenTotalTrains = 0
   @volatile private[graft] var dsirTrains = 0
@@ -316,6 +318,22 @@ object AnnModels {
     * and the three `pipeline_build*` capstones) — serving it from the
     * registry runs it once per corpus state instead of once per query.
     * Corpus-sized, so it keeps its natural partitioning. */
+  /** The corpus VERIFIED near-dup PAIR relation (doc_a, doc_b, jaccard)
+    * — LSH candidates verified by exact n-gram Jaccard, computed once per
+    * corpus state (r13, the SURVEY §16.8 invariant: it feeds the gated
+    * `dedup_minhash_verified`, the source-overlap matrix AND the
+    * survivor-label trainer — three consumers re-ran the whole
+    * candidate+verify chain per query before this). jaccard is an exact
+    * round-4 double, ids are longs — bit-identical round-trip.
+    * Pair-sized (candidate-bounded): natural partitioning. */
+  def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "vpairs",
+        s"p=${Dedup.MinhashPerms},n=${Dedup.ShingleN},j=${Dedup.JaccardThreshold},cap=${Dedup.MaxBucket}",
+        coalesce1 = false) {
+      verifiedPairBuilds += 1
+      Dedup.minhashVerifiedInline(s, dir)
+    }
+
   def survivorLabels(s: SparkSession, dir: String): DataFrame =
     ensure(s, dir, "cclab",
         s"p=${Dedup.MinhashPerms},n=${Dedup.ShingleN},j=${Dedup.JaccardThreshold}",
@@ -421,6 +439,22 @@ object AnnModels {
         coalesce1 = false) {
       lrMarginTrains += 1
       TextOps.qualityLrInline(s, dir)
+    }
+
+  /** The INGEST LR ADMISSION MODEL (j, mu, w) — the trained logistic
+    * classifier's 7-row weight relation (j = 0 bias, j = 1..6 the
+    * QualityFeatNames order; exact longs on the fit's own grids), trained
+    * ONCE per corpus state on the ingest convention (source <> 'src0',
+    * nll feature under the SAME registry-served corpus LM the trigram
+    * gate uses — the `ig` artifact, so the LmParams key threads the
+    * dependency). Batch admission broadcasts these 13 longs and scores
+    * new documents with one feature pass — the production shape where
+    * the fastText/logistic quality classifier gates the crawl nightly. */
+  def lrGate(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "qlrg",
+        s"fit=lr,k=${TextOps.QualityLrIters},eta=${TextOps.QualityLrEtaNum}/${TextOps.QualityLrEtaDen},ctr=mean-clamp1e4,feat=${TextOps.QualityFeatNames.size},half=even,seed=${TextOps.QualitySeedMinFlags},excl=src0,$LmParams") {
+      lrGateTrains += 1
+      TextOps.qualityLrGateInline(s, dir)
     }
 
   /** The corpus IVF ASSIGNMENT (vec_id, cent_id, ccos) — every vector's

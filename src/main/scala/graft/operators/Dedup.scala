@@ -612,7 +612,15 @@ object Dedup {
     * so verification cost is proportional to CANDIDATES, not corpus^2 (and
     * unlike `ngramJaccard`'s inverted index, no posting-list expansion at
     * all — the shingle arrays ship once per candidate partner). */
-  def minhashVerified(s: SparkSession, dir: String): DataFrame = {
+  def minhashVerified(s: SparkSession, dir: String): DataFrame =
+    AnnModels.verifiedPairs(s, dir)
+
+  /** The verification chain itself — what AnnModels.verifiedPairs runs
+    * ONCE per corpus state (r13: the relation is multi-consumer — the
+    * gated verified query, the source-overlap matrix, and the
+    * survivor-label trainer all read it — so it joined the served set
+    * per the SURVEY §16.8 invariant). */
+  private[graft] def minhashVerifiedInline(s: SparkSession, dir: String): DataFrame = {
     // Candidate pairs are bounded by LSH design — materialize them once
     // (localCheckpoint, like ccLabels' edge list) so the id set and the two
     // verification joins don't re-run candidate generation.

@@ -114,6 +114,50 @@ object Pipeline {
         .filter(col("align_keep") === 1).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
 
+  /** CURATION FUNNEL — the per-stage retention report of the full
+    * multimodal capstone chain (corpus → language → quality → exact dedup
+    * → semantic dedup → alignment): one row per stage with surviving doc
+    * count and retained ppm vs the corpus, each stage the CUMULATIVE
+    * conjunction of the gates `pipeline_curate_aligned` composes. The
+    * first question a pipeline operator asks after a run is "where did my
+    * documents go?" — this is that answer as a relation, and its last
+    * three rows are BY CONSTRUCTION the row counts of pipeline_curate,
+    * pipeline_curate_semantic and pipeline_curate_aligned (spec-asserted),
+    * so the funnel can never drift from the chain it reports on. Scale:
+    * every stage is an id-only flag join (the gates' own served artifacts
+    * do the heavy lifting once), folded into ONE aggregate row — the
+    * report costs a scan of id-sized relations, not a re-run per stage. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.Tables.load(s, dir, "documents").select(col("doc_id"))
+    val lang = TextOps.langid(s, dir)
+      .select(col("doc_id"), (col("pred_lang") === "en").cast("long").as("f1"))
+    val qual = TextOps.quality(s, dir)
+      .select(col("doc_id"),
+        (col("quality_score") >= QualityThreshold).cast("long").as("f2"))
+    val ex = Dedup.exact(s, dir)
+      .select(col("keep_id").as("doc_id"), lit(1L).as("f3"))
+    val sem = Dedup.semanticDedupKeep(s, dir)
+      .select(col("vec_id").as("doc_id"), lit(1L).as("f4"))
+    val al = graft.operators.Multimodal.textAlign(s, dir)
+      .filter(col("align_keep") === 1).select(col("doc_id"), lit(1L).as("f5"))
+    val cnts = d.join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
+      .join(ex, Seq("doc_id"), "left").join(sem, Seq("doc_id"), "left")
+      .join(al, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("f3", "f4", "f5"))
+      .agg(count(lit(1)).as("c0"),
+        sum(col("f1")).as("c1"),
+        sum(col("f1") * col("f2")).as("c2"),
+        sum(col("f1") * col("f2") * col("f3")).as("c3"),
+        sum(col("f1") * col("f2") * col("f3") * col("f4")).as("c4"),
+        sum(col("f1") * col("f2") * col("f3") * col("f4") * col("f5")).as("c5"))
+    cnts
+      .select(expr("stack(6, 0, 'corpus', c0, 1, 'lang_en', c1, 2, 'quality', c2, " +
+        "3, 'exact_dedup', c3, 4, 'semantic', c4, 5, 'aligned', c5) " +
+        "AS (stage, stage_name, n_docs)"), col("c0"))
+      .withColumn("retained_ppm", expr("n_docs * 1000000 DIV c0"))
+      .drop("c0")
+  }
+
   /** Near-dup slack of the source-level gate, ppm: a source may exceed
     * twice the corpus-wide near-duplicate share by up to this much before
     * it drops — absorbs small-source quantization (1 dup among 25 docs is
@@ -945,6 +989,7 @@ object Pipeline {
     "pipeline_curate_neardup" -> (curateNearDup _),
     "pipeline_curate_source" -> (curateSource _),
     "pipeline_pack_ffd" -> ((s: SparkSession, dir: String) => packFfd(s, dir)),
+    "pipeline_funnel" -> (funnel _),
     "pipeline_curate_semantic" -> (curateSemantic _),
     "pipeline_curate_aligned" -> (curateAligned _),
     "pipeline_split" -> (split _),
@@ -1179,6 +1224,34 @@ object Pipeline {
         "AND l.doc_id IN (SELECT keep_id FROM keep) " +
         "AND l.doc_id IN (SELECT vec_id FROM kk) " +
         "AND l.doc_id IN (SELECT doc_id FROM xalk WHERE align_keep = 1)"),
+    "pipeline_funnel" ->
+      // the curate_aligned CTE chain, folded into cumulative-conjunction
+      // counts instead of the survivor id set
+      (s"WITH RECURSIVE ${Dedup.semanticLabCtes}, " +
+        s"${Dedup.semanticKeepCte}, " +
+        s"${graft.operators.Multimodal.textAlignFullCtes}, " +
+        s"lang AS (${TextOps.oracles("text_langid")}), " +
+        s"qual AS (${TextOps.oracles("text_quality")}), " +
+        "keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)), " +
+        "fl AS (SELECT d.doc_id, " +
+        "CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END AS f1, " +
+        s"CASE WHEN q.quality_score >= $QualityThreshold THEN 1 ELSE 0 END AS f2, " +
+        "CASE WHEN d.doc_id IN (SELECT keep_id FROM keep) THEN 1 ELSE 0 END AS f3, " +
+        "CASE WHEN d.doc_id IN (SELECT vec_id FROM kk) THEN 1 ELSE 0 END AS f4, " +
+        "CASE WHEN d.doc_id IN (SELECT doc_id FROM xalk WHERE align_keep = 1) THEN 1 ELSE 0 END AS f5 " +
+        "FROM documents d JOIN lang l ON l.doc_id = d.doc_id JOIN qual q ON q.doc_id = d.doc_id), " +
+        "cn AS (SELECT CAST(count(*) AS BIGINT) AS c0, CAST(sum(f1) AS BIGINT) AS c1, " +
+        "CAST(sum(f1 * f2) AS BIGINT) AS c2, CAST(sum(f1 * f2 * f3) AS BIGINT) AS c3, " +
+        "CAST(sum(f1 * f2 * f3 * f4) AS BIGINT) AS c4, " +
+        "CAST(sum(f1 * f2 * f3 * f4 * f5) AS BIGINT) AS c5 FROM fl), " +
+        "stg AS (SELECT 0 AS stage, 'corpus' AS stage_name, c0 AS n_docs, c0 FROM cn " +
+        "UNION ALL SELECT 1, 'lang_en', c1, c0 FROM cn " +
+        "UNION ALL SELECT 2, 'quality', c2, c0 FROM cn " +
+        "UNION ALL SELECT 3, 'exact_dedup', c3, c0 FROM cn " +
+        "UNION ALL SELECT 4, 'semantic', c4, c0 FROM cn " +
+        "UNION ALL SELECT 5, 'aligned', c5, c0 FROM cn) " +
+        "SELECT CAST(stage AS INT) AS stage, stage_name, n_docs, " +
+        "n_docs * 1000000 // c0 AS retained_ppm FROM stg"),
     "pipeline_curate_model" ->
       (s"WITH lang AS (${TextOps.oracles("text_langid")}), " +
         s"qm AS (${TextOps.qualityModelSql}), " +

@@ -2502,56 +2502,71 @@ object TextOps {
     * pattern): each round's sigmoid quantizes to the 1e6 grid before the
     * exact-integer gradient and truncating-division update, so both
     * engines replay the identical weight trajectory. */
-  private[operators] lazy val qualityLrSql: String = {
-    val fs = QualityFeatNames
-    // z under the round-k weights (w0 = bias rides feature value 1e4)
-    def zSql(w: String): String =
-      s"$w.w0 * 10000 + " +
-        fs.zipWithIndex.map { case (f, i) => s"$w.w${i + 1} * $f" }.mkString(" + ")
-    val rounds = (1 to QualityLrIters).map { k =>
-      val pw = s"w${k - 1}"
-      val p6 = s"CAST(floor(1000000.0 / (1.0 + exp(-((${zSql("w")})::DOUBLE / 10000000000.0))) + 0.5) AS BIGINT)"
-      val grads = s"CAST(sum((cls * 1000000 - p6) * 10000) AS BIGINT) AS g0, " +
-        fs.zipWithIndex.map { case (f, i) =>
-          s"CAST(sum((cls * 1000000 - p6) * $f) AS BIGINT) AS g${i + 1}" }.mkString(", ")
-      val upd = (0 to fs.size).map(j =>
-        s"w.w$j + ($QualityLrEtaNum * g.g$j) // ($QualityLrEtaDen * g.n * 10000) AS w$j")
-        .mkString(", ")
-      // MATERIALIZED: DuckDB inlines plain CTEs, and w_k references
-      // w_{k-1} twice (directly and through g_k) — unmaterialized, the
-      // expansion is 2^K copies of the whole feature chain
-      s"g$k AS MATERIALIZED (SELECT count(*) AS n, $grads FROM " +
-        s"(SELECT tr.*, $p6 AS p6 FROM tr CROSS JOIN $pw w)), " +
-        s"w$k AS MATERIALIZED (SELECT $upd FROM $pw w CROSS JOIN g$k g)"
-    }.mkString(", ")
-    val featSel =
-      "SELECT q.doc_id, " +
-        "CAST(floor(q.stopword_ratio * 10000 + 0.5) AS BIGINT) AS f_stop, " +
-        "CAST(floor(q.repetition_ratio * 10000 + 0.5) AS BIGINT) AS f_rep, " +
-        "CAST(floor(q.punct_ratio * 10000 + 0.5) AS BIGINT) AS f_punct, " +
-        "CAST(floor(r.rep_ratio * 10000 + 0.5) AS BIGINT) AS f_rep3, " +
-        "coalesce(CAST(floor(p.avg_nll * 10000 + 0.5) AS BIGINT), 0) AS f_nll, " +
-        s"CAST(least(q.n_tokens, $QmLenCap) AS BIGINT) * 10000 // $QmLenCap AS f_len " +
-        "FROM qual q JOIN rep r ON q.doc_id = r.doc_id LEFT JOIN ppl p ON q.doc_id = p.doc_id"
-    // centered-clamped projection x_j = clamp(f_j − mu_j, ±1e4), shared by
-    // the training relation and the final scoring
-    def ctrSql(rel: String): String = fs.map(f =>
-      s"greatest(least($rel.$f - mu.m_$f, 10000), -10000) AS $f").mkString(", ")
-    val muSel = fs.map(f => s"CAST(sum($f) AS BIGINT) // count(*) AS m_$f").mkString(", ")
+  // --- LR-fit SQL building blocks, shared by the corpus gate
+  // (qualityLrSql) and the ingest admission gate (ingestLrSql) so the
+  // fit arithmetic lives in exactly one place ---------------------------
+
+  /** z under the round-k weights (w0 = bias rides feature value 1e4). */
+  private def lrZSql(w: String): String =
+    s"$w.w0 * 10000 + " +
+      QualityFeatNames.zipWithIndex
+        .map { case (f, i) => s"$w.w${i + 1} * $f" }.mkString(" + ")
+
+  /** The K batch-gradient rounds UNROLLED as g1/w1..gK/wK CTEs (the BPE
+    * merge-loop pattern) over a training CTE named `tr`. MATERIALIZED:
+    * DuckDB inlines plain CTEs, and w_k references w_{k-1} twice (directly
+    * and through g_k) — unmaterialized, the expansion is 2^K copies of the
+    * whole feature chain. */
+  private lazy val lrRoundsSql: String = (1 to QualityLrIters).map { k =>
+    val pw = s"w${k - 1}"
+    val p6 = s"CAST(floor(1000000.0 / (1.0 + exp(-((${lrZSql("w")})::DOUBLE / 10000000000.0))) + 0.5) AS BIGINT)"
+    val grads = s"CAST(sum((cls * 1000000 - p6) * 10000) AS BIGINT) AS g0, " +
+      QualityFeatNames.zipWithIndex.map { case (f, i) =>
+        s"CAST(sum((cls * 1000000 - p6) * $f) AS BIGINT) AS g${i + 1}" }.mkString(", ")
+    val upd = (0 to QualityFeatNames.size).map(j =>
+      s"w.w$j + ($QualityLrEtaNum * g.g$j) // ($QualityLrEtaDen * g.n * 10000) AS w$j")
+      .mkString(", ")
+    s"g$k AS MATERIALIZED (SELECT count(*) AS n, $grads FROM " +
+      s"(SELECT tr.*, $p6 AS p6 FROM tr CROSS JOIN $pw w)), " +
+      s"w$k AS MATERIALIZED (SELECT $upd FROM $pw w CROSS JOIN g$k g)"
+  }.mkString(", ")
+
+  /** The six fixed-point LR features from qual/rep/ppl CTEs. */
+  private def lrFeatSelSql(qual: String, rep: String, ppl: String): String =
+    "SELECT q.doc_id, " +
+      "CAST(floor(q.stopword_ratio * 10000 + 0.5) AS BIGINT) AS f_stop, " +
+      "CAST(floor(q.repetition_ratio * 10000 + 0.5) AS BIGINT) AS f_rep, " +
+      "CAST(floor(q.punct_ratio * 10000 + 0.5) AS BIGINT) AS f_punct, " +
+      "CAST(floor(r.rep_ratio * 10000 + 0.5) AS BIGINT) AS f_rep3, " +
+      "coalesce(CAST(floor(p.avg_nll * 10000 + 0.5) AS BIGINT), 0) AS f_nll, " +
+      s"CAST(least(q.n_tokens, $QmLenCap) AS BIGINT) * 10000 // $QmLenCap AS f_len " +
+      s"FROM $qual q JOIN $rep r ON q.doc_id = r.doc_id LEFT JOIN $ppl p ON q.doc_id = p.doc_id"
+
+  /** Centered-clamped projection x_j = clamp(f_j − mu_j, ±1e4), shared by
+    * the training relation and the final scoring. */
+  private def lrCtrSql(rel: String): String = QualityFeatNames.map(f =>
+    s"greatest(least($rel.$f - mu.m_$f, 10000), -10000) AS $f").mkString(", ")
+
+  private def lrMuSelSql: String = QualityFeatNames.map(f =>
+    s"CAST(sum($f) AS BIGINT) // count(*) AS m_$f").mkString(", ")
+
+  private def lrW0Sql: String =
+    s"w0 AS (SELECT ${(0 to QualityFeatNames.size).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")})"
+
+  private[operators] lazy val qualityLrSql: String =
     s"WITH qual AS ($qualitySql), rep AS ($repetitionSql), ppl AS ($perplexitySql), " +
-      s"ft AS MATERIALIZED ($featSel), " +
+      s"ft AS MATERIALIZED (${lrFeatSelSql("qual", "rep", "ppl")}), " +
       s"gp AS (SELECT doc_id, CASE WHEN ${GopherFlagNames.mkString(" + ")} >= $QualitySeedMinFlags " +
       s"THEN 1 ELSE 0 END AS cls FROM ($gopherSql)), " +
-      s"mu AS MATERIALIZED (SELECT $muSel FROM ft WHERE doc_id % 2 = 0), " +
-      s"tr AS MATERIALIZED (SELECT gp.cls, ${ctrSql("ft")} FROM ft JOIN gp ON ft.doc_id = gp.doc_id " +
+      s"mu AS MATERIALIZED (SELECT $lrMuSelSql FROM ft WHERE doc_id % 2 = 0), " +
+      s"tr AS MATERIALIZED (SELECT gp.cls, ${lrCtrSql("ft")} FROM ft JOIN gp ON ft.doc_id = gp.doc_id " +
       "CROSS JOIN mu WHERE ft.doc_id % 2 = 0), " +
-      s"w0 AS (SELECT ${(0 to fs.size).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}), " +
-      s"$rounds, " +
-      s"sc AS (SELECT ft.doc_id, ${ctrSql("ft")} FROM ft CROSS JOIN mu) " +
-      s"SELECT sc.doc_id, CAST(${zSql("w")} AS BIGINT) AS zlr10, " +
-      s"CASE WHEN ${zSql("w")} >= 0 THEN 1 ELSE 0 END AS lr_keep " +
+      s"$lrW0Sql, " +
+      s"$lrRoundsSql, " +
+      s"sc AS (SELECT ft.doc_id, ${lrCtrSql("ft")} FROM ft CROSS JOIN mu) " +
+      s"SELECT sc.doc_id, CAST(${lrZSql("w")} AS BIGINT) AS zlr10, " +
+      s"CASE WHEN ${lrZSql("w")} >= 0 THEN 1 ELSE 0 END AS lr_keep " +
       s"FROM sc CROSS JOIN w$QualityLrIters w"
-  }
 
   /** SQL mirror of EventStreams.ingestGateBatch — the FULL admission
     * chain replayed from the raw corpus: corpus-side LM (source !=
@@ -2663,6 +2678,62 @@ object TextOps {
       "thr AS (SELECT min(ccq.logit8) AS thr FROM ccq, tt WHERE ccq.cum >= tt.target AND ccq.cum - ccq.cnt < tt.target) " +
       "SELECT i.doc_id, i.logit8, CASE WHEN t.thr IS NULL OR i.logit8 >= t.thr THEN 1 ELSE 0 END AS admit " +
       "FROM qmi i CROSS JOIN thr t"
+  }
+
+  /** SQL mirror of EventStreams.ingestLrBatch — the LOGISTIC admission
+    * chain replayed end to end: corpus-side LM (source <> 'src0'), corpus
+    * features + Gopher seed labels + the K unrolled fit rounds (the SAME
+    * lrRoundsSql string qualityLrSql interpolates — one fit arithmetic,
+    * two oracles), then the ingest batch's features under OPEN LM scoring
+    * and the trained (mu, w) sign gate. */
+  private[graft] lazy val ingestLrSql: String = {
+    def swap(sql: String, src: String): String = {
+      require(sql.sliding("FROM documents".length).count(_ == "FROM documents") == 1,
+        "per-set CTE swap expects exactly one documents reference")
+      sql.replace("FROM documents", s"FROM $src")
+    }
+    def setCtes(tag: String, src: String): String =
+      s"qual$tag AS (${swap(qualitySql, src)}), rep$tag AS (${swap(repetitionSql, src)}), " +
+        s"tk$tag AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src), " +
+        pplScoreSql(s"tk$tag", tag) + ", " +
+        s"ft$tag AS MATERIALIZED (${lrFeatSelSql(s"qual$tag", s"rep$tag", s"ppl$tag")})"
+    "WITH corp AS (SELECT * FROM documents WHERE source <> 'src0'), " +
+      "ing AS (SELECT * FROM documents WHERE source = 'src0'), " +
+      lmCtesSql("corp") + ", " +
+      setCtes("c", "corp") + ", " + setCtes("i", "ing") + ", " +
+      s"gp AS (SELECT doc_id, CASE WHEN ${GopherFlagNames.mkString(" + ")} >= $QualitySeedMinFlags " +
+      s"THEN 1 ELSE 0 END AS cls FROM (${swap(gopherSql, "corp")})), " +
+      s"mu AS MATERIALIZED (SELECT $lrMuSelSql FROM ftc WHERE doc_id % 2 = 0), " +
+      s"tr AS MATERIALIZED (SELECT gp.cls, ${lrCtrSql("ftc")} FROM ftc JOIN gp ON ftc.doc_id = gp.doc_id " +
+      "CROSS JOIN mu WHERE ftc.doc_id % 2 = 0), " +
+      s"$lrW0Sql, " +
+      s"$lrRoundsSql, " +
+      s"sc AS (SELECT fti.doc_id, ${lrCtrSql("fti")} FROM fti CROSS JOIN mu) " +
+      s"SELECT sc.doc_id, CAST(${lrZSql("w")} AS BIGINT) AS zlr10, " +
+      s"CASE WHEN ${lrZSql("w")} >= 0 THEN 1 ELSE 0 END AS admit " +
+      s"FROM sc CROSS JOIN w$QualityLrIters w"
+  }
+
+  /** The LR admission-model trainer — what AnnModels.lrGate runs ONCE per
+    * corpus state: the qualityLrInline fit re-based on the ingest
+    * convention (train on source <> 'src0'; the nll feature scores under
+    * the SAME registry-served corpus LM the trigram admission gate uses),
+    * emitted as the 7-row (j, mu, w) model relation batch admission
+    * scores against — j = 0 is the bias (mu 0), j = 1..6 the
+    * QualityFeatNames order. */
+  private[graft] def qualityLrGateInline(s: SparkSession, dir: String): DataFrame = {
+    val (c3, c2, u, _) = AnnModels.ingestGate(s, dir)
+    val corpus = docs(s, dir).filter(col("source") =!= "src0")
+    val feats = qualityFeaturesOf(corpus, perplexityScore(corpus, c3, c2, u))
+      .localCheckpoint()
+    val flagSum = GopherFlagNames.map(col).reduce(_ + _)
+    val labels = gopherRulesOf(corpus).select(col("doc_id"),
+      when(flagSum >= QualitySeedMinFlags, 1).otherwise(0).as("cls"))
+    val (mu, w) = qualityLrFit(feats, labels)
+    import s.implicits._
+    (0 to QualityFeatNames.size)
+      .map(j => (j, if (j == 0) 0L else mu(j - 1), w(j)))
+      .toDF("j", "mu", "w")
   }
 
   /** SQL mirror of [[qualityModelOf]]: the SAME coefficient constants

@@ -608,6 +608,73 @@ object EventStreams {
         when(col("thr").isNull || col("logit8") >= col("thr"), 1).otherwise(0).as("admit"))
   }
 
+  /** LOGISTIC ADMISSION GATE — the trained-classifier form of the
+    * admission family (the production shape: CCNet/DataComp gate the
+    * crawl with a trained linear classifier, not a heuristic threshold):
+    * the corpus trains the LR model ONCE (AnnModels.lrGate — the
+    * qualityLr fit on the ingest convention, nll under the served corpus
+    * LM), and every ingest batch is scored by broadcasting the 13-long
+    * weight relation and running one feature pass — admit iff the exact
+    * fixed-point logit is non-negative (σ(z) >= 1/2). Unseen grams smooth
+    * open-vocabulary through perplexityScore's left joins; nothing about
+    * the corpus is re-read at admission time. This batch analog is the
+    * gated, oracle-replayed form; [[runIngestLrStep]] is the restartable
+    * nightly streaming form over the same scoring path. */
+  def ingestLrBatch(s: SparkSession, dir: String): DataFrame = {
+    val (c3, c2, u, _) = graft.operators.AnnModels.ingestGate(s, dir)
+    val model = graft.operators.AnnModels.lrGate(s, dir)
+    lrVerdicts(Tables.load(s, dir, "documents").filter(col("source") === "src0"),
+      c3, c2, u, model)
+  }
+
+  /** The ONE LR admission scoring path (batch analog and nightly step
+    * share it): features of `batch` under the persisted LM, scored with
+    * the persisted (mu, w) — a bounded 13-long driver value, the
+    * broadcast-model discipline. */
+  private def lrVerdicts(batch: DataFrame, c3: DataFrame, c2: DataFrame,
+      u: DataFrame, model: DataFrame): DataFrame = {
+    val rows = model.collect().sortBy(_.getInt(0))
+    val mu = rows.drop(1).map(_.getLong(1))
+    val w = rows.map(_.getLong(2))
+    val feats = graft.operators.TextOps.qualityFeaturesOf(batch,
+      graft.operators.TextOps.perplexityScore(batch, c3, c2, u))
+    graft.operators.TextOps.qualityLrScoreWith(feats, mu, w)
+      .select(col("doc_id"), col("zlr10"), col("lr_keep").as("admit"))
+  }
+
+  /** One restartable AvailableNow pass of the LR admission gate — the
+    * [[runIngestDsirStep]] recipe applied to the trained classifier:
+    * resume from `checkpoint`, score unseen drops against `corpusDir`'s
+    * registry-served LM + LR model, land verdicts in idempotent
+    * `batch=<batchId>` partitions (dynamic partition overwrite — a
+    * replayed batch overwrites its own partition). Stateless by
+    * construction: scoring runs per micro-batch through foreachBatch on
+    * the SHARED batch path; the only durable state is the file-source
+    * checkpoint. Missing or drop-free `dropDir` is a no-op. */
+  def runIngestLrStep(s: SparkSession, corpusDir: String, dropDir: String,
+      checkpoint: String, outPath: String, glob: String = "*.parquet"): Unit = {
+    if (!hasDrops(s, dropDir, glob)) return // no drops tonight — no-op, not a crash
+    val (c3, c2, u, _) = graft.operators.AnnModels.ingestGate(s, corpusDir)
+    val model = graft.operators.AnnModels.lrGate(s, corpusDir)
+    val rawSchema = s.read.option("pathGlobFilter", glob).parquet(dropDir).schema
+    val stream = s.readStream.schema(rawSchema).option("pathGlobFilter", glob)
+      .parquet(dropDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        lrVerdicts(batch.filter(col("source") === "src0").toDF(), c3, c2, u, model)
+          .withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch")
+          .parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** DSIR ADMISSION GATE — importance resampling as admission control,
     * the data-selection twin of [[ingestGateBatch]]: the corpus (source
     * <> 'src0') trains the hashed importance model ONCE (the full-domain
@@ -1054,6 +1121,7 @@ object EventStreams {
     "stream_dedup_incremental" -> ((s, dir) => incrementalVsIndex(s, dir)),
     "stream_ingest_phash" -> (phashVsIndex _),
     "stream_ingest_gate" -> (ingestGateBatch _),
+    "stream_ingest_lr" -> (ingestLrBatch _),
     "stream_ingest_dsir" -> (ingestDsirBatch _),
     "stream_sketch_distinct" -> ((s, dir) => windowDistinctSketch(Tables.load(s, dir, "events"))),
     "stream_topk" -> ((s, dir) => windowTopKBatch(Tables.load(s, dir, "events"))))
@@ -1102,6 +1170,7 @@ object EventStreams {
       // the in-query and the persisted-index forms
       graft.operators.Multimodal.phashIncrementalSql,
     "stream_ingest_gate" -> graft.operators.TextOps.ingestGateSql,
+    "stream_ingest_lr" -> graft.operators.TextOps.ingestLrSql,
     "stream_ingest_dsir" -> graft.operators.TextOps.ingestDsirSql,
     "stream_sketch_distinct" -> {
       import graft.operators.Extras.{KmvK, Two52}

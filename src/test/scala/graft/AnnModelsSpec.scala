@@ -303,6 +303,21 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("verified pairs: one candidate+verify chain serves the gated query, the overlap matrix and the CC trainer") {
+    AnnModels.withRoot(freshRoot("vpairs")) {
+      val v0 = AnnModels.verifiedPairBuilds
+      val served = rows(Dedup.minhashVerified(spark, sf))
+      assert(AnnModels.verifiedPairBuilds == v0 + 1, "first consumer must run the chain")
+      assert(served == rows(Dedup.minhashVerifiedInline(spark, sf)),
+        "artifact-served verified pairs diverged from the inline chain")
+      assert(served.nonEmpty, "construction check: the corpus has verified pairs")
+      Dedup.sourceOverlap(spark, sf).collect()
+      Dedup.survivors(spark, sf).collect()
+      assert(AnnModels.verifiedPairBuilds == v0 + 1,
+        "the overlap matrix and the survivor trainer must serve the one pair relation")
+    }
+  }
+
   test("perplexity scores: one scoring pass serves the bucket, curriculum and gate consumers") {
     val T = graft.operators.TextOps
     AnnModels.withRoot(freshRoot("ppl")) {

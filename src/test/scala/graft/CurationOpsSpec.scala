@@ -598,4 +598,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == docs.length.toLong,
       "every document must land in exactly one bin")
   }
+
+  test("pipeline_funnel stages are monotone and pin the capstone row counts by construction") {
+    val f = Pipeline.funnel(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(f.keySet == (0 to 5).toSet)
+    assert(f(0)._1 == "corpus" && f(0)._3 == 1000000L,
+      "stage 0 is the whole corpus at 1e6 ppm")
+    val counts = (0 to 5).map(f(_)._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"cumulative gates must be monotone nonincreasing: $counts")
+    assert(f(3)._2 == Pipeline.curate(spark, sf).count(),
+      "stage 3 must equal pipeline_curate's survivor count")
+    assert(f(4)._2 == Pipeline.curateSemantic(spark, sf).count(),
+      "stage 4 must equal pipeline_curate_semantic's survivor count")
+    assert(f(5)._2 == Pipeline.curateAligned(spark, sf).count(),
+      "stage 5 must equal pipeline_curate_aligned's survivor count")
+  }
 }

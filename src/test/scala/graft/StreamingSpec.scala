@@ -568,6 +568,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("LR admission: nightly step scores each drop once and equals the batch analog") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_lr_step").toString
+    val (corpusDir, dropDir, cp, out) =
+      (s"$base/corpus", s"$base/drops", s"$base/cp", s"$base/out")
+    def writeSingle(dir: String, fname: String, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = s"$base/tmp_$fname"
+      rows.toDF("doc_id", "source", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dir, fname))
+    }
+    // Gopher-separable corpus with both classes in the even-id training
+    // half: ids 2/4 fluent (seed class 1), 6/8 junk (seed class 0).
+    val fluent = ("the of and that be to have with " * 8).trim
+    val corpusRows = Seq(
+      (1L, "srcA", fluent + " alpha"), (2L, "srcA", fluent + " bravo"),
+      (3L, "srcA", fluent + " carol"), (4L, "srcA", fluent + " delta"),
+      (5L, "srcA", "zz @@ ## !! ?? xx"), (6L, "srcA", "qq ww ee rr tt yy"),
+      (7L, "srcA", "@@ ## $$ %% ^^ &&"), (8L, "srcA", "!! ?? ++ ~~ __ =="))
+    writeSingle(corpusDir, "documents.parquet", corpusRows)
+    val dropRows0 = Seq(
+      (10L, "src0", fluent + " echo"),
+      (11L, "src0", "** (( )) __ ++ ~~"))
+    val dropRows1 = Seq((12L, "src0", fluent + " facts"))
+    def verdicts(): Map[Long, Int] = {
+      if (!new java.io.File(out).exists()) Map.empty
+      else spark.read.parquet(out).collect()
+        .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-lr-step-models").toString
+    graft.operators.AnnModels.withRoot(root) {
+      val t0 = graft.operators.AnnModels.lrGateTrains
+      writeSingle(dropDir, "d0.parquet", dropRows0)
+      EventStreams.runIngestLrStep(spark, corpusDir, dropDir, cp, out)
+      val a1 = verdicts()
+      assert(a1.keySet == Set(10L, 11L), s"run 1 scores the first drop: $a1")
+      writeSingle(dropDir, "d1.parquet", dropRows1)
+      EventStreams.runIngestLrStep(spark, corpusDir, dropDir, cp, out)
+      val a2 = verdicts()
+      assert(a2.keySet == Set(10L, 11L, 12L), s"run 2 adds only the new drop: $a2")
+      assert(spark.read.parquet(out).count() == 3,
+        "processed files must never re-score (no duplicate verdicts)")
+      assert(graft.operators.AnnModels.lrGateTrains == t0 + 1,
+        "the registry LR model must train once across nightly runs")
+      val batchDir = s"$base/all"
+      writeSingle(batchDir, "documents.parquet", corpusRows ++ dropRows0 ++ dropRows1)
+      val batch = EventStreams.ingestLrBatch(spark, batchDir).collect()
+        .map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(batch == a2, s"nightly verdicts must equal the batch analog: $batch vs $a2")
+      assert(batch.values.toSet == Set(0, 1),
+        s"the trained classifier must actually split the drops: $batch")
+    }
+  }
+
   test("nightly steps no-op on a missing or drop-free directory") {
     val base = java.nio.file.Files.createTempDirectory("graft_nodrops").toString
     val root = java.nio.file.Files.createTempDirectory("graft-nodrops-models").toString
