@@ -1431,9 +1431,7 @@ object TextOps {
   private[graft] def dsirWt(d: DataFrame,
       buckets: Long = DsirBuckets): DataFrame =
     dsirOcc(d, buckets)
-      .join(gopherRulesOf(d).select(col("doc_id"),
-        when(GopherFlagNames.map(col).reduce(_ + _) >= QualitySeedMinFlags, 1)
-          .otherwise(0).as("tgt")), Seq("doc_id"))
+      .join(gopherSeedOf(d, as = "tgt"), Seq("doc_id"))
 
   /** The [[DsirBuckets]]-row importance model: per-bucket add-one
     * smoothed log-ratio between the target and raw distributions, over
@@ -1685,11 +1683,23 @@ object TextOps {
   private[graft] def trainQualityCentroids(s: SparkSession, dir: String): DataFrame =
     trainQualityCentroidsOf(docs(s, dir), perplexity(s, dir))
 
+  /** THE Gopher seed class over any documents relation: 1 iff the doc
+    * passes >= [[QualitySeedMinFlags]] of the 7 rules — the one seed rule
+    * every trained gate (Rocchio, logistic, LR admission, DSIR target)
+    * shares, stated once so the trainers can never drift apart. */
+  private[graft] def gopherSeedOf(d: DataFrame, as: String = "cls"): DataFrame =
+    gopherRulesOf(d).select(col("doc_id"),
+      when(GopherFlagNames.map(col).reduce(_ + _) >= QualitySeedMinFlags, 1)
+        .otherwise(0).as(as))
+
+  /** SQL mirror of [[gopherSeedOf]] over a gopher-battery subquery. */
+  private[operators] def gopherSeedSelSql(gopher: String, as: String = "cls"): String =
+    s"SELECT doc_id, CASE WHEN ${GopherFlagNames.mkString(" + ")} >= $QualitySeedMinFlags " +
+      s"THEN 1 ELSE 0 END AS $as FROM ($gopher)"
+
   private[graft] def trainQualityCentroidsOf(d: DataFrame, ppl: DataFrame): DataFrame = {
     val feats = qualityFeaturesOf(d, ppl)
-    val flagSum = GopherFlagNames.map(col).reduce(_ + _)
-    val labels = gopherRulesOf(d).select(col("doc_id"),
-      when(flagSum >= QualitySeedMinFlags, 1).otherwise(0).as("cls"))
+    val labels = gopherSeedOf(d)
     feats.join(labels, Seq("doc_id"))
       .filter(col("doc_id") % 2 === 0)
       .groupBy("cls")
@@ -1839,10 +1849,7 @@ object TextOps {
     * scoring) — what AnnModels.lrMargins runs ONCE per corpus state. */
   private[graft] def qualityLrInline(s: SparkSession, dir: String): DataFrame = {
     val feats = qualityFeaturesOf(docs(s, dir), perplexity(s, dir)).localCheckpoint()
-    val flagSum = GopherFlagNames.map(col).reduce(_ + _)
-    val labels = gopherRulesOf(docs(s, dir)).select(col("doc_id"),
-      when(flagSum >= QualitySeedMinFlags, 1).otherwise(0).as("cls"))
-    val (mu, w) = qualityLrFit(feats, labels)
+    val (mu, w) = qualityLrFit(feats, gopherSeedOf(docs(s, dir)))
     qualityLrScoreWith(feats, mu, w)
   }
 
@@ -2485,8 +2492,7 @@ object TextOps {
     val sq = (a: String) => fs.map(f => { val w = f.replaceFirst("f_", "w_"); s"$a.$w * $a.$w" }).mkString(" + ")
     s"WITH qual AS ($qualitySql), rep AS ($repetitionSql), ppl AS ($perplexitySql), " +
       s"ft AS ($featSel), " +
-      s"gp AS (SELECT doc_id, CASE WHEN ${GopherFlagNames.mkString(" + ")} >= $QualitySeedMinFlags " +
-      s"THEN 1 ELSE 0 END AS cls FROM ($gopherSql)), " +
+      s"gp AS (${gopherSeedSelSql(gopherSql)}), " +
       s"tr AS (SELECT gp.cls, count(*) AS n, $sums FROM ft JOIN gp ON ft.doc_id = gp.doc_id " +
       "WHERE ft.doc_id % 2 = 0 GROUP BY 1), " +
       s"ce AS (SELECT cls, $means FROM tr), " +
@@ -2523,8 +2529,11 @@ object TextOps {
     val grads = s"CAST(sum((cls * 1000000 - p6) * 10000) AS BIGINT) AS g0, " +
       QualityFeatNames.zipWithIndex.map { case (f, i) =>
         s"CAST(sum((cls * 1000000 - p6) * $f) AS BIGINT) AS g${i + 1}" }.mkString(", ")
+    // coalesce: an EMPTY training half leaves g_j NULL (and n = 0, so the
+    // division itself is NULL) — the Spark fit skips the update when
+    // n = 0, so the mirror must keep w unchanged too, not poison it
     val upd = (0 to QualityFeatNames.size).map(j =>
-      s"w.w$j + ($QualityLrEtaNum * g.g$j) // ($QualityLrEtaDen * g.n * 10000) AS w$j")
+      s"w.w$j + coalesce(($QualityLrEtaNum * g.g$j) // ($QualityLrEtaDen * g.n * 10000), 0) AS w$j")
       .mkString(", ")
     s"g$k AS MATERIALIZED (SELECT count(*) AS n, $grads FROM " +
       s"(SELECT tr.*, $p6 AS p6 FROM tr CROSS JOIN $pw w)), " +
@@ -2547,8 +2556,11 @@ object TextOps {
   private def lrCtrSql(rel: String): String = QualityFeatNames.map(f =>
     s"greatest(least($rel.$f - mu.m_$f, 10000), -10000) AS $f").mkString(", ")
 
+  /** coalesce: over an EMPTY training half sum() is NULL (and the // by
+    * count 0 stays NULL) — the Spark fit uses mu = 0 there, and a NULL
+    * mean would poison every centered feature and weight downstream. */
   private def lrMuSelSql: String = QualityFeatNames.map(f =>
-    s"CAST(sum($f) AS BIGINT) // count(*) AS m_$f").mkString(", ")
+    s"coalesce(CAST(sum($f) AS BIGINT) // count(*), 0) AS m_$f").mkString(", ")
 
   private def lrW0Sql: String =
     s"w0 AS (SELECT ${(0 to QualityFeatNames.size).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")})"
@@ -2556,8 +2568,7 @@ object TextOps {
   private[operators] lazy val qualityLrSql: String =
     s"WITH qual AS ($qualitySql), rep AS ($repetitionSql), ppl AS ($perplexitySql), " +
       s"ft AS MATERIALIZED (${lrFeatSelSql("qual", "rep", "ppl")}), " +
-      s"gp AS (SELECT doc_id, CASE WHEN ${GopherFlagNames.mkString(" + ")} >= $QualitySeedMinFlags " +
-      s"THEN 1 ELSE 0 END AS cls FROM ($gopherSql)), " +
+      s"gp AS (${gopherSeedSelSql(gopherSql)}), " +
       s"mu AS MATERIALIZED (SELECT $lrMuSelSql FROM ft WHERE doc_id % 2 = 0), " +
       s"tr AS MATERIALIZED (SELECT gp.cls, ${lrCtrSql("ft")} FROM ft JOIN gp ON ft.doc_id = gp.doc_id " +
       "CROSS JOIN mu WHERE ft.doc_id % 2 = 0), " +
@@ -2587,8 +2598,7 @@ object TextOps {
     * byte of arithmetic (VERDICT r11 #4: the oracle bump for realistic
     * width is a constant, by construction). */
   private def dsirSelectSql(buckets: Long): String =
-    s"WITH g AS (SELECT doc_id, CASE WHEN ${GopherFlagNames.mkString(" + ")} >= $QualitySeedMinFlags " +
-      s"THEN 1 ELSE 0 END AS tgt FROM ($gopherSql)), " +
+    s"WITH g AS (${gopherSeedSelSql(gopherSql, as = "tgt")}), " +
       "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
       s"occ AS (SELECT doc_id, ${hash52Sql("w")} % $buckets AS b, count(*) AS occ FROM tok GROUP BY 1, 2), " +
       "wt AS (SELECT o.doc_id, o.b, o.occ, g.tgt FROM occ o JOIN g ON o.doc_id = g.doc_id), " +
@@ -2615,8 +2625,7 @@ object TextOps {
     val B = DsirBuckets
     "WITH corp AS (SELECT * FROM documents WHERE source <> 'src0'), " +
       "ing AS (SELECT * FROM documents WHERE source = 'src0'), " +
-      s"g AS (SELECT doc_id, CASE WHEN ${GopherFlagNames.mkString(" + ")} >= $QualitySeedMinFlags " +
-      s"THEN 1 ELSE 0 END AS tgt FROM ($gopherCorp)), " +
+      s"g AS (${gopherSeedSelSql(gopherCorp, as = "tgt")}), " +
       "ctok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corp), " +
       s"cocc AS (SELECT doc_id, ${graft.functions.hash52Sql("w")} % $B AS b, count(*) AS occ FROM ctok GROUP BY 1, 2), " +
       "wt AS (SELECT o.doc_id, o.b, o.occ, g.tgt FROM cocc o JOIN g ON o.doc_id = g.doc_id), " +
@@ -2701,8 +2710,7 @@ object TextOps {
       "ing AS (SELECT * FROM documents WHERE source = 'src0'), " +
       lmCtesSql("corp") + ", " +
       setCtes("c", "corp") + ", " + setCtes("i", "ing") + ", " +
-      s"gp AS (SELECT doc_id, CASE WHEN ${GopherFlagNames.mkString(" + ")} >= $QualitySeedMinFlags " +
-      s"THEN 1 ELSE 0 END AS cls FROM (${swap(gopherSql, "corp")})), " +
+      s"gp AS (${gopherSeedSelSql(swap(gopherSql, "corp"))}), " +
       s"mu AS MATERIALIZED (SELECT $lrMuSelSql FROM ftc WHERE doc_id % 2 = 0), " +
       s"tr AS MATERIALIZED (SELECT gp.cls, ${lrCtrSql("ftc")} FROM ftc JOIN gp ON ftc.doc_id = gp.doc_id " +
       "CROSS JOIN mu WHERE ftc.doc_id % 2 = 0), " +
@@ -2726,10 +2734,7 @@ object TextOps {
     val corpus = docs(s, dir).filter(col("source") =!= "src0")
     val feats = qualityFeaturesOf(corpus, perplexityScore(corpus, c3, c2, u))
       .localCheckpoint()
-    val flagSum = GopherFlagNames.map(col).reduce(_ + _)
-    val labels = gopherRulesOf(corpus).select(col("doc_id"),
-      when(flagSum >= QualitySeedMinFlags, 1).otherwise(0).as("cls"))
-    val (mu, w) = qualityLrFit(feats, labels)
+    val (mu, w) = qualityLrFit(feats, gopherSeedOf(corpus))
     import s.implicits._
     (0 to QualityFeatNames.size)
       .map(j => (j, if (j == 0) 0L else mu(j - 1), w(j)))

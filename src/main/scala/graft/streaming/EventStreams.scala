@@ -1020,13 +1020,18 @@ object EventStreams {
     * Crash protocol (the totals-sidecar discipline): the consolidated
     * rows are STAGED at `<out>.compact/batch=<target>` and a
     * `_COMPACT_COVERS` marker naming every covered partition is written
-    * LAST; only then are covered partitions deleted and the staged
-    * directory renamed into place. A crash before the marker recomputes
-    * the stage from the still-intact partitions; a crash mid-delete
-    * resumes from the marker (deletes are idempotent, the stage holds
-    * every covered row); a crash after the rename only needs the staging
-    * cleanup. One pass per night, O(covered partitions) I/O, no
-    * corpus-side reads. */
+    * LAST (temp + atomic rename — a torn marker could name a partial
+    * covered set, and resuming against it would delete live partitions);
+    * only then are covered partitions deleted and the staged directory
+    * renamed into place. A crash before the marker recomputes the stage
+    * from the still-intact partitions; a crash mid-delete resumes from
+    * the marker (deletes are idempotent, the stage holds every covered
+    * row); a crash after the rename leaves the staged partition ABSENT
+    * from staging, which the resume reads as "swap complete" and only
+    * cleans staging — the live deletes are gated on the staged copy
+    * still existing, so a resume can never destroy the consolidated
+    * partition it just installed. One pass per night, O(covered
+    * partitions) I/O, no corpus-side reads. */
   def runCompactionStep(s: SparkSession, outPath: String,
       keepNights: Int = CompactKeepNights): Unit = {
     val outP = new org.apache.hadoop.fs.Path(outPath)
@@ -1037,12 +1042,25 @@ object EventStreams {
     def swap(covered: Seq[Long]): Unit = {
       val target = covered.max
       val stagedPart = new org.apache.hadoop.fs.Path(staging, s"batch=$target")
-      covered.foreach { b =>
-        val p = new org.apache.hadoop.fs.Path(outP, s"batch=$b")
-        if (fs.exists(p)) fs.delete(p, true)
+      // Once the deletes below run, the staged partition is the ONLY copy
+      // of the covered rows — so the live partitions are only ever touched
+      // while it is still present. If it is absent, a previous run already
+      // renamed it into place (the only way it leaves staging), the swap
+      // is complete, and only the staging cleanup remains — re-running the
+      // deletes here would destroy the consolidated partition itself.
+      if (fs.exists(stagedPart)) {
+        covered.foreach { b =>
+          val p = new org.apache.hadoop.fs.Path(outP, s"batch=$b")
+          if (fs.exists(p) && !fs.delete(p, true))
+            throw new java.io.IOException(s"compaction: cannot delete $p")
+        }
+        // rename failure reports as `false` on HDFS/local — abort BEFORE
+        // the staging delete so the staged rows (now the only copy)
+        // survive for the next resume
+        if (!fs.rename(stagedPart, new org.apache.hadoop.fs.Path(outP, s"batch=$target")))
+          throw new java.io.IOException(
+            s"compaction: rename $stagedPart failed; staged rows preserved for resume")
       }
-      if (fs.exists(stagedPart))
-        fs.rename(stagedPart, new org.apache.hadoop.fs.Path(outP, s"batch=$target"))
       fs.delete(staging, true)
     }
     if (fs.exists(marker)) {
@@ -1067,8 +1085,16 @@ object EventStreams {
     s.read.parquet(covered.map(b => s"$outPath/batch=$b"): _*)
       .write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(staging, s"batch=$target").toString)
-    val out = fs.create(marker, true)
+    // temp + rename: the marker is the commit point of the whole swap, so
+    // it must appear atomically — a torn in-place write could name a
+    // PARTIAL covered set, and resuming against it deletes partitions
+    // whose rows live only in the staged union (the _GRAFT_COMPLETE
+    // discipline from AnnModels.commitIfFresh, applied here)
+    val tmp = new org.apache.hadoop.fs.Path(staging, "_COMPACT_COVERS.tmp")
+    val out = fs.create(tmp, true)
     try out.write(covered.mkString(",").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(s"compaction: marker rename failed at $marker")
     swap(covered)
   }
 

@@ -12,9 +12,7 @@ object ProfileLr {
     val T = graft.operators.TextOps
     val d = graft.sources.Tables.load(s, sf, "documents")
     val feats = T.qualityFeaturesOf(d, T.perplexity(s, sf)).localCheckpoint()
-    val flagSum = T.GopherFlagNames.map(col).reduce(_ + _)
-    val labels = T.gopherRulesOf(d).select(col("doc_id"),
-      when(flagSum >= T.QualitySeedMinFlags, 1).otherwise(0).as("cls"))
+    val labels = T.gopherSeedOf(d)
     val (mu, w) = T.qualityLrFit(feats, labels)
     println(s"[lr] mu=${mu.mkString(",")}")
     println(s"[lr] w =${w.mkString(",")}")
@@ -25,8 +23,9 @@ object ProfileLr {
     println(f"[lr] full-corpus seed agreement = $acc%.3f")
 
     // Synthetic non-separable-by-midpoint corpus: cls1 tight at punct
-    // 9500; cls0 = 100 docs at 9000 + 20 far-low outliers at 1000. The
-    // Rocchio midpoint (8583) keeps the 9000-cluster — 50% accuracy.
+    // 9900; cls0 = 100 docs at 8700 + 20 far-low outliers at 500. The
+    // outliers drag the cls0 centroid low enough that the Rocchio
+    // midpoint lands INSIDE the 8700-cluster, which it then keeps.
     import s.implicits._
     val rows = (0 until 80).map(i => (i.toLong * 2, 1, 9900L)) ++
       (0 until 100).map(i => (200L + i * 2, 0, 8700L)) ++

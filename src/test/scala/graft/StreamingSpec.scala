@@ -993,6 +993,24 @@ class StreamingSpec extends SparkSpec {
         s"resume must finish the swap: ${parts("out_gate")}")
       assert(!new java.io.File(s"$base/out_gate.compact").exists(),
         "resume must clean up staging")
+      // crash AFTER the rename: marker still present, staged partition
+      // already renamed into place (absent from staging) — the resume
+      // must NOT re-run the covered deletes (the consolidated partition
+      // is the only copy now); it only cleans staging. This is the
+      // window where a delete-first resume silently destroys every
+      // compacted row.
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$base/out_gate.compact"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/out_gate.compact/_COMPACT_COVERS"),
+        cov.mkString(",").getBytes("UTF-8"))
+      EventStreams.runCompactionStep(spark, s"$base/out_gate")
+      assert(gateRows() == gBefore,
+        "a post-rename crash resume must preserve the consolidated rows")
+      assert(parts("out_gate") == Set("batch=2", "batch=3"),
+        s"post-rename resume must leave the live partitions alone: ${parts("out_gate")}")
+      assert(!new java.io.File(s"$base/out_gate.compact").exists(),
+        "post-rename resume must clean up staging")
     }
   }
 
