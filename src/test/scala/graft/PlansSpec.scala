@@ -123,6 +123,26 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("graft_cosine"), p)
   }
 
+  test("FFD packing plans as ONE bounded-group shuffle — no window, no sort, no second exchange") {
+    val p = plan(graft.operators.Pipeline.packFfd(spark, sf))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"the fold must ride a single (source, blk) shuffle:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"no window over the raw docs (the fold is a per-group HOF):\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"one documents scan feeds the whole packer:\n$p")
+    // the bin rollup must reuse the shard partitioning, not re-shuffle
+    assert(p.contains("HashAggregate"), s"bin rollup must hash-aggregate:\n$p")
+  }
+
+  test("weighted jaccard never plans a cartesian product; candidate joins stay key-equi") {
+    val p = plan(Dedup.weightedJaccard(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"multiset verification must stay candidate-bounded:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop fallback in the pair chain:\n$p")
+  }
+
   test("boilerplate census: top-k is a bounded-heap take, text resolves via broadcast") {
     // The heavy pass (asserted pre-materialization: the executed operator
     // localCheckpoints these K rows, hiding the take behind a row scan).
