@@ -317,6 +317,10 @@ object AnnModels {
     * FOUR gated consumers (`dedup_survivors`, `pipeline_curate_neardup`,
     * and the three `pipeline_build*` capstones) — serving it from the
     * registry runs it once per corpus state instead of once per query.
+    * The key carries cap=MaxBucket because the content is CC over the
+    * MaxBucket-capped verified pairs (same dependence as vpairs): a
+    * deployment that bumps the cap against a long-lived model dir must
+    * re-key the WHOLE dependent chain, not just the pair relation.
     * Corpus-sized, so it keeps its natural partitioning. */
   /** The corpus VERIFIED near-dup PAIR relation (doc_a, doc_b, jaccard)
     * — LSH candidates verified by exact n-gram Jaccard, computed once per
@@ -336,7 +340,7 @@ object AnnModels {
 
   def survivorLabels(s: SparkSession, dir: String): DataFrame =
     ensure(s, dir, "cclab",
-        s"p=${Dedup.MinhashPerms},n=${Dedup.ShingleN},j=${Dedup.JaccardThreshold}",
+        s"p=${Dedup.MinhashPerms},n=${Dedup.ShingleN},j=${Dedup.JaccardThreshold},cap=${Dedup.MaxBucket}",
         coalesce1 = false) {
       survivorBuilds += 1
       Dedup.survivorLabelsOf(s, dir)

@@ -730,15 +730,22 @@ object Dedup {
       .join(cnt.select(col("doc_id").as("doc_b"), col("g"), col("c").as("cb")),
         Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b").agg(sum(least(col("ca"), col("cb"))).as("summin"))
+    // Every join off the candidate spine is LEFT + coalesce(0): a candidate
+    // doc with no shingle counts scores 0 instead of silently vanishing
+    // (today unreachable — LSH candidates always have shingles — but the
+    // relation stays total if candidate generation ever changes).
+    val denom = col("tota") + col("totb") - col("summin")
     p.join(summin, Seq("doc_a", "doc_b"), "left")
       .withColumn("summin", coalesce(col("summin"), lit(0L)))
-      .join(tot.select(col("doc_id").as("doc_a"), col("tot").as("tota")), Seq("doc_a"))
-      .join(tot.select(col("doc_id").as("doc_b"), col("tot").as("totb")), Seq("doc_b"))
+      .join(tot.select(col("doc_id").as("doc_a"), col("tot").as("tota")), Seq("doc_a"), "left")
+      .withColumn("tota", coalesce(col("tota"), lit(0L)))
+      .join(tot.select(col("doc_id").as("doc_b"), col("tot").as("totb")), Seq("doc_b"), "left")
+      .withColumn("totb", coalesce(col("totb"), lit(0L)))
       .select(col("doc_a"), col("doc_b"), col("summin"),
         // floor(x*1e4+0.5): house rounding rule (engine round() diverges
         // on halves, and Σmin/Σmax is a small-int rational that can hit one)
-        (floor(col("summin").cast("double") /
-          (col("tota") + col("totb") - col("summin")) * 1e4 + 0.5) / 1e4)
+        when(denom === 0L, lit(0.0)).otherwise(
+          floor(col("summin").cast("double") / denom * 1e4 + 0.5) / 1e4)
           .as("w_jaccard"))
   }
 
@@ -1467,10 +1474,11 @@ object Dedup {
         "FROM cand p JOIN mcnt a ON a.doc_id = p.doc_a " +
         "JOIN mcnt b ON b.doc_id = p.doc_b AND b.g = a.g GROUP BY 1, 2) " +
         "SELECT p.doc_a, p.doc_b, CAST(coalesce(m.summin, 0) AS BIGINT) AS summin, " +
-        "floor(CAST(coalesce(m.summin, 0) AS DOUBLE) / " +
-        "(ta.tot + tb.tot - coalesce(m.summin, 0)) * 1e4 + 0.5) / 1e4 AS w_jaccard " +
+        "CASE WHEN coalesce(ta.tot, 0) + coalesce(tb.tot, 0) - coalesce(m.summin, 0) = 0 THEN 0.0 " +
+        "ELSE floor(CAST(coalesce(m.summin, 0) AS DOUBLE) / " +
+        "(coalesce(ta.tot, 0) + coalesce(tb.tot, 0) - coalesce(m.summin, 0)) * 1e4 + 0.5) / 1e4 END AS w_jaccard " +
         "FROM cand p LEFT JOIN mint m ON m.doc_a = p.doc_a AND m.doc_b = p.doc_b " +
-        "JOIN mtot ta ON ta.doc_id = p.doc_a JOIN mtot tb ON tb.doc_id = p.doc_b"),
+        "LEFT JOIN mtot ta ON ta.doc_id = p.doc_a LEFT JOIN mtot tb ON tb.doc_id = p.doc_b"),
     "dedup_source_overlap" ->
       (s"WITH $lshCtes, cand AS ($lshPairsSelect), $shdCte, " +
         s"ver AS ($verifiedSelectSql) " +

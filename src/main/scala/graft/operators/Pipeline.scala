@@ -140,10 +140,15 @@ object Pipeline {
       .select(col("vec_id").as("doc_id"), lit(1L).as("f4"))
     val al = graft.operators.Multimodal.textAlign(s, dir)
       .filter(col("align_keep") === 1).select(col("doc_id"), lit(1L).as("f5"))
-    val cnts = d.join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
+    // Every gate relation attaches LEFT onto the raw documents spine (a
+    // missing langid/quality row gates to 0, it does not shrink the base),
+    // so c0 is the raw corpus count BY CONSTRUCTION — not "corpus ∩ gates
+    // total per doc", which would silently shift every retained_ppm if a
+    // gate relation ever dropped rows (e.g. empty-token docs).
+    val cnts = d.join(lang, Seq("doc_id"), "left").join(qual, Seq("doc_id"), "left")
       .join(ex, Seq("doc_id"), "left").join(sem, Seq("doc_id"), "left")
       .join(al, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("f3", "f4", "f5"))
+      .na.fill(0L, Seq("f1", "f2", "f3", "f4", "f5"))
       .agg(count(lit(1)).as("c0"),
         sum(col("f1")).as("c1"),
         sum(col("f1") * col("f2")).as("c2"),
@@ -1239,7 +1244,7 @@ object Pipeline {
         "CASE WHEN d.doc_id IN (SELECT keep_id FROM keep) THEN 1 ELSE 0 END AS f3, " +
         "CASE WHEN d.doc_id IN (SELECT vec_id FROM kk) THEN 1 ELSE 0 END AS f4, " +
         "CASE WHEN d.doc_id IN (SELECT doc_id FROM xalk WHERE align_keep = 1) THEN 1 ELSE 0 END AS f5 " +
-        "FROM documents d JOIN lang l ON l.doc_id = d.doc_id JOIN qual q ON q.doc_id = d.doc_id), " +
+        "FROM documents d LEFT JOIN lang l ON l.doc_id = d.doc_id LEFT JOIN qual q ON q.doc_id = d.doc_id), " +
         "cn AS (SELECT CAST(count(*) AS BIGINT) AS c0, CAST(sum(f1) AS BIGINT) AS c1, " +
         "CAST(sum(f1 * f2) AS BIGINT) AS c2, CAST(sum(f1 * f2 * f3) AS BIGINT) AS c3, " +
         "CAST(sum(f1 * f2 * f3 * f4) AS BIGINT) AS c4, " +
