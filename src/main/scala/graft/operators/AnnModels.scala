@@ -99,15 +99,21 @@ object AnnModels {
       new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-models-${s.sparkContext.applicationId}").toString)
 
-  /** The trained IVF coarse quantizer (cent_id, cent_emb) for `dir`. */
-  def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+  /** The trained IVF coarse quantizer (cent_id, cent_emb) for `dir`.
+    * K is AUTO-SIZED from the corpus count (Similarity.ivfSizing) and
+    * baked into the store key, so a corpus that grows past a geometry
+    * threshold re-keys — and therefore retrains — the quantizer and
+    * every list-probing consumer downstream. */
+  def ivfCentroids(s: SparkSession, dir: String): DataFrame = {
+    val k = Similarity.ivfK(s, dir)
     ensure(s, dir, "ivf", table = "embeddings",
         params =
-        s"i=${Similarity.KMeansIters},m=${Similarity.TrainMod},k=${Similarity.NumCentroids}") {
+        s"i=${Similarity.KMeansIters},m=${Similarity.TrainMod},k=$k") {
       ivfTrains += 1
       Similarity.trainIvfCentroids(s, dir,
-        Similarity.KMeansIters, Similarity.TrainMod, Similarity.NumCentroids)
+        Similarity.KMeansIters, Similarity.TrainMod, k)
     }
+  }
 
   /** The trained PQ codebook (m, cent_id, cent) for `dir`. */
   def pqCodebook(s: SparkSession, dir: String): DataFrame =
@@ -471,7 +477,7 @@ object AnnModels {
     * Corpus-sized: natural partitioning. */
   def ivfAssign(s: SparkSession, dir: String): DataFrame =
     ensure(s, dir, "ivfasn",
-        s"i=${Similarity.KMeansIters},m=${Similarity.TrainMod},k=${Similarity.NumCentroids},round=4",
+        s"i=${Similarity.KMeansIters},m=${Similarity.TrainMod},k=${Similarity.ivfK(s, dir)},round=4",
         table = "embeddings", coalesce1 = false) {
       ivfAssignTrains += 1
       Similarity.ivfAssignInline(s, dir)
@@ -487,7 +493,7 @@ object AnnModels {
     * partitioning. */
   def semanticLabels(s: SparkSession, dir: String): DataFrame =
     ensure(s, dir, "semlab",
-        s"i=${Similarity.KMeansIters},m=${Similarity.TrainMod},k=${Similarity.NumCentroids},cap=${Dedup.LabelCap},cos=${Dedup.CosineThreshold}",
+        s"i=${Similarity.KMeansIters},m=${Similarity.TrainMod},k=${Similarity.ivfK(s, dir)},cap=${Dedup.LabelCap},cos=${Dedup.CosineThreshold}",
         table = "embeddings", coalesce1 = false) {
       semanticLabelTrains += 1
       Dedup.semanticLabInline(s, dir)

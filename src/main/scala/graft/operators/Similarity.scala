@@ -103,16 +103,37 @@ object Similarity {
     rankTopK(scored, col("cos").desc)
   }
 
-  /** 8 coarse lists trained on the deterministic 1-in-TrainMod sample;
+  /** Coarse lists train on the deterministic 1-in-TrainMod sample;
     * queries probe NumProbes lists → candidate scan fraction ≈
-    * NumProbes/NumCentroids. At real corpus sizes NumCentroids scales
-    * ~sqrt(N) (and TrainMod up, so the training sample stays fixed-size)
-    * keeping the probed fraction tiny; values here are sized for the test
-    * corpus where a recall floor is still measurable. */
+    * NumProbes/K. `NumCentroids` is the FLOOR of the list count — the
+    * test-corpus geometry where a recall floor is still measurable — and
+    * the actual K is AUTO-SIZED from the corpus count by [[ivfSizing]]
+    * (the `graphSizing` discipline applied to the quantizer): a fixed K
+    * at 100 TB means corpus/K-row inverted lists, degrading every
+    * list-probing consumer linearly. */
   val NumCentroids = 8
   val NumProbes = 2
   val TrainMod = 2
   val KMeansIters = 2
+
+  /** The coarse-quantizer list count for a corpus of `n` vectors — the
+    * documented Θ(√N) IVF sizing rule, APPLIED IN CODE (not left to the
+    * caller): K = ceil(√(n/32)), so both the centroid table a query scans
+    * (K rows) and the inverted lists it probes (~n/K rows each) grow as
+    * √N instead of one of them growing linearly. The 1/32 anchor floors
+    * every shipped scale (≤ 2048 vectors) exactly onto the legacy
+    * measured-recall K=8 geometry; past that K grows — 50k vectors → 40
+    * lists, 10^11 → ~56k lists (the FAISS-guideline K ~ Θ(√N) regime).
+    * Consumers (the registry trainer, every list-probing query) derive K
+    * from ONE column-pruned count job (parquet footer row counts), and
+    * the oracle mirrors the same rule as a COUNT(*) CTE, so Spark and
+    * DuckDB can never disagree on the geometry. */
+  def ivfSizing(n: Long): Int =
+    math.max(NumCentroids,
+      math.ceil(math.sqrt(math.max(n, 1L) / 32.0)).toInt)
+
+  /** The auto-sized K of `dir`'s embeddings corpus (one count job). */
+  def ivfK(s: SparkSession, dir: String): Int = ivfSizing(emb(s, dir).count())
 
   /** IVF-style ANN with a TRAINED coarse quantizer: `KMeansIters` Lloyd's
     * iterations over a deterministic `vec_id % TrainMod` training sample
@@ -139,7 +160,7 @@ object Similarity {
     * the round-1 baseline, kept for the recall-improvement spec). */
   def annIvfIters(s: SparkSession, dir: String, iters: Int,
       nprobe: Int = NumProbes, trainMod: Int = TrainMod,
-      numCentroids: Int = NumCentroids): DataFrame = {
+      numCentroids: Int = 0): DataFrame = {
     val (assign, probes) = ivfParts(s, dir, iters, nprobe, trainMod, numCentroids)
     val scored = assign.join(probes, Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -154,17 +175,21 @@ object Similarity {
     * `probes` = (query_id, q_emb, cent_id), each query's nprobe lists. */
   private[operators] def ivfParts(s: SparkSession, dir: String, iters: Int = KMeansIters,
       nprobe: Int = NumProbes, trainMod: Int = TrainMod,
-      numCentroids: Int = NumCentroids): (DataFrame, DataFrame) = {
+      numCentroids: Int = 0): (DataFrame, DataFrame) = {
     val e = emb(s, dir)
+    // numCentroids = 0 means AUTO (the ivfSizing rule — the gated path).
     // Default training constants → the persisted model artifact (train at
-    // most once per dataset, across ALL consumers and queries — AnnModels);
-    // non-default (the recall specs' untrained/deep variants) trains
-    // inline, localCheckpoint'd so Lloyd's lineage doesn't re-run per
-    // consumer. Either way `cent` is a materialized <= numCentroids rows.
+    // most once per dataset, across ALL consumers and queries — AnnModels,
+    // which derives the auto K itself for its store key);
+    // non-default (the recall specs' untrained/deep/explicit-K variants)
+    // trains inline, localCheckpoint'd so Lloyd's lineage doesn't re-run
+    // per consumer. Either way `cent` is a materialized <= K rows.
+    val isDefault =
+      iters == KMeansIters && trainMod == TrainMod && numCentroids == 0
+    lazy val k = if (numCentroids > 0) numCentroids else ivfK(s, dir)
     val cent =
-      if (iters == KMeansIters && trainMod == TrainMod && numCentroids == NumCentroids)
-        AnnModels.ivfCentroids(s, dir)
-      else trainIvfCentroids(s, dir, iters, trainMod, numCentroids).localCheckpoint()
+      if (isDefault) AnnModels.ivfCentroids(s, dir)
+      else trainIvfCentroids(s, dir, iters, trainMod, k).localCheckpoint()
     // Default constants → the corpus ASSIGNMENT is itself a registry
     // artifact (r13): the broadcast-join + per-vector argmax window is the
     // dominant sub-plan of every list-probing consumer (ANN family,
@@ -172,7 +197,7 @@ object Similarity {
     // per corpus state and consumers re-attach the embedding column with
     // an id-equijoin against the corpus table — scan + join, no window.
     val assign =
-      if (iters == KMeansIters && trainMod == TrainMod && numCentroids == NumCentroids)
+      if (isDefault)
         AnnModels.ivfAssign(s, dir).join(e, Seq("vec_id"))
           .select(col("vec_id"), col("embedding"), col("cent_id"), col("ccos"))
       else ivfAssignWith(e, cent).join(e, Seq("vec_id"))
@@ -375,7 +400,7 @@ object Similarity {
     * shared by `annIvfPq` (ranks on the ADC distance directly) and
     * `annIvfPqRerank` (exact-rescores the ADC shortlist). */
   private[graft] def ivfPqScored(s: SparkSession, dir: String): DataFrame = {
-    val (assign, probes) = ivfParts(s, dir, KMeansIters, NumProbes, TrainMod, NumCentroids)
+    val (assign, probes) = ivfParts(s, dir)
     val (codes, lut) = pqParts(s, dir)
     val lists = assign.select(col("vec_id"), col("cent_id").as("list_id"))
     val plists = probes.select(col("query_id"), col("cent_id").as("list_id"))
@@ -659,10 +684,17 @@ object Similarity {
     * coarse quantizer's corpus assignment, the exact training replay the
     * sim_ann_ivf oracle runs. Shared with the dedup_semantic oracle so the
     * learned clustering cannot drift between the ANN and dedup mirrors. */
+  /** SQL mirror of [[ivfSizing]] — the auto-sized list count as a 1-row
+    * CTE, so the oracle replays the SAME K the engine derives at any
+    * corpus size (both sides: IEEE sqrt + ceil, floor at NumCentroids). */
+  private[operators] val ivfkCte: String =
+    s"ivfk AS (SELECT greatest($NumCentroids, CAST(ceil(sqrt(count(*) / 32.0)) AS BIGINT)) AS k FROM embeddings)"
+
   private[operators] val ivfAssignCtes: String =
-    s"qv AS (SELECT vec_id, embedding, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qemb FROM embeddings), " +
+    s"$ivfkCte, " +
+      s"qv AS (SELECT vec_id, embedding, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qemb FROM embeddings), " +
       s"train AS (SELECT * FROM qv WHERE vec_id % $TrainMod = 0), " +
-      s"cent0 AS (SELECT CAST(vec_id // $TrainMod AS INT) AS cent_id, list_transform(qemb, q -> CAST(q AS DOUBLE) / 1024.0) AS cent_emb FROM train WHERE vec_id < ${TrainMod * NumCentroids}), " +
+      s"cent0 AS (SELECT CAST(vec_id // $TrainMod AS INT) AS cent_id, list_transform(qemb, q -> CAST(q AS DOUBLE) / 1024.0) AS cent_emb FROM train WHERE vec_id < $TrainMod * (SELECT k FROM ivfk)), " +
       (1 to KMeansIters).map { k =>
         s"s$k AS (SELECT t.vec_id, t.qemb, c.cent_id, ${cosBetween("t.embedding", "c.cent_emb")} AS ccos FROM train t CROSS JOIN cent${k - 1} c), " +
           s"a$k AS (SELECT vec_id, qemb, cent_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM s$k) WHERE rn = 1), " +
@@ -693,9 +725,10 @@ object Similarity {
         s"pu$k AS (SELECT m, cent_id, j AS pos, CAST(sum(qemb[m * $PqSubDims + j]) AS BIGINT) AS qs, count(*) AS n FROM pa$k CROSS JOIN generate_series(1, $PqSubDims) g(j) GROUP BY 1, 2, 3), " +
         s"pcent$k AS (SELECT m, cent_id, list(CAST(qs AS DOUBLE) / n / 1024.0 ORDER BY pos) AS cent FROM pu$k GROUP BY m, cent_id)"
     }.mkString(", ")
-    s"qv AS (SELECT vec_id, embedding, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qemb FROM embeddings), " +
+    s"$ivfkCte, " +
+      s"qv AS (SELECT vec_id, embedding, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qemb FROM embeddings), " +
       s"train AS (SELECT * FROM qv WHERE vec_id % $TrainMod = 0), " +
-      s"icent0 AS (SELECT CAST(vec_id // $TrainMod AS INT) AS cent_id, list_transform(qemb, q -> CAST(q AS DOUBLE) / 1024.0) AS cent_emb FROM train WHERE vec_id < ${TrainMod * NumCentroids}), " +
+      s"icent0 AS (SELECT CAST(vec_id // $TrainMod AS INT) AS cent_id, list_transform(qemb, q -> CAST(q AS DOUBLE) / 1024.0) AS cent_emb FROM train WHERE vec_id < $TrainMod * (SELECT k FROM ivfk)), " +
       ivfIter + ", " +
       s"icent AS (SELECT * FROM icent$KMeansIters), " +
       s"isa AS (SELECT e.vec_id, c.cent_id, ${cosBetween("e.embedding", "c.cent_emb")} AS ccos FROM embeddings e CROSS JOIN icent c), " +

@@ -38,7 +38,7 @@ class AnnModelsSpec extends SparkSpec {
     AnnModels.withRoot(freshRoot("parity")) {
       val ivfArtifact = rows(AnnModels.ivfCentroids(spark, sf))
       val ivfInline = rows(Similarity.trainIvfCentroids(spark, sf,
-        Similarity.KMeansIters, Similarity.TrainMod, Similarity.NumCentroids))
+        Similarity.KMeansIters, Similarity.TrainMod, Similarity.ivfK(spark, sf)))
       assert(ivfArtifact == ivfInline, "IVF artifact diverges from inline training")
       val pqArtifact = rows(AnnModels.pqCodebook(spark, sf))
       val pqInline = rows(Similarity.trainPqCodebook(spark, sf))

@@ -175,6 +175,44 @@ class SimilaritySpec extends SparkSpec {
       "auto path produced the fixed-constant graph — sizing did not kick in")
   }
 
+  test("IVF auto-sizing: shipped scales keep K=8; big corpora grow the list count") {
+    import Similarity.ivfSizing
+    // every shipped test scale (500 / 2000 vectors) lands on the legacy
+    // K=8 floor — the gated results are unchanged by the auto-sizing
+    assert(ivfSizing(500) == 8 && ivfSizing(2000) == 8 && ivfSizing(2048) == 8)
+    // the rule kicks in one vector past the floor threshold
+    assert(ivfSizing(2049) == 9, s"got ${ivfSizing(2049)}")
+    // the x100 scale-harness corpus and a production-ish count
+    assert(ivfSizing(50000) == 40 && ivfSizing(500000) == 125)
+    // monotone and Θ(√N): K never shrinks, and K² stays within N so the
+    // centroid table a query scans never outgrows an inverted list
+    var prev = 0
+    for (e <- 8 to 40) {
+      val k = ivfSizing(1L << e)
+      assert(k >= prev && k.toLong * k <= math.max(1L << e, 64L), s"n=2^$e -> K=$k")
+      prev = k
+    }
+  }
+
+  test("annIvf applies the sizing on an above-threshold generated corpus") {
+    // 3200 vectors → K = ceil(√(3200/32)) = 10: the registry must train
+    // the GROWN geometry, and the auto path must equal an explicitly
+    // K=10-sized inline call — proving the gated entry applies the rule
+    // rather than the fixed floor constant.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_auto").toString
+    graft.Scale.genEmbeddings(spark, 3200, dir)
+    assert(Similarity.ivfK(spark, dir) == 10)
+    val cents = graft.operators.AnnModels.ivfCentroids(spark, dir)
+      .select("cent_id").collect().map(_.getInt(0)).toSet
+    assert(cents.size > 8 && cents.subsetOf((0 until 10).toSet),
+      s"trained geometry $cents is not the grown K=10 one")
+    val auto = pairs(Similarity.annIvf(spark, dir))
+    val explicit = pairs(Similarity.annIvfIters(spark, dir,
+      Similarity.KMeansIters, Similarity.NumProbes, Similarity.TrainMod, 10))
+    assert(auto == explicit,
+      "auto-sized IVF diverges from the explicitly K=10-sized one")
+  }
+
   test("prototype pruning keeps the hard (low-ccos) fraction per cluster, quota met exactly") {
     import org.apache.spark.sql.functions._
     val kept = Similarity.prototypePrune(spark, sf).collect()
