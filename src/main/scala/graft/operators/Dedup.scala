@@ -1029,6 +1029,31 @@ object Dedup {
     * POSITIONS only — bounded by the doc's own window count, never
     * corpus-sized. */
   def substringSpans(s: SparkSession, dir: String): DataFrame = {
+    val spans = dupSpans(s, dir)
+      .select(col("doc_id"), (col("sp_end") - col("sp_start") + 1).as("span_len"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        max(col("span_len")).cast("int").as("max_span_len"),
+        sum(col("span_len")).cast("int").as("covered_tokens"))
+    docs(s, dir)
+      .select(col("doc_id"), size(wsTokens(col("text"))).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("max_span_len"), lit(0)).as("max_span_len"),
+        coalesce(col("covered_tokens"), lit(0)).as("covered_tokens"))
+      .withColumn("covered_share6",
+        expr("CAST(covered_tokens AS BIGINT) * 1000000 DIV n_tokens"))
+  }
+
+  /** The merged maximal duplicated-span relation (doc_id, sp_start,
+    * sp_end), 1-based inclusive token intervals — the census + coverage
+    * merge shared by [[substringSpans]] (reports span statistics) and
+    * [[substringRemoveSpans]] (excises qualifying spans). Shape: the
+    * census side is substringDup's; the merge is one lag + running-sum
+    * window PARTITIONED BY doc_id over duplicated positions only —
+    * bounded by the doc's own window count, never corpus-sized. */
+  private[graft] def dupSpans(s: SparkSession, dir: String): DataFrame = {
     val w = SubstrGram
     val g = docs(s, dir)
       .repartition(col("doc_id"))
@@ -1044,27 +1069,57 @@ object Dedup {
     val dps = g.join(dupG, Seq("gh"), "left_semi")
       .select("doc_id", "pos").distinct()
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = dps
+    dps
       .withColumn("prev", lag(col("pos"), 1).over(wOrd))
       .withColumn("ns",
         when(col("prev").isNull || col("pos") - col("prev") > w, 1).otherwise(0))
       .withColumn("span_id",
         sum(col("ns")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("doc_id", "span_id")
-      .agg((max(col("pos")) - min(col("pos")) + w).as("span_len"))
-    val perDoc = spans.groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_spans"),
-        max(col("span_len")).cast("int").as("max_span_len"),
-        sum(col("span_len")).cast("int").as("covered_tokens"))
-    docs(s, dir)
-      .select(col("doc_id"), size(wsTokens(col("text"))).as("n_tokens"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_spans"), lit(0)).as("n_spans"),
-        coalesce(col("max_span_len"), lit(0)).as("max_span_len"),
-        coalesce(col("covered_tokens"), lit(0)).as("covered_tokens"))
-      .withColumn("covered_share6",
-        expr("CAST(covered_tokens AS BIGINT) * 1000000 DIV n_tokens"))
+      .agg(min(col("pos")).as("sp_start"),
+        (max(col("pos")) + w - 1).as("sp_end"))
+      .select(col("doc_id"), col("sp_start"), col("sp_end"))
+  }
+
+  /** Minimum qualifying span length (tokens) for thresholded removal:
+    * Lee et al. 2022 §4.1 remove duplicated spans of >= 50 tokens — at
+    * their 50-token detection windows the bar is implicit (any duplicated
+    * window already is one). At the test corpus's SubstrGram=5 windows
+    * the same rule needs an explicit bar; 2x the window keeps incidental
+    * 5-gram collisions (stock phrases) while excising real boilerplate. */
+  val MinSpanLen = 10
+
+  /** Length-THRESHOLDED maximal-span removal — the production form of
+    * Lee et al. 2022 §4.1's ExactSubstr rule ("remove duplicated spans
+    * >= 50 tokens"): [[substringRemove]] excises EVERY duplicated
+    * window's coverage, which at small detection windows also takes
+    * stock phrases and idioms; this variant composes [[dupSpans]]'
+    * merged maximal spans with the keep-flag rebuild and excises only
+    * spans of at least [[MinSpanLen]] tokens, so a short duplicated
+    * window survives while a syndicated passage is cut.
+    *
+    * Scale: identical to substringRemove — the only extra state is the
+    * per-doc QUALIFYING span list (bounded by the doc's own window
+    * count), which joins back on doc_id; the rebuild is a per-row
+    * codegen'd filter over the token array; text never shuffles. */
+  def substringRemoveSpans(s: SparkSession, dir: String): DataFrame = {
+    val qual = dupSpans(s, dir)
+      .filter(col("sp_end") - col("sp_start") + 1 >= MinSpanLen)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("sp_start"), col("sp_end"))).as("sps"))
+    val toks = col("toks")
+    val scol = coalesce(col("sps"),
+      array().cast("array<struct<sp_start:int,sp_end:int>>"))
+    docs(s, dir).join(qual, Seq("doc_id"), "left")
+      .withColumn("toks", wsTokens(col("text")))
+      .withColumn("kept", filter(sequence(lit(1), size(toks)),
+        j => !exists(scol,
+          sp => sp.getField("sp_start") <= j && j <= sp.getField("sp_end"))))
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        (size(toks) - size(col("kept"))).as("n_removed"),
+        array_join(transform(col("kept"), j => element_at(toks, j)), " ")
+          .as("text_clean"))
   }
 
   /** Incremental ingestion dedup: which docs in the new batch (source
@@ -1206,6 +1261,7 @@ object Dedup {
     "dedup_substring" -> (substringDup _),
     "dedup_boilerplate" -> (boilerplateTopK _),
     "dedup_substring_rm" -> (substringRemove _),
+    "dedup_substring_rm_spans" -> (substringRemoveSpans _),
     "dedup_substring_spans" -> (substringSpans _),
     "dedup_semantic" -> (semanticDedup _),
     "dedup_semantic_keep" -> (semanticDedupKeep _),
@@ -1562,6 +1618,28 @@ object Dedup {
         "dps AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS dps FROM g JOIN dup USING (gh) GROUP BY doc_id), " +
         "r AS (SELECT t.doc_id, t.toks, coalesce(d.dps, []) AS dps FROM t LEFT JOIN dps d ON d.doc_id = t.doc_id), " +
         s"k AS (SELECT doc_id, toks, list_filter(generate_series(1, len(toks)), j -> len(list_filter(dps, i -> i <= j AND j <= i + ${w - 1})) = 0) AS kp FROM r) " +
+        "SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, CAST(len(toks) - len(kp) AS INT) AS n_removed, " +
+        // array_to_string([]) is NULL in DuckDB but '' in Spark's array_join
+        "coalesce(array_to_string(list_transform(kp, j -> toks[j]), ' '), '') AS text_clean FROM k"
+    },
+    "dedup_substring_rm_spans" -> {
+      val w = SubstrGram
+      // spans CTE chain (the dedup_substring_spans recipe, kept to
+      // start/end intervals) → qualifying spans >= MinSpanLen → per-token
+      // keep replay (the dedup_substring_rm rebuild against spans)
+      s"WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        s"gp AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - ${w - 1}), " +
+        s"i -> {'pos': i, 'gh': md5(array_to_string(toks[i:i+${w - 1}], ' '))})) AS wn FROM t), " +
+        "g AS (SELECT doc_id, wn.pos AS pos, wn.gh AS gh FROM gp), " +
+        "dup AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh) WHERE nd >= 2), " +
+        "dpos AS (SELECT DISTINCT doc_id, pos FROM g JOIN dup USING (gh)), " +
+        "brk AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL " +
+        s"OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $w THEN 1 ELSE 0 END AS ns FROM dpos), " +
+        "sp AS (SELECT doc_id, pos, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM brk), " +
+        s"spans AS (SELECT doc_id, min(pos) AS a, max(pos) + ${w - 1} AS b FROM sp GROUP BY doc_id, span_id), " +
+        s"qs AS (SELECT doc_id, list({'a': a, 'b': b}) AS sps FROM spans WHERE b - a + 1 >= $MinSpanLen GROUP BY doc_id), " +
+        "r AS (SELECT t.doc_id, t.toks, coalesce(q.sps, []) AS sps FROM t LEFT JOIN qs q ON q.doc_id = t.doc_id), " +
+        "k AS (SELECT doc_id, toks, list_filter(generate_series(1, len(toks)), j -> len(list_filter(sps, sp -> sp.a <= j AND j <= sp.b)) = 0) AS kp FROM r) " +
         "SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, CAST(len(toks) - len(kp) AS INT) AS n_removed, " +
         // array_to_string([]) is NULL in DuckDB but '' in Spark's array_join
         "coalesce(array_to_string(list_transform(kp, j -> toks[j]), ' '), '') AS text_clean FROM k"

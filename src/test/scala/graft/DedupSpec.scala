@@ -430,6 +430,62 @@ class DedupSpec extends SparkSpec {
       s"single shared window docs must report one 5-token span: ${got(1L)}, ${got(3L)}")
   }
 
+  test("thresholded span removal: short duplicated windows survive, long spans are excised") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // crafted: doc0 shares a SHORT 5-token window (below MinSpanLen=10)
+    // with doc1 and a LONG 10-token run (a merged span of six overlapping
+    // windows, at the bar) with doc2 — the unthresholded removal excises
+    // both, the thresholded one must keep the short window and cut the span
+    val short5 = "a b c d e"
+    val long10 = "p q r s t u v w x y"
+    val dir = java.nio.file.Files.createTempDirectory("graft_rm_spans").toString
+    Seq(
+      (0L, "src1", s"$short5 z1 z2 $long10 z3"), // 18 tokens
+      (1L, "src2", s"$short5 k1 k2 k3 k4 k5"),
+      (2L, "src2", s"$long10 m1 m2 m3"),
+      (3L, "src2", "n1 n2 n3 n4 n5 n6"))
+      .toDF("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Dedup.substringRemoveSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got(0L) == ((18, 10, "a b c d e z1 z2 z3")),
+      s"doc0 must keep the short window and excise the 10-token span: ${got(0L)}")
+    assert(got(1L) == ((10, 0, s"$short5 k1 k2 k3 k4 k5")),
+      s"doc1's only duplication is below the bar — must pass through: ${got(1L)}")
+    assert(got(2L) == ((13, 10, "m1 m2 m3")), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((6, 0, "n1 n2 n3 n4 n5 n6")),
+      s"disjoint doc must pass through untouched: ${got(3L)}")
+    // the unthresholded removal takes the short window too
+    val rmAll = Dedup.substringRemove(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(rmAll(0L) == 15 && rmAll(1L) == 5,
+      s"unthresholded removal must excise the short window as well: $rmAll")
+    // shipped-corpus identities: removal == the qualifying-span union per
+    // doc, never exceeds the unthresholded removal, and the threshold
+    // BITES (some doc keeps tokens the unthresholded removal takes)
+    val qualSum = Dedup.dupSpans(spark, sf)
+      .filter(col("sp_end") - col("sp_start") + 1 >= Dedup.MinSpanLen)
+      .groupBy("doc_id")
+      .agg(sum(col("sp_end") - col("sp_start") + 1).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rmSp = Dedup.substringRemoveSpans(spark, sf)
+      .select("doc_id", "n_removed").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val rm = Dedup.substringRemove(spark, sf)
+      .select("doc_id", "n_removed").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    rmSp.foreach { case (d, n) =>
+      assert(n == qualSum.getOrElse(d, 0L), s"doc $d: removed $n != qualifying union")
+      assert(n <= rm(d), s"doc $d: thresholded removal exceeds the unthresholded one")
+    }
+    assert(rmSp.exists { case (d, n) => n == 0L && rm(d) > 0L },
+      "the shipped corpus must exercise a below-bar survivor")
+    assert(rmSp.values.exists(_ > 0L),
+      "the shipped corpus must exercise an above-bar excision")
+  }
+
   test("star-contraction CC labels match the propagation reference on adversarial graphs") {
     val sp = spark
     import sp.implicits._
