@@ -127,8 +127,17 @@ object Pipeline {
     * every stage is an id-only flag join (the gates' own served artifacts
     * do the heavy lifting once), folded into ONE aggregate row — the
     * report costs a scan of id-sized relations, not a re-run per stage. */
-  def funnel(s: SparkSession, dir: String): DataFrame = {
-    val d = graft.sources.Tables.load(s, dir, "documents").select(col("doc_id"))
+  /** The per-document cumulative gate flags of the funnel — (doc_id,
+    * source, f1..f5), every gate relation attached LEFT onto the raw
+    * documents spine (a missing langid/quality row gates to 0, it does
+    * not shrink the base), so the stage-0 count is the raw corpus count
+    * BY CONSTRUCTION — not "corpus ∩ gates total per doc", which would
+    * silently shift every retained_ppm if a gate relation ever dropped
+    * rows (e.g. empty-token docs). Shared by [[funnel]] (corpus rollup)
+    * and [[funnelSource]] (per-feed report), so the two can never drift. */
+  private def funnelFlags(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
     val lang = TextOps.langid(s, dir)
       .select(col("doc_id"), (col("pred_lang") === "en").cast("long").as("f1"))
     val qual = TextOps.quality(s, dir)
@@ -140,28 +149,49 @@ object Pipeline {
       .select(col("vec_id").as("doc_id"), lit(1L).as("f4"))
     val al = graft.operators.Multimodal.textAlign(s, dir)
       .filter(col("align_keep") === 1).select(col("doc_id"), lit(1L).as("f5"))
-    // Every gate relation attaches LEFT onto the raw documents spine (a
-    // missing langid/quality row gates to 0, it does not shrink the base),
-    // so c0 is the raw corpus count BY CONSTRUCTION — not "corpus ∩ gates
-    // total per doc", which would silently shift every retained_ppm if a
-    // gate relation ever dropped rows (e.g. empty-token docs).
-    val cnts = d.join(lang, Seq("doc_id"), "left").join(qual, Seq("doc_id"), "left")
+    d.join(lang, Seq("doc_id"), "left").join(qual, Seq("doc_id"), "left")
       .join(ex, Seq("doc_id"), "left").join(sem, Seq("doc_id"), "left")
       .join(al, Seq("doc_id"), "left")
       .na.fill(0L, Seq("f1", "f2", "f3", "f4", "f5"))
+  }
+
+  /** The six cumulative-conjunction stage counts over a flag relation —
+    * shared by the corpus and per-source funnels. */
+  private def funnelCounts(flags: DataFrame, keys: Seq[String]) =
+    flags.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("c0"),
         sum(col("f1")).as("c1"),
         sum(col("f1") * col("f2")).as("c2"),
         sum(col("f1") * col("f2") * col("f3")).as("c3"),
         sum(col("f1") * col("f2") * col("f3") * col("f4")).as("c4"),
         sum(col("f1") * col("f2") * col("f3") * col("f4") * col("f5")).as("c5"))
-    cnts
-      .select(expr("stack(6, 0, 'corpus', c0, 1, 'lang_en', c1, 2, 'quality', c2, " +
-        "3, 'exact_dedup', c3, 4, 'semantic', c4, 5, 'aligned', c5) " +
-        "AS (stage, stage_name, n_docs)"), col("c0"))
+
+  private val funnelStack =
+    "stack(6, 0, 'corpus', c0, 1, 'lang_en', c1, 2, 'quality', c2, " +
+      "3, 'exact_dedup', c3, 4, 'semantic', c4, 5, 'aligned', c5) " +
+      "AS (stage, stage_name, n_docs)"
+
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelCounts(funnelFlags(s, dir), Seq.empty)
+      .select(expr(funnelStack), col("c0"))
       .withColumn("retained_ppm", expr("n_docs * 1000000 DIV c0"))
       .drop("c0")
-  }
+
+  /** PER-SOURCE curation funnel — the funnel × source dimension, the
+    * report card production feeds actually read: stage × source surviving
+    * counts with retention ppm against that SOURCE's own corpus count
+    * (which feed lost its documents at which gate — a corpus-wide funnel
+    * hides a feed that dies at the quality bar behind a healthy average).
+    * Same flag relation as [[funnel]], grouped by source, so the corpus
+    * rollup of this report provably equals the corpus funnel
+    * (spec-asserted: sum of n_docs per stage over sources == funnel's
+    * n_docs). Scale: one aggregate over the id-sized flag relation,
+    * O(sources × 6) output rows. */
+  def funnelSource(s: SparkSession, dir: String): DataFrame =
+    funnelCounts(funnelFlags(s, dir), Seq("source"))
+      .select(col("source"), expr(funnelStack), col("c0"))
+      .withColumn("retained_ppm", expr("n_docs * 1000000 DIV c0"))
+      .drop("c0")
 
   /** Near-dup slack of the source-level gate, ppm: a source may exceed
     * twice the corpus-wide near-duplicate share by up to this much before
@@ -995,6 +1025,7 @@ object Pipeline {
     "pipeline_curate_source" -> (curateSource _),
     "pipeline_pack_ffd" -> ((s: SparkSession, dir: String) => packFfd(s, dir)),
     "pipeline_funnel" -> (funnel _),
+    "pipeline_funnel_source" -> (funnelSource _),
     "pipeline_curate_semantic" -> (curateSemantic _),
     "pipeline_curate_aligned" -> (curateAligned _),
     "pipeline_split" -> (split _),
@@ -1081,6 +1112,27 @@ object Pipeline {
 
   private val shingles5Sql =
     "list_transform(generate_series(1, len(string_split(text, ' ')) - 4), i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))"
+
+  /** The funnel's flag-relation CTE chain ending in
+    * `fl(doc_id, source, f1..f5)` — the SQL mirror of [[funnelFlags]],
+    * shared by the corpus and per-source funnel oracles so the two
+    * reports replay the SAME gate battery (drift between them would be
+    * an oracle bug, not a finding). Gate relations LEFT-join onto the
+    * documents spine (missing row = 0), mirroring the Spark side. */
+  private def funnelFlCtes: String =
+    s"${Dedup.semanticLabCtes}, " +
+      s"${Dedup.semanticKeepCte}, " +
+      s"${graft.operators.Multimodal.textAlignFullCtes}, " +
+      s"lang AS (${TextOps.oracles("text_langid")}), " +
+      s"qual AS (${TextOps.oracles("text_quality")}), " +
+      "keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)), " +
+      "fl AS (SELECT d.doc_id, d.source, " +
+      "CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END AS f1, " +
+      s"CASE WHEN q.quality_score >= $QualityThreshold THEN 1 ELSE 0 END AS f2, " +
+      "CASE WHEN d.doc_id IN (SELECT keep_id FROM keep) THEN 1 ELSE 0 END AS f3, " +
+      "CASE WHEN d.doc_id IN (SELECT vec_id FROM kk) THEN 1 ELSE 0 END AS f4, " +
+      "CASE WHEN d.doc_id IN (SELECT doc_id FROM xalk WHERE align_keep = 1) THEN 1 ELSE 0 END AS f5 " +
+      "FROM documents d LEFT JOIN lang l ON l.doc_id = d.doc_id LEFT JOIN qual q ON q.doc_id = d.doc_id)"
 
   def oracles: Map[String, String] = Map(
     "pipeline_split" ->
@@ -1230,21 +1282,9 @@ object Pipeline {
         "AND l.doc_id IN (SELECT vec_id FROM kk) " +
         "AND l.doc_id IN (SELECT doc_id FROM xalk WHERE align_keep = 1)"),
     "pipeline_funnel" ->
-      // the curate_aligned CTE chain, folded into cumulative-conjunction
-      // counts instead of the survivor id set
-      (s"WITH RECURSIVE ${Dedup.semanticLabCtes}, " +
-        s"${Dedup.semanticKeepCte}, " +
-        s"${graft.operators.Multimodal.textAlignFullCtes}, " +
-        s"lang AS (${TextOps.oracles("text_langid")}), " +
-        s"qual AS (${TextOps.oracles("text_quality")}), " +
-        "keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)), " +
-        "fl AS (SELECT d.doc_id, " +
-        "CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END AS f1, " +
-        s"CASE WHEN q.quality_score >= $QualityThreshold THEN 1 ELSE 0 END AS f2, " +
-        "CASE WHEN d.doc_id IN (SELECT keep_id FROM keep) THEN 1 ELSE 0 END AS f3, " +
-        "CASE WHEN d.doc_id IN (SELECT vec_id FROM kk) THEN 1 ELSE 0 END AS f4, " +
-        "CASE WHEN d.doc_id IN (SELECT doc_id FROM xalk WHERE align_keep = 1) THEN 1 ELSE 0 END AS f5 " +
-        "FROM documents d LEFT JOIN lang l ON l.doc_id = d.doc_id LEFT JOIN qual q ON q.doc_id = d.doc_id), " +
+      // the curate_aligned CTE chain (shared fl flag relation), folded
+      // into cumulative-conjunction counts instead of the survivor id set
+      (s"WITH RECURSIVE $funnelFlCtes, " +
         "cn AS (SELECT CAST(count(*) AS BIGINT) AS c0, CAST(sum(f1) AS BIGINT) AS c1, " +
         "CAST(sum(f1 * f2) AS BIGINT) AS c2, CAST(sum(f1 * f2 * f3) AS BIGINT) AS c3, " +
         "CAST(sum(f1 * f2 * f3 * f4) AS BIGINT) AS c4, " +
@@ -1256,6 +1296,22 @@ object Pipeline {
         "UNION ALL SELECT 4, 'semantic', c4, c0 FROM cn " +
         "UNION ALL SELECT 5, 'aligned', c5, c0 FROM cn) " +
         "SELECT CAST(stage AS INT) AS stage, stage_name, n_docs, " +
+        "n_docs * 1000000 // c0 AS retained_ppm FROM stg"),
+    "pipeline_funnel_source" ->
+      // the SAME fl flag chain, grouped by source; ppm against the
+      // SOURCE's own corpus count
+      (s"WITH RECURSIVE $funnelFlCtes, " +
+        "cn AS (SELECT source, CAST(count(*) AS BIGINT) AS c0, CAST(sum(f1) AS BIGINT) AS c1, " +
+        "CAST(sum(f1 * f2) AS BIGINT) AS c2, CAST(sum(f1 * f2 * f3) AS BIGINT) AS c3, " +
+        "CAST(sum(f1 * f2 * f3 * f4) AS BIGINT) AS c4, " +
+        "CAST(sum(f1 * f2 * f3 * f4 * f5) AS BIGINT) AS c5 FROM fl GROUP BY source), " +
+        "stg AS (SELECT source, 0 AS stage, 'corpus' AS stage_name, c0 AS n_docs, c0 FROM cn " +
+        "UNION ALL SELECT source, 1, 'lang_en', c1, c0 FROM cn " +
+        "UNION ALL SELECT source, 2, 'quality', c2, c0 FROM cn " +
+        "UNION ALL SELECT source, 3, 'exact_dedup', c3, c0 FROM cn " +
+        "UNION ALL SELECT source, 4, 'semantic', c4, c0 FROM cn " +
+        "UNION ALL SELECT source, 5, 'aligned', c5, c0 FROM cn) " +
+        "SELECT source, CAST(stage AS INT) AS stage, stage_name, n_docs, " +
         "n_docs * 1000000 // c0 AS retained_ppm FROM stg"),
     "pipeline_curate_model" ->
       (s"WITH lang AS (${TextOps.oracles("text_langid")}), " +

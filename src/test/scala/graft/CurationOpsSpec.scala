@@ -615,4 +615,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(f(5)._2 == Pipeline.curateAligned(spark, sf).count(),
       "stage 5 must equal pipeline_curate_aligned's survivor count")
   }
+
+  test("pipeline_funnel_source rolls up to the corpus funnel exactly, per-source ppm is self-based") {
+    val corpus = Pipeline.funnel(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val bySrc = Pipeline.funnelSource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(3), r.getLong(4)))
+    assert(bySrc.map(_._1).distinct.length > 1,
+      "the shipped corpus must exercise multiple sources")
+    // the corpus rollup of the per-source report equals the corpus funnel
+    // at every stage — the two reports can never disagree
+    val rollup = bySrc.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(rollup == corpus, s"per-source rollup $rollup != corpus funnel $corpus")
+    // per-source sanity: stage 0 is that source's own count at 1e6 ppm,
+    // stages monotone within a source
+    val bySource = bySrc.groupBy(_._1)
+    bySource.foreach { case (src, rows) =>
+      val byStage = rows.map(r => r._2 -> ((r._3, r._4))).toMap
+      assert(byStage.keySet == (0 to 5).toSet, s"$src missing stages")
+      assert(byStage(0)._2 == 1000000L, s"$src stage 0 must be 1e6 ppm")
+      val counts = (0 to 5).map(byStage(_)._1)
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+        s"$src stages must be monotone nonincreasing: $counts")
+    }
+  }
 }
