@@ -133,13 +133,74 @@ object Dedup {
     * perceptual-hash pairing (Multimodal.phashPairs): 3-block pigeonhole
     * candidates under the shared salted-census policy, XOR-popcount verify
     * on candidates only. */
+  /** A block value is DEGENERATE when its bucket holds more than this
+    * share of the corpus (bn · DegenShare > n): a saturated value (the
+    * all-zero upper fingerprint windows of short audio assets) carries no
+    * discriminative signal — its salt-capped buckets surface a uniform
+    * ~cap/bn fraction of the pairs matching on it (1/ceil(bn/cap) odds of
+    * two docs sharing a salt group), which at bn ≈ n is residual luck,
+    * not a recall path, while every surfaced candidate still costs a
+    * verify. 4 (25%) sits two orders above any organic bucket (measured:
+    * simhash/phash heaviest buckets ≤ 1.4% at every shipped scale and at
+    * ×100, audio's saturated blocks ≥ 94%), so content-bearing blocks are
+    * untouched by construction. */
+  val DegenShare = 4L
+
   private[operators] def hammingPairs(hashed: DataFrame,
-      maxBucket: Int = MaxBucket): DataFrame = {
+      maxBucket: Int = MaxBucket, maskDegenerate: Boolean = true): DataFrame =
+    hammingCandidates(hashed, maxBucket, maskDegenerate)
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+      .filter(col("hamming") <= MaxHamming)
+
+  /** [[hammingPairs]]' candidate relation BEFORE the XOR-popcount verify
+    * — (doc_a, ha, doc_b, hb), distinct — exposed so the mask spec and
+    * the scale profiler can measure candidate volume directly. */
+  private[graft] def hammingCandidates(hashed: DataFrame,
+      maxBucket: Int = MaxBucket, maskDegenerate: Boolean = true): DataFrame = {
     // the ONE pigeonhole split (hammingBlocked) — the block constants
     // live in exactly one Scala site plus the SQL mirror
-    val blocked = hammingBlocked(hashed)
+    val blocked0 = hammingBlocked(hashed)
       .select(col("doc_id"), col("full").as("h"),
         col("band").as("bi"), col("h").as("bv"))
+    // Degenerate-block MASK (r14): drop saturated (bi, bv) buckets from
+    // candidate generation — unless a document has NO clean block at all,
+    // in which case its rows all stay (totality; the salt cap still
+    // bounds them). The EXACT recall position: the 3-block pigeonhole
+    // guarantees a hamming-&le;-MaxHamming pair one error-free block;
+    // where no block is degenerate (simhash/phash at every measured
+    // scale: heaviest bucket &le; 1.5% of corpus) the mask touches
+    // nothing and ground-truth recall is 100% (measured 7/7, 155/155,
+    // 8/8). A degenerate bucket (the all-zero upper windows of short
+    // audio) means the corpus is a hamming NEAR-CLIQUE on that block —
+    // true pairs are Θ(n²) (measured: 1.04M among 5k assets), so ANY
+    // sub-quadratic generator is budget-bounded there and the salt split
+    // surfaces a ~1/ceil(bn/cap) lottery of them. The mask reallocates
+    // that budget to the content-bearing buckets: ×100 measured 44.7M →
+    // 12.9M candidates, 87 → 29 s, verify YIELD 35% → 98%, while the
+    // clean-block paths (the pigeonhole-guaranteed ones) are untouched
+    // by construction — masked candidates == unmasked candidates
+    // generated via clean buckets (spec).
+    val blocked = if (!maskDegenerate) blocked0 else {
+      // census (groupBy, map-side combinable) → 3-row per-block totals
+      // (broadcast back) → ≤ 3·(DegenShare−1)-row degenerate-value list
+      // (broadcast) — never a Window over bucket members (the dense-
+      // bucket anti-pattern PlansSpec pins); the per-doc fallback rides
+      // ONE doc_id regroup of the ≤3-row groups, no join-back.
+      val censusAll = blocked0.groupBy("bi", "bv").agg(count(lit(1)).as("dbn"))
+      val tot = censusAll.groupBy("bi").agg(sum(col("dbn")).as("n"))
+      val degen = censusAll.join(broadcast(tot), Seq("bi"))
+        .filter(col("dbn") * DegenShare > col("n"))
+        .select(col("bi"), col("bv"), lit(1).as("dg"))
+      blocked0.join(broadcast(degen), Seq("bi", "bv"), "left")
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("h"), col("bi"), col("bv"),
+          coalesce(col("dg"), lit(0)).as("dg"))).as("bs"))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN exists(bs, b -> b.dg = 0) THEN filter(bs, b -> b.dg = 0) ELSE bs END")).as("b"))
+        .select(col("doc_id"), col("b.h").as("h"),
+          col("b.bi").as("bi"), col("b.bv").as("bv"))
+    }
     // Only buckets past the cap need a group count (ceil(bn/cap) = 1
     // otherwise), so the broadcast side is the dense outliers alone.
     val dense = blocked.groupBy("bi", "bv").agg(count(lit(1)).as("bn"))
@@ -155,9 +216,6 @@ object Dedup {
       .select(col("p.a.doc_id").as("doc_a"), col("p.a.h").as("ha"),
         col("p.b.doc_id").as("doc_b"), col("p.b.h").as("hb"))
       .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
-      .filter(col("hamming") <= MaxHamming)
   }
 
   /** 3-block pigeonhole rows of ANY (doc_id, h: 64-bit) relation, keyed
@@ -1397,9 +1455,19 @@ object Dedup {
     s"hu AS (SELECT doc_id, h, CAST(h AS HUGEINT) + CASE WHEN h < 0 THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS s FROM $src), " +
       s"hbl AS (SELECT doc_id, h, bi, ${simhashBlockSql("s")} AS bv " +
       "FROM hu CROSS JOIN (SELECT unnest([0, 1, 2]) AS bi)), " +
+      // degenerate-block mask (r14): drop saturated (bi, bv) buckets
+      // (bn · DegenShare > corpus) unless the doc has no clean block;
+      // the salt census below is re-taken over the KEPT rows, mirroring
+      // the engine
+      "hfl AS (SELECT doc_id, h, bi, bv, CASE WHEN " +
+      s"count(*) OVER (PARTITION BY bi, bv) * $DegenShare > count(*) OVER (PARTITION BY bi) " +
+      "THEN 1 ELSE 0 END AS dg FROM hbl), " +
+      "hkeep AS (SELECT doc_id, h, bi, bv FROM (SELECT *, " +
+      "count(CASE WHEN dg = 0 THEN 1 END) OVER (PARTITION BY doc_id) AS nclean FROM hfl) " +
+      "WHERE dg = 0 OR nclean = 0), " +
       "hbls AS (SELECT doc_id, h, bi, bv, " +
       s"${graft.functions.hash52Sql("doc_id")} % ((bn + ${MaxBucket - 1}) // $MaxBucket) AS salt " +
-      "FROM (SELECT doc_id, h, bi, bv, count(*) OVER (PARTITION BY bi, bv) AS bn FROM hbl)), " +
+      "FROM (SELECT doc_id, h, bi, bv, count(*) OVER (PARTITION BY bi, bv) AS bn FROM hkeep)), " +
       "hblc AS (SELECT doc_id, h, bi, bv, salt FROM (SELECT doc_id, h, bi, bv, salt, " +
       s"count(*) OVER (PARTITION BY bi, bv, salt) AS gn FROM hbls) WHERE gn <= ${2 * MaxBucket}), " +
       "hcand AS (SELECT DISTINCT a.doc_id AS doc_a, a.h AS ha, b.doc_id AS doc_b, b.h AS hb " +

@@ -139,6 +139,52 @@ class DedupSpec extends SparkSpec {
       s"pigeonhole missed ${(brute -- got).size} / extra ${(got -- brute).size} pairs")
   }
 
+  test("degenerate-block mask: clean-block pairs kept exactly, lottery candidates dropped, all-degenerate corpora fall back") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    def cands(df: org.apache.spark.sql.DataFrame, mask: Boolean): Set[(Long, Long)] =
+      Dedup.hammingCandidates(df, maskDegenerate = mask)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // crafted: every doc's b1/b2 blocks are 0 (both buckets hold the whole
+    // corpus → degenerate at DegenShare=4), b0 carries content — docs 2k
+    // and 2k+1 share b0 value k. The masked candidates must be EXACTLY
+    // the clean-b0-bucket pairs; unmasked adds the salt-capped clique
+    // lottery from the two saturated blocks.
+    val crafted = (0 until 120).map(i => (i.toLong, (i / 2).toLong)).toDF("doc_id", "h")
+    val truePairs = (0 until 60).map(k => (2L * k, 2L * k + 1)).toSet
+    val m = cands(crafted, mask = true)
+    val u = cands(crafted, mask = false)
+    assert(m == truePairs, s"masked candidates must be exactly the clean-bucket pairs: ${m.size}")
+    assert(truePairs.subsetOf(u) && u.size > 10 * m.size,
+      s"unmasked must add the degenerate lottery on top: ${u.size} vs ${m.size}")
+    // all-degenerate corpus (every block of every doc saturated): the
+    // per-doc fallback keeps the rows — the mask never empties a doc
+    val allSame = (0 until 100).map(i => (i.toLong, 5L)).toDF("doc_id", "h")
+    assert(cands(allSame, mask = true) == cands(allSame, mask = false) &&
+      cands(allSame, mask = true).nonEmpty,
+      "an all-degenerate corpus must fall back to the salted buckets unchanged")
+    // shipped corpus: simhash and phash have NO degenerate buckets (every
+    // bucket far under the DegenShare bar), so the gated outputs are
+    // unchanged by construction
+    val sh = Dedup.simhash(spark, sf).select(col("doc_id"), col("simhash").as("h"))
+    assert(cands(sh, mask = true) == cands(sh, mask = false),
+      "simhash candidates must be untouched by the mask on the shipped corpus")
+    val ph = graft.operators.Multimodal.phash(spark, sf)
+      .select(col("doc_id"), col("phash").as("h"))
+    assert(cands(ph, mask = true) == cands(ph, mask = false),
+      "phash candidates must be untouched by the mask on the shipped corpus")
+    // audio (saturated upper windows): masked candidates are a strict,
+    // much smaller subset — the clean-block (content) paths survive
+    val af = graft.operators.Multimodal.audioFingerprint(spark, sf)
+      .select(col("doc_id"), col("afp").as("h")).localCheckpoint()
+    val am = cands(af, mask = true)
+    val au = cands(af, mask = false)
+    assert(am.subsetOf(au) && am.nonEmpty && am.size < au.size,
+      s"audio masked candidates must be a strict non-empty subset: ${am.size} vs ${au.size}")
+  }
+
   test("verified minhash pairs are candidates with independently recomputed exact jaccard") {
     import org.apache.spark.sql.functions._
     val ver = Dedup.minhashVerified(spark, sf).collect()
