@@ -371,7 +371,33 @@ object Pipeline {
     * driver loop; shards pack embarrassingly parallel exactly like the
     * writer tasks they model. The fold state is (bin loads, assignment)
     * lists ≤ FfdBlock entries; everything downstream is id-sized. */
-  def packFfd(s: SparkSession, dir: String, ffdBlock: Int = FfdBlock): DataFrame = {
+  def packFfd(s: SparkSession, dir: String, ffdBlock: Int = FfdBlock): DataFrame =
+    // the bin rollup groups on (source, blk, bin) — a superset of the
+    // fold's (source, blk) shuffle keys, so Catalyst reuses the one
+    // exchange (grouping on the derived bin_id would force a second one:
+    // the partitioner can't prove bin_id determines blk) — and projects
+    // the stable bin_id afterwards
+    ffdAssign(s, dir, ffdBlock)
+      .groupBy(col("source"), col("blk"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .select(col("source"),
+        (col("blk") * ffdBlock + col("bin") - 1).as("bin_id"),
+        col("n_docs"), col("n_tokens"),
+        greatest(lit(CtxTokens.toLong) - col("n_tokens"), lit(0L)).as("padding"),
+        (col("n_tokens") > CtxTokens).cast("int").as("oversize"))
+
+  /** The FFD DOC-level assignment — (source, doc_id, n_tok, bin_id,
+    * oversize): the fold itself, stopped one aggregate before the
+    * manifest. [[packFfd]] aggregates this relation and [[writeFfdPack]]
+    * materializes it, so the written layout can never drift from the
+    * gated report. A bin is oversize only when a single document exceeds
+    * the context (FFD opens a fresh bin for a doc that fits nowhere, and
+    * an over-context doc fits nowhere), so the per-doc flag IS the bin
+    * flag. bin_id = blk·ffdBlock + bin − 1: bin-per-shard count is
+    * bounded by docs-per-shard, so the id is unique per source and
+    * stable across re-partitions. */
+  private[graft] def ffdAssign(s: SparkSession, dir: String,
+      ffdBlock: Int = FfdBlock): DataFrame = {
     val base = graft.sources.Tables.load(s, dir, "documents")
       .select(col("source"), col("doc_id"), wsTokenCount.as("n_tok"))
       .withColumn("blk", expr(s"doc_id DIV $ffdBlock"))
@@ -395,16 +421,35 @@ object Pipeline {
       .withColumn("bins", expr(s"aggregate(sorted, $zero, $step).bins"))
       .select(col("source"), col("blk"), col("sorted"),
         posexplode(col("bins")).as(Seq("i", "bin")))
-      .withColumn("tok", expr("element_at(sorted, cast(i + 1 as int)).tok"))
-      .groupBy(col("source"), col("blk"), col("bin"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
-      // bin-per-shard count is bounded by docs-per-shard, so this id is
-      // unique per source and stable across re-partitions
-      .select(col("source"),
-        (col("blk") * ffdBlock + col("bin") - 1).as("bin_id"),
-        col("n_docs"), col("n_tokens"),
-        greatest(lit(CtxTokens.toLong) - col("n_tokens"), lit(0L)).as("padding"),
-        (col("n_tokens") > CtxTokens).cast("int").as("oversize"))
+      .select(col("source"), col("blk"), col("bin"),
+        expr("element_at(sorted, cast(i + 1 as int)).doc_id").as("doc_id"),
+        expr("element_at(sorted, cast(i + 1 as int)).tok").as("n_tok"),
+        (col("blk") * ffdBlock + col("bin") - 1).as("bin_id"))
+      .withColumn("oversize", (col("n_tok") > CtxTokens).cast("int"))
+  }
+
+  /** WRITER-side execution of the FFD manifest (§2E, VERDICT r13 #5):
+    * materialize the packed corpus as one output group per bin —
+    * `dst/source=…/oversize=…/bin_id=…/` each holding EXACTLY ONE file
+    * (the training-shard layout a sequence-packing run hands the loader),
+    * with over-context bins partitioned out under oversize=1 so readers
+    * route them to the chunking path instead of padding them. The
+    * doc→bin relation is [[ffdAssign]] — the SAME fold as the gated
+    * manifest, so the written layout can never drift from what
+    * `pipeline_pack_ffd` reports (spec: per-bin file counts, round-trip,
+    * manifest parity). Scale: one hash repartition on (source, bin_id)
+    * co-locates each bin in one task — every bin writes one file, a task
+    * writes many bins; no global sort, no driver-side loop. */
+  def writeFfdPack(s: SparkSession, dir: String, dst: String,
+      ffdBlock: Int = FfdBlock): Unit = {
+    val asg = ffdAssign(s, dir, ffdBlock)
+      .select(col("doc_id"), col("bin_id"), col("oversize"))
+    graft.sources.Tables.load(s, dir, "documents")
+      .join(asg, Seq("doc_id"))
+      .repartition(col("source"), col("bin_id"))
+      .sortWithinPartitions(col("bin_id"), col("doc_id"))
+      .write.partitionBy("source", "oversize", "bin_id")
+      .mode("overwrite").parquet(dst)
   }
 
   /** `pack` with the TRAINED tokenizer's budget — the full deployment loop

@@ -433,6 +433,53 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("FFD writer: one file per bin, oversize partitioned out, layout matches the manifest") {
+    import graft.operators.Pipeline
+    val dst = Files.createTempDirectory("graft_ffdw").toString + "/packed"
+    Pipeline.writeFfdPack(spark, sf, dst)
+    // partition-dir columns infer as int — normalize to the manifest types
+    val back = spark.read.parquet(dst)
+      .withColumn("bin_id", col("bin_id").cast("long"))
+      .withColumn("oversize", col("oversize").cast("int"))
+    val src = Tables.load(spark, sf, "documents")
+    // round-trip: every document exactly once, content intact
+    assert(back.count() == src.count())
+    assert(back.select("doc_id").distinct().count() == src.count())
+    // manifest parity: the written (source, bin_id) groups carry exactly
+    // the doc counts and oversize flags pipeline_pack_ffd reports
+    val manifest = Pipeline.packFfd(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getInt(5)))).toMap
+    val written = back.groupBy(col("source"), col("bin_id"), col("oversize"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getInt(2)))).toMap
+    assert(written == manifest,
+      s"written layout diverges from the manifest (${written.size} vs ${manifest.size} bins)")
+    // one output group per bin: each (source, oversize, bin_id) directory
+    // holds EXACTLY ONE data file — the training-shard contract
+    val binDirs = new java.io.File(dst).listFiles().filter(_.getName.startsWith("source="))
+      .flatMap(_.listFiles()).filter(_.getName.startsWith("oversize="))
+      .flatMap(_.listFiles()).filter(_.getName.startsWith("bin_id="))
+    assert(binDirs.length == manifest.size, s"${binDirs.length} bin dirs vs ${manifest.size} bins")
+    binDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files, want exactly 1")
+    }
+    // oversize discipline: an oversize bin is a single over-context doc;
+    // every regular bin fits the context
+    val toks = back.withColumn("n_tok", graft.operators.Pipeline.wsTokenCount)
+      .groupBy(col("source"), col("bin_id"), col("oversize"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("t")).collect()
+    toks.foreach { r =>
+      val (bin, ovr, n, t) = (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))
+      if (ovr == 1)
+        assert(n == 1L && t > Pipeline.CtxTokens,
+          s"oversize bin ${r.getString(0)}/$bin is not a single over-context doc: n=$n t=$t")
+      else assert(t <= Pipeline.CtxTokens,
+        s"regular bin ${r.getString(0)}/$bin exceeds the context: $t")
+    }
+    assert(toks.exists(_.getInt(2) == 0) , "corpus must exercise regular bins")
+  }
+
   test("csv round-trip (TextOutputFormat analog) preserves values") {
     val dir = Files.createTempDirectory("graft_csv").toString + "/nation"
     val src = Tables.load(spark, sf, "nation")
