@@ -254,6 +254,13 @@ object Scale {
         val line = s"""{"scale":"$tag","mult":$mult,"op":"$name","rows":$rows,"sec":${r3(secs)}}"""
         println(line)
         results += line
+        // Release the FIRST run's localCheckpoint blocks before timing the
+        // served re-run (r14, VERDICT r13 #7): a fresh invocation rebuilds
+        // its own checkpoints, so the first run's blocks are garbage that
+        // squeezed the re-run's execution memory — at x100 a re-run could
+        // time SLOWER than its own first touch (the SCALE.md r13 caveat),
+        // inverting the served-vs-first-touch trend the pair exists to show.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         val t1 = System.nanoTime()
         fn(spark, dir).count()
         val secs2 = (System.nanoTime() - t1) / 1e9
