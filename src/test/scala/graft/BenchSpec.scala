@@ -25,6 +25,26 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.artifactDestination("b.json", Bench.ContendedLoad, fileExists = true, Some(0.5)) == "b.json")
   }
 
+  test("demoted run echoes the kept clean artifact — but only for the same query set") {
+    val kept = """{"metric":"total","unit":"sec","sf":"/d","load_avg_start":0.98,""" +
+      """"cold_total":147.6,"queries_cold":{"a":1.0,"b":2.0},"queries":{"a":0.5,"b":0.6},""" +
+      """"queries_median":{"a":0.5},"median_heavy_total":0.5,"controls":{"mr_wordcount":0.133},""" +
+      """"value":68.1}"""
+    val line = Bench.keptCompactLine(kept, "/d", nQueries = 2,
+      demotedTo = "b.json.contended", liveLoad = 6.25)
+    assert(line.isDefined, "same-sized query set must reuse the clean artifact")
+    val l = line.get
+    // the round artifact carries the CLEAN run's numbers and load...
+    assert(l.contains(""""value":68.1""") && l.contains(""""load_avg_start":0.98"""))
+    assert(l.contains(""""contended":false""") && l.contains("demoted to b.json.contended"))
+    assert(l.contains(""""controls":{"mr_wordcount":0.133}"""))
+    // ...a kept artifact covering a DIFFERENT query set must not stand in
+    assert(Bench.keptCompactLine(kept, "/d", nQueries = 3,
+      demotedTo = "x", liveLoad = 6.25).isEmpty)
+    // ...and garbage can't either
+    assert(Bench.keptCompactLine("not json", "/d", 2, "x", 6.25).isEmpty)
+  }
+
   test("existingLoadAvg parses the stamped field and tolerates garbage") {
     val dir = java.nio.file.Files.createTempDirectory("benchspec")
     val p = dir.resolve("a.json")
