@@ -63,6 +63,7 @@ object AnnModels {
   @volatile private[graft] var lshIndexBuilds = 0
   @volatile private[graft] var phashIndexBuilds = 0
   @volatile private[graft] var phashLabelBuilds = 0
+  @volatile private[graft] var audioLabelBuilds = 0
   @volatile private[graft] var qualityLogitTrains = 0
   @volatile private[graft] var trainedMarginTrains = 0
   @volatile private[graft] var shinglePairBuilds = 0
@@ -432,10 +433,25 @@ object AnnModels {
     * labeling nightly exactly like the text one. Corpus-sized, natural
     * partitioning. */
   def phashLabels(s: SparkSession, dir: String): DataFrame =
-    ensure(s, dir, "phlab", s"blocks=3,ham=${Dedup.MaxHamming}",
+    ensure(s, dir, "phlab",
+        s"blocks=3,ham=${Dedup.MaxHamming},cap=${Dedup.MaxBucket},degen=${Dedup.DegenShare}",
         coalesce1 = false) {
       phashLabelBuilds += 1
       Multimodal.phashLabelsOf(s, dir)
+    }
+
+  /** The AUDIO-perceptual CC labeling (doc_id, cluster_id) — the phlab
+    * discipline on the Haitsma-Kalker fingerprint column (r14): one
+    * fingerprint pass + masked hamming pairs + star-contraction CC per
+    * corpus state, served to `mm_audio_dedup` and `mm_audio_keep`. The
+    * key carries every constant the content depends on (blocks, hamming
+    * bar, salt cap, degenerate share — the cclab lesson). */
+  def audioLabels(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "aulab",
+        s"blocks=3,ham=${Dedup.MaxHamming},cap=${Dedup.MaxBucket},degen=${Dedup.DegenShare}",
+        coalesce1 = false) {
+      audioLabelBuilds += 1
+      Multimodal.audioLabelsOf(s, dir)
     }
 
   /** The LOGISTIC gate's scored relation (doc_id, zlr10, lr_keep) —

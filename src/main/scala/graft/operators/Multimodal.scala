@@ -263,6 +263,44 @@ object Multimodal {
     Dedup.hammingPairs(audioFingerprint(s, dir)
       .select(col("doc_id"), col("afp").as("h")))
 
+  /** The AUDIO-perceptual CC labeling (doc_id, cluster_id) — the
+    * [[phashLabelsOf]] recipe on the Haitsma-Kalker fingerprint column
+    * (one fingerprint pass, degenerate-masked hamming pairs, the shared
+    * star-contraction CC engine); persisted per corpus state by
+    * AnnModels.audioLabels and served to [[audioDedup]] / [[audioKeep]] —
+    * the audio column's survivor table, completing the image/text/audio
+    * dedup triad's serving story. */
+  def audioLabelsOf(s: SparkSession, dir: String): DataFrame = {
+    val af = audioFingerprint(s, dir).localCheckpoint()
+    Dedup.ccLabels(af.select(col("doc_id")),
+      Dedup.hammingPairs(af.select(col("doc_id"), col("afp").as("h")))
+        .select(col("doc_a"), col("doc_b")))
+  }
+
+  /** Audio dedup — one row per canonical asset with its representation
+    * count (the [[phashDedup]] shape on the fingerprint column): CC over
+    * the verified hamming pairs, labels registry-served. */
+  def audioDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.AnnModels.audioLabels(s, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_repr"))
+      .select(col("cluster_id").as("doc_id"), col("n_repr"))
+
+  /** [[audioDedup]] with the keep-best-copy rule: within each perceptual
+    * cluster keep the LONGEST recording (max fingerprint windows — the
+    * most audio content survives, the byte-domain "highest bitrate"
+    * stand-in), ties to the smallest doc_id. Hash-aggregate argmax on
+    * integer keys — no per-cluster sort. */
+  def audioKeep(s: SparkSession, dir: String): DataFrame = {
+    val lab = graft.operators.AnnModels.audioLabels(s, dir)
+    lab.join(audioFingerprint(s, dir).select(col("doc_id"), col("n_windows")),
+        Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_repr"),
+        max(struct(col("n_windows"), (-col("doc_id")).as("nv"))).as("k"))
+      .select((-col("k.nv")).as("doc_id"), col("k.n_windows").as("n_windows"),
+        col("n_repr"))
+  }
+
   /** aHash-style perceptual fingerprint over the payload (the image-dedup
     * primitive): the payload is cut into 64 equal byte segments and bit j
     * is set iff segment j's mean byte value exceeds the whole-payload mean
@@ -788,6 +826,8 @@ object Multimodal {
     "mm_audio_windows" -> (audioWindows _),
     "mm_audio_fingerprint" -> (audioFingerprint _),
     "mm_audio_pairs" -> (audioPairs _),
+    "mm_audio_dedup" -> (audioDedup _),
+    "mm_audio_keep" -> (audioKeep _),
     "mm_resize" -> (resizePlan _),
     "mm_resize_sample" -> (resizeSample _),
     "mm_phash" -> (phash _),
@@ -970,6 +1010,35 @@ object Multimodal {
     "mm_audio_pairs" ->
       (s"WITH $audioFpCtes, af AS (SELECT doc_id, afp AS h FROM afpn), " +
         s"${Dedup.hammingPairsCtes("af")} ${Dedup.hammingPairsSelect}"),
+    "mm_audio_dedup" ->
+      // the mm_phash_dedup recipe on the fingerprint column: hamming
+      // pairs (shared pigeonhole/mask/salt mirror), reachability CC,
+      // one row per canonical asset
+      (s"WITH RECURSIVE $audioFpCtes, af AS (SELECT doc_id, afp AS h FROM afpn), " +
+        s"${Dedup.hammingPairsCtes("af")}, " +
+        s"apairs AS (${Dedup.hammingPairsSelect}), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM apairs " +
+        "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM apairs), " +
+        "reach(src, dst) AS (SELECT doc_id, doc_id FROM afpn " +
+        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+        "lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src) " +
+        "SELECT cluster_id AS doc_id, count(*) AS n_repr FROM lab GROUP BY cluster_id"),
+    "mm_audio_keep" ->
+      // same labeling chain; the survivor per cluster is the LONGEST
+      // recording (max fingerprint windows), ties to the smallest doc_id
+      (s"WITH RECURSIVE $audioFpCtes, af AS (SELECT doc_id, afp AS h FROM afpn), " +
+        s"${Dedup.hammingPairsCtes("af")}, " +
+        s"apairs AS (${Dedup.hammingPairsSelect}), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM apairs " +
+        "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM apairs), " +
+        "reach(src, dst) AS (SELECT doc_id, doc_id FROM afpn " +
+        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+        "lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src), " +
+        "kk AS (SELECT lab.doc_id, a.n_windows, " +
+        "row_number() OVER (PARTITION BY lab.cluster_id ORDER BY a.n_windows DESC, lab.doc_id ASC) AS rn, " +
+        "count(*) OVER (PARTITION BY lab.cluster_id) AS n_repr " +
+        "FROM lab JOIN afpn a ON a.doc_id = lab.doc_id) " +
+        "SELECT doc_id, n_windows, n_repr FROM kk WHERE rn = 1"),
     "mm_phash_incremental" -> phashIncrementalSql,
     "mm_text_align" ->
       s"WITH $textAlignFullCtes SELECT doc_id, align4, align_keep FROM xalk")

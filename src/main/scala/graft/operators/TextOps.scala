@@ -1942,6 +1942,33 @@ object TextOps {
   def qualityLr(s: SparkSession, dir: String): DataFrame =
     AnnModels.lrMargins(s, dir)
 
+  /** LR-gate CONFUSION AUDIT (r14) — the report a curation team reads
+    * before trusting a trained gate: confusion counts and exact
+    * integer-ppm precision/recall/F1 of the logistic gate's keep decision
+    * against its own Gopher seed labels, plus the keep rate. One row;
+    * production pipelines (CCNet/DataComp-style) publish exactly this
+    * table per classifier generation. Scale: the scored relation is the
+    * registry artifact (AnnModels.lrMargins — train-once), the seed
+    * battery is one shuffle-free codegen pass, the audit is one
+    * map-side-combinable aggregate; all ratios stay on the integer ppm
+    * grid (no doubles in the report). */
+  def qualityLrAudit(s: SparkSession, dir: String): DataFrame =
+    qualityLr(s, dir).select(col("doc_id"), col("lr_keep"))
+      .join(gopherSeedOf(docs(s, dir)), Seq("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lr_keep") === 1 && col("cls") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("lr_keep") === 1 && col("cls") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("lr_keep") === 0 && col("cls") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("lr_keep") === 0 && col("cls") === 0, 1L).otherwise(0L)).as("tn"))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 DIV (tp + fp) END")
+          .as("precision_ppm"),
+        expr("CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 DIV (tp + fn) END")
+          .as("recall_ppm"),
+        expr("CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE 2 * tp * 1000000 DIV (2 * tp + fp + fn) END")
+          .as("f1_ppm"),
+        expr("(tp + fp) * 1000000 DIV n").as("keep_ppm"))
+
   /** The per-row (non-LM) part of the quality logit as ONE column over
     * `text` — every term of [[qualityModelWith]]'s logit8 except the
     * QmNll surprise term, computed from the row itself with the SAME
@@ -2121,6 +2148,7 @@ object TextOps {
     "text_quality" -> (quality _),
     "text_quality_trained" -> (qualityTrained _),
     "text_quality_lr" -> (qualityLr _),
+    "text_quality_lr_audit" -> (qualityLrAudit _),
     "text_perplexity_kn5" -> (perplexityKn5 _),
     "text_gopher_rules" -> (gopherRules _),
     "text_corpus_stats" -> (corpusStats _),
@@ -2217,6 +2245,22 @@ object TextOps {
     "text_quality" -> qualitySql,
     "text_quality_trained" -> qualityTrainedSql,
     "text_quality_lr" -> qualityLrSql,
+    "text_quality_lr_audit" ->
+      // the full fit replay (qualityLrSql) joined back to its own seed
+      // labels, folded into a one-row integer-ppm confusion report
+      (s"WITH lr AS ($qualityLrSql), " +
+        s"gp AS (${gopherSeedSelSql(gopherSql)}), " +
+        "j AS (SELECT lr.lr_keep, gp.cls FROM lr JOIN gp ON lr.doc_id = gp.doc_id), " +
+        "c AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN lr_keep = 1 AND cls = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+        "CAST(sum(CASE WHEN lr_keep = 1 AND cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+        "CAST(sum(CASE WHEN lr_keep = 0 AND cls = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn, " +
+        "CAST(sum(CASE WHEN lr_keep = 0 AND cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn FROM j) " +
+        "SELECT n, tp, fp, fn, tn, " +
+        "CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END AS precision_ppm, " +
+        "CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS recall_ppm, " +
+        "CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_ppm, " +
+        "(tp + fp) * 1000000 // n AS keep_ppm FROM c"),
     "text_perplexity_kn5" -> kn5Sql,
     "text_gopher_rules" -> gopherSql,
     "text_corpus_stats" ->

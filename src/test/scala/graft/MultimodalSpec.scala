@@ -248,6 +248,50 @@ class MultimodalSpec extends SparkSpec {
       s"disjoint payload must not pair: $got")
   }
 
+  test("mm_audio_dedup/keep match a brute-force CC reference; keep takes the longest recording") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_audedup").toString
+    val s = spark
+    import s.implicits._
+    val same = "pcm payload bytes travel twice around the block " * 20
+    Seq(
+      (1L, "src0", same), (2L, "src0", same),
+      (7L, "src0", "a" * 600), (8L, "src0", "a" * 1200),
+      (9L, "src0", ("low " * 50) + ("HIGH!!! " * 100)))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // brute-force reference: fingerprints -> hamming<=bar pairs -> CC
+    val fps = Multimodal.audioFingerprint(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = fps.map(_._1)
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for { (a, ha, _) <- fps; (b, hb, _) <- fps if a < b
+          if java.lang.Long.bitCount(ha ^ hb) <= graft.operators.Dedup.MaxHamming } {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clusters = ids.groupBy(find)
+    assert(find(2L) == find(1L) && clusters.size < ids.length,
+      "fixture must exercise a non-trivial merge")
+    val expDedup = clusters.map { case (c, ms) => c -> ms.length.toLong }
+    val gotDedup = Multimodal.audioDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDedup == expDedup, s"dedup diverges from reference: $gotDedup vs $expDedup")
+    val wins = fps.map(f => f._1 -> f._3).toMap
+    val expKeep = clusters.map { case (_, ms) =>
+      val best = ms.minBy(m => (-wins(m), m))
+      best -> ((wins(best), ms.length.toLong))
+    }
+    val gotKeep = Multimodal.audioKeep(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(gotKeep == expKeep, s"keep diverges from reference: $gotKeep vs $expKeep")
+    // the discriminating case: if the constant-byte pair merged, the
+    // LONGER recording must be its survivor
+    if (find(7L) == find(8L))
+      assert(gotKeep.contains(8L) && !gotKeep.contains(7L),
+        s"doc 8 (more windows) must beat doc 7: $gotKeep")
+  }
+
   test("mm_resize preserves bounds: long side capped, nothing upscaled, patch grid exact") {
     import org.apache.spark.sql.functions._
     val df = Multimodal.resizePlan(spark, sf)
