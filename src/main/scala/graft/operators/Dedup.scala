@@ -159,10 +159,13 @@ object Dedup {
   private[graft] def hammingCandidates(hashed: DataFrame,
       maxBucket: Int = MaxBucket, maskDegenerate: Boolean = true): DataFrame = {
     // the ONE pigeonhole split (hammingBlocked) — the block constants
-    // live in exactly one Scala site plus the SQL mirror
+    // live in exactly one Scala site plus the SQL mirror. Materialized:
+    // the degenerate census, the salt census and the bucket join all
+    // consume it (un-checkpointed, the hashing chain re-ran per branch).
     val blocked0 = hammingBlocked(hashed)
       .select(col("doc_id"), col("full").as("h"),
         col("band").as("bi"), col("h").as("bv"))
+      .localCheckpoint()
     // Degenerate-block MASK (r14): drop saturated (bi, bv) buckets from
     // candidate generation — unless a document has NO clean block at all,
     // in which case its rows all stay (totality; the salt cap still
@@ -182,24 +185,37 @@ object Dedup {
     // by construction — masked candidates == unmasked candidates
     // generated via clean buckets (spec).
     val blocked = if (!maskDegenerate) blocked0 else {
-      // census (groupBy, map-side combinable) → 3-row per-block totals
-      // (broadcast back) → ≤ 3·(DegenShare−1)-row degenerate-value list
-      // (broadcast) — never a Window over bucket members (the dense-
-      // bucket anti-pattern PlansSpec pins); the per-doc fallback rides
-      // ONE doc_id regroup of the ≤3-row groups, no join-back.
+      // The degenerate census is a PROVABLY model-sized value: each block
+      // holds at most DegenShare−1 = 3 values above a 1/DegenShare corpus
+      // share (a 4th would exceed 100%), so ≤ 9 rows ever qualify — it
+      // collects to the driver (the boilerplate-exemplar discipline), and
+      // a corpus with no degeneracy (simhash/phash at every measured
+      // scale) keeps the EXACT pre-mask plan: zero extra operators on the
+      // hot path. Census shape: groupBy (map-side combinable) → 3-row
+      // per-block totals broadcast back — never a Window over bucket
+      // members (the dense-bucket anti-pattern PlansSpec pins).
       val censusAll = blocked0.groupBy("bi", "bv").agg(count(lit(1)).as("dbn"))
       val tot = censusAll.groupBy("bi").agg(sum(col("dbn")).as("n"))
       val degen = censusAll.join(broadcast(tot), Seq("bi"))
         .filter(col("dbn") * DegenShare > col("n"))
-        .select(col("bi"), col("bv"), lit(1).as("dg"))
-      blocked0.join(broadcast(degen), Seq("bi", "bv"), "left")
-        .groupBy("doc_id")
-        .agg(collect_list(struct(col("h"), col("bi"), col("bv"),
-          coalesce(col("dg"), lit(0)).as("dg"))).as("bs"))
-        .select(col("doc_id"), explode(expr(
-          "CASE WHEN exists(bs, b -> b.dg = 0) THEN filter(bs, b -> b.dg = 0) ELSE bs END")).as("b"))
-        .select(col("doc_id"), col("b.h").as("h"),
-          col("b.bi").as("bi"), col("b.bv").as("bv"))
+        .select(col("bi"), col("bv")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      if (degen.isEmpty) blocked0
+      else {
+        // per-doc fallback (a doc with no clean block keeps all rows)
+        // rides ONE doc_id regroup of the ≤3-row groups, no join-back
+        val isDegen = degen
+          .map { case (bi, bv) => col("bi") === bi && col("bv") === bv }
+          .reduce(_ || _)
+        blocked0
+          .withColumn("dg", when(isDegen, 1).otherwise(0))
+          .groupBy("doc_id")
+          .agg(collect_list(struct(col("h"), col("bi"), col("bv"), col("dg"))).as("bs"))
+          .select(col("doc_id"), explode(expr(
+            "CASE WHEN exists(bs, b -> b.dg = 0) THEN filter(bs, b -> b.dg = 0) ELSE bs END")).as("b"))
+          .select(col("doc_id"), col("b.h").as("h"),
+            col("b.bi").as("bi"), col("b.bv").as("bv"))
+      }
     }
     // Only buckets past the cap need a group count (ceil(bn/cap) = 1
     // otherwise), so the broadcast side is the dense outliers alone.
