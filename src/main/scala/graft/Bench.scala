@@ -30,30 +30,57 @@ object Bench {
     (s""""$key"\\s*:\\s*(-?[0-9.]+)""").r.findFirstMatchIn(txt).map(_.group(1).toDouble)
   private[graft] def objField(txt: String, key: String): Option[String] =
     (s""""$key"\\s*:\\s*(\\{[^}]*\\})""").r.findFirstMatchIn(txt).map(_.group(1))
+  /** The key set of a flat `{"name":num,...}` JSON object string. */
+  private[graft] def objKeys(obj: String): Set[String] =
+    """"([^"]+)"\s*:""".r.findAllMatchIn(obj).map(_.group(1)).toSet
+  private[graft] def objPairs(obj: String): Map[String, Double] =
+    """"([^"]+)"\s*:\s*(-?[0-9.]+)""".r.findAllMatchIn(obj)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  /** CONTROL-NORMALIZED drift factor (VERDICT r14 #5): the median ratio
+    * of this run's control timings to the PREVIOUS clean artifact's, over
+    * the controls both runs measured. > 1 means this box ran slower than
+    * the previous round's; dividing the warm total by it yields
+    * `value_ctl_norm`, the number comparable round-over-round without
+    * manual control math (the r14 verdict needed exactly that math to see
+    * +12% ≈ drift + mask). None when the prior artifact is missing,
+    * unparseable, or shares no positive-valued control. */
+  private[graft] def ctlDrift(priorTxt: String,
+      controls: Seq[(String, Double)]): Option[Double] = {
+    val prior = objField(priorTxt, "controls").map(objPairs).getOrElse(Map.empty)
+    val ratios = controls.flatMap { case (k, cur) =>
+      prior.get(k).filter(p => p > 0 && cur > 0).map(p => cur / p)
+    }.sorted
+    if (ratios.isEmpty) None
+    else Some(
+      if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2)
+  }
 
   /** The round-close STDOUT line when this run was demoted (VERDICT r13
     * #8): the driver stamps BENCH_rN from the LAST stdout line, so a
     * contended run used to put busy-box numbers in the round artifact
     * while the self-defense rule correctly preserved the clean file — the
     * two artifacts disagreed. Re-emit the KEPT clean artifact's headline
-    * numbers instead, provided it covers the SAME query set (a kept
-    * artifact from an older round with a different gated set must not
-    * masquerade as current — then the live numbers go out, flagged
-    * contended). Returns None when the kept artifact can't stand in. */
+    * numbers instead, provided it covers the SAME query-NAME set — set
+    * equality, not cardinality (ADVICE r14: a round that adds one gated
+    * query and drops another keeps the count, so a stale artifact would
+    * masquerade as current) — otherwise the live numbers go out, flagged
+    * contended. Returns None when the kept artifact can't stand in. */
   private[graft] def keptCompactLine(keptTxt: String, sfDir: String,
-      nQueries: Int, demotedTo: String, liveLoad: Double): Option[String] =
+      queryNames: Set[String], demotedTo: String, liveLoad: Double): Option[String] =
     for {
       v <- numField(keptTxt, "value")
       c <- numField(keptTxt, "cold_total")
       m <- numField(keptTxt, "median_heavy_total")
       l <- numField(keptTxt, "load_avg_start")
       q <- objField(keptTxt, "queries")
-      if q.count(_ == ':') == nQueries
+      if objKeys(q) == queryNames
       ctl <- objField(keptTxt, "controls")
       med <- objField(keptTxt, "queries_median")
     } yield s"""{"metric":"total","unit":"sec","sf":"$sfDir","value":$v,""" +
       s""""cold_total":$c,"median_heavy_total":$m,"load_avg_start":$l,""" +
-      s""""n_queries":$nQueries,"full_artifact":"kept clean artifact","controls":$ctl,""" +
+      s""""n_queries":${queryNames.size},"full_artifact":"kept clean artifact","controls":$ctl,""" +
       s""""queries_median":$med,"contended":false,""" +
       s""""live_run":"contended (load $liveLoad), demoted to $demotedTo"}"""
 
@@ -131,15 +158,26 @@ object Bench {
     val coldTotal = results.map(_._2._1).sum
     val warmTotal = results.map(_._2._2).sum
     val medTotal = medians.map(_._2).sum
+    val basePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    // Prior clean artifact, read BEFORE this run overwrites it: the drift
+    // normalizer compares against it, and a demoted run re-emits it.
+    val priorTxt: Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(basePath)), "UTF-8"))
+      catch { case _: Throwable => None }
+    val drift = priorTxt.flatMap(ctlDrift(_, controls))
+    // value_ctl_norm: the warm total divided by the control-drift median —
+    // what this run would have read on the previous artifact's box.
+    val ctlNormFields = drift.map(d =>
+      s""""ctl_drift_median":${r3(d)},"value_ctl_norm":${r3(warmTotal / d)},""").getOrElse("")
     // The driver archives only the final ~2000 chars of output; a single
     // line with two 96-entry dicts (~6 KB) truncates mid-dictionary (the
     // r4 artifact lost its first 33 timings and didn't parse). So: the FULL
     // artifact goes out first on stdout AND to a file, and the LAST line is
     // a compact, complete JSON — headline totals plus the heavy-tail
     // medians — guaranteed to fit the archived tail and parse.
-    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","load_avg_start":${r3(loadAvg)},"cold_total":${r3(coldTotal)},"queries_cold":${obj(_._1)},"queries":${obj(_._2)},"queries_median":$medObj,"median_heavy_total":${r3(medTotal)},"controls":$ctlObj,"controls_protocol":"best-of-3, end of run","value":${r3(warmTotal)}}"""
+    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","load_avg_start":${r3(loadAvg)},"cold_total":${r3(coldTotal)},"queries_cold":${obj(_._1)},"queries":${obj(_._2)},"queries_median":$medObj,"median_heavy_total":${r3(medTotal)},"controls":$ctlObj,"controls_protocol":"best-of-3, end of run",$ctlNormFields"value":${r3(warmTotal)}}"""
     println(full)
-    val basePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
     // Self-defense: a contended run (load > 2.0 at start) must not clobber a
     // clean artifact — rounds 6 and 8 both lost their idle-box numbers to a
     // later busy-box re-run. The contended timings still land on disk (as
@@ -157,13 +195,11 @@ object Bench {
     // demoted, echo the kept clean artifact's numbers (same query set
     // required) so the round artifact and the clean file can't disagree;
     // otherwise the live numbers, with contended affirmatively stamped.
-    val liveLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","value":${r3(warmTotal)},"cold_total":${r3(coldTotal)},"median_heavy_total":${r3(medTotal)},"load_avg_start":${r3(loadAvg)},"n_queries":${results.size},"full_artifact":"$fullPath","controls":$ctlObj,"queries_median":$medObj,"contended":${loadAvg > ContendedLoad}}"""
+    val liveLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","value":${r3(warmTotal)},"cold_total":${r3(coldTotal)},"median_heavy_total":${r3(medTotal)},"load_avg_start":${r3(loadAvg)},"n_queries":${results.size},"full_artifact":"$fullPath","controls":$ctlObj,"queries_median":$medObj,$ctlNormFields"contended":${loadAvg > ContendedLoad}}"""
     val lastLine =
       if (fullPath == basePath) liveLine
-      else (try Some(new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(basePath)), "UTF-8"))
-        catch { case _: Throwable => None })
-        .flatMap(keptCompactLine(_, sfDir, results.size, fullPath, r3(loadAvg)))
+      else priorTxt
+        .flatMap(keptCompactLine(_, sfDir, results.map(_._1).toSet, fullPath, r3(loadAvg)))
         .getOrElse(liveLine)
     println(lastLine)
     spark.stop()

@@ -132,8 +132,18 @@ object Similarity {
     math.max(NumCentroids,
       math.ceil(math.sqrt(math.max(n, 1L) / 32.0)).toInt)
 
-  /** The auto-sized K of `dir`'s embeddings corpus (one count job). */
-  def ivfK(s: SparkSession, dir: String): Int = ivfSizing(emb(s, dir).count())
+  /** The auto-sized K of `dir`'s embeddings corpus — memoized per
+    * (applicationId, dir) so the IVF family really does pay ONE
+    * footer-stats count job per corpus, not one per registry-key
+    * construction (ivfCentroids + ivfAssign + semanticLabels + ivfParts
+    * each consult K). Corpus dirs are immutable within a session (scale
+    * and fuzz corpora live at distinct paths; specs use fresh temp
+    * dirs), so the app-scoped memo cannot go stale. */
+  private val ivfKMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Int]()
+  def ivfK(s: SparkSession, dir: String): Int =
+    ivfKMemo.computeIfAbsent((s.sparkContext.applicationId, dir),
+      _ => ivfSizing(emb(s, dir).count()))
 
   /** IVF-style ANN with a TRAINED coarse quantizer: `KMeansIters` Lloyd's
     * iterations over a deterministic `vec_id % TrainMod` training sample

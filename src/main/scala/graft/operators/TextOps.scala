@@ -1967,7 +1967,8 @@ object TextOps {
           .as("recall_ppm"),
         expr("CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE 2 * tp * 1000000 DIV (2 * tp + fp + fn) END")
           .as("f1_ppm"),
-        expr("(tp + fp) * 1000000 DIV n").as("keep_ppm"))
+        expr("CASE WHEN n = 0 THEN 0 ELSE (tp + fp) * 1000000 DIV n END")
+          .as("keep_ppm"))
 
   /** The per-row (non-LM) part of the quality logit as ONE column over
     * `text` — every term of [[qualityModelWith]]'s logit8 except the
@@ -2260,7 +2261,7 @@ object TextOps {
         "CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END AS precision_ppm, " +
         "CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS recall_ppm, " +
         "CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_ppm, " +
-        "(tp + fp) * 1000000 // n AS keep_ppm FROM c"),
+        "CASE WHEN n = 0 THEN 0 ELSE (tp + fp) * 1000000 // n END AS keep_ppm FROM c"),
     "text_perplexity_kn5" -> kn5Sql,
     "text_gopher_rules" -> gopherSql,
     "text_corpus_stats" ->

@@ -30,19 +30,42 @@ class BenchSpec extends AnyFunSuite {
       """"cold_total":147.6,"queries_cold":{"a":1.0,"b":2.0},"queries":{"a":0.5,"b":0.6},""" +
       """"queries_median":{"a":0.5},"median_heavy_total":0.5,"controls":{"mr_wordcount":0.133},""" +
       """"value":68.1}"""
-    val line = Bench.keptCompactLine(kept, "/d", nQueries = 2,
+    val line = Bench.keptCompactLine(kept, "/d", queryNames = Set("a", "b"),
       demotedTo = "b.json.contended", liveLoad = 6.25)
-    assert(line.isDefined, "same-sized query set must reuse the clean artifact")
+    assert(line.isDefined, "same query-name set must reuse the clean artifact")
     val l = line.get
     // the round artifact carries the CLEAN run's numbers and load...
     assert(l.contains(""""value":68.1""") && l.contains(""""load_avg_start":0.98"""))
     assert(l.contains(""""contended":false""") && l.contains("demoted to b.json.contended"))
     assert(l.contains(""""controls":{"mr_wordcount":0.133}"""))
     // ...a kept artifact covering a DIFFERENT query set must not stand in
-    assert(Bench.keptCompactLine(kept, "/d", nQueries = 3,
+    assert(Bench.keptCompactLine(kept, "/d", queryNames = Set("a", "b", "c"),
+      demotedTo = "x", liveLoad = 6.25).isEmpty)
+    // ...nor a SAME-SIZED but renamed set (ADVICE r14: count equality let a
+    // round that swapped one gated query for another reuse stale numbers)
+    assert(Bench.keptCompactLine(kept, "/d", queryNames = Set("a", "c"),
       demotedTo = "x", liveLoad = 6.25).isEmpty)
     // ...and garbage can't either
-    assert(Bench.keptCompactLine("not json", "/d", 2, "x", 6.25).isEmpty)
+    assert(Bench.keptCompactLine("not json", "/d", Set("a", "b"), "x", 6.25).isEmpty)
+  }
+
+  test("control drift median normalizes the warm total against the prior artifact") {
+    val prior = """{"metric":"total","controls":{"mr_wordcount":0.10,"mr_sort":0.20,""" +
+      """"q_join_salted":0.40},"value":50.0}"""
+    // this box ran the three shared controls 1.5x, 1.1x, 2.0x slower →
+    // median drift 1.5; an unknown control in the live set is ignored
+    val live = Seq("mr_wordcount" -> 0.15, "mr_sort" -> 0.22,
+      "q_join_salted" -> 0.80, "new_ctl" -> 9.9)
+    assert(Bench.ctlDrift(prior, live).exists(d => math.abs(d - 1.5) < 1e-9))
+    // even count → mean of the middle two
+    val liveTwo = Seq("mr_wordcount" -> 0.15, "mr_sort" -> 0.22)
+    assert(Bench.ctlDrift(prior, liveTwo).exists(d => math.abs(d - 1.3) < 1e-9))
+    // no shared controls / unparseable prior → no normalization claimed
+    assert(Bench.ctlDrift(prior, Seq("other" -> 1.0)).isEmpty)
+    assert(Bench.ctlDrift("not json", live).isEmpty)
+    // zero-valued prior control cannot divide
+    val zero = """{"controls":{"mr_wordcount":0.0}}"""
+    assert(Bench.ctlDrift(zero, Seq("mr_wordcount" -> 0.5)).isEmpty)
   }
 
   test("existingLoadAvg parses the stamped field and tolerates garbage") {
