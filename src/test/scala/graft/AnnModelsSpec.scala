@@ -708,6 +708,24 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("PQ corpus codes: registry-served, bit-identical to inline, ONE " +
+      "encoding pass across the whole PQ family") {
+    AnnModels.withRoot(freshRoot("pqcodes")) {
+      val c0 = AnnModels.pqCodeTrains
+      // all three PQ-family consumers: compressed scan, IVFADC, rerank
+      Similarity.annPq(spark, sf).collect()
+      Similarity.annIvfPq(spark, sf).collect()
+      Similarity.annIvfPqRerank(spark, sf).collect()
+      assert(AnnModels.pqCodeTrains == c0 + 1,
+        s"expected ONE corpus encoding pass, got ${AnnModels.pqCodeTrains - c0}")
+      assert(rows(AnnModels.pqCodes(spark, sf)) ==
+        rows(Similarity.pqCodesInline(spark, sf)),
+        "served PQ codes diverge from inline encoding")
+      assert(AnnModels.pqCodeTrains == c0 + 1,
+        "re-reading the artifact must not re-encode")
+    }
+  }
+
   test("alignment scores: registry-served, bit-identical to inline; an " +
       "embeddings-table edit alone retrains (two-table fingerprint)") {
     val sp = spark
