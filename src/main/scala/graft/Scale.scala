@@ -192,7 +192,20 @@ object Scale {
       "stream_ingest_lr" -> (graft.streaming.EventStreams.ingestLrBatch _),
       // round 13: audio fingerprint pairing — pigeonhole-bucketed and
       // salt-capped like simhash/phash; linear in assets by construction
-      "mm_audio_pairs" -> (graft.operators.Multimodal.audioPairs _))
+      "mm_audio_pairs" -> (graft.operators.Multimodal.audioPairs _),
+      // round 15: the PQ family's remaining two gated entries — with the
+      // corpus encoding registry-served (AnnModels.pqCodes) their served
+      // rows must drop to the ivf family's flat line; first-touch carries
+      // the one-time encode
+      "sim_ann_pq" -> (Similarity.annPq _),
+      "sim_ann_ivfpq_rerank" -> (Similarity.annIvfPqRerank _),
+      // round 15 (VERDICT r14 #7): the r14 additions' scale rows — all
+      // ride served artifacts (audio CC labels, the dupSpans relation,
+      // the funnelFlags spine), so anything non-flat is a finding
+      "mm_audio_dedup" -> (graft.operators.Multimodal.audioDedup _),
+      "mm_audio_keep" -> (graft.operators.Multimodal.audioKeep _),
+      "dedup_substring_rm_spans" -> (Dedup.substringRemoveSpans _),
+      "pipeline_funnel_source" -> (Pipeline.funnelSource _))
 
   def main(args: Array[String]): Unit = {
     val outBase = args.headOption.getOrElse("/tmp/graft_scale")

@@ -77,6 +77,8 @@ object AnnModels {
   @volatile private[graft] var alignScoreTrains = 0
   @volatile private[graft] var ivfAssignTrains = 0
   @volatile private[graft] var pqCodeTrains = 0
+  @volatile private[graft] var hammingDegenTrains = 0
+  @volatile private[graft] var hammingPairTrains = 0
   @volatile private[graft] var lrMarginTrains = 0
   @volatile private[graft] var semanticLabelTrains = 0
 
@@ -501,6 +503,48 @@ object AnnModels {
         s"fit=lr,k=${TextOps.QualityLrIters},eta=${TextOps.QualityLrEtaNum}/${TextOps.QualityLrEtaDen},ctr=mean-clamp1e4,feat=${TextOps.QualityFeatNames.size},half=even,seed=${TextOps.QualitySeedMinFlags},excl=src0,$LmParams") {
       lrGateTrains += 1
       TextOps.qualityLrGateInline(s, dir)
+    }
+
+  /** The DEGENERATE-block census of a hamming family's hashed corpus —
+    * the ≤ 9 saturated (bi, bv) bucket values the pigeonhole mask drops
+    * (Dedup.degenCensusOf; r15, VERDICT r14 #4): a per-CORPUS-STATE
+    * value that was recomputed per invocation, costing every
+    * simhash/phash/audio pairing query a checkpoint + census aggregate
+    * even when the answer is "no degeneracy" (simhash/phash at every
+    * measured scale). Served, the clean-corpus hot path keeps the EXACT
+    * pre-mask plan and pays one ≤ 9-row artifact read. `kind`
+    * distinguishes the hash families (sim/ph/au — same block layout,
+    * different hash columns over the same documents table); collected to
+    * the driver because the plan BRANCHES on it (the bounded-collect
+    * discipline: the bound is structural, ≤ 3 values per block). */
+  def hammingDegen(s: SparkSession, dir: String, kind: String)
+      (census: => DataFrame): Seq[(Int, Long)] =
+    ensure(s, dir, s"dg$kind",
+        params = s"share=${Dedup.DegenShare},blocks=22/21/21") {
+      hammingDegenTrains += 1
+      census
+    }.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+
+  /** The VERIFIED hamming pair relation (doc_a, doc_b, hamming) of a hash
+    * family — the near-dup product the downstream consumers (CC labels,
+    * keep rules, curation gates) and the gated pairing queries themselves
+    * all read (r15): built per corpus STATE, so a pairing query costs one
+    * artifact read instead of the hash + census + salt + explode + verify
+    * chain per invocation — the minhashVerified serving discipline on the
+    * hamming engine. All-integer columns: bit-identical round-trip.
+    * Candidate-bounded size (≤ 3n·cap before verify): natural
+    * partitioning. The key inlines every constant the chain reads (mask
+    * share, block layout, salt cap, hamming radius) — a constant bump
+    * re-keys and retrains the pairs and, through their own keys, every
+    * label artifact downstream. */
+  def hammingPairsStore(s: SparkSession, dir: String, kind: String)
+      (train: => DataFrame): DataFrame =
+    ensure(s, dir, s"hp$kind",
+        params = s"ham=${Dedup.MaxHamming},cap=${Dedup.MaxBucket}," +
+          s"share=${Dedup.DegenShare},blocks=22/21/21",
+        coalesce1 = false) {
+      hammingPairTrains += 1
+      train
     }
 
   /** The corpus IVF ASSIGNMENT (vec_id, cent_id, ccos) — every vector's

@@ -124,9 +124,22 @@ object Dedup {
     * than a windowed buffer of the densest buckets. */
   def simhashPairs(s: SparkSession, dir: String,
       maxBucket: Int = MaxBucket): DataFrame =
-    hammingPairs(
-      docs(s, dir).select(col("doc_id"), ShingleExpressions.simhash64(col("text")).as("h")),
-      maxBucket)
+    // Default cap → the verified pair relation is itself a registry
+    // artifact (r15, VERDICT r14 #4's endpoint): the per-invocation cost
+    // of the gated query drops to one artifact read — the
+    // minhashVerified serving discipline applied to the hamming family.
+    // Non-default caps (the salting specs) build inline.
+    if (maxBucket != MaxBucket) simhashPairsInline(s, dir, maxBucket)
+    else AnnModels.hammingPairsStore(s, dir, "sim")(
+      simhashPairsInline(s, dir, MaxBucket))
+
+  private[graft] def simhashPairsInline(s: SparkSession, dir: String,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    def hashed = docs(s, dir)
+      .select(col("doc_id"), ShingleExpressions.simhash64(col("text")).as("h"))
+    hammingPairs(hashed, maxBucket,
+      servedDegen = Some(AnnModels.hammingDegen(s, dir, "sim")(degenCensusOf(hashed))))
+  }
 
   /** Hamming-<= `MaxHamming` pairs over ANY (doc_id, h: 64-bit) relation —
     * the engine behind `simhashPairs`, reused verbatim by the multimodal
@@ -147,8 +160,9 @@ object Dedup {
   val DegenShare = 4L
 
   private[operators] def hammingPairs(hashed: DataFrame,
-      maxBucket: Int = MaxBucket, maskDegenerate: Boolean = true): DataFrame =
-    hammingCandidates(hashed, maxBucket, maskDegenerate)
+      maxBucket: Int = MaxBucket, maskDegenerate: Boolean = true,
+      servedDegen: Option[Seq[(Int, Long)]] = None): DataFrame =
+    hammingCandidates(hashed, maxBucket, maskDegenerate, servedDegen)
       .select(col("doc_a"), col("doc_b"),
         expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
       .filter(col("hamming") <= MaxHamming)
@@ -157,15 +171,13 @@ object Dedup {
     * — (doc_a, ha, doc_b, hb), distinct — exposed so the mask spec and
     * the scale profiler can measure candidate volume directly. */
   private[graft] def hammingCandidates(hashed: DataFrame,
-      maxBucket: Int = MaxBucket, maskDegenerate: Boolean = true): DataFrame = {
+      maxBucket: Int = MaxBucket, maskDegenerate: Boolean = true,
+      servedDegen: Option[Seq[(Int, Long)]] = None): DataFrame = {
     // the ONE pigeonhole split (hammingBlocked) — the block constants
-    // live in exactly one Scala site plus the SQL mirror. Materialized:
-    // the degenerate census, the salt census and the bucket join all
-    // consume it (un-checkpointed, the hashing chain re-ran per branch).
-    val blocked0 = hammingBlocked(hashed)
+    // live in exactly one Scala site plus the SQL mirror.
+    def blockedOf = hammingBlocked(hashed)
       .select(col("doc_id"), col("full").as("h"),
         col("band").as("bi"), col("h").as("bv"))
-      .localCheckpoint()
     // Degenerate-block MASK (r14): drop saturated (bi, bv) buckets from
     // candidate generation — unless a document has NO clean block at all,
     // in which case its rows all stay (totality; the salt cap still
@@ -184,30 +196,32 @@ object Dedup {
     // clean-block paths (the pigeonhole-guaranteed ones) are untouched
     // by construction — masked candidates == unmasked candidates
     // generated via clean buckets (spec).
-    val blocked = if (!maskDegenerate) blocked0 else {
-      // The degenerate census is a PROVABLY model-sized value: each block
-      // holds at most DegenShare−1 = 3 values above a 1/DegenShare corpus
-      // share (a 4th would exceed 100%), so ≤ 9 rows ever qualify — it
-      // collects to the driver (the boilerplate-exemplar discipline), and
-      // a corpus with no degeneracy (simhash/phash at every measured
-      // scale) keeps the EXACT pre-mask plan: zero extra operators on the
-      // hot path. Census shape: groupBy (map-side combinable) → 3-row
-      // per-block totals broadcast back — never a Window over bucket
-      // members (the dense-bucket anti-pattern PlansSpec pins).
-      val censusAll = blocked0.groupBy("bi", "bv").agg(count(lit(1)).as("dbn"))
-      val tot = censusAll.groupBy("bi").agg(sum(col("dbn")).as("n"))
-      val degen = censusAll.join(broadcast(tot), Seq("bi"))
-        .filter(col("dbn") * DegenShare > col("n"))
-        .select(col("bi"), col("bv")).collect()
-        .map(r => (r.getInt(0), r.getLong(1))).toSeq
-      if (degen.isEmpty) blocked0
+    //
+    // r15 (VERDICT r14 #4): the census is a per-CORPUS-STATE value, not a
+    // per-invocation one — the gated corpus paths pass it in
+    // REGISTRY-SERVED (AnnModels.hammingDegen: ≤ 9 rows, trained once,
+    // fingerprint-fresh), so the hot path pays one tiny artifact read
+    // instead of a checkpoint + census aggregate per query; arbitrary
+    // relations (spec corpora, ingest probes) census inline.
+    val degen: Seq[(Int, Long)] =
+      if (!maskDegenerate) Seq.empty
+      else servedDegen.getOrElse(
+        degenCensusOf(hashed).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSeq)
+    val blocked =
+      if (degen.isEmpty) blockedOf // the exact pre-mask plan: the salt
+        // census and bucket join recompute the hash chain (embarrassingly
+        // parallel CPU — the documented trade over buffering), zero mask
+        // operators on the hot path
       else {
         // per-doc fallback (a doc with no clean block keeps all rows)
-        // rides ONE doc_id regroup of the ≤3-row groups, no join-back
+        // rides ONE doc_id regroup of the ≤3-row groups, no join-back.
+        // Checkpointed: the salt census and the bucket join both consume
+        // the masked relation — one regroup, not two.
         val isDegen = degen
           .map { case (bi, bv) => col("bi") === bi && col("bv") === bv }
           .reduce(_ || _)
-        blocked0
+        blockedOf
           .withColumn("dg", when(isDegen, 1).otherwise(0))
           .groupBy("doc_id")
           .agg(collect_list(struct(col("h"), col("bi"), col("bv"), col("dg"))).as("bs"))
@@ -215,8 +229,8 @@ object Dedup {
             "CASE WHEN exists(bs, b -> b.dg = 0) THEN filter(bs, b -> b.dg = 0) ELSE bs END")).as("b"))
           .select(col("doc_id"), col("b.h").as("h"),
             col("b.bi").as("bi"), col("b.bv").as("bv"))
+          .localCheckpoint()
       }
-    }
     // Only buckets past the cap need a group count (ceil(bn/cap) = 1
     // otherwise), so the broadcast side is the dense outliers alone.
     val dense = blocked.groupBy("bi", "bv").agg(count(lit(1)).as("bn"))
@@ -240,6 +254,26 @@ object Dedup {
     * XOR-popcount verify — the persisted-index form of [[hammingPairs]]'s
     * candidate generation (Multimodal's perceptual-hash ingest probe
     * builds its index and probe sides from exactly these rows). */
+  /** The DEGENERATE-block census of ANY (doc_id, h: 64-bit) relation —
+    * the ≤ 9 (bi, bv) bucket values holding more than a 1/[[DegenShare]]
+    * corpus share (each of the 3 blocks admits at most DegenShare−1 = 3
+    * such values, so the bound is structural, not empirical — the
+    * provably-bounded-collect discipline). ONE map-side-combinable
+    * (bi, bv) aggregate; the per-block total equals the corpus count n
+    * (every doc emits exactly one row per block), so n = sum(bn)/3 — no
+    * per-block rollup or broadcast join, and never a Window over bucket
+    * members (the dense-bucket anti-pattern PlansSpec pins). Trained into
+    * the model store per corpus state by AnnModels.hammingDegen; called
+    * inline for arbitrary relations (spec corpora, ingest probes). */
+  private[graft] def degenCensusOf(hashed: DataFrame): DataFrame = {
+    val census = hammingBlocked(hashed)
+      .groupBy(col("band").as("bi"), col("h").as("bv"))
+      .agg(count(lit(1)).as("bn"))
+      .localCheckpoint()
+    val n = census.agg(coalesce(sum(col("bn")), lit(0L))).first().getLong(0) / 3
+    census.filter(col("bn") * DegenShare > lit(n)).select(col("bi"), col("bv"))
+  }
+
   private[graft] def hammingBlocked(hashed: DataFrame): DataFrame =
     hashed
       .select(col("doc_id"), col("h").as("full"), explode(array(

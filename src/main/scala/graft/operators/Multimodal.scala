@@ -260,8 +260,23 @@ object Multimodal {
     * simhash/phash path verbatim: 3 bucket rows per asset, salted census,
     * XOR-popcount verification only on candidates; never all-pairs). */
   def audioPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.hammingPairs(audioFingerprint(s, dir)
-      .select(col("doc_id"), col("afp").as("h")))
+    // the verified pair relation is registry-served per corpus state
+    // (the minhashVerified discipline — see AnnModels.hammingPairsStore)
+    graft.operators.AnnModels.hammingPairsStore(s, dir, "au")(
+      audioPairsInline(s, dir))
+
+  private[graft] def audioPairsInline(s: SparkSession, dir: String): DataFrame = {
+    def hashed = audioFingerprint(s, dir)
+      .select(col("doc_id"), col("afp").as("h"))
+    Dedup.hammingPairs(hashed, servedDegen = Some(audioDegen(s, dir)))
+  }
+
+  /** The audio hash family's registry-served degenerate census (shared
+    * by the pairing query and the CC-label trainer). */
+  private[operators] def audioDegen(s: SparkSession, dir: String): Seq[(Int, Long)] =
+    graft.operators.AnnModels.hammingDegen(s, dir, "au")(
+      Dedup.degenCensusOf(audioFingerprint(s, dir)
+        .select(col("doc_id"), col("afp").as("h"))))
 
   /** The AUDIO-perceptual CC labeling (doc_id, cluster_id) — the
     * [[phashLabelsOf]] recipe on the Haitsma-Kalker fingerprint column
@@ -270,12 +285,12 @@ object Multimodal {
     * AnnModels.audioLabels and served to [[audioDedup]] / [[audioKeep]] —
     * the audio column's survivor table, completing the image/text/audio
     * dedup triad's serving story. */
-  def audioLabelsOf(s: SparkSession, dir: String): DataFrame = {
-    val af = audioFingerprint(s, dir).localCheckpoint()
-    Dedup.ccLabels(af.select(col("doc_id")),
-      Dedup.hammingPairs(af.select(col("doc_id"), col("afp").as("h")))
-        .select(col("doc_a"), col("doc_b")))
-  }
+  def audioLabelsOf(s: SparkSession, dir: String): DataFrame =
+    // edges from the served pair artifact (one pairing chain per corpus
+    // state, shared with the gated pairing query); vertices are one
+    // cheap fingerprint pass
+    Dedup.ccLabels(audioFingerprint(s, dir).select(col("doc_id")),
+      audioPairs(s, dir).select(col("doc_a"), col("doc_b")))
 
   /** Audio dedup — one row per canonical asset with its representation
     * count (the [[phashDedup]] shape on the fingerprint column): CC over
@@ -466,7 +481,21 @@ object Multimodal {
     * pigeonhole + salted-census engine) applied to the multimodal
     * fingerprint; one pairing engine serves both modalities. */
   def phashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.hammingPairs(phash(s, dir).select(col("doc_id"), col("phash").as("h")))
+    // the verified pair relation is registry-served per corpus state
+    // (the minhashVerified discipline — see AnnModels.hammingPairsStore)
+    graft.operators.AnnModels.hammingPairsStore(s, dir, "ph")(
+      phashPairsInline(s, dir))
+
+  private[graft] def phashPairsInline(s: SparkSession, dir: String): DataFrame =
+    Dedup.hammingPairs(phash(s, dir).select(col("doc_id"), col("phash").as("h")),
+      servedDegen = Some(phashDegen(s, dir)))
+
+  /** The image hash family's registry-served degenerate census (shared
+    * by the pairing query and the CC-label trainer). */
+  private[operators] def phashDegen(s: SparkSession, dir: String): Seq[(Int, Long)] =
+    graft.operators.AnnModels.hammingDegen(s, dir, "ph")(
+      Dedup.degenCensusOf(phash(s, dir)
+        .select(col("doc_id"), col("phash").as("h"))))
 
   /** Perceptual-hash image DEDUP — the image half of a multimodal
     * curation pipeline (the DataComp/LAION near-duplicate removal step:
@@ -490,12 +519,12 @@ object Multimodal {
     * hamming pairs, the shared star-contraction CC engine; persisted per
     * corpus state by AnnModels.phashLabels (the survivorLabels shape) and
     * served to both [[phashDedup]] and [[phashKeep]]. */
-  def phashLabelsOf(s: SparkSession, dir: String): DataFrame = {
-    val ph = phash(s, dir).localCheckpoint()
-    Dedup.ccLabels(ph.select(col("doc_id")),
-      Dedup.hammingPairs(ph.select(col("doc_id"), col("phash").as("h")))
-        .select(col("doc_a"), col("doc_b")))
-  }
+  def phashLabelsOf(s: SparkSession, dir: String): DataFrame =
+    // edges from the served pair artifact (one pairing chain per corpus
+    // state, shared with the gated pairing query); vertices are one
+    // cheap hash pass
+    Dedup.ccLabels(phash(s, dir).select(col("doc_id")),
+      phashPairs(s, dir).select(col("doc_a"), col("doc_b")))
 
   /** [[phashDedup]] with the KEEP-BEST-COPY rule a crawl pipeline actually
     * applies (near-duplicate images differ in resolution/re-encode

@@ -708,6 +708,35 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("hamming pairs + degenerate census: registry-served, bit-identical " +
+      "to inline, ONE build per hash family across all consumers") {
+    AnnModels.withRoot(freshRoot("hamserve")) {
+      val (p0, d0) = (AnnModels.hammingPairTrains, AnnModels.hammingDegenTrains)
+      // the three gated pairing queries + the CC-label consumers that
+      // must ride the SAME served pair artifacts
+      graft.operators.Dedup.simhashPairs(spark, sf).collect()
+      graft.operators.Multimodal.phashPairs(spark, sf).collect()
+      graft.operators.Multimodal.audioPairs(spark, sf).collect()
+      graft.operators.Multimodal.audioDedup(spark, sf).collect()
+      graft.operators.Multimodal.phashDedup(spark, sf).collect()
+      assert(AnnModels.hammingPairTrains == p0 + 3,
+        s"expected ONE pair build per hash family (sim/ph/au), got ${AnnModels.hammingPairTrains - p0}")
+      assert(AnnModels.hammingDegenTrains == d0 + 3,
+        s"expected ONE degenerate census per hash family, got ${AnnModels.hammingDegenTrains - d0}")
+      assert(rows(graft.operators.Dedup.simhashPairs(spark, sf)) ==
+        rows(graft.operators.Dedup.simhashPairsInline(spark, sf)),
+        "served simhash pairs diverge from inline")
+      assert(rows(graft.operators.Multimodal.audioPairs(spark, sf)) ==
+        rows(graft.operators.Multimodal.audioPairsInline(spark, sf)),
+        "served audio pairs diverge from inline")
+      assert(rows(graft.operators.Multimodal.phashPairs(spark, sf)) ==
+        rows(graft.operators.Multimodal.phashPairsInline(spark, sf)),
+        "served phash pairs diverge from inline")
+      assert(AnnModels.hammingPairTrains == p0 + 3,
+        "re-reading the artifacts must not rebuild the pair relations")
+    }
+  }
+
   test("PQ corpus codes: registry-served, bit-identical to inline, ONE " +
       "encoding pass across the whole PQ family") {
     AnnModels.withRoot(freshRoot("pqcodes")) {
