@@ -80,6 +80,7 @@ object AnnModels {
   @volatile private[graft] var hammingDegenTrains = 0
   @volatile private[graft] var hammingPairTrains = 0
   @volatile private[graft] var lrMarginTrains = 0
+  @volatile private[graft] var ftMarginTrains = 0
   @volatile private[graft] var semanticLabelTrains = 0
 
   /** The trigram LM's training constants, inlined into every key that
@@ -498,6 +499,22 @@ object AnnModels {
     * dependency). Batch admission broadcasts these 13 longs and scores
     * new documents with one feature pass — the production shape where
     * the fastText/logistic quality classifier gates the crawl nightly. */
+  /** The HASHED-NGRAM gate's scored relation (doc_id, zft12, ft_keep) —
+    * the lrMargins discipline on the fastText-shaped fit (r15): the
+    * word+bigram bucket pass and the K-round fit run once per corpus
+    * state; consumers read exact longs. The key inlines every fit
+    * constant (width, rounds, eta, gram orders, normalization grid,
+    * train-half and seed conventions). */
+  def ftMargins(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "qft",
+        s"fit=lr-hash,b=${TextOps.FtBuckets},k=${TextOps.FtIters}," +
+          s"eta=${TextOps.FtEtaNum}/${TextOps.FtEtaDen},grams=1+2," +
+          s"half=even,seed=${TextOps.QualitySeedMinFlags},norm=1e6",
+        coalesce1 = false) {
+      ftMarginTrains += 1
+      TextOps.qualityFtInline(s, dir)
+    }
+
   def lrGate(s: SparkSession, dir: String): DataFrame =
     ensure(s, dir, "qlrg",
         s"fit=lr,k=${TextOps.QualityLrIters},eta=${TextOps.QualityLrEtaNum}/${TextOps.QualityLrEtaDen},ctr=mean-clamp1e4,feat=${TextOps.QualityFeatNames.size},half=even,seed=${TextOps.QualitySeedMinFlags},excl=src0,$LmParams") {

@@ -1970,6 +1970,116 @@ object TextOps {
         expr("CASE WHEN n = 0 THEN 0 ELSE (tp + fp) * 1000000 DIV n END")
           .as("keep_ppm"))
 
+  // ---- HASHED-NGRAM learned gate (the fastText shape) — r15, VERDICT
+  // r14 #3: the 6-feature LR reads SURFACE statistics only, so a
+  // topically-junk document with clean length/punct/stopword ratios
+  // passes every trained gate. CCNet/DataComp's production classifier
+  // trains on hashed bag-of-ngram features instead — word identity, not
+  // word statistics. This composes the two halves the engine already
+  // has: DSIR's md5 bucket hashing (word+bigram grams → FtBuckets) and
+  // the exact-long batch-gradient LR loop (the qualityLrFit arithmetic
+  // with the weight VECTOR as a bucket-indexed array instead of 6
+  // columns). ------------------------------------------------------------
+
+  /** Hashed feature width (2^8; the DsirBuckets regime — the plan is
+    * width-independent, the production bump is a constant). */
+  val FtBuckets = 256L
+  /** Batch-gradient rounds — the oracle unrolls them as CTEs, and each
+    * round is two token-bounded aggregates, so K stays small. */
+  val FtIters = 8
+  val FtEtaNum = 8L
+  val FtEtaDen = 1L
+
+  /** (doc_id, b, x6): per-GRAM-normalized hashed ngram weights on the
+    * 1e6 grid — grams are the word unigrams plus the word bigrams (the
+    * fastText feature recipe), hashed by the shared md5 hash52 into
+    * [[FtBuckets]] buckets; x6 = occ·1e6 DIV (2·n_tok − 1), so Σ_b x6 ≤
+    * 1e6 for every document and the logit bound is length-independent.
+    * One corpus scan, one token-bounded shuffle (the dsirOcc shape); ng
+    * rides the group keys (doc_id determines it) so no second pass. */
+  private[graft] def ftOcc6(d: DataFrame, buckets: Long = FtBuckets): DataFrame = {
+    val toks = wsTokens(col("text"))
+    d.select(col("doc_id"), (size(toks) * 2 - 1).cast("long").as("ng"),
+        explode(concat(toks, wordShingles(toks, 2))).as("g"))
+      .select(col("doc_id"), col("ng"),
+        pmod(hash52(col("g")), lit(buckets)).as("b"))
+      .groupBy("doc_id", "ng", "b").agg(count(lit(1)).as("occ"))
+      .select(col("doc_id"), col("b"), expr("occ * 1000000 DIV ng").as("x6"))
+  }
+
+  /** The hashed-ngram LR fit — [[qualityLrFit]]'s exact-integer
+    * arithmetic with a (FtBuckets+1)-long weight vector: w(0) is the
+    * bias (feature value 1e6), w(b+1) the bucket weights, broadcast into
+    * each round as ONE array literal (no per-round join against a weight
+    * relation — element_at stays inside whole-stage codegen). Each round
+    * is one job: per-doc logits → grid sigmoid → residuals, then the
+    * per-bucket gradient regroup unioned with the (n, g0) sentinel row
+    * (b = −1), collected as ≤ FtBuckets+1 rows (model-sized). Updates
+    * are truncating integer division on the 1e6 grid — the oracle
+    * replays the identical trajectory. Train half = even doc_ids joined
+    * to the Gopher-seed labels, the shared convention. */
+  private[graft] def qualityFtFit(occ6: DataFrame, labels: DataFrame,
+      buckets: Long = FtBuckets, iters: Int = FtIters,
+      etaNum: Long = FtEtaNum, etaDen: Long = FtEtaDen): Array[Long] = {
+    val half = occ6.join(labels, Seq("doc_id"))
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("b"), col("x6"), col("cls"))
+      .localCheckpoint()
+    val w = Array.fill(buckets.toInt + 1)(0L)
+    for (_ <- 1 to iters) {
+      val zb = sum(col("x6") * element_at(typedLit(w.drop(1).toSeq), col("b").cast("int") + 1))
+      val z = (zb + lit(w(0) * 1000000L)).cast("long")
+      val p6 = floor(lit(1000000.0) /
+        (lit(1.0) + exp(-(z.cast("double") / lit(1e12)))) + lit(0.5)).cast("long")
+      val rdoc = half.groupBy("doc_id", "cls")
+        .agg((col("cls") * lit(1000000L) - p6).as("resid"))
+        .select(col("doc_id"), col("resid"))
+      val rows = half.join(rdoc, Seq("doc_id"))
+        .select(col("b"), (col("resid") * col("x6")).as("c"), lit(0L).as("one"))
+        .union(rdoc.select(lit(-1L).as("b"),
+          (col("resid") * lit(1000000L)).as("c"), lit(1L).as("one")))
+        .groupBy("b").agg(sum(col("c")).as("g"), sum(col("one")).as("n"))
+        .collect()
+      val n = rows.collectFirst { case r if r.getLong(0) == -1L => r.getLong(2) }
+        .getOrElse(0L)
+      if (n > 0) rows.foreach { r =>
+        val j = if (r.getLong(0) == -1L) 0 else r.getLong(0).toInt + 1
+        w(j) += (etaNum * r.getLong(1)) / (etaDen * n * 1000000L)
+      }
+    }
+    w
+  }
+
+  /** Score `occ6` under fit `w`: zft12 = the exact long logit on the
+    * 1e12 grid (Σ_b x6·w_b + bias·1e6), ft_keep = sign gate. */
+  private[graft] def qualityFtScoreWith(occ6: DataFrame, w: Array[Long]): DataFrame =
+    occ6.groupBy("doc_id")
+      .agg((sum(col("x6") * element_at(typedLit(w.drop(1).toSeq), col("b").cast("int") + 1)) +
+        lit(w(0) * 1000000L)).cast("long").as("zft12"))
+      .select(col("doc_id"), col("zft12"),
+        when(col("zft12") >= 0, 1).otherwise(0).as("ft_keep"))
+
+  /** The full hashed-ngram gate chain over an arbitrary documents
+    * relation — what AnnModels.ftMargins runs ONCE per corpus state, and
+    * what the junk-topic separation spec runs on crafted corpora. */
+  private[graft] def qualityFtInlineOf(d: DataFrame): DataFrame = {
+    val occ = ftOcc6(d).localCheckpoint()
+    qualityFtScoreWith(occ, qualityFtFit(occ, gopherSeedOf(d)))
+  }
+
+  private[graft] def qualityFtInline(s: SparkSession, dir: String): DataFrame =
+    qualityFtInlineOf(docs(s, dir))
+
+  /** The HASHED-NGRAM learned quality gate (fastText shape) —
+    * registry-served scores (AnnModels.ftMargins): the trained-margin
+    * family's fourth member (heuristic coefficients → Rocchio centroids
+    * → 6-feature logistic → hashed-ngram logistic). What it adds: word
+    * IDENTITY — a junk-topic document with clean surface statistics
+    * passes the first three gates and fails this one (spec-pinned on a
+    * crafted corpus). */
+  def qualityFt(s: SparkSession, dir: String): DataFrame =
+    AnnModels.ftMargins(s, dir)
+
   /** The per-row (non-LM) part of the quality logit as ONE column over
     * `text` — every term of [[qualityModelWith]]'s logit8 except the
     * QmNll surprise term, computed from the row itself with the SAME
@@ -2150,6 +2260,7 @@ object TextOps {
     "text_quality_trained" -> (qualityTrained _),
     "text_quality_lr" -> (qualityLr _),
     "text_quality_lr_audit" -> (qualityLrAudit _),
+    "text_quality_ft" -> (qualityFt _),
     "text_perplexity_kn5" -> (perplexityKn5 _),
     "text_gopher_rules" -> (gopherRules _),
     "text_corpus_stats" -> (corpusStats _),
@@ -2246,6 +2357,7 @@ object TextOps {
     "text_quality" -> qualitySql,
     "text_quality_trained" -> qualityTrainedSql,
     "text_quality_lr" -> qualityLrSql,
+    "text_quality_ft" -> qualityFtSql,
     "text_quality_lr_audit" ->
       // the full fit replay (qualityLrSql) joined back to its own seed
       // labels, folded into a one-row integer-ppm confusion report
@@ -2706,6 +2818,45 @@ object TextOps {
       s"SELECT sc.doc_id, CAST(${lrZSql("w")} AS BIGINT) AS zlr10, " +
       s"CASE WHEN ${lrZSql("w")} >= 0 THEN 1 ELSE 0 END AS lr_keep " +
       s"FROM sc CROSS JOIN w$QualityLrIters w"
+
+  /** SQL mirror of [[qualityFt]] — the ENTIRE hashed-ngram fit replayed
+    * from the raw corpus: word+bigram grams hashed by the shared md5
+    * hash52 into FtBuckets, per-gram 1e6-grid normalization, then the K
+    * batch-gradient rounds UNROLLED as CTEs (the lrRoundsSql pattern)
+    * with the weight VECTOR as a (b, w) relation — b = −1 is the bias
+    * row; every z, sigmoid quantization, gradient and truncating-division
+    * update replays the Spark trajectory bit-for-bit. MATERIALIZED on
+    * every per-round CTE: fw_k is referenced by fz_{k+1}, fg_{k+1} and
+    * fw_{k+1} — uninlined the expansion is exponential in K. */
+  private[operators] lazy val qualityFtSql: String = {
+    val B = FtBuckets
+    val rounds = (1 to FtIters).map { k =>
+      val pw = s"fw${k - 1}"
+      s"fz$k AS MATERIALIZED (SELECT t.doc_id, t.cls, " +
+        s"CAST(sum(t.x6 * w.w) AS BIGINT) + (SELECT w FROM $pw WHERE b = -1) * 1000000 AS z " +
+        s"FROM ftr t JOIN $pw w ON t.b = w.b GROUP BY 1, 2), " +
+        s"fr$k AS MATERIALIZED (SELECT doc_id, CAST(cls * 1000000 - " +
+        s"CAST(floor(1000000.0 / (1.0 + exp(-(z::DOUBLE / 1000000000000.0))) + 0.5) AS BIGINT) AS BIGINT) AS resid FROM fz$k), " +
+        s"fg$k AS MATERIALIZED (SELECT t.b, CAST(sum(r.resid * t.x6) AS BIGINT) AS g " +
+        s"FROM ftr t JOIN fr$k r ON t.doc_id = r.doc_id GROUP BY 1), " +
+        s"fc$k AS MATERIALIZED (SELECT count(*) AS n, CAST(coalesce(sum(resid), 0) * 1000000 AS BIGINT) AS g0 FROM fr$k), " +
+        s"fw$k AS MATERIALIZED (SELECT w.b, CASE WHEN c.n = 0 THEN w.w ELSE w.w + " +
+        s"coalesce(($FtEtaNum * CASE WHEN w.b = -1 THEN c.g0 ELSE g.g END) // ($FtEtaDen * c.n * 1000000), 0) END AS w " +
+        s"FROM $pw w LEFT JOIN fg$k g ON w.b = g.b CROSS JOIN fc$k c)"
+    }.mkString(", ")
+    s"WITH gp AS (${gopherSeedSelSql(gopherSql)}), " +
+      "ftk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), " +
+      "fgr AS (SELECT doc_id, CAST(2 * len(ts) - 1 AS BIGINT) AS ng, " +
+      "unnest(list_concat(ts, list_transform(generate_series(1, len(ts) - 1), i -> array_to_string(ts[i:i+1], ' ')))) AS g FROM ftk), " +
+      s"focc AS (SELECT doc_id, ng, ${graft.functions.hash52Sql("g")} % $B AS b, count(*) AS occ FROM fgr GROUP BY 1, 2, 3), " +
+      "fx AS MATERIALIZED (SELECT doc_id, b, occ * 1000000 // ng AS x6 FROM focc), " +
+      "ftr AS MATERIALIZED (SELECT fx.doc_id, fx.b, fx.x6, gp.cls FROM fx JOIN gp ON fx.doc_id = gp.doc_id WHERE fx.doc_id % 2 = 0), " +
+      s"fw0 AS (SELECT CAST(b AS BIGINT) AS b, CAST(0 AS BIGINT) AS w FROM range(-1, $B) t(b)), " +
+      s"$rounds, " +
+      s"fsc AS (SELECT t.doc_id, CAST(sum(t.x6 * w.w) AS BIGINT) + (SELECT w FROM fw$FtIters WHERE b = -1) * 1000000 AS z " +
+      s"FROM fx t JOIN fw$FtIters w ON t.b = w.b GROUP BY 1) " +
+      "SELECT doc_id, CAST(z AS BIGINT) AS zft12, CASE WHEN z >= 0 THEN 1 ELSE 0 END AS ft_keep FROM fsc"
+  }
 
   /** SQL mirror of EventStreams.ingestGateBatch — the FULL admission
     * chain replayed from the raw corpus: corpus-side LM (source !=

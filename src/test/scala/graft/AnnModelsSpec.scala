@@ -708,6 +708,20 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("hashed-ngram gate margins: registry-served, bit-identical to " +
+      "inline, one fit per corpus state") {
+    AnnModels.withRoot(freshRoot("ftserve")) {
+      val t0 = AnnModels.ftMarginTrains
+      val served = rows(graft.operators.TextOps.qualityFt(spark, sf))
+      assert(AnnModels.ftMarginTrains == t0 + 1, "first access must fit")
+      assert(rows(graft.operators.TextOps.qualityFt(spark, sf)) == served)
+      assert(AnnModels.ftMarginTrains == t0 + 1,
+        "second access must serve the artifact, not refit")
+      assert(served == rows(graft.operators.TextOps.qualityFtInline(spark, sf)),
+        "served hashed-ngram margins diverge from inline")
+    }
+  }
+
   test("hamming pairs + degenerate census: registry-served, bit-identical " +
       "to inline, ONE build per hash family across all consumers") {
     AnnModels.withRoot(freshRoot("hamserve")) {

@@ -649,4 +649,73 @@ class CurationOpsSpec extends SparkSpec {
         s"$src stages must be monotone nonincreasing: $counts")
     }
   }
+
+  test("hashed-ngram gate separates junk TOPIC that the surface-statistics " +
+      "LR provably passes") {
+    // The documented failure mode of every surface gate (VERDICT r14 #3):
+    // a junk-topic document with clean length/punct/stopword statistics.
+    // Construction: clean-surface docs over a GOOD vocabulary and over a
+    // SPAM vocabulary are built by the same template (identical surface
+    // features by construction); the training half also carries obvious
+    // spam spew (short, stopword-free — fails 2 Gopher rules) that shares
+    // the spam VOCABULARY. The 6-feature LR learns surface thresholds and
+    // must pass the disguised junk; the hashed-ngram gate learns word
+    // identity and must reject it.
+    val sp = spark
+    import sp.implicits._
+    val goodW = Seq("lattice", "spectrum", "quantum", "boson", "energy",
+      "field", "theory", "measure", "tensor", "matrix", "vector", "basis",
+      "operator", "phase", "wave", "particle")
+    val spamW = Seq("casino", "jackpot", "pills", "miracle", "bonus",
+      "winner", "deposit", "luck", "prize", "lottery", "cash", "offer",
+      "discount", "deal", "click", "gamble")
+    val stops = Seq("the", "of", "and", "to", "be", "that", "have", "with")
+    // 60-token clean-surface doc: every 4th token a Gopher stopword, the
+    // rest cycle the vocabulary; 3 rotation variants bound the bigram
+    // type count (the 256-bucket space must not collision-saturate)
+    def clean(ws: Seq[String], id: Long): String = {
+      val off = (id % 3).toInt
+      (0 until 60).map(i => if (i % 4 == 3) stops((i / 4 + off) % stops.size)
+        else ws((i + off) % ws.size)).mkString(" ")
+    }
+    // 20-token stopword-free spew: fails r_word_count AND r_stop -> cls 0
+    def spew(ws: Seq[String], id: Long): String =
+      (0 until 20).map(i => ws((i + (id % 3).toInt) % ws.size)).mkString(" ")
+    val docs = (0L until 120L).map { id =>
+      (id, (id % 4) match {
+        case 0 => clean(goodW, id) // train: good, seed cls 1
+        case 2 => spew(spamW, id)  // train: obvious junk, seed cls 0
+        case 1 => clean(goodW, id) // test: good
+        case _ => clean(spamW, id) // test: DISGUISED junk (clean stats)
+      })
+    }.toDF("doc_id", "text").localCheckpoint()
+    // the seed labels see exactly what the construction intends
+    val flagSum = TextOps.GopherFlagNames.map(col).reduce(_ + _)
+    val labels = TextOps.gopherRulesOf(docs).select(col("doc_id"),
+      when(flagSum >= TextOps.QualitySeedMinFlags, 1).otherwise(0).as("cls"))
+    val cls = labels.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((0L until 120L).forall(id => cls(id) == (if (id % 4 == 2) 0 else 1)),
+      "crafted corpus: clean-surface docs must be Gopher seeds, spew must not")
+    val disguised = (0L until 120L).filter(_ % 4 == 3)
+    val goodTest = (0L until 120L).filter(_ % 4 == 1)
+    // the 6-feature LR (surface statistics only) PASSES the disguised junk
+    val feats = TextOps.qualityFeaturesOf(docs, TextOps.perplexityOf(docs))
+      .localCheckpoint()
+    val (mu, w6) = TextOps.qualityLrFit(feats, labels)
+    val lrKeep = TextOps.qualityLrScoreWith(feats, mu, w6)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(goodTest.forall(lrKeep(_) == 1),
+      "the surface LR must keep the good test docs")
+    assert(disguised.forall(lrKeep(_) == 1),
+      "the surface LR must PASS every disguised-junk doc — identical " +
+        "surface features by construction; if this fails the corpus no " +
+        "longer demonstrates the failure mode")
+    // the hashed-ngram gate separates on word identity
+    val ft = TextOps.qualityFtInlineOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(goodTest.forall(ft(_) == 1),
+      s"ft gate must keep every good test doc: ${goodTest.filter(ft(_) == 0)}")
+    assert(disguised.forall(ft(_) == 0),
+      s"ft gate must reject every disguised-junk doc: ${disguised.filter(ft(_) == 1)}")
+  }
 }
