@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Extras, MapReduce, Multimodal, Pipeline, Similarity, Tera, TextOps}
+import graft.operators.{Analytics, Dedup, Extras, MapReduce, Multimodal, Pipeline, Similarity, Tera, TextOps, UnigramLm}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -23,6 +23,7 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
       (TextOps.queries, TextOps.oracles),
+      (UnigramLm.queries, UnigramLm.oracles),
       (Pipeline.queries, Pipeline.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (EventStreams.queries, EventStreams.oracles))

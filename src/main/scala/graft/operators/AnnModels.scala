@@ -81,6 +81,7 @@ object AnnModels {
   @volatile private[graft] var hammingPairTrains = 0
   @volatile private[graft] var lrMarginTrains = 0
   @volatile private[graft] var ftMarginTrains = 0
+  @volatile private[graft] var uniTrains = 0
   @volatile private[graft] var semanticLabelTrains = 0
 
   /** The trigram LM's training constants, inlined into every key that
@@ -242,6 +243,18 @@ object AnnModels {
     ensure(s, dir, "bpe", s"k=${TextOps.BpeTrainMerges}") {
       bpeTrains += 1
       TextOps.bpeTrain(s, dir)
+    }
+
+  /** The trained UNIGRAM-LM vocabulary (token_id, piece, cnt, cost6) —
+    * the second tokenizer family (UnigramLm, r15), trained once per
+    * corpus state; the key inlines every trainer constant (piece-length
+    * cap, seed and final budgets, EM rounds, the 1e6 cost grid). */
+  def uniVocab(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "uni",
+        s"l=${UnigramLm.UniMaxPieceLen},seed=${UnigramLm.UniSeedVocab}," +
+          s"v=${UnigramLm.UniVocab},em=${UnigramLm.UniIters},grid=1e6") {
+      uniTrains += 1
+      UnigramLm.uniTrainOf(graft.sources.Tables.load(s, dir, "documents"))
     }
 
   /** The PRODUCTION-count trained BPE merge table — the batched trainer

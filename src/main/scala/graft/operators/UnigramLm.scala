@@ -1,0 +1,328 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** UNIGRAM-LM tokenizer (the SentencePiece default algorithm, r15 —
+  * VERDICT r14 #6): the second tokenizer family next to the BPE loop.
+  * Kudo 2018's construction, made deterministic and oracle-replayable
+  * with the engine's integer discipline:
+  *
+  *  - SEED: every substring (length 1..[[UniMaxPieceLen]]) of the corpus
+  *    word vocabulary, counted with word-frequency multiplicity; the
+  *    candidate set is all single characters (coverage — the DP can
+  *    always fall back to them) plus the top [[UniSeedVocab]]−|chars|
+  *    multi-character substrings by (count DESC, piece ASC).
+  *  - LIKELIHOODS: piece costs are integer-quantized negative
+  *    log-probabilities on the 1e6 grid — cost6(p) = floor(ln((T+|S|)/
+  *    (cnt(p)+1))·1e6 + 0.5), add-one smoothed so unused candidates stay
+  *    finite (the BPE float discipline: ONE ln() per piece over
+  *    identically assembled doubles, quantized once).
+  *  - EM ([[UniIters]] hard-EM / Viterbi rounds): segment the WORD
+  *    VOCABULARY (never the corpus — the bpeTrain scale shape) under the
+  *    current costs with exact integer DP, recount piece usage with word
+  *    frequencies, re-derive costs. Hard EM (Viterbi counts instead of
+  *    forward-backward expectations) is the standard deterministic
+  *    simplification; the E-step argmax is total (tie-break: lower cost,
+  *    then LONGER piece — the SentencePiece preference).
+  *  - PRUNE to [[UniVocab]]: all single characters plus the top
+  *    remaining multi-character pieces by final usage (count DESC, piece
+  *    ASC) — the likelihood-loss prune collapsed onto usage counts,
+  *    which the hard-EM counts make equivalent for pieces the Viterbi
+  *    path never uses.
+  *  - IDS: row_number over piece ASC (deterministic, engine-portable).
+  *
+  * The oracle replays the ENTIRE train→encode chain from the raw corpus:
+  * the Viterbi DP is a recursive CTE per EM round (state = the per-word
+  * best-cost and best-segmentation prefix lists; 4 candidate pieces per
+  * step, argmin via list_sort over (cost, tie) structs), so both engines
+  * walk the identical weight trajectory.
+  *
+  * 100 TB shape: the corpus is touched once per consumer (word-frequency
+  * aggregate / the encode scan); every EM step runs on the distinct-word
+  * relation; the model is ≤ [[UniSeedVocab]] rows (registry-persisted by
+  * AnnModels.uniVocab, broadcast to the encode as a map literal inside
+  * whole-stage-codegen-friendly HOFs); collects are model-sized. */
+object UnigramLm {
+
+  /** Candidate piece length cap — bounds the DP fan-in at 4. */
+  val UniMaxPieceLen = 4
+  /** Seed candidate budget (chars always kept on top of the rank). */
+  val UniSeedVocab = 384
+  /** Final vocabulary budget (chars always kept). */
+  val UniVocab = 256
+  /** Hard-EM rounds (the oracle replays each as a recursive CTE). */
+  val UniIters = 2
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  private def wsTokens(c: Column): Column = split(c, " ", -1)
+
+  /** All substrings of `w` with length 1..[[UniMaxPieceLen]] (with
+    * multiplicity — overlapping occurrences all count, the BPE pair-count
+    * convention). */
+  private[graft] def allSubstrings(w: Column): Column =
+    flatten(transform(sequence(lit(1), length(w)), i =>
+      transform(sequence(i, least(i + (UniMaxPieceLen - 1), length(w))), j =>
+        w.substr(i, j - i + 1))))
+
+  /** The corpus word vocabulary (w, f) — non-empty whitespace tokens with
+    * corpus frequency; every EM step runs on THIS relation. */
+  private def wordVocab(d: DataFrame): DataFrame =
+    d.select(explode(wsTokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+
+  /** Integer-quantized piece costs of a (p, cnt) candidate relation:
+    * cost6 = floor(ln((T+|S|)/(cnt+1))·1e6 + 0.5) — computed as ONE Spark
+    * expression (identical double assembly to the oracle's ln), collected
+    * model-sized. */
+  private def costsOf(cand: DataFrame): Map[String, Long] =
+    cand.crossJoin(broadcast(cand.agg(
+        coalesce(sum(col("cnt")), lit(0L)).as("t"), count(lit(1)).as("v"))))
+      .select(col("p"),
+        floor(log((col("t") + col("v")).cast("double") /
+          (col("cnt") + 1).cast("double")) * 1e6 + 0.5).cast("long").as("c6"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Exact-integer Viterbi segmentation of a word column under piece
+    * costs: DP over positions via ONE aggregate() HOF — the accumulator
+    * carries the best-cost and best-segmentation prefix arrays; each
+    * position considers the ≤ [[UniMaxPieceLen]] candidate pieces ending
+    * there (single characters are always in the vocabulary, so the DP is
+    * total) and picks the (cost, tie) minimum, tie = prefer-longest-piece.
+    * Pure Catalyst expressions — partition-parallel, no shuffle, no UDF. */
+  private[graft] def viterbiSeg(word: Column, costs: Map[String, Long]): Column = {
+    val cmap = typedLit(costs)
+    val L = UniMaxPieceLen
+    val candType = "struct<sc:bigint,tb:int,sg:string>"
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(array(lit(0L)).as("bs"), array(lit("")).as("sg")),
+      (acc, p) => {
+        val bs = acc.getField("bs")
+        val sg = acc.getField("sg")
+        val cands = (1 to L).map { l =>
+          val idx = (p - l + 1).cast("int") // 1-based index of prefix p-l
+          val piece = word.substr((p - (l - 1)).cast("int"), lit(l))
+          val cost = try_element_at(cmap, piece)
+          val prevSg = element_at(sg, idx)
+          when(p >= l && cost.isNotNull,
+            struct((element_at(bs, idx) + cost).as("sc"),
+              lit(L - l).as("tb"),
+              when(prevSg === "", piece)
+                .otherwise(concat(prevSg, lit(" "), piece)).as("sg")))
+            .otherwise(lit(null).cast(candType))
+        }
+        val best = cands.reduce((a, b) =>
+          when(a.isNull, b).otherwise(when(b.isNull, a).otherwise(
+            when(b.getField("sc") < a.getField("sc") ||
+              (b.getField("sc") === a.getField("sc") &&
+                b.getField("tb") < a.getField("tb")), b).otherwise(a))))
+        struct(concat(bs, array(best.getField("sc"))).as("bs"),
+          concat(sg, array(best.getField("sg"))).as("sg"))
+      },
+      acc => element_at(acc.getField("sg"), length(word) + 1))
+  }
+
+  /** The full trainer (seed → [[UniIters]] hard-EM rounds → prune → ids)
+    * over an arbitrary documents relation — what AnnModels.uniVocab runs
+    * ONCE per corpus state. Returns (token_id, piece, cnt, cost6). */
+  private[graft] def uniTrainOf(d: DataFrame): DataFrame = {
+    val words = wordVocab(d).localCheckpoint()
+    val subs = words
+      .select(col("f"), explode(allSubstrings(col("w"))).as("p"))
+      .groupBy("p").agg(sum(col("f")).as("cnt"))
+      .localCheckpoint()
+    val chars = subs.filter(length(col("p")) === 1)
+    val nChars = chars.count()
+    def topMulti(rel: DataFrame, budget: Int): DataFrame = rel
+      .filter(length(col("p")) > 1)
+      .orderBy(col("cnt").desc, col("p").asc)
+      .limit(math.max(0, budget - nChars.toInt))
+    var cand = chars.unionByName(topMulti(subs, UniSeedVocab)).localCheckpoint()
+    for (_ <- 1 to UniIters) {
+      val seg = viterbiSeg(col("w"), costsOf(cand))
+      val used = words.select(col("f"), explode(split(seg, " ")).as("p"))
+        .groupBy("p").agg(sum(col("f")).as("cnt"))
+      cand = cand.select(col("p")).join(used, Seq("p"), "left")
+        .select(col("p"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .localCheckpoint()
+    }
+    val kept = chars.select(col("p")).join(cand, Seq("p"))
+      .unionByName(topMulti(cand, UniVocab))
+      .localCheckpoint()
+    val c6 = costsOf(kept)
+    val idRank = org.apache.spark.sql.expressions.Window.orderBy(col("p"))
+    kept
+      .select((row_number().over(idRank) - 1).as("token_id"),
+        col("p").as("piece"), col("cnt"),
+        try_element_at(typedLit(c6), col("p")).as("cost6"))
+  }
+
+  /** The trained vocabulary, registry-served — (token_id, piece, cnt,
+    * cost6), ≤ [[UniVocab]] rows. */
+  def unigramVocab(s: SparkSession, dir: String): DataFrame =
+    AnnModels.uniVocab(s, dir)
+
+  /** The served model collected as (piece → cost6, piece → token_id) —
+    * model-sized, the trainedMerges accessor discipline. */
+  private def model(s: SparkSession, dir: String): (Map[String, Long], Map[String, Int]) = {
+    val rows = unigramVocab(s, dir).collect()
+    (rows.map(r => r.getString(1) -> r.getLong(3)).toMap,
+      rows.map(r => r.getString(1) -> r.getInt(0)).toMap)
+  }
+
+  /** Per-document unigram-LM token ids — the `text_bpe_trained_ids`
+    * shape (doc_id, token_ids, n_tokens) under the served vocabulary:
+    * one shuffle-free pass, the Viterbi DP rides a HOF over each word. */
+  def unigramIds(s: SparkSession, dir: String): DataFrame = {
+    val (costs, ids) = model(s, dir)
+    val idm = typedLit(ids)
+    val wordIds = (w: Column) => array_join(
+      transform(split(viterbiSeg(w, costs), " "),
+        t => try_element_at(idm, t).cast("string")), " ")
+    docs(s, dir).select(col("doc_id"),
+        array_join(transform(
+          filter(wsTokens(col("text")), w => length(w) > 0), wordIds), " ")
+          .as("token_ids"))
+      .select(col("doc_id"), col("token_ids"),
+        when(col("token_ids") === "", 0)
+          .otherwise(size(split(col("token_ids"), " "))).as("n_tokens"))
+  }
+
+  /** Unigram-LM fertility per language — the [[TextOps.bpeFertility]]
+    * audit on the second tokenizer family, so the two families compare
+    * row-for-row (same n_docs/n_words/n_bytes columns, token counts from
+    * the served unigram vocabulary). */
+  def unigramFertility(s: SparkSession, dir: String): DataFrame = {
+    val (costs, _) = model(s, dir)
+    val toks = wsTokens(col("text"))
+    val nUni = aggregate(
+      transform(filter(toks, w => length(w) > 0),
+        w => size(split(viterbiSeg(w, costs), " ")).cast("long")),
+      lit(0L), (a, v) => a + v)
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(filter(toks, w => length(w) > 0)).cast("long")).as("n_words"),
+        sum(nUni).as("n_uni"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_uni"),
+        expr("CASE WHEN n_words > 0 THEN (n_uni * 1000000) DIV n_words END")
+          .as("fertility6"),
+        expr("CASE WHEN n_uni > 0 THEN (n_bytes * 1000000) DIV n_uni END")
+          .as("bytes_per_token6"))
+  }
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  /** Recursive-CTE Viterbi over `w0(w, f)` under cost relation
+    * `costRel(p, c6)` — the SQL twin of [[viterbiSeg]]: state rows carry
+    * the best-cost and best-segmentation prefix LISTS; each step LEFT
+    * JOINs the ≤ 4 candidate pieces and picks the (cost, tie) minimum by
+    * sorting the non-null candidate structs. */
+  private def vitCte(name: String, costRel: String): String = {
+    val L = UniMaxPieceLen
+    val cands = (1 to L).map { l =>
+      val idx = s"v.i + 2 - $l"
+      val piece = s"substr(v.w, $idx, $l)"
+      s"CASE WHEN v.i + 1 >= $l AND c$l.c6 IS NOT NULL THEN " +
+        s"{'sc': v.bs[$idx] + c$l.c6, 'tb': ${L - l}, " +
+        s"'sg': CASE WHEN v.sg[$idx] = '' THEN $piece " +
+        s"ELSE v.sg[$idx] || ' ' || $piece END} ELSE NULL END"
+    }.mkString(", ")
+    val joins = (1 to L).map(l =>
+      s"LEFT JOIN $costRel c$l ON c$l.p = substr(v.w, v.i + 2 - $l, $l)").mkString(" ")
+    s"$name(w, f, i, bs, sg) AS (" +
+      "SELECT w, f, 0, [CAST(0 AS BIGINT)], [''] FROM w0 " +
+      "UNION ALL " +
+      "SELECT w, f, i + 1, list_append(bs, best['sc']), list_append(sg, best['sg']) FROM (" +
+      s"SELECT v.w, v.f, v.i, v.bs, v.sg, " +
+      s"list_sort(list_filter([$cands], x -> x IS NOT NULL))[1] AS best " +
+      s"FROM $name v $joins WHERE v.i < length(v.w)))"
+  }
+
+  /** cost CTE body over candidate relation `cd(p, cnt)`. */
+  private def costSql(cd: String): String =
+    s"SELECT p, CAST(floor(ln((t.t + t.v)::DOUBLE / (cnt + 1)::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS c6 " +
+      s"FROM $cd CROSS JOIN (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS t, count(*) AS v FROM $cd) t"
+
+  /** The shared train replay: seed → EM rounds → prune → `vocab`
+    * (token_id, piece, cnt, cost6) and `costk` (p, c6). */
+  private lazy val uniTrainCtes: String = {
+    val L = UniMaxPieceLen
+    val em = (1 to UniIters).map { r =>
+      s"${vitCte(s"vit$r", s"cost${r - 1}")}, " +
+        s"seg$r AS (SELECT w, f, sg[length(w) + 1] AS seg FROM vit$r WHERE i = length(w)), " +
+        s"u$r AS (SELECT p, CAST(sum(f) AS BIGINT) AS c FROM " +
+        s"(SELECT f, unnest(string_split(seg, ' ')) AS p FROM seg$r) GROUP BY p), " +
+        s"cd$r AS MATERIALIZED (SELECT cd0.p, coalesce(u$r.c, 0) AS cnt FROM cd0 LEFT JOIN u$r ON cd0.p = u$r.p), " +
+        s"cost$r AS MATERIALIZED (${costSql(s"cd$r")})"
+    }.mkString(", ")
+    "w0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE length(w) > 0 GROUP BY w), " +
+      "sub AS MATERIALIZED (SELECT p, CAST(sum(f) AS BIGINT) AS cnt FROM (" +
+      "SELECT f, unnest(flatten(list_transform(generate_series(1, length(w)), i -> " +
+      s"list_transform(generate_series(i, least(i + ${L - 1}, length(w))), j -> " +
+      "substr(w, CAST(i AS INT), CAST(j - i + 1 AS INT)))))) AS p FROM w0) GROUP BY p), " +
+      "ch AS (SELECT p, cnt FROM sub WHERE length(p) = 1), " +
+      "nc0 AS (SELECT count(*) AS n FROM ch), " +
+      "mu0 AS (SELECT p, cnt FROM (SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p ASC) AS rn " +
+      s"FROM sub WHERE length(p) > 1) CROSS JOIN nc0 WHERE rn <= $UniSeedVocab - n), " +
+      "cd0 AS MATERIALIZED (SELECT p, cnt FROM ch UNION ALL SELECT p, cnt FROM mu0), " +
+      s"cost0 AS MATERIALIZED (${costSql("cd0")}), " +
+      s"$em, " +
+      s"kch AS (SELECT p, cnt FROM cd$UniIters WHERE length(p) = 1), " +
+      "kmu AS (SELECT p, cnt FROM (SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p ASC) AS rn " +
+      s"FROM cd$UniIters WHERE length(p) > 1) CROSS JOIN nc0 WHERE rn <= $UniVocab - n), " +
+      "kd AS MATERIALIZED (SELECT p, cnt FROM kch UNION ALL SELECT p, cnt FROM kmu), " +
+      s"costk AS MATERIALIZED (${costSql("kd")}), " +
+      "vocab AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY kd.p) - 1 AS INT) AS token_id, " +
+      "kd.p AS piece, kd.cnt AS cnt, ck.c6 AS cost6 FROM kd JOIN costk ck ON kd.p = ck.p)"
+  }
+
+  private lazy val uniVocabSql: String =
+    s"WITH RECURSIVE $uniTrainCtes SELECT token_id, piece, cnt, cost6 FROM vocab"
+
+  /** Train replay + the final encode Viterbi, ending in `wm` (word →
+    * space-joined piece string) and `im` (piece → token_id). */
+  private lazy val uniEncodeCtes: String =
+    s"$uniTrainCtes, ${vitCte("vite", "costk")}, " +
+      "sege AS (SELECT w, sg[length(w) + 1] AS seg FROM vite WHERE i = length(w)), " +
+      "wm AS (SELECT map(list(w), list(seg)) AS m FROM sege), " +
+      "im AS (SELECT map(list(piece), list(token_id)) AS m FROM vocab)"
+
+  private lazy val uniIdsSql: String =
+    s"WITH RECURSIVE $uniEncodeCtes, " +
+      "e AS (SELECT doc_id, array_to_string(list_transform(" +
+      "list_filter(string_split(text, ' '), w -> length(w) > 0), " +
+      "w -> array_to_string(list_transform(string_split(wm.m[w][1], ' '), " +
+      "t -> CAST(im.m[t][1] AS VARCHAR)), ' ')), ' ') AS token_ids " +
+      "FROM documents CROSS JOIN wm CROSS JOIN im) " +
+      "SELECT doc_id, token_ids, CASE WHEN token_ids = '' THEN 0 " +
+      "ELSE CAST(len(string_split(token_ids, ' ')) AS INT) END AS n_tokens FROM e"
+
+  private lazy val uniFertilitySql: String =
+    s"WITH RECURSIVE $uniEncodeCtes, " +
+      "pd AS (SELECT lang, text, CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT) AS nw, " +
+      "CAST(coalesce(list_sum(list_transform(list_filter(string_split(text, ' '), w -> length(w) > 0), " +
+      "w -> len(string_split(wm.m[w][1], ' ')))), 0) AS BIGINT) AS nu " +
+      "FROM documents CROSS JOIN wm) " +
+      "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_words, " +
+      "CAST(sum(nu) AS BIGINT) AS n_uni, " +
+      "CASE WHEN sum(nw) > 0 THEN CAST(sum(nu) * 1000000 // sum(nw) AS BIGINT) END AS fertility6, " +
+      "CASE WHEN sum(nu) > 0 THEN CAST(sum(octet_length(encode(text))) * 1000000 // sum(nu) AS BIGINT) END AS bytes_per_token6 " +
+      "FROM pd GROUP BY lang"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_vocab" -> (unigramVocab _),
+    "text_unigram_ids" -> (unigramIds _),
+    "text_unigram_fertility" -> (unigramFertility _))
+
+  def oracles: Map[String, String] = Map(
+    "text_unigram_vocab" -> uniVocabSql,
+    "text_unigram_ids" -> uniIdsSql,
+    "text_unigram_fertility" -> uniFertilitySql)
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnModels, TextOps, UnigramLm}
+
+/** The unigram-LM tokenizer family (r15): trainer invariants, the
+  * Viterbi segmentation contract, registry serving, and the fertility
+  * comparison against the BPE family. */
+class UnigramSpec extends SparkSpec {
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-uni-$tag").toString
+
+  test("vocabulary covers every corpus character and respects the budget") {
+    AnnModels.withRoot(freshRoot("vocab")) {
+      val vocab = UnigramLm.unigramVocab(spark, sf).collect()
+      val pieces = vocab.map(_.getString(1)).toSet
+      assert(vocab.length <= UnigramLm.UniSeedVocab,
+        s"vocab ${vocab.length} exceeds the seed budget")
+      // every character of every non-empty word must be a piece (the DP's
+      // totality fallback)
+      val chars = graft.sources.Tables.load(spark, sf, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(explode(split(col("w"), "")).as("c"))
+        .distinct().collect().map(_.getString(0)).toSet
+      assert(chars.subsetOf(pieces),
+        s"missing character pieces: ${(chars -- pieces).take(5)}")
+      // ids are the dense 0..n-1 rank over piece order
+      val ids = vocab.sortBy(_.getString(1)).map(_.getInt(0)).toSeq
+      assert(ids == ids.indices.map(identity),
+        "token ids must be the dense rank over piece ASC")
+      // costs are positive (add-one smoothing keeps every ratio > 1)
+      assert(vocab.forall(_.getLong(3) > 0), "non-positive piece cost")
+    }
+  }
+
+  test("viterbi segmentation concatenates back to the word and is total") {
+    AnnModels.withRoot(freshRoot("seg")) {
+      val costs = UnigramLm.unigramVocab(spark, sf).collect()
+        .map(r => r.getString(1) -> r.getLong(3)).toMap
+      val words = graft.sources.Tables.load(spark, sf, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0).distinct()
+      val bad = words
+        .select(col("w"), UnigramLm.viterbiSeg(col("w"), costs).as("seg"))
+        .filter(call_function("replace", col("seg"), lit(" "), lit("")) =!= col("w"))
+        .count()
+      assert(bad == 0, s"$bad words whose pieces do not concatenate back")
+    }
+  }
+
+  test("a dominant repeated substring becomes a multi-character piece " +
+      "and compresses the encoding below character level") {
+    val sp = spark
+    import sp.implicits._
+    AnnModels.withRoot(freshRoot("learn")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_unilearn").toString
+      // 'abab' dominates; 'xy' is rare filler so chars x/y stay cheap-ish
+      (0L until 80L).map(i => (i,
+        if (i % 8 == 7) "xy xy" else "abab abab abab", "en", "src0"))
+        .toDF("doc_id", "text", "lang", "source")
+        .write.parquet(s"$dir/documents.parquet")
+      val vocab = UnigramLm.unigramVocab(spark, dir).collect()
+      val pieces = vocab.map(_.getString(1)).toSet
+      assert(pieces.contains("abab"),
+        s"the dominant substring must survive training: $pieces")
+      val ids = UnigramLm.unigramIds(spark, dir)
+        .filter(col("doc_id") === 0L).collect().head
+      // 'abab abab abab' = 12 chars; with the learned piece it must
+      // encode to exactly 3 tokens
+      assert(ids.getInt(2) == 3,
+        s"dominant word must encode as one piece per word, got ${ids.getInt(2)}")
+    }
+  }
+
+  test("registry serving: one training pass, served == inline") {
+    AnnModels.withRoot(freshRoot("serve")) {
+      val t0 = AnnModels.uniTrains
+      val served = UnigramLm.unigramVocab(spark, sf).collect()
+        .map(_.toSeq).toSet
+      assert(AnnModels.uniTrains == t0 + 1, "first access must train")
+      UnigramLm.unigramIds(spark, sf).count()
+      UnigramLm.unigramFertility(spark, sf).count()
+      assert(AnnModels.uniTrains == t0 + 1,
+        "the id and fertility consumers must serve the artifact, not retrain")
+      val inline = UnigramLm.uniTrainOf(
+        graft.sources.Tables.load(spark, sf, "documents")).collect()
+        .map(_.toSeq).toSet
+      assert(served == inline, "served vocabulary diverges from inline training")
+    }
+  }
+
+  test("fertility: the 256-piece unigram tokenizer compresses strictly " +
+      "better than the 8-merge BPE on every language") {
+    AnnModels.withRoot(freshRoot("fert")) {
+      val uni = UnigramLm.unigramFertility(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getLong(4)).toMap
+      val bpe = TextOps.bpeFertility(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getLong(4)).toMap
+      assert(uni.keySet == bpe.keySet, "the two audits must cover the same languages")
+      uni.foreach { case (lang, f6) =>
+        assert(f6 >= 1000000L, s"$lang fertility below the 1-token-per-word floor")
+        assert(f6 < bpe(lang),
+          s"$lang: unigram fertility $f6 must beat BPE ${bpe(lang)}")
+      }
+    }
+  }
+}
