@@ -244,12 +244,16 @@ object Scale {
         genDocuments(spark, nDocs, dir)
         genEmbeddings(spark, nVecs, dir)
       }
+      // comma-separated substring filters (r15) — a targeted re-measure
+      // warms and runs ONLY the named families instead of the full sweep
+      val filters = args.lift(2).getOrElse("").split(",").filter(_.nonEmpty)
+      def selected(n: String): Boolean =
+        filters.isEmpty || filters.exists(n.contains)
       if (mult == 1) {
         // JIT/codegen warmup pass on the smallest corpus only
-        ops(1).foreach { case (_, fn) => fn(spark, dir).count() }
+        ops(1).foreach { case (n, fn) => if (selected(n)) fn(spark, dir).count() }
       }
-      val opFilter = args.lift(2).getOrElse("")
-      for ((name, fn) <- ops(mult) if name.contains(opFilter)) {
+      for ((name, fn) <- ops(mult) if selected(name)) {
         // Measurement isolation: localCheckpoint blocks from the PREVIOUS
         // operator otherwise stay persisted and squeeze this one's
         // execution memory — at x100 that turned an 8 s pipeline into a
@@ -281,7 +285,7 @@ object Scale {
         println(line2)
         results += line2
       }
-      if ("terasort".contains(opFilter)) {
+      if (filters.isEmpty || filters.exists("terasort".contains)) {
         // TeraSort end to end (generate -> range-partitioned total-order
         // sort -> write): 100k x mult 100-byte records, the classic MR
         // scale benchmark — a count() would let the optimizer drop the
