@@ -489,9 +489,19 @@ object Similarity {
     * (every shipped scale lands exactly on the old (8, 5) geometry, so
     * gated results are unchanged); tables trade down when tables x planes
     * would exceed the 64-bit signature budget. */
+  /** The SIZING target bucket population (r15) — deliberately SMALLER
+    * than the salt cap: the cap bounds the worst bucket, but the sizing
+    * rule controls the EXPECTED one, and expected-bucket ≈ cap means the
+    * average vector scores ~cap·tables candidates for a k=3 graph (the
+    * idle-box ×100 sweep measured the consequence: 206 s at 200k
+    * vectors). Targeting 64 keeps candidate volume ∝ corpus at a
+    * ~64·tables constant while every shipped scale still floors onto the
+    * (8, 5) geometry the oracle mirrors (2048/64 = 32 → raw = 5). */
+  val GraphSizeTarget = 64
+
   def graphSizing(n: Long): (Int, Int) = {
     val raw = math.ceil(
-      math.log(math.max(n, 1).toDouble / GraphBucketCap) / math.log(2.0)).toInt
+      math.log(math.max(n, 1).toDouble / GraphSizeTarget) / math.log(2.0)).toInt
     val planes = math.min(math.max(GraphPlanesPerTable, raw), 64)
     val tables = math.max(1, math.min(NumTables, 64 / planes))
     (tables, planes)
@@ -533,13 +543,19 @@ object Similarity {
     require(numTables * planesPerTable <= 64, "signature exceeds 64 bits")
     val mask = (1 << planesPerTable) - 1
     val e = emb(s, dir)
+    // the embedding rides every row from here (r15): scoring happens
+    // INSIDE the salt group, so candidate pairs never join back against
+    // the corpus — at ×100 the two id→embedding joins re-shuffled ~10⁸
+    // wide rows and dominated the 206 s wall; the census projects the
+    // embedding away (column pruning), so its aggregate stays narrow.
     val sigd = e
       .withColumn("sig", PairExpressions.lshSign(col("embedding"), numTables * planesPerTable, 64))
-      .select(col("vec_id"), explode(array(
+      .select(col("vec_id"), col("embedding"), explode(array(
         (0 until numTables).map(t => struct(
           lit(t).as("t"),
           shiftright(col("sig"), t * planesPerTable).bitwiseAND(lit(mask)).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     // Bucket census as a groupBy(...).count() broadcast back — map-side
     // partial aggregation means vector rows never move to be counted, and
     // the broadcast side holds ONLY the oversized buckets (ceil(bn/cap) = 1
@@ -550,22 +566,26 @@ object Similarity {
     // (parallel CPU) — strictly cheaper at scale than a windowed buffer.
     val dense = sigd.groupBy("t", "bucket").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > bucketCap)
-    val pairs = sigd.join(broadcast(dense), Seq("t", "bucket"), "left")
+    // pairs explode WITH both embeddings in the row, cosine fuses into
+    // the same projection, and only then are cross-table duplicates
+    // dropped — the distinct runs on the NARROW (src, dst, cos) relation
+    // (24 B/row) instead of the pre-r15 plan's two corpus joins shuffling
+    // every candidate with a 64-float array attached. Cosine is exactly
+    // symmetric (per-element products commute, dim-order accumulation),
+    // so one score serves both edge directions.
+    val half = sigd.join(broadcast(dense), Seq("t", "bucket"), "left")
       .withColumn("salt", pmod(hash52(col("vec_id")),
         coalesce(expr(s"(bn + ${bucketCap - 1}) DIV $bucketCap"), lit(1L))))
       .groupBy("t", "bucket", "salt")
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("ds"))
       // hash splits can still fluctuate; 2x cap is the safety net
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= 2 * bucketCap)
-      .select(explode(PairExpressions.orderedPairs(col("ids"))).as("p"))
-      .select(col("p.a").as("va"), col("p.b").as("vb"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= 2 * bucketCap)
+      .select(explode(PairExpressions.orderedPairs(col("ds"))).as("p"))
+      .select(col("p.a.vec_id").as("src"), col("p.b.vec_id").as("dst"),
+        round(cosineSim(col("p.a.embedding"), col("p.b.embedding")), 4).as("cos"))
       .distinct()
-    val edges = pairs.unionAll(pairs.select(col("vb").as("va"), col("va").as("vb")))
-    val scored = edges
-      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), Seq("va"))
-      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), Seq("vb"))
-      .select(col("va").as("src"), col("vb").as("dst"),
-        round(cosineSim(col("ea"), col("eb")), 4).as("cos"))
+    val scored = half.unionAll(
+      half.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
     graft.plans.TopKPerKey.topKPerKey(scored, Seq("src"),
       Seq(col("cos").desc, col("dst").asc), GraphK)
   }

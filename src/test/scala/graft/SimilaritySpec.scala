@@ -143,9 +143,10 @@ class SimilaritySpec extends SparkSpec {
     // every shipped test scale (500 / 2000 vectors) lands on the legacy
     // constants — the gated result is unchanged by the auto-sizing
     assert(graphSizing(500) == ((8, 5)) && graphSizing(2000) == ((8, 5)))
-    // the rule kicks in once expected bucket population passes the cap
-    assert(graphSizing(6145)._2 == 6, s"got ${graphSizing(6145)}")
-    assert(graphSizing(200000) == ((5, 11)), s"got ${graphSizing(200000)}")
+    // the rule kicks in once expected bucket population passes the
+    // sizing target (64 — deliberately below the salt cap, r15)
+    assert(graphSizing(6145)._2 == 7, s"got ${graphSizing(6145)}")
+    assert(graphSizing(200000) == ((5, 12)), s"got ${graphSizing(200000)}")
     // monotone planes, signature budget respected everywhere
     var prev = 0
     for (e <- 8 to 40) {
@@ -156,17 +157,17 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("knnGraph applies the sizing on an above-threshold generated corpus") {
-    // 6500 vectors > GraphBucketCap * 2^5: auto-sizing must pick 6 planes.
-    // The auto path must equal the explicitly-sized call — proving the
-    // gated entry applies the rule rather than the fixed constants.
+    // 6500 vectors > GraphSizeTarget * 2^5: auto-sizing must pick 7
+    // planes. The auto path must equal the explicitly-sized call —
+    // proving the gated entry applies the rule, not the fixed constants.
     val dir = java.nio.file.Files.createTempDirectory("graft_knn_auto").toString
     graft.Scale.genEmbeddings(spark, 6500, dir)
     val (tables, planes) = graft.operators.Similarity.graphSizing(6500)
-    assert(planes == 6 && tables == 8)
+    assert(planes == 7 && tables == 8)
     def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val auto = edges(Similarity.knnGraph(spark, dir))
-    val explicit = edges(Similarity.knnGraphTuned(spark, dir, 8, 6,
+    val explicit = edges(Similarity.knnGraphTuned(spark, dir, 8, 7,
       Similarity.GraphBucketCap))
     assert(auto == explicit, "auto-sized graph diverges from the explicitly sized one")
     val fixedConstants = Similarity.knnGraphTuned(spark, dir, 8, 5,
