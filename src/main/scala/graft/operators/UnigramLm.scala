@@ -115,11 +115,13 @@ object UnigramLm {
                 .otherwise(concat(prevSg, lit(" "), piece)).as("sg")))
             .otherwise(lit(null).cast(candType))
         }
-        val best = cands.reduce((a, b) =>
-          when(a.isNull, b).otherwise(when(b.isNull, a).otherwise(
-            when(b.getField("sc") < a.getField("sc") ||
-              (b.getField("sc") === a.getField("sc") &&
-                b.getField("tb") < a.getField("tb")), b).otherwise(a))))
+        // argmin via array_min over the candidate array — NULL candidates
+        // are skipped and struct ordering is (sc, tb, sg), exactly the
+        // oracle's list_sort(list_filter(...))[1]. A pairwise when-chain
+        // reduce here duplicates each candidate subtree ~4^k times and the
+        // resulting ~10^5-node lambda made PLANNING the query cost seconds
+        // (measured: 7.6 s to segment 31 distinct words).
+        val best = array_min(array(cands: _*))
         struct(concat(bs, array(best.getField("sc"))).as("bs"),
           concat(sg, array(best.getField("sg"))).as("sg"))
       },
@@ -174,19 +176,43 @@ object UnigramLm {
       rows.map(r => r.getString(1) -> r.getInt(0)).toMap)
   }
 
+  /** Per-DISTINCT-word segmentations under the served costs — the Spark
+    * twin of the oracle's `wm` map (r15 bench finding: the Viterbi HOF
+    * per word INSTANCE made the two encode queries the suite's heaviest
+    * at 3.2 s warm; words repeat ~100× on any real corpus, so the DP
+    * runs once per VOCABULARY word and instances join it back —
+    * vocab-sized compute, token-bounded shuffle). */
+  private def wordSegs(s: SparkSession, dir: String,
+      costs: Map[String, Long]): DataFrame =
+    docs(s, dir).select(explode(wsTokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .select(col("w"), viterbiSeg(col("w"), costs).as("seg"))
+
+  private def nonEmptyToks: Column =
+    filter(wsTokens(col("text")), w => length(w) > 0)
+
   /** Per-document unigram-LM token ids — the `text_bpe_trained_ids`
     * shape (doc_id, token_ids, n_tokens) under the served vocabulary:
-    * one shuffle-free pass, the Viterbi DP rides a HOF over each word. */
+    * the per-word ids come from the distinct-word segmentation relation
+    * (one DP per vocabulary word), documents re-assemble by position
+    * (bounded per-doc sort — token-count rows, never corpus-keyed). */
   def unigramIds(s: SparkSession, dir: String): DataFrame = {
     val (costs, ids) = model(s, dir)
     val idm = typedLit(ids)
-    val wordIds = (w: Column) => array_join(
-      transform(split(viterbiSeg(w, costs), " "),
-        t => try_element_at(idm, t).cast("string")), " ")
-    docs(s, dir).select(col("doc_id"),
-        array_join(transform(
-          filter(wsTokens(col("text")), w => length(w) > 0), wordIds), " ")
-          .as("token_ids"))
+    val segs = wordSegs(s, dir, costs)
+      .select(col("w"), array_join(transform(split(col("seg"), " "),
+        t => try_element_at(idm, t).cast("string")), " ").as("wids"))
+    val assembled = docs(s, dir)
+      .select(col("doc_id"), posexplode(nonEmptyToks))
+      .withColumnRenamed("col", "w")
+      .join(segs, Seq("w"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("wids")))),
+        x => x.getField("wids")), " ").as("tids"))
+    docs(s, dir).select(col("doc_id"))
+      .join(assembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("tids"), lit("")).as("token_ids"))
       .select(col("doc_id"), col("token_ids"),
         when(col("token_ids") === "", 0)
           .otherwise(size(split(col("token_ids"), " "))).as("n_tokens"))
@@ -194,21 +220,25 @@ object UnigramLm {
 
   /** Unigram-LM fertility per language — the [[TextOps.bpeFertility]]
     * audit on the second tokenizer family, so the two families compare
-    * row-for-row (same n_docs/n_words/n_bytes columns, token counts from
-    * the served unigram vocabulary). */
+    * row-for-row (same n_docs/n_words columns, token counts from the
+    * served unigram vocabulary via the distinct-word relation). */
   def unigramFertility(s: SparkSession, dir: String): DataFrame = {
     val (costs, _) = model(s, dir)
-    val toks = wsTokens(col("text"))
-    val nUni = aggregate(
-      transform(filter(toks, w => length(w) > 0),
-        w => size(split(viterbiSeg(w, costs), " ")).cast("long")),
-      lit(0L), (a, v) => a + v)
+    val wn = wordSegs(s, dir, costs)
+      .select(col("w"), size(split(col("seg"), " ")).cast("long").as("nu"))
+    val tokStats = docs(s, dir)
+      .select(col("lang"), explode(nonEmptyToks).as("w"))
+      .join(wn, Seq("w"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("nw"), sum(col("nu")).as("nu"))
     docs(s, dir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(filter(toks, w => length(w) > 0)).cast("long")).as("n_words"),
-        sum(nUni).as("n_uni"),
         sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+      .join(tokStats, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("nw"), lit(0L)).as("n_words"),
+        coalesce(col("nu"), lit(0L)).as("n_uni"), col("n_bytes"))
       .select(col("lang"), col("n_docs"), col("n_words"), col("n_uni"),
         expr("CASE WHEN n_words > 0 THEN (n_uni * 1000000) DIV n_words END")
           .as("fertility6"),
