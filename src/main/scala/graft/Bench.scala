@@ -138,14 +138,19 @@ object Bench {
       name -> Seq(w1, w2, timed(fn)).sorted.apply(1)
     }
     val results = base.map { case (name, _, c, w1, w2) => name -> ((c, math.min(w1, w2))) }
-    // CONTROL BLOCK (r13, VERDICT r12 #8): a fixed set of queries no round
-    // has touched since r11, re-measured best-of-3 at the END of the run
+    // CONTROL BLOCK (r13, VERDICT r12 #8): a fixed set of queries whose
+    // CODE no round touches, re-measured best-of-3 at the END of the run
     // (fully warm) and stamped into the artifact — so round-over-round
     // comparison normalizes box drift from the artifact itself instead of
     // reconstructing control numbers from session notes. Keep this list
-    // STABLE: its value is that the code behind it never changes.
+    // STABLE: its value is that the code behind it never changes. r15:
+    // sim_knn_graph left the block — its plan changed this round (the
+    // ×100 fix), so its ratio measures the improvement, not the box;
+    // q_market_share (untouched since r8) takes the slot. ctlDrift uses
+    // the name intersection with the prior artifact, so the swap degrades
+    // one round's median to 5 shared controls instead of corrupting it.
     val ControlQueries = Seq("mr_wordcount", "mr_sort", "q_local_supplier",
-      "q_join_salted", "q_waiting_suppliers", "sim_knn_graph")
+      "q_join_salted", "q_waiting_suppliers", "q_market_share")
     val controls = ControlQueries.flatMap(n => SparkEntry.queries.get(n).map { fn =>
       n -> Seq(timed(fn), timed(fn), timed(fn)).min
     })
