@@ -30,6 +30,14 @@ object Bench {
     (s""""$key"\\s*:\\s*(-?[0-9.]+)""").r.findFirstMatchIn(txt).map(_.group(1).toDouble)
   private[graft] def objField(txt: String, key: String): Option[String] =
     (s""""$key"\\s*:\\s*(\\{[^}]*\\})""").r.findFirstMatchIn(txt).map(_.group(1))
+  /** The LAST `"key": {...}` object in `txt` — a round artifact's archived
+    * tail can carry several control blocks (the full-artifact line, then
+    * the compact round line); the compact line is printed last and records
+    * the numbers the round actually kept, so the last occurrence is the
+    * committed evidence. */
+  private[graft] def objFieldLast(txt: String, key: String): Option[String] =
+    (s""""$key"\\s*:\\s*(\\{[^}]*\\})""").r.findAllMatchIn(txt)
+      .map(_.group(1)).toSeq.lastOption
   /** The key set of a flat `{"name":num,...}` JSON object string. */
   private[graft] def objKeys(obj: String): Set[String] =
     """"([^"]+)"\s*:""".r.findAllMatchIn(obj).map(_.group(1)).toSet
@@ -37,25 +45,57 @@ object Bench {
     """"([^"]+)"\s*:\s*(-?[0-9.]+)""".r.findAllMatchIn(obj)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
-  /** CONTROL-NORMALIZED drift factor (VERDICT r14 #5): the median ratio
-    * of this run's control timings to the PREVIOUS clean artifact's, over
-    * the controls both runs measured. > 1 means this box ran slower than
-    * the previous round's; dividing the warm total by it yields
-    * `value_ctl_norm`, the number comparable round-over-round without
-    * manual control math (the r14 verdict needed exactly that math to see
-    * +12% ≈ drift + mask). None when the prior artifact is missing,
-    * unparseable, or shares no positive-valued control. */
+  /** Minimum control intersection for a drift stamp (ADVICE r15): with
+    * fewer shared names — e.g. right after a control-set swap against a
+    * degenerate prior — the "median" collapses onto one or two noisy
+    * queries' ratios and can skew the normalized headline without any
+    * flag in the artifact. Below the floor, no normalization is claimed. */
+  val MinSharedControls = 3
+
+  /** CONTROL-NORMALIZED drift factor (VERDICT r14 #5, re-anchored r16):
+    * the median ratio of this run's control timings to the prior ROUND's
+    * committed artifact's, over the controls both runs measured. > 1
+    * means this box ran slower than the previous round's; dividing the
+    * warm total by it yields `value_ctl_norm`, the number comparable
+    * round-over-round without manual control math. The anchor text must
+    * be a committed round artifact ([[priorRoundArtifact]]) — VERDICT r15
+    * #3: anchoring on "whatever BENCH_FULL.json was on disk" normalized
+    * against untracked same-round intermediates, which is not a
+    * round-over-round number. Returns (median, shared-control count);
+    * None when the anchor is missing/unparseable or the positive-valued
+    * intersection is under [[MinSharedControls]]. */
   private[graft] def ctlDrift(priorTxt: String,
-      controls: Seq[(String, Double)]): Option[Double] = {
-    val prior = objField(priorTxt, "controls").map(objPairs).getOrElse(Map.empty)
+      controls: Seq[(String, Double)]): Option[(Double, Int)] = {
+    val prior = objFieldLast(priorTxt, "controls").map(objPairs).getOrElse(Map.empty)
     val ratios = controls.flatMap { case (k, cur) =>
       prior.get(k).filter(p => p > 0 && cur > 0).map(p => cur / p)
     }.sorted
-    if (ratios.isEmpty) None
-    else Some(
+    if (ratios.size < MinSharedControls) None
+    else Some((
       if (ratios.size % 2 == 1) ratios(ratios.size / 2)
-      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2,
+      ratios.size))
   }
+
+  /** The prior ROUND's committed bench artifact: the highest-numbered
+    * `BENCH_r<N>.json` in `dir` (the files the round driver commits — a
+    * mid-round re-run of Bench never writes one, so the drift anchor
+    * cannot drift onto a same-round intermediate). Returns (round,
+    * file text). */
+  private[graft] def priorRoundArtifact(dir: String): Option[(Int, String)] =
+    try {
+      val rx = """^BENCH_r0*([0-9]+)\.json$""".r
+      val files = new java.io.File(dir).listFiles()
+      if (files == null) None
+      else files.flatMap { f =>
+        f.getName match {
+          case rx(n) => Some((n.toInt, f))
+          case _ => None
+        }
+      }.sortBy(-_._1).headOption.map { case (n, f) =>
+        (n, new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      }
+    } catch { case _: Throwable => None }
 
   /** The round-close STDOUT line when this run was demoted (VERDICT r13
     * #8): the driver stamps BENCH_rN from the LAST stdout line, so a
@@ -164,17 +204,26 @@ object Bench {
     val warmTotal = results.map(_._2._2).sum
     val medTotal = medians.map(_._2).sum
     val basePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
-    // Prior clean artifact, read BEFORE this run overwrites it: the drift
-    // normalizer compares against it, and a demoted run re-emits it.
+    // Prior clean artifact, read BEFORE this run overwrites it: a demoted
+    // run re-emits it (self-defense). NOT the drift anchor — that is the
+    // prior round's committed artifact below.
     val priorTxt: Option[String] =
       try Some(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(basePath)), "UTF-8"))
       catch { case _: Throwable => None }
-    val drift = priorTxt.flatMap(ctlDrift(_, controls))
+    // Drift anchor (VERDICT r15 #3): the prior ROUND's committed
+    // BENCH_r{N}.json, never the on-disk full artifact a same-round
+    // intermediate run may have overwritten.
+    val anchor = priorRoundArtifact(
+      Option(new java.io.File(basePath).getParent).getOrElse("."))
+    val drift = anchor.flatMap { case (_, txt) => ctlDrift(txt, controls) }
     // value_ctl_norm: the warm total divided by the control-drift median —
-    // what this run would have read on the previous artifact's box.
-    val ctlNormFields = drift.map(d =>
-      s""""ctl_drift_median":${r3(d)},"value_ctl_norm":${r3(warmTotal / d)},""").getOrElse("")
+    // what this run would have read on the anchor round's box. The anchor
+    // round id and the shared-control count are stamped alongside so the
+    // normalization is auditable from the artifact alone.
+    val ctlNormFields = (for ((n, _) <- anchor; (d, k) <- drift) yield
+      s""""ctl_anchor_round":$n,"ctl_shared":$k,""" +
+        s""""ctl_drift_median":${r3(d)},"value_ctl_norm":${r3(warmTotal / d)},""").getOrElse("")
     // The driver archives only the final ~2000 chars of output; a single
     // line with two 96-entry dicts (~6 KB) truncates mid-dictionary (the
     // r4 artifact lost its first 33 timings and didn't parse). So: the FULL

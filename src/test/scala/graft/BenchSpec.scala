@@ -51,21 +51,50 @@ class BenchSpec extends AnyFunSuite {
 
   test("control drift median normalizes the warm total against the prior artifact") {
     val prior = """{"metric":"total","controls":{"mr_wordcount":0.10,"mr_sort":0.20,""" +
-      """"q_join_salted":0.40},"value":50.0}"""
+      """"q_join_salted":0.40,"q_local_supplier":0.50},"value":50.0}"""
     // this box ran the three shared controls 1.5x, 1.1x, 2.0x slower →
     // median drift 1.5; an unknown control in the live set is ignored
     val live = Seq("mr_wordcount" -> 0.15, "mr_sort" -> 0.22,
       "q_join_salted" -> 0.80, "new_ctl" -> 9.9)
-    assert(Bench.ctlDrift(prior, live).exists(d => math.abs(d - 1.5) < 1e-9))
-    // even count → mean of the middle two
+    assert(Bench.ctlDrift(prior, live).exists { case (d, k) =>
+      math.abs(d - 1.5) < 1e-9 && k == 3 })
+    // even count → mean of the middle two (1.1, 1.5, 1.6, 2.0 → 1.55)
+    val liveFour = live.filterNot(_._1 == "new_ctl") :+ ("q_local_supplier" -> 0.80)
+    assert(Bench.ctlDrift(prior, liveFour).exists { case (d, k) =>
+      math.abs(d - 1.55) < 1e-9 && k == 4 })
+    // under MinSharedControls shared names → no normalization claimed
+    // (ADVICE r15: a post-swap round against a degenerate prior must not
+    // stamp one noisy query's ratio as a "median")
     val liveTwo = Seq("mr_wordcount" -> 0.15, "mr_sort" -> 0.22)
-    assert(Bench.ctlDrift(prior, liveTwo).exists(d => math.abs(d - 1.3) < 1e-9))
+    assert(Bench.ctlDrift(prior, liveTwo).isEmpty)
     // no shared controls / unparseable prior → no normalization claimed
     assert(Bench.ctlDrift(prior, Seq("other" -> 1.0)).isEmpty)
     assert(Bench.ctlDrift("not json", live).isEmpty)
-    // zero-valued prior control cannot divide
-    val zero = """{"controls":{"mr_wordcount":0.0}}"""
-    assert(Bench.ctlDrift(zero, Seq("mr_wordcount" -> 0.5)).isEmpty)
+    // zero-valued prior controls cannot divide
+    val zero = """{"controls":{"mr_wordcount":0.0,"mr_sort":0.0,"q_join_salted":0.0}}"""
+    assert(Bench.ctlDrift(zero, live).isEmpty)
+    // a round-artifact tail carries TWO control blocks (full line, then
+    // the compact round line): the LAST one — the kept evidence — anchors
+    val tail = """{"controls":{"mr_wordcount":9.9,"mr_sort":9.9,"q_join_salted":9.9},""" +
+      """"value":1} {"controls":{"mr_wordcount":0.10,"mr_sort":0.20,""" +
+      """"q_join_salted":0.40},"value":2}"""
+    assert(Bench.ctlDrift(tail, live).exists { case (d, _) =>
+      math.abs(d - 1.5) < 1e-9 })
+  }
+
+  test("the drift anchor is the highest-numbered committed round artifact") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec-anchor")
+    assert(Bench.priorRoundArtifact(dir.toString).isEmpty)
+    java.nio.file.Files.write(dir.resolve("BENCH_r09.json"),
+      """{"n":9,"tail":"nine"}""".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("BENCH_r15.json"),
+      """{"n":15,"tail":"fifteen"}""".getBytes("UTF-8"))
+    // the full artifact a mid-round run overwrites is NOT an anchor
+    java.nio.file.Files.write(dir.resolve("BENCH_FULL.json"),
+      """{"value":1}""".getBytes("UTF-8"))
+    val got = Bench.priorRoundArtifact(dir.toString)
+    assert(got.exists { case (n, txt) => n == 15 && txt.contains("fifteen") })
+    assert(Bench.priorRoundArtifact(dir.resolve("missing").toString).isEmpty)
   }
 
   test("existingLoadAvg parses the stamped field and tolerates garbage") {
