@@ -93,7 +93,11 @@ object Bench {
           case _ => None
         }
       }.sortBy(-_._1).headOption.map { case (n, f) =>
-        (n, new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        // the round artifact embeds the bench stdout as a JSON STRING
+        // ("tail": "...\"controls\":{...}"), so the control blocks arrive
+        // with escaped quotes — unescape before the field regexes look
+        (n, new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .replace("\\\"", "\""))
       }
     } catch { case _: Throwable => None }
 

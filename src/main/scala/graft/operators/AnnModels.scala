@@ -83,6 +83,9 @@ object AnnModels {
   @volatile private[graft] var ftMarginTrains = 0
   @volatile private[graft] var uniTrains = 0
   @volatile private[graft] var semanticLabelTrains = 0
+  @volatile private[graft] var funnelFlagBuilds = 0
+  @volatile private[graft] var knnGraphBuilds = 0
+  @volatile private[graft] var uniBigTrains = 0
 
   /** The trigram LM's training constants, inlined into every key that
     * depends on the LM's output (the registry's key discipline: change a
@@ -255,6 +258,20 @@ object AnnModels {
           s"v=${UnigramLm.UniVocab},em=${UnigramLm.UniIters},grid=1e6") {
       uniTrains += 1
       UnigramLm.uniTrainOf(graft.sources.Tables.load(s, dir, "documents"))
+    }
+
+  /** The PRODUCTION-budget unigram-LM vocabulary (r16, VERDICT r15 #6) —
+    * the same trainer at [[UnigramLm.UniVocabBig]] pieces /
+    * [[UnigramLm.UniItersBig]] EM rounds under its own key (the
+    * bpeMergeTableBig discipline: the toy and production budgets coexist
+    * in a long-lived store). */
+  def uniVocabBig(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "unibig",
+        s"l=${UnigramLm.UniMaxPieceLen},seed=${UnigramLm.UniSeedVocabBig}," +
+          s"v=${UnigramLm.UniVocabBig},em=${UnigramLm.UniItersBig},grid=1e6") {
+      uniBigTrains += 1
+      UnigramLm.uniTrainOf(graft.sources.Tables.load(s, dir, "documents"),
+        UnigramLm.UniSeedVocabBig, UnigramLm.UniVocabBig, UnigramLm.UniItersBig)
     }
 
   /** The PRODUCTION-count trained BPE merge table — the batched trainer
@@ -550,7 +567,7 @@ object AnnModels {
   def hammingDegen(s: SparkSession, dir: String, kind: String)
       (census: => DataFrame): Seq[(Int, Long)] =
     ensure(s, dir, s"dg$kind",
-        params = s"share=${Dedup.DegenShare},blocks=22/21/21") {
+        params = s"share=${Dedup.DegenShare},blocks=${Dedup.BlockLayout}") {
       hammingDegenTrains += 1
       census
     }.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
@@ -571,7 +588,7 @@ object AnnModels {
       (train: => DataFrame): DataFrame =
     ensure(s, dir, s"hp$kind",
         params = s"ham=${Dedup.MaxHamming},cap=${Dedup.MaxBucket}," +
-          s"share=${Dedup.DegenShare},blocks=22/21/21",
+          s"share=${Dedup.DegenShare},blocks=${Dedup.BlockLayout}",
         coalesce1 = false) {
       hammingPairTrains += 1
       train
@@ -627,6 +644,52 @@ object AnnModels {
       alignScoreTrains += 1
       Multimodal.textAlignInline(s, dir)
     }
+
+  /** The CURATION FUNNEL's per-document flag relation (doc_id, source,
+    * f1..f5) — the cumulative-gate spine `pipeline_funnel` and
+    * `pipeline_funnel_source` fold (r16, VERDICT r15 #1): the langid and
+    * heuristic-quality flags re-scanned corpus text on EVERY funnel
+    * invocation while the other three gates rode served artifacts;
+    * persisting the assembled relation makes a funnel report one
+    * artifact scan + one aggregate — the report shape a 100 TB
+    * deployment can afford to read nightly. Keyed on every constant a
+    * flag depends on (langid model geometry, the quality bar, the
+    * semantic-clustering geometry incl. the corpus-derived K, the
+    * alignment bar); keyed on BOTH tables because f4/f5 read the
+    * embeddings. All-integer columns: bit-identical round-trip.
+    * Corpus-sized: natural partitioning. */
+  def funnelFlags(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "funfl",
+        s"lang=en/b=${TextOps.LangidBuckets},q=${Pipeline.QualityThreshold}," +
+          s"sem=i${Similarity.KMeansIters}m${Similarity.TrainMod}k${Similarity.ivfK(s, dir)}" +
+          s"cap${Dedup.LabelCap}cos${Dedup.CosineThreshold}," +
+          "align=dims64r4ceilhalf",
+        table = "documents,embeddings", coalesce1 = false) {
+      funnelFlagBuilds += 1
+      Pipeline.funnelFlagsInline(s, dir)
+    }
+
+  /** The corpus K-NN GRAPH (src, dst, cos) — every vector's top-GraphK
+    * approximate neighbors, persisted once per corpus state (r16,
+    * VERDICT r15 #2): the graph is a per-corpus-state product exactly
+    * like the verified hamming pairs, but every `sim_knn_graph` read —
+    * and any downstream diversity-sampling/dedup consumer — re-paid the
+    * 30–60 s ×100 bucket-join build. The key carries the auto-sized
+    * geometry (tables × planes — corpus-count-derived, so growth past a
+    * sizing threshold re-keys), the salt cap and K. cos is a round-4
+    * double (exact), ids are longs — bit-identical round-trip.
+    * Corpus-sized: natural partitioning. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val (tables, planes) = Similarity.graphSizing(
+      graft.sources.Tables.load(s, dir, "embeddings").count())
+    ensure(s, dir, "knng",
+        s"t=$tables,p=$planes,cap=${Similarity.GraphBucketCap}," +
+          s"k=${Similarity.GraphK},target=${Similarity.GraphSizeTarget}",
+        table = "embeddings", coalesce1 = false) {
+      knnGraphBuilds += 1
+      Similarity.knnGraphTuned(s, dir, tables, planes, Similarity.GraphBucketCap)
+    }
+  }
 
   /** Per-source corpus TOKEN totals (source, base_off) — the |sources|-row
     * relation the nightly delta-pack step continues from
@@ -742,6 +805,14 @@ object AnnModels {
     * an artifact derived from several relations (e.g. the alignment
     * scores: documents × embeddings) must retrain when ANY of them
     * changes, so their per-table fingerprints concatenate into one key. */
+  /** The per-table fingerprint, exposed for corpus-derived memos that
+    * must share the registry's freshness discipline (Similarity.ivfK —
+    * ADVICE r15: a sizing memo keyed on the dir alone survives an
+    * in-place corpus edit the artifact fingerprints catch, silently
+    * splitting the geometry between key and content). */
+  private[graft] def tableFingerprint(s: SparkSession, dir: String,
+      table: String): String = fingerprint(s, dir, table)
+
   private def fingerprint(s: SparkSession, dir: String, table: String): String =
     if (table.indexOf(',') >= 0)
       table.split(",").map(t => fingerprintOne(s, dir, t)).mkString("||")

@@ -274,6 +274,15 @@ object Dedup {
     census.filter(col("bn") * DegenShare > lit(n)).select(col("bi"), col("bv"))
   }
 
+  /** The pigeonhole block layout (bits per block, low to high) as the
+    * registry-key token — interpolated into every AnnModels key whose
+    * artifact content depends on the split ([[AnnModels.hammingDegen]],
+    * [[AnnModels.hammingPairsStore]]), so a layout change here re-keys
+    * (and therefore rebuilds) the censuses and pair relations instead of
+    * serving stale ones (ADVICE r15: the keys used to hardcode the
+    * string). Must describe exactly what [[hammingBlocked]] computes. */
+  private[graft] val BlockLayout = "22/21/21"
+
   private[graft] def hammingBlocked(hashed: DataFrame): DataFrame =
     hashed
       .select(col("doc_id"), col("h").as("full"), explode(array(

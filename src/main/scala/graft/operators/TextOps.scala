@@ -981,15 +981,29 @@ object TextOps {
     * Scale: one corpus scan, map-side-combined aggregation onto
     * |languages| rows — nothing else shuffles. */
   def bpeFertility(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .groupBy(col("lang"))
+    bpeFertilityWith(docs(s, dir), BpeMerges)
+
+  /** [[bpeFertility]] under the TRAINED production-count merge table
+    * (r16, VERDICT r15 #4): the BUDGET-MATCHED side of the tokenizer-
+    * family comparison — the static audit counts under the 8-merge toy
+    * table, so pinning the 256-piece unigram family against it compared
+    * budgets, not algorithms. This audit rides the registry-served
+    * 256-rule table (AnnModels.bpeMergeTableBig) through the same native
+    * counter expression; the oracle rolls the recursive trained-merge
+    * word replay up per language. */
+  def bpeFertilityBig(s: SparkSession, dir: String): DataFrame =
+    bpeFertilityWith(docs(s, dir), trainedMergesBig(s, dir))
+
+  private[graft] def bpeFertilityWith(d: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    d.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         // NON-EMPTY words only: whitespace runs make split() emit empty
         // tokens that carry zero BPE symbols — counting them would deflate
         // fertility below its >= 1.0 floor (each real word is >= 1 token)
         sum(size(filter(wsTokens(col("text")), w => length(w) > 0)).cast("long"))
           .as("n_words"),
-        sum(bpeCount(col("text"))).as("n_bpe"),
+        sum(BpeExpressions.bpeCount(col("text"), merges)).as("n_bpe"),
         sum(octet_length(col("text")).cast("long")).as("n_bytes"))
       .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
         // NULL ratios on an all-whitespace language group (zero words =>
@@ -2042,9 +2056,22 @@ object TextOps {
         .collect()
       val n = rows.collectFirst { case r if r.getLong(0) == -1L => r.getLong(2) }
         .getOrElse(0L)
+      // BigInt headroom (ADVICE r15): the per-bucket gradient g can reach
+      // ~1e12 per training doc (|resid| ≤ 1e6 × Σ x6 ≤ 1e6), so a Long
+      // etaNum·g product left int64 at ~1.1e6 training docs and SILENTLY
+      // wrapped while the oracle raised. BigInt division truncates toward
+      // zero exactly like Long `/`, so every in-range trajectory is
+      // unchanged; the oracle's update runs in HUGEINT, so the two
+      // engines now agree at any n the aggregates themselves can carry.
+      // Remaining bound (documented, both engines raise, neither wraps):
+      // Spark's per-bucket Long SUM of resid·x6 — worst case ~1e12 per
+      // doc, i.e. ~9·10⁶ adversarial training docs — fails hard under
+      // ANSI arithmetic; real corpora spread x6 over buckets and sit
+      // orders of magnitude below it.
       if (n > 0) rows.foreach { r =>
         val j = if (r.getLong(0) == -1L) 0 else r.getLong(0).toInt + 1
-        w(j) += (etaNum * r.getLong(1)) / (etaDen * n * 1000000L)
+        w(j) += ((BigInt(etaNum) * r.getLong(1)) /
+          (BigInt(etaDen) * n * 1000000L)).toLong
       }
     }
     w
@@ -2267,6 +2294,7 @@ object TextOps {
     "text_source_stats" -> (sourceStats _),
     "text_tokens" -> (tokens _),
     "text_bpe_fertility" -> (bpeFertility _),
+    "text_bpe_fertility_256" -> (bpeFertilityBig _),
     "text_bpe_train" -> (bpeTrain _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_bpe_vocab" -> (bpeVocab _),
@@ -2415,6 +2443,22 @@ object TextOps {
         "CAST(sum(octet_length(encode(text))) AS BIGINT) * 1000000 // " +
         s"CAST(sum(${bpeCountSql("text")}) AS BIGINT) END AS BIGINT) AS bytes_per_token6 " +
         "FROM documents GROUP BY lang"),
+    "text_bpe_fertility_256" ->
+      // the BUDGET-MATCHED audit: per-word token counts come from the
+      // recursive trained-merge replay (the bpe_trained_ids_256 CTE
+      // backbone's wm word map), rolled up per language — zero shared
+      // constants with the engine's registry-served count
+      (s"WITH RECURSIVE $bpeTrainedBigWordCtes, " +
+        "pd AS (SELECT lang, text, " +
+        "CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT) AS nw, " +
+        "CAST(coalesce(list_sum(list_transform(list_filter(string_split(text, ' '), w -> length(w) > 0), " +
+        "w -> len(string_split(wm.m[w][1], ' ')))), 0) AS BIGINT) AS nb " +
+        "FROM documents CROSS JOIN wm) " +
+        "SELECT lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_words, " +
+        "CAST(sum(nb) AS BIGINT) AS n_bpe, " +
+        "CAST(CASE WHEN sum(nw) > 0 THEN sum(nb) * 1000000 // sum(nw) END AS BIGINT) AS fertility6, " +
+        "CAST(CASE WHEN sum(nb) > 0 THEN sum(octet_length(encode(text))) * 1000000 // sum(nb) END AS BIGINT) AS bytes_per_token6 " +
+        "FROM pd GROUP BY lang"),
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_trained_ids" -> bpeTrainedIdsSql,
     "text_bpe_train_256" -> bpeTrainBigSql,
@@ -2837,9 +2881,12 @@ object TextOps {
         s"FROM ftr t JOIN $pw w ON t.b = w.b GROUP BY 1, 2), " +
         s"fr$k AS MATERIALIZED (SELECT doc_id, CAST(cls * 1000000 - " +
         s"CAST(floor(1000000.0 / (1.0 + exp(-(z::DOUBLE / 1000000000000.0))) + 0.5) AS BIGINT) AS BIGINT) AS resid FROM fz$k), " +
-        s"fg$k AS MATERIALIZED (SELECT t.b, CAST(sum(r.resid * t.x6) AS BIGINT) AS g " +
+        // g / g0 stay HUGEINT (no BIGINT cast): the eta·g product in the
+        // update below then runs in 128-bit — the Spark driver's BigInt
+        // twin — instead of erroring at ~1.1e6 training docs
+        s"fg$k AS MATERIALIZED (SELECT t.b, sum(r.resid * t.x6) AS g " +
         s"FROM ftr t JOIN fr$k r ON t.doc_id = r.doc_id GROUP BY 1), " +
-        s"fc$k AS MATERIALIZED (SELECT count(*) AS n, CAST(coalesce(sum(resid), 0) * 1000000 AS BIGINT) AS g0 FROM fr$k), " +
+        s"fc$k AS MATERIALIZED (SELECT count(*) AS n, coalesce(sum(resid), 0) * 1000000 AS g0 FROM fr$k), " +
         s"fw$k AS MATERIALIZED (SELECT w.b, CASE WHEN c.n = 0 THEN w.w ELSE w.w + " +
         s"coalesce(($FtEtaNum * CASE WHEN w.b = -1 THEN c.g0 ELSE g.g END) // ($FtEtaDen * c.n * 1000000), 0) END AS w " +
         s"FROM $pw w LEFT JOIN fg$k g ON w.b = g.b CROSS JOIN fc$k c)"

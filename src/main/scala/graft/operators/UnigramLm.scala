@@ -55,6 +55,17 @@ object UnigramLm {
   /** Hard-EM rounds (the oracle replays each as a recursive CTE). */
   val UniIters = 2
 
+  /** PRODUCTION-budget constants (r16, VERDICT r15 #6 — the
+    * bpe_train_256 pattern: the trainer and the recursive-CTE oracle are
+    * budget-parametric, so the production variant is a constant bump,
+    * not a rewrite): ≥ 1024 final pieces, a wider seed pool, one more
+    * hard-EM round. The `text_unigram_vocab_1k` / `text_unigram_ids_1k`
+    * chain gates these; every EM step still runs on the DISTINCT-WORD
+    * relation, so the budget scales the model, never the corpus cost. */
+  val UniVocabBig = 1024
+  val UniSeedVocabBig = 1536
+  val UniItersBig = 3
+
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
   private def wsTokens(c: Column): Column = split(c, " ", -1)
@@ -128,10 +139,13 @@ object UnigramLm {
       acc => element_at(acc.getField("sg"), length(word) + 1))
   }
 
-  /** The full trainer (seed → [[UniIters]] hard-EM rounds → prune → ids)
-    * over an arbitrary documents relation — what AnnModels.uniVocab runs
-    * ONCE per corpus state. Returns (token_id, piece, cnt, cost6). */
-  private[graft] def uniTrainOf(d: DataFrame): DataFrame = {
+  /** The full trainer (seed → `iters` hard-EM rounds → prune → ids)
+    * over an arbitrary documents relation — what AnnModels.uniVocab /
+    * uniVocabBig run ONCE per corpus state. Budget-parametric (r16).
+    * Returns (token_id, piece, cnt, cost6). */
+  private[graft] def uniTrainOf(d: DataFrame,
+      seedVocab: Int = UniSeedVocab, uniVocab: Int = UniVocab,
+      iters: Int = UniIters): DataFrame = {
     val words = wordVocab(d).localCheckpoint()
     val subs = words
       .select(col("f"), explode(allSubstrings(col("w"))).as("p"))
@@ -143,8 +157,8 @@ object UnigramLm {
       .filter(length(col("p")) > 1)
       .orderBy(col("cnt").desc, col("p").asc)
       .limit(math.max(0, budget - nChars.toInt))
-    var cand = chars.unionByName(topMulti(subs, UniSeedVocab)).localCheckpoint()
-    for (_ <- 1 to UniIters) {
+    var cand = chars.unionByName(topMulti(subs, seedVocab)).localCheckpoint()
+    for (_ <- 1 to iters) {
       val seg = viterbiSeg(col("w"), costsOf(cand))
       val used = words.select(col("f"), explode(split(seg, " ")).as("p"))
         .groupBy("p").agg(sum(col("f")).as("cnt"))
@@ -153,7 +167,7 @@ object UnigramLm {
         .localCheckpoint()
     }
     val kept = chars.select(col("p")).join(cand, Seq("p"))
-      .unionByName(topMulti(cand, UniVocab))
+      .unionByName(topMulti(cand, uniVocab))
       .localCheckpoint()
     val c6 = costsOf(kept)
     val idRank = org.apache.spark.sql.expressions.Window.orderBy(col("p"))
@@ -168,10 +182,17 @@ object UnigramLm {
   def unigramVocab(s: SparkSession, dir: String): DataFrame =
     AnnModels.uniVocab(s, dir)
 
+  /** The PRODUCTION-budget vocabulary — ≤ [[UniVocabBig]] rows, its own
+    * registry key (the two budgets coexist in a long-lived store). */
+  def unigramVocabBig(s: SparkSession, dir: String): DataFrame =
+    AnnModels.uniVocabBig(s, dir)
+
   /** The served model collected as (piece → cost6, piece → token_id) —
     * model-sized, the trainedMerges accessor discipline. */
-  private def model(s: SparkSession, dir: String): (Map[String, Long], Map[String, Int]) = {
-    val rows = unigramVocab(s, dir).collect()
+  private def model(s: SparkSession, dir: String,
+      vocab: (SparkSession, String) => DataFrame = unigramVocab)
+      : (Map[String, Long], Map[String, Int]) = {
+    val rows = vocab(s, dir).collect()
     (rows.map(r => r.getString(1) -> r.getLong(3)).toMap,
       rows.map(r => r.getString(1) -> r.getInt(0)).toMap)
   }
@@ -196,8 +217,16 @@ object UnigramLm {
     * the per-word ids come from the distinct-word segmentation relation
     * (one DP per vocabulary word), documents re-assemble by position
     * (bounded per-doc sort — token-count rows, never corpus-keyed). */
-  def unigramIds(s: SparkSession, dir: String): DataFrame = {
-    val (costs, ids) = model(s, dir)
+  def unigramIds(s: SparkSession, dir: String): DataFrame =
+    unigramIdsWith(s, dir, unigramVocab)
+
+  /** [[unigramIds]] under the production-budget vocabulary. */
+  def unigramIdsBig(s: SparkSession, dir: String): DataFrame =
+    unigramIdsWith(s, dir, unigramVocabBig)
+
+  private def unigramIdsWith(s: SparkSession, dir: String,
+      vocab: (SparkSession, String) => DataFrame): DataFrame = {
+    val (costs, ids) = model(s, dir, vocab)
     val idm = typedLit(ids)
     val segs = wordSegs(s, dir, costs)
       .select(col("w"), array_join(transform(split(col("seg"), " "),
@@ -222,8 +251,17 @@ object UnigramLm {
     * audit on the second tokenizer family, so the two families compare
     * row-for-row (same n_docs/n_words columns, token counts from the
     * served unigram vocabulary via the distinct-word relation). */
-  def unigramFertility(s: SparkSession, dir: String): DataFrame = {
-    val (costs, _) = model(s, dir)
+  def unigramFertility(s: SparkSession, dir: String): DataFrame =
+    unigramFertilityWith(s, dir, unigramVocab)
+
+  /** The fertility audit under the PRODUCTION-budget vocabulary — the
+    * row the budget-matched family comparison reads (spec-pinned). */
+  def unigramFertilityBig(s: SparkSession, dir: String): DataFrame =
+    unigramFertilityWith(s, dir, unigramVocabBig)
+
+  private def unigramFertilityWith(s: SparkSession, dir: String,
+      vocab: (SparkSession, String) => DataFrame): DataFrame = {
+    val (costs, _) = model(s, dir, vocab)
     val wn = wordSegs(s, dir, costs)
       .select(col("w"), size(split(col("seg"), " ")).cast("long").as("nu"))
     val tokStats = docs(s, dir)
@@ -280,10 +318,13 @@ object UnigramLm {
       s"FROM $cd CROSS JOIN (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS t, count(*) AS v FROM $cd) t"
 
   /** The shared train replay: seed → EM rounds → prune → `vocab`
-    * (token_id, piece, cnt, cost6) and `costk` (p, c6). */
-  private lazy val uniTrainCtes: String = {
+    * (token_id, piece, cnt, cost6) and `costk` (p, c6). BUDGET-PARAMETRIC
+    * (r16): the production-count chain is the same CTE text at different
+    * constants — the bpeTrainBatchedCtes discipline. */
+  private def uniTrainCtesFor(seedVocab: Int, uniVocab: Int,
+      iters: Int): String = {
     val L = UniMaxPieceLen
-    val em = (1 to UniIters).map { r =>
+    val em = (1 to iters).map { r =>
       s"${vitCte(s"vit$r", s"cost${r - 1}")}, " +
         s"seg$r AS (SELECT w, f, sg[length(w) + 1] AS seg FROM vit$r WHERE i = length(w)), " +
         s"u$r AS (SELECT p, CAST(sum(f) AS BIGINT) AS c FROM " +
@@ -300,32 +341,40 @@ object UnigramLm {
       "ch AS (SELECT p, cnt FROM sub WHERE length(p) = 1), " +
       "nc0 AS (SELECT count(*) AS n FROM ch), " +
       "mu0 AS (SELECT p, cnt FROM (SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p ASC) AS rn " +
-      s"FROM sub WHERE length(p) > 1) CROSS JOIN nc0 WHERE rn <= $UniSeedVocab - n), " +
+      s"FROM sub WHERE length(p) > 1) CROSS JOIN nc0 WHERE rn <= $seedVocab - n), " +
       "cd0 AS MATERIALIZED (SELECT p, cnt FROM ch UNION ALL SELECT p, cnt FROM mu0), " +
       s"cost0 AS MATERIALIZED (${costSql("cd0")}), " +
       s"$em, " +
-      s"kch AS (SELECT p, cnt FROM cd$UniIters WHERE length(p) = 1), " +
+      s"kch AS (SELECT p, cnt FROM cd$iters WHERE length(p) = 1), " +
       "kmu AS (SELECT p, cnt FROM (SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p ASC) AS rn " +
-      s"FROM cd$UniIters WHERE length(p) > 1) CROSS JOIN nc0 WHERE rn <= $UniVocab - n), " +
+      s"FROM cd$iters WHERE length(p) > 1) CROSS JOIN nc0 WHERE rn <= $uniVocab - n), " +
       "kd AS MATERIALIZED (SELECT p, cnt FROM kch UNION ALL SELECT p, cnt FROM kmu), " +
       s"costk AS MATERIALIZED (${costSql("kd")}), " +
       "vocab AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY kd.p) - 1 AS INT) AS token_id, " +
       "kd.p AS piece, kd.cnt AS cnt, ck.c6 AS cost6 FROM kd JOIN costk ck ON kd.p = ck.p)"
   }
 
-  private lazy val uniVocabSql: String =
-    s"WITH RECURSIVE $uniTrainCtes SELECT token_id, piece, cnt, cost6 FROM vocab"
+  private lazy val uniTrainCtes: String =
+    uniTrainCtesFor(UniSeedVocab, UniVocab, UniIters)
+  private lazy val uniTrainCtesBig: String =
+    uniTrainCtesFor(UniSeedVocabBig, UniVocabBig, UniItersBig)
+
+  private def uniVocabSqlOver(ctes: String): String =
+    s"WITH RECURSIVE $ctes SELECT token_id, piece, cnt, cost6 FROM vocab"
+  private lazy val uniVocabSql: String = uniVocabSqlOver(uniTrainCtes)
+  private lazy val uniVocabBigSql: String = uniVocabSqlOver(uniTrainCtesBig)
 
   /** Train replay + the final encode Viterbi, ending in `wm` (word →
     * space-joined piece string) and `im` (piece → token_id). */
-  private lazy val uniEncodeCtes: String =
-    s"$uniTrainCtes, ${vitCte("vite", "costk")}, " +
+  private def uniEncodeCtesOver(trainCtes: String): String =
+    s"$trainCtes, ${vitCte("vite", "costk")}, " +
       "sege AS (SELECT w, sg[length(w) + 1] AS seg FROM vite WHERE i = length(w)), " +
       "wm AS (SELECT map(list(w), list(seg)) AS m FROM sege), " +
       "im AS (SELECT map(list(piece), list(token_id)) AS m FROM vocab)"
+  private lazy val uniEncodeCtes: String = uniEncodeCtesOver(uniTrainCtes)
 
-  private lazy val uniIdsSql: String =
-    s"WITH RECURSIVE $uniEncodeCtes, " +
+  private def uniIdsSqlOver(encodeCtes: String): String =
+    s"WITH RECURSIVE $encodeCtes, " +
       "e AS (SELECT doc_id, array_to_string(list_transform(" +
       "list_filter(string_split(text, ' '), w -> length(w) > 0), " +
       "w -> array_to_string(list_transform(string_split(wm.m[w][1], ' '), " +
@@ -333,6 +382,10 @@ object UnigramLm {
       "FROM documents CROSS JOIN wm CROSS JOIN im) " +
       "SELECT doc_id, token_ids, CASE WHEN token_ids = '' THEN 0 " +
       "ELSE CAST(len(string_split(token_ids, ' ')) AS INT) END AS n_tokens FROM e"
+
+  private lazy val uniIdsSql: String = uniIdsSqlOver(uniEncodeCtes)
+  private lazy val uniIdsBigSql: String =
+    uniIdsSqlOver(uniEncodeCtesOver(uniTrainCtesBig))
 
   private lazy val uniFertilitySql: String =
     s"WITH RECURSIVE $uniEncodeCtes, " +
@@ -349,10 +402,14 @@ object UnigramLm {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_vocab" -> (unigramVocab _),
     "text_unigram_ids" -> (unigramIds _),
-    "text_unigram_fertility" -> (unigramFertility _))
+    "text_unigram_fertility" -> (unigramFertility _),
+    "text_unigram_vocab_1k" -> (unigramVocabBig _),
+    "text_unigram_ids_1k" -> (unigramIdsBig _))
 
   def oracles: Map[String, String] = Map(
     "text_unigram_vocab" -> uniVocabSql,
     "text_unigram_ids" -> uniIdsSql,
-    "text_unigram_fertility" -> uniFertilitySql)
+    "text_unigram_fertility" -> uniFertilitySql,
+    "text_unigram_vocab_1k" -> uniVocabBigSql,
+    "text_unigram_ids_1k" -> uniIdsBigSql)
 }

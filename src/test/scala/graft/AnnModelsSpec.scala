@@ -803,6 +803,81 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("funnel flags: registry-served, bit-identical to inline, ONE build " +
+      "across both funnel queries") {
+    AnnModels.withRoot(freshRoot("funfl")) {
+      val b0 = AnnModels.funnelFlagBuilds
+      graft.operators.Pipeline.funnel(spark, sf).collect()
+      graft.operators.Pipeline.funnelSource(spark, sf).collect()
+      assert(AnnModels.funnelFlagBuilds == b0 + 1,
+        s"expected ONE flag build across both funnels, got ${AnnModels.funnelFlagBuilds - b0}")
+      assert(rows(AnnModels.funnelFlags(spark, sf)) ==
+        rows(graft.operators.Pipeline.funnelFlagsInline(spark, sf)),
+        "served funnel flags diverge from the inline build")
+      assert(AnnModels.funnelFlagBuilds == b0 + 1,
+        "re-reading the artifact must not rebuild the flags")
+    }
+  }
+
+  test("knn graph: registry-served, bit-identical to inline, ONE build " +
+      "per corpus state") {
+    AnnModels.withRoot(freshRoot("knng")) {
+      val b0 = AnnModels.knnGraphBuilds
+      val served = rows(Similarity.knnGraph(spark, sf))
+      assert(AnnModels.knnGraphBuilds == b0 + 1, "first access must build")
+      assert(rows(Similarity.knnGraph(spark, sf)) == served)
+      assert(AnnModels.knnGraphBuilds == b0 + 1,
+        "second access must serve the artifact, not rebuild")
+      assert(served == rows(Similarity.knnGraphInline(spark, sf)),
+        "served knn graph diverges from the inline build")
+    }
+  }
+
+  test("production-budget unigram vocabulary: own key, ONE train, " +
+      "coexists with the toy budget") {
+    AnnModels.withRoot(freshRoot("unibig")) {
+      val (t0, b0) = (AnnModels.uniTrains, AnnModels.uniBigTrains)
+      val big = rows(graft.operators.UnigramLm.unigramVocabBig(spark, sf))
+      assert(AnnModels.uniBigTrains == b0 + 1, "first access must train")
+      graft.operators.UnigramLm.unigramIdsBig(spark, sf).count()
+      assert(AnnModels.uniBigTrains == b0 + 1,
+        "the id consumer must serve the artifact, not retrain")
+      // the toy-budget artifact is a DIFFERENT key: reading it trains the
+      // small model without touching the big one
+      graft.operators.UnigramLm.unigramVocab(spark, sf).count()
+      assert(AnnModels.uniTrains == t0 + 1 && AnnModels.uniBigTrains == b0 + 1,
+        "the two budgets must live under distinct keys")
+      assert(big == rows(graft.operators.UnigramLm.uniTrainOf(
+          graft.sources.Tables.load(spark, sf, "documents"),
+          graft.operators.UnigramLm.UniSeedVocabBig,
+          graft.operators.UnigramLm.UniVocabBig,
+          graft.operators.UnigramLm.UniItersBig)),
+        "served production-budget vocabulary diverges from inline training")
+    }
+  }
+
+  test("ivfK follows an in-place embeddings edit across a sizing boundary " +
+      "(fingerprint-keyed memo, ADVICE r15)") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfk").toString
+    def gen(n: Long): Unit = sp.range(0, n).toDF("vec_id")
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => (d % 3).cast("float")).as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    gen(100)
+    assert(Similarity.ivfK(spark, dir) == Similarity.NumCentroids,
+      "small corpus must sit on the K floor")
+    // same dir, same session: the memo used to pin the old K here, so the
+    // registry keys (which embed K) and the oracle (which derives K from
+    // the live corpus) would silently disagree after the edit
+    gen(4096)
+    assert(Similarity.ivfK(spark, dir) == 12, // ceil(sqrt(4096/32))
+      "an in-place corpus edit crossing a sizing boundary must re-derive K")
+  }
+
   test("sweep spares key-shaped dirs without old-layout evidence") {
     val root = freshRoot("sweep2")
     // the two shapes the absence-only predicate would have destroyed

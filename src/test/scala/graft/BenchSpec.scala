@@ -87,13 +87,20 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.priorRoundArtifact(dir.toString).isEmpty)
     java.nio.file.Files.write(dir.resolve("BENCH_r09.json"),
       """{"n":9,"tail":"nine"}""".getBytes("UTF-8"))
+    // a real round artifact: bench stdout embedded as an escaped JSON
+    // string — the anchor text must come back with usable quote chars
     java.nio.file.Files.write(dir.resolve("BENCH_r15.json"),
-      """{"n":15,"tail":"fifteen"}""".getBytes("UTF-8"))
+      ("""{"n":15,"tail":"fifteen {\"controls\":{\"mr_wordcount\":0.1,""" +
+        """\"mr_sort\":0.2,\"q_join_salted\":0.4}}"}""").getBytes("UTF-8"))
     // the full artifact a mid-round run overwrites is NOT an anchor
     java.nio.file.Files.write(dir.resolve("BENCH_FULL.json"),
       """{"value":1}""".getBytes("UTF-8"))
     val got = Bench.priorRoundArtifact(dir.toString)
     assert(got.exists { case (n, txt) => n == 15 && txt.contains("fifteen") })
+    // the unescaped anchor feeds ctlDrift end to end
+    val live = Seq("mr_wordcount" -> 0.15, "mr_sort" -> 0.22, "q_join_salted" -> 0.80)
+    assert(Bench.ctlDrift(got.get._2, live).exists { case (d, k) =>
+      math.abs(d - 1.5) < 1e-9 && k == 3 })
     assert(Bench.priorRoundArtifact(dir.resolve("missing").toString).isEmpty)
   }
 

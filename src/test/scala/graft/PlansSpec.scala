@@ -627,16 +627,19 @@ class PlansSpec extends SparkSpec {
     // the registry pair artifact since r15 (asserted below), so the
     // census-broadcast discipline is pinned on the trainer it rides.
     Seq("dedup_simhash_pairs (inline)" -> plan(Dedup.simhashPairsInline(spark, sf)),
-        "sim_knn_graph" -> plan(Similarity.knnGraph(spark, sf)),
+        "sim_knn_graph (inline)" -> plan(Similarity.knnGraphInline(spark, sf)),
         "dedup_embedding" -> plan(Dedup.embeddingNearDup(spark, sf))).foreach { case (name, p) =>
       assert(!p.contains("Window"), s"$name plans a windowed bucket census:\n$p")
       assert(p.contains("BroadcastHashJoin"), s"$name bucket counts are not broadcast back:\n$p")
     }
-    // the gated entry itself plans as ONE artifact scan — no hash chain,
-    // no census, no exchange on the per-invocation path
-    val served = plan(Dedup.simhashPairs(spark, sf))
-    assert(served.contains("FileScan") && !served.contains("Exchange"),
-      s"served simhash pairs must plan as a bare artifact read:\n$served")
+    // the gated entries themselves plan as ONE artifact scan — no hash
+    // chain, no census, no exchange on the per-invocation path (the knn
+    // graph joined the served family in r16)
+    Seq("dedup_simhash_pairs" -> plan(Dedup.simhashPairs(spark, sf)),
+        "sim_knn_graph" -> plan(Similarity.knnGraph(spark, sf))).foreach { case (name, served) =>
+      assert(served.contains("FileScan") && !served.contains("Exchange"),
+        s"served $name must plan as a bare artifact read:\n$served")
+    }
   }
 
   test("per-query ANN top-k ranks through TopKPerKey, never a window over the raw scan") {

@@ -121,8 +121,12 @@ class SimilaritySpec extends SparkSpec {
   test("knn graph plans the custom TopKPerKey operator, bounds degree, and overlaps exact top-3") {
     import org.apache.spark.sql.functions._
     val g = Similarity.knnGraph(spark, sf)
-    assert(g.queryExecution.executedPlan.toString.contains("TopKPerKey"),
-      "knn graph must rank through the custom physical operator")
+    // the BUILD ranks through the custom operator; the gated entry is a
+    // registry-served artifact read (r16), so the plan contract pins the
+    // inline trainer
+    assert(Similarity.knnGraphInline(spark, sf)
+        .queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "knn graph build must rank through the custom physical operator")
     val maxDeg = g.groupBy("src").count().agg(max("count")).collect().head.getLong(0)
     assert(maxDeg <= Similarity.GraphK)
     // graph edges for the query vectors vs their exact top-3: LSH-bucketed

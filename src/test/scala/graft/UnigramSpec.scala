@@ -15,8 +15,6 @@ class UnigramSpec extends SparkSpec {
     AnnModels.withRoot(freshRoot("vocab")) {
       val vocab = UnigramLm.unigramVocab(spark, sf).collect()
       val pieces = vocab.map(_.getString(1)).toSet
-      assert(vocab.length <= UnigramLm.UniSeedVocab,
-        s"vocab ${vocab.length} exceeds the seed budget")
       // every character of every non-empty word must be a piece (the DP's
       // totality fallback)
       val chars = graft.sources.Tables.load(spark, sf, "documents")
@@ -26,6 +24,13 @@ class UnigramSpec extends SparkSpec {
         .distinct().collect().map(_.getString(0)).toSet
       assert(chars.subsetOf(pieces),
         s"missing character pieces: ${(chars -- pieces).take(5)}")
+      // the PRUNE budget itself (ADVICE r15: the seed-budget bound also
+      // passed when the 256-cap stopped applying): beyond the mandatory
+      // single characters, at most UniVocab − |chars| multi-char pieces
+      val nMulti = vocab.count(_.getString(1).length > 1)
+      assert(nMulti <= UnigramLm.UniVocab - chars.size,
+        s"$nMulti multi-char pieces exceed the post-prune budget " +
+          s"${UnigramLm.UniVocab} - ${chars.size}")
       // ids are the dense 0..n-1 rank over piece order
       val ids = vocab.sortBy(_.getString(1)).map(_.getInt(0)).toSeq
       assert(ids == ids.indices.map(identity),
@@ -91,18 +96,38 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
-  test("fertility: the 256-piece unigram tokenizer compresses strictly " +
-      "better than the 8-merge BPE on every language") {
+  test("fertility, BUDGET-MATCHED (r16, VERDICT r15 #4): under equal " +
+      "256-budgets the trained BPE wins this corpus; the r15 'strictly " +
+      "better' pin was a budget artifact") {
     AnnModels.withRoot(freshRoot("fert")) {
       val uni = UnigramLm.unigramFertility(spark, sf).collect()
         .map(r => r.getString(0) -> r.getLong(4)).toMap
-      val bpe = TextOps.bpeFertility(spark, sf).collect()
+      val uniBig = UnigramLm.unigramFertilityBig(spark, sf).collect()
         .map(r => r.getString(0) -> r.getLong(4)).toMap
-      assert(uni.keySet == bpe.keySet, "the two audits must cover the same languages")
-      uni.foreach { case (lang, f6) =>
-        assert(f6 >= 1000000L, s"$lang fertility below the 1-token-per-word floor")
-        assert(f6 < bpe(lang),
-          s"$lang: unigram fertility $f6 must beat BPE ${bpe(lang)}")
+      val bpeBig = TextOps.bpeFertilityBig(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getLong(4)).toMap
+      val bpeToy = TextOps.bpeFertility(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getLong(4)).toMap
+      assert(uni.keySet == bpeBig.keySet && uni.keySet == bpeToy.keySet &&
+        uni.keySet == uniBig.keySet, "the audits must cover the same languages")
+      uni.keySet.foreach { lang =>
+        // ≥ 1.0 floor everywhere (each non-empty word is ≥ 1 token)
+        Seq(uni, uniBig, bpeBig, bpeToy).foreach(m =>
+          assert(m(lang) >= 1000000L, s"$lang fertility below the floor"))
+        // The HONEST budget-matched row: 256 trained merges fully merge
+        // this small-vocab corpus (fertility exactly 1.0 — BPE's merge
+        // depth is unbounded), while the unigram family is floored at
+        // ceil(len/4) pieces per word by its UniMaxPieceLen=4 DP fan-in
+        // cap — so at matched budgets BPE compresses at least as well
+        // here. The unigram family's value is the probabilistic-cost
+        // segmentation and width-independent replay, NOT a fertility win.
+        assert(bpeBig(lang) <= uni(lang) && bpeBig(lang) <= uniBig(lang),
+          s"$lang: budget-matched BPE ${bpeBig(lang)} vs unigram ${uni(lang)}")
+        // the r15 comparison (256 unigram pieces vs the 8-merge TOY
+        // table) flips the other way — kept as proof that it measured
+        // budget, not algorithm
+        assert(uni(lang) < bpeToy(lang),
+          s"$lang: the toy-budget foil inverted: ${uni(lang)} vs ${bpeToy(lang)}")
       }
     }
   }
