@@ -209,7 +209,15 @@ object Scale {
 
   def main(args: Array[String]): Unit = {
     val outBase = args.headOption.getOrElse("/tmp/graft_scale")
-    val maxScale = args.lift(1).map(_.toInt).getOrElse(100)
+    // "=N" runs ONLY scale xN in this JVM (r16, VERDICT r15 #7): the
+    // shared-JVM sweep accumulated heap/GC debris across scale points —
+    // the x100 re-run band read up to 2x its own first run — so the
+    // sweep recipe is now one fresh JVM per point (SCALE.md), each
+    // writing SCALE_RESULTS_x{N}.json for the caller to merge. A plain
+    // number keeps the old all-points-up-to-N behavior.
+    val scaleArg = args.lift(1).getOrElse("100")
+    val only = if (scaleArg.startsWith("=")) Some(scaleArg.drop(1).toInt) else None
+    val maxScale = only.getOrElse(scaleArg.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -224,18 +232,18 @@ object Scale {
     val load0 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // sf0.1 ships 5k docs / 2k vectors — that is scale x1
-    val scales = Seq(1, 10, 100).filter(_ <= maxScale)
+    val scales = Seq(1, 10, 100)
+      .filter(m => only.map(_ == m).getOrElse(m <= maxScale))
       .map(m => (s"x$m", m, 5000L * m, 2000L * m))
     val results = scala.collection.mutable.ArrayBuffer[String]()
     def r3(d: Double): Double = math.round(d * 1000) / 1000.0
-    for ((tag, mult, nDocs, nVecs) <- scales) {
-      val dir = s"$outBase/$tag"
-      // Resume probe through the Hadoop FileSystem for the path's scheme
-      // (outBase is caller-supplied and may be an object store), requiring
-      // BOTH datasets' committer _SUCCESS markers — a crash between the
-      // two generators, or a torn write, regenerates instead of silently
-      // reusing missing or partial embeddings.
-      val hconf = spark.sparkContext.hadoopConfiguration
+    // Resume probe through the Hadoop FileSystem for the path's scheme
+    // (outBase is caller-supplied and may be an object store), requiring
+    // BOTH datasets' committer _SUCCESS markers — a crash between the
+    // two generators, or a torn write, regenerates instead of silently
+    // reusing missing or partial embeddings.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def ensureCorpus(dir: String, nDocs: Long, nVecs: Long): Unit = {
       def complete(table: String): Boolean = {
         val p = new org.apache.hadoop.fs.Path(s"$dir/$table/_SUCCESS")
         p.getFileSystem(hconf).exists(p)
@@ -244,21 +252,30 @@ object Scale {
         genDocuments(spark, nDocs, dir)
         genEmbeddings(spark, nVecs, dir)
       }
-      // comma-separated substring filters (r15) — a targeted re-measure
-      // warms and runs ONLY the named families instead of the full sweep
-      val filters = args.lift(2).getOrElse("").split(",").filter(_.nonEmpty)
-      def selected(n: String): Boolean =
-        filters.isEmpty || filters.exists(n.contains)
-      if (mult == 1) {
-        // JIT/codegen warmup pass on the smallest corpus only
-        ops(1).foreach { case (n, fn) => if (selected(n)) fn(spark, dir).count() }
-      }
+    }
+    // comma-separated substring filters (r15) — a targeted re-measure
+    // warms and runs ONLY the named families instead of the full sweep
+    val filters = args.lift(2).getOrElse("").split(",").filter(_.nonEmpty)
+    def selected(n: String): Boolean =
+      filters.isEmpty || filters.exists(n.contains)
+    // JIT/codegen warmup on the x1 corpus, whatever points THIS JVM
+    // measures — in the fresh-JVM-per-point sweep every JVM warms itself,
+    // so an x100-only run doesn't charge JIT to its first-touch rows
+    ensureCorpus(s"$outBase/x1", 5000L, 2000L)
+    ops(1).foreach { case (n, fn) =>
+      if (selected(n)) fn(spark, s"$outBase/x1").count() }
+    for ((tag, mult, nDocs, nVecs) <- scales) {
+      val dir = s"$outBase/$tag"
+      ensureCorpus(dir, nDocs, nVecs)
       for ((name, fn) <- ops(mult) if selected(name)) {
         // Measurement isolation: localCheckpoint blocks from the PREVIOUS
         // operator otherwise stay persisted and squeeze this one's
         // execution memory — at x100 that turned an 8 s pipeline into a
-        // 210 s spill storm and read as fake superlinearity.
+        // 210 s spill storm and read as fake superlinearity. The explicit
+        // GC (r16) returns the released block memory before the timer
+        // starts instead of mid-measurement.
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        System.gc()
         // Both timings recorded per (scale, op): the FIRST-TOUCH run may
         // train registry artifacts (LM, BPE table, langid centroids, LSH
         // index) at this scale — only x1's warmup pre-trains them — and
@@ -278,6 +295,7 @@ object Scale {
         // time SLOWER than its own first touch (the SCALE.md r13 caveat),
         // inverting the served-vs-first-touch trend the pair exists to show.
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        System.gc()
         val t1 = System.nanoTime()
         fn(spark, dir).count()
         val secs2 = (System.nanoTime() - t1) / 1e9
@@ -302,7 +320,8 @@ object Scale {
     }
     val out = s"""{"load_avg_start":${r3(load0)},"docs_per_x":5000,"vecs_per_x":2000,""" +
       s""""cpus":$cpus,"runs":[${results.mkString(",")}]}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outBase/SCALE_RESULTS.json"),
+    val resName = only.map(m => s"SCALE_RESULTS_x$m.json").getOrElse("SCALE_RESULTS.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outBase/$resName"),
       (out + "\n").getBytes("UTF-8"))
     println(out)
     spark.stop()

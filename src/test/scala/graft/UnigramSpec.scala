@@ -96,6 +96,32 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("the production budget BINDS on a large-vocabulary corpus: both " +
+      "prunes hit their caps exactly, 1k keeps 4x the toy's pieces") {
+    val sp = spark
+    import sp.implicits._
+    AnnModels.withRoot(freshRoot("bind")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_unibind").toString
+      // 3000 distinct 6-char words → ≥3000 distinct 4-char substring
+      // candidates (the embedded 4-digit number alone), far past both
+      // seed budgets — on the shipped corpora neither budget binds
+      // (228 candidates total), so this is where the two variants
+      // provably differ
+      (0L until 3000L).map(i => (i,
+          f"w$i%04dx w${(i + 7) % 3000}%04dx", "en", "src0"))
+        .toDF("doc_id", "text", "lang", "source")
+        .write.parquet(s"$dir/documents.parquet")
+      val toy = UnigramLm.unigramVocab(spark, dir).collect()
+      val big = UnigramLm.unigramVocabBig(spark, dir).collect()
+      val nChars = toy.count(_.getString(1).length == 1)
+      assert(nChars == big.count(_.getString(1).length == 1))
+      assert(toy.count(_.getString(1).length > 1) == UnigramLm.UniVocab - nChars,
+        "the toy prune must bind exactly at its cap")
+      assert(big.count(_.getString(1).length > 1) == UnigramLm.UniVocabBig - nChars,
+        "the production prune must bind exactly at its cap")
+    }
+  }
+
   test("fertility, BUDGET-MATCHED (r16, VERDICT r15 #4): under equal " +
       "256-budgets the trained BPE wins this corpus; the r15 'strictly " +
       "better' pin was a budget artifact") {
