@@ -387,8 +387,8 @@ object UnigramLm {
   private lazy val uniIdsBigSql: String =
     uniIdsSqlOver(uniEncodeCtesOver(uniTrainCtesBig))
 
-  private lazy val uniFertilitySql: String =
-    s"WITH RECURSIVE $uniEncodeCtes, " +
+  private def uniFertilitySqlOver(encodeCtes: String): String =
+    s"WITH RECURSIVE $encodeCtes, " +
       "pd AS (SELECT lang, text, CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT) AS nw, " +
       "CAST(coalesce(list_sum(list_transform(list_filter(string_split(text, ' '), w -> length(w) > 0), " +
       "w -> len(string_split(wm.m[w][1], ' ')))), 0) AS BIGINT) AS nu " +
@@ -399,17 +399,23 @@ object UnigramLm {
       "CASE WHEN sum(nu) > 0 THEN CAST(sum(octet_length(encode(text))) * 1000000 // sum(nu) AS BIGINT) END AS bytes_per_token6 " +
       "FROM pd GROUP BY lang"
 
+  private lazy val uniFertilitySql: String = uniFertilitySqlOver(uniEncodeCtes)
+  private lazy val uniFertilityBigSql: String =
+    uniFertilitySqlOver(uniEncodeCtesOver(uniTrainCtesBig))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_vocab" -> (unigramVocab _),
     "text_unigram_ids" -> (unigramIds _),
     "text_unigram_fertility" -> (unigramFertility _),
     "text_unigram_vocab_1k" -> (unigramVocabBig _),
-    "text_unigram_ids_1k" -> (unigramIdsBig _))
+    "text_unigram_ids_1k" -> (unigramIdsBig _),
+    "text_unigram_fertility_1k" -> (unigramFertilityBig _))
 
   def oracles: Map[String, String] = Map(
     "text_unigram_vocab" -> uniVocabSql,
     "text_unigram_ids" -> uniIdsSql,
     "text_unigram_fertility" -> uniFertilitySql,
     "text_unigram_vocab_1k" -> uniVocabBigSql,
-    "text_unigram_ids_1k" -> uniIdsBigSql)
+    "text_unigram_ids_1k" -> uniIdsBigSql,
+    "text_unigram_fertility_1k" -> uniFertilityBigSql)
 }
