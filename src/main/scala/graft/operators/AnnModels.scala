@@ -86,6 +86,8 @@ object AnnModels {
   @volatile private[graft] var funnelFlagBuilds = 0
   @volatile private[graft] var knnGraphBuilds = 0
   @volatile private[graft] var uniBigTrains = 0
+  @volatile private[graft] var langidScoreBuilds = 0
+  @volatile private[graft] var qualityScoreBuilds = 0
 
   /** The trigram LM's training constants, inlined into every key that
     * depends on the LM's output (the registry's key discipline: change a
@@ -643,6 +645,45 @@ object AnnModels {
         table = "documents,embeddings", coalesce1 = false) {
       alignScoreTrains += 1
       Multimodal.textAlignInline(s, dir)
+    }
+
+  /** Constant-material hash for score-relation keys: the marker/stopword
+    * word lists are code constants the artifact content depends on — a
+    * list edit must re-key, and hashing the material beats hand-counting
+    * it into the params string. */
+  private def constHash(material: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(material.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** The corpus MARKER-LANGID relation (doc_id, pred_lang) — the
+    * heuristic gate's predictions scored once per corpus state (r16):
+    * a pure function of the text, but it fronts every curation consumer
+    * (the curate battery, the funnel flag build, the build capstones),
+    * each of which paid one full corpus-text scan per invocation. Keyed
+    * on a hash of the marker word lists (a list edit re-keys).
+    * Corpus-sized: natural partitioning. */
+  def langidScores(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "lidsc",
+        s"mk=${constHash(TextOps.Markers.map { case (l, ws) => l + ":" + ws.mkString(",") }.mkString(";"))}",
+        coalesce1 = false) {
+      langidScoreBuilds += 1
+      TextOps.langidInline(s, dir)
+    }
+
+  /** The corpus HEURISTIC-QUALITY relation (doc_id, n_tokens,
+    * avg_token_len, punct_ratio, stopword_ratio, repetition_ratio,
+    * quality_score) — [[langidScores]]' twin for the second
+    * per-invocation text scan of the curation family. Round-4 doubles
+    * and exact-decimal composites: bit-identical round-trip. The key
+    * carries the composite weights/rounding and the stopword-list
+    * hash. */
+  def qualityScores(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "qsc",
+        s"coef=5/3/2+2e-1,r=4,sw=${constHash(TextOps.AllStopwords.mkString(","))}",
+        coalesce1 = false) {
+      qualityScoreBuilds += 1
+      TextOps.qualityInline(s, dir)
     }
 
   /** The CURATION FUNNEL's per-document flag relation (doc_id, source,

@@ -29,8 +29,23 @@ object TextOps {
     size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
 
   /** n-gram-marker language ID: argmax of per-language stopword hits,
-    * ties broken by Markers order, zero hits → "und". */
-  def langid(s: SparkSession, dir: String): DataFrame = {
+    * ties broken by Markers order, zero hits → "und".
+    *
+    * REGISTRY-SERVED (r16): the prediction relation is a pure function
+    * of the corpus, but it gates the ENTIRE curation family (curate /
+    * curate_model / curate_semantic / curate_aligned / curate_neardup,
+    * the funnel flag build, the build capstones) — each invocation was
+    * one full corpus-text scan. Scored once per corpus state (the
+    * pplScores discipline on the gate's input side), every consumer
+    * reads a (doc_id, pred_lang) artifact scan. Strings/longs only:
+    * bit-identical round-trip. */
+  def langid(s: SparkSession, dir: String): DataFrame =
+    AnnModels.langidScores(s, dir)
+
+  private[graft] def langidInline(s: SparkSession, dir: String): DataFrame =
+    langidOf(docs(s, dir))
+
+  private[graft] def langidOf(d: DataFrame): DataFrame = {
     val toks = wsTokens(col("text"))
     val scores = Markers.map { case (lang, words) => lang -> markerCount(toks, words) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
@@ -40,7 +55,7 @@ object TextOps {
       case (None, (lang, sc)) => Some(when(sc === best && sc > 0, lit(lang)))
       case (Some(c), (lang, sc)) => Some(c.when(sc === best && sc > 0, lit(lang)))
     }.get.otherwise(lit("und"))
-    docs(s, dir).select(col("doc_id"), pred.as("pred_lang"))
+    d.select(col("doc_id"), pred.as("pred_lang"))
   }
 
   /** Language-ID audit: confusion matrix of predicted vs labeled language
@@ -172,8 +187,16 @@ object TextOps {
   }
 
   /** Quality scoring: token stats + punctuation + stopword + repetition
-    * ratios, equal-weight composite. All ratios of exact ints → bit-stable. */
-  def quality(s: SparkSession, dir: String): DataFrame = qualityOf(docs(s, dir))
+    * ratios, equal-weight composite. All ratios of exact ints → bit-stable.
+    * REGISTRY-SERVED (r16, the langid rationale): the heuristic score
+    * relation gates the whole curation family per invocation; scored
+    * once per corpus state. Round-4 doubles + exact decimals: parquet
+    * round-trips bit-identically. */
+  def quality(s: SparkSession, dir: String): DataFrame =
+    AnnModels.qualityScores(s, dir)
+
+  private[graft] def qualityInline(s: SparkSession, dir: String): DataFrame =
+    qualityOf(docs(s, dir))
 
   private[graft] def qualityOf(d: DataFrame): DataFrame = {
     val toks = wsTokens(col("text"))

@@ -819,6 +819,33 @@ class AnnModelsSpec extends SparkSpec {
     }
   }
 
+  test("langid + quality score relations: registry-served, bit-identical " +
+      "to inline, ONE text scan each across the whole curate battery") {
+    AnnModels.withRoot(freshRoot("scores")) {
+      val (l0, q0) = (AnnModels.langidScoreBuilds, AnnModels.qualityScoreBuilds)
+      // the heaviest per-invocation consumers: three curate variants +
+      // both funnels + the gated scoring queries themselves
+      graft.operators.TextOps.langid(spark, sf).collect()
+      graft.operators.TextOps.quality(spark, sf).collect()
+      graft.operators.Pipeline.curate(spark, sf).collect()
+      graft.operators.Pipeline.curateNearDup(spark, sf).collect()
+      graft.operators.Pipeline.funnel(spark, sf).collect()
+      assert(AnnModels.langidScoreBuilds == l0 + 1,
+        s"expected ONE langid scan, got ${AnnModels.langidScoreBuilds - l0}")
+      assert(AnnModels.qualityScoreBuilds == q0 + 1,
+        s"expected ONE quality scan, got ${AnnModels.qualityScoreBuilds - q0}")
+      assert(rows(graft.operators.TextOps.langid(spark, sf)) ==
+        rows(graft.operators.TextOps.langidInline(spark, sf)),
+        "served langid predictions diverge from inline")
+      assert(rows(graft.operators.TextOps.quality(spark, sf)) ==
+        rows(graft.operators.TextOps.qualityInline(spark, sf)),
+        "served quality scores diverge from inline")
+      assert(AnnModels.langidScoreBuilds == l0 + 1 &&
+        AnnModels.qualityScoreBuilds == q0 + 1,
+        "re-reads must not re-scan")
+    }
+  }
+
   test("knn graph: registry-served, bit-identical to inline, ONE build " +
       "per corpus state") {
     AnnModels.withRoot(freshRoot("knng")) {
