@@ -594,9 +594,18 @@ object Analytics {
     * blk = floor((v-min)/width) is monotone in v — all the two-level
     * decomposition needs. A one-value domain (min = max) degenerates to a
     * single block, which is then also the whole (single-row) census. */
-  private[graft] def cumulativeCensus(vals: DataFrame): DataFrame = {
-    val bounds = vals.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
-    val vc = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+  private[graft] def cumulativeCensus(vals: DataFrame): DataFrame =
+    cumulativeCensusOfCounts(vals.groupBy(col("v")).agg(count(lit(1)).as("cnt")))
+
+  /** [[cumulativeCensus]] over an already-aggregated (v, cnt) relation —
+    * r16: the bounds aggregate runs over the value census, not the raw
+    * rows (min/max over distinct values equal min/max over all rows), so
+    * the raw input is scanned ONCE and the census's shuffle is REUSED by
+    * the bounds subtree (ReusedExchange in the executed plan) instead of
+    * three independent full scans (bounds, census, and the caller's N). */
+  private[graft] def cumulativeCensusOfCounts(vcIn: DataFrame): DataFrame = {
+    val bounds = vcIn.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val vc = vcIn
       .crossJoin(broadcast(bounds))
       .withColumn("blk", when(col("vmax") > col("vmin"),
         floor((col("v").cast("double") - col("vmin").cast("double")) /
@@ -615,9 +624,15 @@ object Analytics {
   }
 
   private[graft] def equidepthOf(vals: DataFrame): DataFrame = {
-    val cum = cumulativeCensus(vals)
+    // One value-census aggregation feeds the census, its bounds AND the
+    // row count N (sum of census counts == count of raw rows): the raw
+    // relation is scanned once and the shuffle is shared (ReusedExchange).
+    val vcIn = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val cum = cumulativeCensusOfCounts(vcIn)
     val s = vals.sparkSession
-    val n = vals.agg(count(lit(1)).as("n"))
+    // coalesce keeps `n` non-nullable like the count() it replaces (the
+    // column is part of the gated output schema); value is identical.
+    val n = vcIn.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
     val targets = s.range(1, 11).select(col("id").cast("int").as("decile"))
       .crossJoin(broadcast(n))
       .withColumn("target", expr("(decile * n + 9) DIV 10"))

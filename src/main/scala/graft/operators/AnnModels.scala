@@ -88,6 +88,11 @@ object AnnModels {
   @volatile private[graft] var uniBigTrains = 0
   @volatile private[graft] var langidScoreBuilds = 0
   @volatile private[graft] var qualityScoreBuilds = 0
+  @volatile private[graft] var candPairBuilds = 0
+  @volatile private[graft] var candLabelBuilds = 0
+  @volatile private[graft] var gopherFlagBuilds = 0
+  @volatile private[graft] var dirtyGramBuilds = 0
+  @volatile private[graft] var calibKeepBuilds = 0
 
   /** The trigram LM's training constants, inlined into every key that
     * depends on the LM's output (the registry's key discipline: change a
@@ -684,6 +689,95 @@ object AnnModels {
         coalesce1 = false) {
       qualityScoreBuilds += 1
       TextOps.qualityInline(s, dir)
+    }
+
+  /** The raw MinHash-LSH CANDIDATE pair relation (doc_a, doc_b) — the
+    * bucketed+salted candidate set every minhash-family consumer starts
+    * from (r16): the gated `dedup_minhash_lsh`, the candidate-graph CC
+    * labeling, both verification estimators (`dedup_jaccard_weighted`,
+    * `dedup_minhash_estimate`), the LSH recall audits AND the verified-
+    * pair builder each re-ran the signature pass + bucket census + salt
+    * + pair explode per invocation; the relation is a pure function of
+    * the corpus and the LSH constants, so it persists once per corpus
+    * state (the hammingPairsStore discipline on the minhash engine).
+    * All-long columns: bit-identical round-trip. Candidate-bounded size
+    * (≤ perms·cap per doc): natural partitioning. */
+  def candPairs(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "mhcand",
+        s"p=${Dedup.MinhashPerms},n=${Dedup.ShingleN},cap=${Dedup.MaxBucket}",
+        coalesce1 = false) {
+      candPairBuilds += 1
+      Dedup.minhashLshInline(s, dir)
+    }
+
+  /** The CANDIDATE-GRAPH CC labeling (doc_id, cluster_id) — min-id
+    * connected components over [[candPairs]], the raw-candidate twin of
+    * [[survivorLabels]] (r16): every `dedup_clusters` read re-ran the
+    * full star-contraction loop (the suite's single heaviest query) on
+    * an edge set that is itself a served artifact; the labeling is the
+    * nightly-persisted product of the same shape as the verified /
+    * semantic / perceptual labelings, all three of which already serve.
+    * All-long columns: bit-identical round-trip. Corpus-sized: natural
+    * partitioning. */
+  def candLabels(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "ccraw",
+        s"p=${Dedup.MinhashPerms},n=${Dedup.ShingleN},cap=${Dedup.MaxBucket}",
+        coalesce1 = false) {
+      candLabelBuilds += 1
+      Dedup.clusterAssignInline(s, dir)
+    }
+
+  /** The corpus GOPHER-RULE flag relation (doc_id, n_words,
+    * mean_word_len, n_stop_hits, r_*, keep) — the heuristic battery's
+    * per-document verdicts persisted once per corpus state (r16):
+    * [[langidScores]]'/[[qualityScores]]' twin for the third
+    * per-invocation text scan of the curation family (the gated
+    * `text_gopher_rules`, all five `pipeline_build*` capstones and both
+    * corpus report cards read it). mean_word_len sits on the round-4
+    * grid (an exact double), everything else is int/long —
+    * bit-identical round-trip. Keyed on every rule constant and the
+    * stop-list hash (a list edit re-keys). Corpus-sized: natural
+    * partitioning. */
+  def gopherFlags(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "gflags",
+        s"w=${TextOps.GopherMinWords}-${TextOps.GopherMaxWords}," +
+          s"hits=${TextOps.GopherMinStopHits}," +
+          s"stop=${constHash(TextOps.GopherStop.mkString(","))}",
+        coalesce1 = false) {
+      gopherFlagBuilds += 1
+      TextOps.gopherRulesInline(s, dir)
+    }
+
+  /** The benchmark-CONTAMINATION relation (doc_id, n_shared_grams,
+    * n_bench_docs) — each corpus document's exact 5-gram overlap with
+    * the held-out benchmark set, persisted once per corpus state (r16):
+    * the gated `pipeline_decontaminate` and every `pipeline_build*`
+    * capstone re-exploded the corpus's distinct 5-grams per invocation
+    * for a relation that changes only when the documents table does.
+    * All-long columns: bit-identical round-trip. Hit-sized (only
+    * contaminated docs appear): natural partitioning. */
+  def dirtyGrams(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "dirty",
+        s"g=5,bench=lt10", coalesce1 = false) {
+      dirtyGramBuilds += 1
+      Pipeline.decontaminateInline(s, dir)
+    }
+
+  /** The CALIBRATED quality-gate relation (doc_id, logit8, calib_keep)
+    * — the top-half-of-own-distribution keep flags persisted once per
+    * corpus state (r16): the threshold is an order statistic of the
+    * served [[qualityLogits]], but selecting it re-ran the cumulative
+    * census + rank-target chain on every read of the three consumers
+    * (`text_quality_calibrated`, `pipeline_build_calibrated`,
+    * `pipeline_build_ordered`). Keyed on the logits' own params plus
+    * the keep rule. logit8 is an exact fixed-point long —
+    * bit-identical round-trip. Corpus-sized: natural partitioning. */
+  def calibKeep(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "calib",
+        s"$LmParams,coef=${TextOps.QmBias}/${TextOps.QmStop}/${TextOps.QmRepUni}/${TextOps.QmRep3}/${TextOps.QmPunct}/${TextOps.QmNll}/${TextOps.QmLenPerTok}x${TextOps.QmLenCap},rule=ceilhalf",
+        coalesce1 = false) {
+      calibKeepBuilds += 1
+      TextOps.qualityCalibratedOf(TextOps.qualityModel(s, dir))
     }
 
   /** The CURATION FUNNEL's per-document flag relation (doc_id, source,

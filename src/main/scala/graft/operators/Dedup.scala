@@ -89,6 +89,15 @@ object Dedup {
     * salt arithmetic — so one degenerate bucket can never pin a 100 TB run
     * to a single quadratic task, and its near-dup pairs still surface. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    // r16: the default-cap candidate set is a registry artifact
+    // (AnnModels.candPairs — the hammingPairsStore discipline): six
+    // consumers re-ran the signature + census + salt + explode chain per
+    // invocation. Non-default caps (the salting specs) build inline.
+    AnnModels.candPairs(s, dir)
+
+  /** The candidate chain itself — what AnnModels.candPairs runs once per
+    * corpus state. */
+  private[graft] def minhashLshInline(s: SparkSession, dir: String): DataFrame =
     minhashLshCapped(s, dir, MaxBucket)
 
   /** 64-bit SimHash per document (pure per-row expression, no shuffle).
@@ -447,6 +456,15 @@ object Dedup {
     * the same alternating-join shape GraphX/connected-components runs at
     * cluster scale. The driver-side loop only reads a convergence count. */
   def clusterAssign(s: SparkSession, dir: String): DataFrame =
+    // r16: served (AnnModels.candLabels) — the survivorLabels discipline
+    // on the candidate graph; the star-contraction loop runs once per
+    // corpus state instead of on every read of the suite's heaviest query.
+    AnnModels.candLabels(s, dir)
+
+  /** The labeling chain itself — what AnnModels.candLabels runs once per
+    * corpus state (the candidate pairs themselves serve from the
+    * registry, so a label rebuild reads the pair artifact). */
+  private[graft] def clusterAssignInline(s: SparkSession, dir: String): DataFrame =
     ccLabels(docs(s, dir).select(col("doc_id")), minhashLsh(s, dir))
 
   /** Min-label connected components over an undirected candidate-pair list
@@ -788,7 +806,9 @@ object Dedup {
     * The spec asserts the binomial error band against the exact verified
     * Jaccard on the shared candidate set. */
   def minhashEstimate(s: SparkSession, dir: String): DataFrame = {
-    val p = minhashLsh(s, dir).localCheckpoint()
+    val p = minhashLsh(s, dir) // r16: an artifact scan now - no recompute
+    // risk for the multi-branch plan, and skipping the checkpoint saves a
+    // materialization job per invocation (re-reads are parquet scans)
     val candIds = p.select(col("doc_a").as("doc_id"))
       .unionAll(p.select(col("doc_b").as("doc_id"))).distinct()
     // Semi-join reduction first, as in minhashVerified: only candidate
@@ -829,7 +849,9 @@ object Dedup {
     * same asymptotic bill as shipping the hashed arrays. Elements ship as
     * full 64-bit hashes for the same collision budget as the set verifier. */
   def weightedJaccard(s: SparkSession, dir: String): DataFrame = {
-    val p = minhashLsh(s, dir).localCheckpoint()
+    val p = minhashLsh(s, dir) // r16: an artifact scan now - no recompute
+    // risk for the multi-branch plan, and skipping the checkpoint saves a
+    // materialization job per invocation (re-reads are parquet scans)
     val candIds = p.select(col("doc_a").as("doc_id"))
       .unionAll(p.select(col("doc_b").as("doc_id"))).distinct()
     val cnt = docs(s, dir)

@@ -271,6 +271,15 @@ object TextOps {
     * hits; <= 90% of lines bullet-started (removal only at MORE than 90%);
     * <= 30% of lines ellipsis-ended. */
   def gopherRules(s: SparkSession, dir: String): DataFrame =
+    // r16: served (AnnModels.gopherFlags — the langidScores/qualityScores
+    // discipline): the battery is a pure per-document text function read
+    // by seven consumers, each of which paid the full text scan per
+    // invocation.
+    AnnModels.gopherFlags(s, dir)
+
+  /** The battery itself — what AnnModels.gopherFlags runs once per
+    * corpus state. */
+  private[graft] def gopherRulesInline(s: SparkSession, dir: String): DataFrame =
     gopherRulesOf(docs(s, dir))
 
   private[graft] def gopherRulesOf(d: DataFrame): DataFrame = {
@@ -2199,7 +2208,11 @@ object TextOps {
     * and the comparison is a long compare — bit-replayable by the oracle's
     * single-window cumsum. */
   def qualityCalibrated(s: SparkSession, dir: String): DataFrame =
-    qualityCalibratedOf(qualityModel(s, dir))
+    // r16: served (AnnModels.calibKeep): the logits already served, but
+    // the census + rank-target threshold selection re-ran per read of
+    // the three consumers; the flag relation is a pure function of the
+    // served logits and the ceil(N/2) rule, so it persists alongside.
+    AnnModels.calibKeep(s, dir)
 
   private[graft] def qualityCalibratedOf(model: DataFrame): DataFrame = {
     // The model relation feeds the count, the census bounds, the census
@@ -2253,7 +2266,7 @@ object TextOps {
       .localCheckpoint()
     val census = withHash.groupBy("h").agg(count(lit(1)).as("c"))
     withHash.join(census, Seq("h"))
-      .join(gopherRulesOf(d).select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .join(gopherRules(s, dir).select(col("doc_id"), col("keep")), Seq("doc_id"))
       .groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -2279,7 +2292,7 @@ object TextOps {
     val d = docs(s, dir)
     val base = d.select(col("doc_id"), col("source"),
       size(wsTokens(col("text"))).cast("long").as("n_tok"))
-    val keepFlags = gopherRulesOf(d).select(col("doc_id"), col("keep"))
+    val keepFlags = gopherRules(s, dir).select(col("doc_id"), col("keep"))
     val nearDup = AnnModels.survivorLabels(s, dir)
       .select(col("doc_id"), (col("cluster_id") =!= col("doc_id")).cast("long").as("nd"))
     base.join(keepFlags, Seq("doc_id")).join(nearDup, Seq("doc_id"))
@@ -2318,7 +2331,12 @@ object TextOps {
     "text_tokens" -> (tokens _),
     "text_bpe_fertility" -> (bpeFertility _),
     "text_bpe_fertility_256" -> (bpeFertilityBig _),
-    "text_bpe_train" -> (bpeTrain _),
+    // r16: served from the registry like the _256 sibling below — the
+    // inline trainer (bpeTrain) re-ran k collect-driven merge rounds per
+    // invocation while bpeTrainedIds et al. already read the persisted
+    // table; the gated query now reads the same artifact (served ≡ inline
+    // spec-pinned; one-train counter shared with every other consumer).
+    "text_bpe_train" -> ((s: SparkSession, dir: String) => AnnModels.bpeMergeTable(s, dir)),
     "text_bpe_encode" -> (bpeEncode _),
     "text_bpe_vocab" -> (bpeVocab _),
     "text_bpe_ids" -> (bpeIds _),

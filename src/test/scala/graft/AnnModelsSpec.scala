@@ -963,4 +963,55 @@ class AnnModelsSpec extends SparkSpec {
       assert(AnnModels.ivfTrains == t0, "non-default variant touched the registry")
     }
   }
+
+  // --- r16 optimization round: the five new served relations ---------------
+
+  test("minhash candidate pairs build once; served pairs are bit-identical " +
+      "to the inline LSH chain and feed the CC labeling without a rebuild") {
+    AnnModels.withRoot(freshRoot("mhcand")) {
+      val (c0, l0) = (AnnModels.candPairBuilds, AnnModels.candLabelBuilds)
+      val served = rows(Dedup.minhashLsh(spark, sf))
+      assert(AnnModels.candPairBuilds == c0 + 1, "first access must build")
+      assert(served == rows(Dedup.minhashLshInline(spark, sf)),
+        "artifact-served candidate pairs diverged from the inline LSH chain")
+      assert(served.nonEmpty, "construction check: the corpus has candidates")
+      // every minhash-family consumer rides the ONE pair build
+      Dedup.weightedJaccard(spark, sf).collect()
+      Dedup.minhashEstimate(spark, sf).collect()
+      val labels = rows(Dedup.clusterAssign(spark, sf))
+      assert(AnnModels.candPairBuilds == c0 + 1,
+        s"expected ONE candidate build across consumers, got ${AnnModels.candPairBuilds - c0}")
+      assert(AnnModels.candLabelBuilds == l0 + 1, "labels must build once")
+      assert(labels == rows(Dedup.clusterAssignInline(spark, sf)),
+        "artifact-served CC labeling diverged from the inline star loop")
+      assert(AnnModels.candLabelBuilds == l0 + 1,
+        "the inline parity run must not write the registry")
+    }
+  }
+
+  test("gopher flags, contamination hits and calibrated keeps: " +
+      "registry-served, bit-identical to inline, one build each") {
+    AnnModels.withRoot(freshRoot("curation")) {
+      val T = graft.operators.TextOps
+      val P = graft.operators.Pipeline
+      val (g0, d0, k0) = (AnnModels.gopherFlagBuilds, AnnModels.dirtyGramBuilds,
+        AnnModels.calibKeepBuilds)
+      assert(rows(T.gopherRules(spark, sf)) == rows(T.gopherRulesInline(spark, sf)),
+        "artifact-served gopher flags diverged from the inline battery")
+      assert(rows(P.decontaminate(spark, sf)) == rows(P.decontaminateInline(spark, sf)),
+        "artifact-served contamination hits diverged from the inline explode")
+      assert(rows(T.qualityCalibrated(spark, sf)) ==
+        rows(T.qualityCalibratedOf(T.qualityModel(spark, sf))),
+        "artifact-served calibrated keeps diverged from the inline census")
+      // the build capstone reads all three — no rebuild on a second pass
+      P.build(spark, sf).collect()
+      P.buildCalibrated(spark, sf).collect()
+      assert(AnnModels.gopherFlagBuilds == g0 + 1,
+        s"expected ONE gopher build, got ${AnnModels.gopherFlagBuilds - g0}")
+      assert(AnnModels.dirtyGramBuilds == d0 + 1,
+        s"expected ONE contamination build, got ${AnnModels.dirtyGramBuilds - d0}")
+      assert(AnnModels.calibKeepBuilds == k0 + 1,
+        s"expected ONE calibrated build, got ${AnnModels.calibKeepBuilds - k0}")
+    }
+  }
 }
